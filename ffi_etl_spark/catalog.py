@@ -1,0 +1,55 @@
+"""Parquet-backed table catalog.
+
+The reference addresses persistent medallion layers by 3-part Delta
+names via ``spark.table`` (transform_alchemer_data.py:8,
+rollup_alchemer_data.py:9, merge_census.py:16).  This engine maps the
+same surface onto parquet directories + temp views: ``load_tables``
+registers every table under a scale-factor dir, ``table`` resolves one.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Tables the driver testdata ships (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table (columnar parquet scan — pushdown/pruning capable)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES, register: bool = True
+) -> dict[str, DataFrame]:
+    """Load tables under ``sf_dir``; optionally register temp views.
+
+    Registration gives the SQL entry point (SURVEY.md §3 EP3) the same
+    names the DuckDB oracle uses.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,85 @@
+"""Demographic roll-up — counts + percent-of-total per category.
+
+Reference semantics (`process_demographic`, utils.py:190-223, called
+from rollup_alchemer_data.py:30-41):
+
+  * group by the demographic column, count rows;
+  * denominator = total count EXCLUDING the ``Unknown`` category (null
+    categories are also excluded — ``col != 'Unknown'`` is null-false);
+  * every category's percent (including ``Unknown``) uses that reduced
+    denominator, formatted ``"%.2f%%"``;
+  * ``Total Responses`` holds that same excl-unknown denominator as a
+    string — blank ``""`` for the ``Unknown`` AND null categories
+    (utils.py:216: the when condition is null for null categories, so
+    they fall to the blank branch);
+  * per-demographic frames are unioned and projected to a fixed column
+    order (rollup_alchemer_data.py:94-98).
+
+The reference computes the denominators with two eager ``collect()``
+calls per demographic (utils.py:207,211 — 12 driver round-trips per
+run). Here both are window aggregates over an empty partition spec, so
+the whole roll-up (all demographics) is ONE lazy plan: Catalyst fuses
+the scan, the per-demographic hash-aggregations share one shuffle
+boundary each, and nothing touches the driver. At 100 TB the group-by
+keys are low-cardinality demographic labels, so the partial (map-side)
+aggregation reduces each partition to a handful of rows before the
+shuffle — the empty-partition window then runs over K rows (K =
+category count), which is trivially cheap.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FINAL_COLUMNS = [
+    "Demographic",
+    "Category",
+    "# of Survey Responses",
+    "% of Survey Responses",
+    "Total Responses",
+]
+
+
+def demographic_rollup(
+    df: DataFrame,
+    demographic_col: str,
+    demographic_name: str,
+    unknown_label: str = "Unknown",
+) -> DataFrame:
+    """Roll up one demographic column; collect-free port of utils.py:190-223."""
+    grouped = df.groupBy(F.col(demographic_col).alias("Category")).agg(
+        F.count(F.lit(1)).alias("# of Survey Responses")
+    )
+    everything = Window.partitionBy()  # single global "partition" of K category rows
+    cnt = F.col("# of Survey Responses")
+    total_excl_unknown = F.sum(
+        F.when(F.col("Category") != unknown_label, cnt)
+    ).over(everything)
+    return grouped.select(
+        F.lit(demographic_name).alias("Demographic"),
+        F.col("Category"),
+        cnt,
+        F.format_string("%.2f%%", cnt / total_excl_unknown * 100).alias(
+            "% of Survey Responses"
+        ),
+        F.when(
+            F.col("Category") != unknown_label,
+            total_excl_unknown.cast("string"),
+        )
+        .otherwise(F.lit(""))
+        .alias("Total Responses"),
+    ).orderBy(F.col("Category").desc())
+
+
+def rollup_all(df: DataFrame, demographics: list[tuple[str, str]]) -> DataFrame:
+    """Union of per-demographic roll-ups (rollup_alchemer_data.py:87-98).
+
+    The reference uses positional ``union``; all frames here share one
+    builder so ``unionByName`` is both safe and order-robust.
+    """
+    frames = [demographic_rollup(df, col, name) for col, name in demographics]
+    unioned = reduce(DataFrame.unionByName, frames)
+    return unioned.select(FINAL_COLUMNS)

@@ -1,0 +1,58 @@
+"""SparkSession factory with the engine's required configuration.
+
+The reference sets only one session flag (LEGACY time parser,
+transform_alchemer_data.py:44); everything else here is the engine's
+scale posture: AQE with skew-join handling, Arrow for the few Pandas
+boundaries, UTC session time (oracle parity with DuckDB), and shuffle
+parallelism sized to the actual core count rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs applied to every engine session. At cluster scale these are the
+# same knobs; only master/memory change.
+ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # reference requirement for `MM/dd/yyyy h:mm:ss a` parsing
+    # (transform_alchemer_data.py:44,49-50)
+    "spark.sql.legacy.timeParserPolicy": "LEGACY",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_session(app_name: str = "ffi_etl_spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession configured for the engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when unset so the
+    same entry point works in tests, bench, and the driver harness.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    # local mode: the driver is the only JVM — give it headroom
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply engine confs to an externally-created session (driver harness)."""
+    for k, v in ENGINE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static confs (e.g. spark.driver.memory) can't change post-start
+    return spark
