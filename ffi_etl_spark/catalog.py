@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 # Tables the driver testdata ships (TESTDATA.md).
 TESTDATA_TABLES = (
@@ -30,9 +32,22 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _normalize(name: str, df: DataFrame) -> DataFrame:
+    """Testdata-specific type repair: events.ts is parquet TIMESTAMP(NANOS),
+    read as long (see session.ENGINE_CONFS) and truncated here to Spark's
+    microsecond timestamps — the same truncation DuckDB's TIMESTAMP cast
+    applies, keeping oracle comparisons exact."""
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table (columnar parquet scan — pushdown/pruning capable)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from ffi_etl_spark.session import configure
+
+    configure(spark)
+    return _normalize(name, spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
 
 
 def load_tables(
@@ -43,12 +58,15 @@ def load_tables(
     Registration gives the SQL entry point (SURVEY.md §3 EP3) the same
     names the DuckDB oracle uses.
     """
+    from ffi_etl_spark.session import configure
+
+    configure(spark)
     out: dict[str, DataFrame] = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = _normalize(name, spark.read.parquet(path))
         if register:
             df.createOrReplaceTempView(name)
         out[name] = df

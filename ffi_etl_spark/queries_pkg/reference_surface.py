@@ -7,7 +7,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ffi_etl_spark.catalog import table
-from ffi_etl_spark.operators.rollup import demographic_rollup
+from ffi_etl_spark.functions.cleaning import clean_strings
+from ffi_etl_spark.functions.recode import bucketize, map_lookup, zip5
+from ffi_etl_spark.operators.census import merge_census
+from ffi_etl_spark.operators.rollup import demographic_rollup, rollup_all
+from ffi_etl_spark.operators.validity import split_valid, validity_cascade
 from ffi_etl_spark.queries import query
 
 
@@ -44,3 +48,606 @@ def _rollup_demographic(spark, sf_dir):
         F.when(F.col("c_acctbal") < 0, "Unknown").otherwise(F.col("c_mktsegment")),
     )
     return demographic_rollup(cust, "segment", "Segment")
+
+
+# --- P1/D2/D3/F3-F5: cleaning pass (transform_alchemer_data.py:20-39) --------
+
+@query(
+    "clean_text",
+    oracle=r"""
+SELECT doc_id,
+       CASE WHEN trim(regexp_replace(lower(
+                 regexp_replace(regexp_replace(text, 'â€™', '''', 'g'), 'Ã', 'i', 'g')
+            ), '[^\w\s]', '', 'g'))
+            IN ('na','n/a','not applicable','no response','does not apply','no thank you',
+                'no thanks','no comment','it dont','none','i have no idea','no idea','no time',
+                'no realmente','nada mas que agregarnot really','nothing','-','','i not to say',
+                'nope','no','no I do not','nothings','nan')
+            THEN NULL
+            WHEN regexp_replace(regexp_replace(text, 'â€™', '''', 'g'), 'Ã', 'i', 'g') = 'nan'
+            THEN NULL
+            ELSE regexp_replace(regexp_replace(text, 'â€™', '''', 'g'), 'Ã', 'i', 'g')
+       END AS text,
+       lang, source, n_chars
+FROM documents
+""",
+)
+def _clean_text(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return clean_strings(docs, open_text_cols=["text", "not_a_column"])
+
+
+# --- D1/F11: native Likert scoring + domain means ----------------------------
+# (utils.py:159-181, transform_alchemer_data.py:62-75) mapped onto lineitem
+# flag columns; the UDF becomes a literal-map lookup.
+
+@query(
+    "likert_scores",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE l_returnflag WHEN 'R' THEN -1 WHEN 'N' THEN 0 WHEN 'A' THEN 1 ELSE 0 END
+         AS flag_score,
+       CASE l_linestatus WHEN 'O' THEN 1 WHEN 'F' THEN -1 ELSE 0 END AS status_score,
+       round((CASE l_returnflag WHEN 'R' THEN -1 WHEN 'N' THEN 0 WHEN 'A' THEN 1 ELSE 0 END
+            + CASE l_linestatus WHEN 'O' THEN 1 WHEN 'F' THEN -1 ELSE 0 END) / 2.0, 2)
+         AS domain_mean
+FROM lineitem
+""",
+)
+def _likert_scores(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    flag = map_lookup("l_returnflag", {"R": -1, "N": 0, "A": 1}, 0).cast("int")
+    status = map_lookup("l_linestatus", {"O": 1, "F": -1}, 0).cast("int")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        flag.alias("flag_score"),
+        status.alias("status_score"),
+        F.round((flag + status) / 2.0, 2).alias("domain_mean"),
+    )
+
+
+# --- F1/F7/F12: first-match-wins bucketing + zip recode ----------------------
+# (transform_alchemer_data.py:153-196) on customer.
+
+@query(
+    "bucket_balance",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal <= 0 THEN 'Unknown'
+            WHEN c_acctbal < 1000 THEN 'Less than 1000'
+            WHEN c_acctbal < 3000 THEN '1000 to 2999'
+            WHEN c_acctbal < 5000 THEN '3000 to 4999'
+            WHEN c_acctbal < 8000 THEN '5000 to 7999'
+            WHEN c_acctbal < 10000 THEN '8000 to 9999'
+            ELSE 'Unknown' END AS balance_bucket,
+       CASE WHEN lpad(CAST(c_custkey % 100000 AS VARCHAR), 9, '0') IS NULL
+              OR try_cast(substr(lpad(CAST(c_custkey % 100000 AS VARCHAR), 9, '0'), 1, 5) AS INT) = 0
+            THEN 'Unknown'
+            ELSE substr(lpad(CAST(c_custkey % 100000 AS VARCHAR), 9, '0'), 1, 5)
+       END AS zip5
+FROM customer
+""",
+)
+def _bucket_balance(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    bucket = bucketize(
+        bal,
+        [
+            (bal <= 0, "Unknown"),
+            (bal < 1000, "Less than 1000"),
+            (bal < 3000, "1000 to 2999"),
+            (bal < 5000, "3000 to 4999"),
+            (bal < 8000, "5000 to 7999"),
+            (bal < 10000, "8000 to 9999"),
+        ],
+        "Unknown",
+    )
+    zip_str = F.lpad((F.col("c_custkey") % 100000).cast("string"), 9, "0")
+    return cust.select(
+        "c_custkey",
+        bucket.alias("balance_bucket"),
+        zip5(zip_str).alias("zip5"),
+    )
+
+
+# --- F1 cascade + P2/P3 split: validity (transform_alchemer_data.py:201-224,
+# rollup_alchemer_data.py:74-81) mapped onto orders.
+
+def _orders_with_validity(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    admin = F.when(F.col("o_totalprice") > 400000, "ok").otherwise(F.lit(None).cast("string"))
+    status = (
+        F.when(F.col("o_orderstatus") == "O", "Complete")
+        .when(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "5-LOW"),
+            "Abandoned",
+        )
+        .when(F.col("o_orderstatus") == "F", "Partial")
+        .otherwise("Disqualified")
+    )
+    link = F.when(F.col("o_orderkey") % 97 == 0, "Test link").otherwise("Email")
+    country = F.when(F.col("o_custkey") % 50 == 0, "Canada").otherwise("United States")
+    return o.withColumn("Is_Invalid", validity_cascade(admin, status, link, country))
+
+_VALIDITY_CASE = """
+    CASE
+      WHEN upper(CASE WHEN o_totalprice > 400000 THEN 'ok' END) = 'OK'
+        OR upper(CASE WHEN o_totalprice > 400000 THEN 'ok' END) = 'VALID' THEN 'Valid'
+      WHEN status = 'Partial' THEN 'Survey status is partially completed'
+      WHEN status = 'Disqualified' THEN 'Disqualified in Alchemer'
+      WHEN status <> 'Complete' THEN 'Survey status is ' || status
+      WHEN (CASE WHEN o_orderkey % 97 = 0 THEN 'Test link' ELSE 'Email' END) IN ('Test link','Test')
+        THEN 'Survey was submitted via test link'
+      WHEN (CASE WHEN o_custkey % 50 = 0 THEN 'Canada' ELSE 'United States' END) <> 'United States'
+        THEN 'IP address outside USA'
+      ELSE 'Valid'
+    END
+"""
+
+_VALIDITY_BASE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderkey AS _k,
+         CASE WHEN o_orderstatus = 'O' THEN 'Complete'
+              WHEN o_orderstatus = 'F' AND o_orderpriority = '5-LOW' THEN 'Abandoned'
+              WHEN o_orderstatus = 'F' THEN 'Partial'
+              ELSE 'Disqualified' END AS status
+  FROM orders
+), flagged AS (
+  SELECT o_orderkey, {_VALIDITY_CASE} AS "Is_Invalid" FROM base
+)
+"""
+
+
+@query("validity_cascade", oracle=_VALIDITY_BASE + 'SELECT * FROM flagged')
+def _validity(spark, sf_dir):
+    return _orders_with_validity(spark, sf_dir).select("o_orderkey", "Is_Invalid")
+
+
+@query(
+    "valid_split",
+    oracle=_VALIDITY_BASE
+    + """SELECT o_orderkey, "Is_Invalid" FROM flagged WHERE "Is_Invalid" = 'Valid'""",
+)
+def _valid_split(spark, sf_dir):
+    valid, _ = split_valid(_orders_with_validity(spark, sf_dir))
+    return valid.select("o_orderkey", "Is_Invalid")
+
+
+@query(
+    "invalid_split",
+    oracle=_VALIDITY_BASE
+    + """SELECT o_orderkey, "Is_Invalid" FROM flagged WHERE "Is_Invalid" <> 'Valid'""",
+)
+def _invalid_split(spark, sf_dir):
+    _, invalid = split_valid(_orders_with_validity(spark, sf_dir))
+    return invalid.select("o_orderkey", "Is_Invalid")
+
+
+# --- P4-P8: projections, renames, drops, key prefixing -----------------------
+# (extract_alchemer_data.py:14,46; transform_alchemer_data.py:229-230;
+#  rollup_alchemer_data.py:97-98)
+
+@query(
+    "project_rename_prefix",
+    oracle="""
+SELECT 'Offline #' || CAST(p_partkey AS VARCHAR) AS "Part Key",
+       p_name AS "Part Name", p_brand AS "Brand", p_size
+FROM part
+""",
+)
+def _project_rename_prefix(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    renamed = p.withColumnsRenamed({"p_name": "Part Name", "p_brand": "Brand"}).drop(
+        "p_type", "p_retailprice"
+    )
+    return renamed.select(
+        F.concat(F.lit("Offline #"), F.col("p_partkey").cast("string")).alias("Part Key"),
+        "Part Name",
+        "Brand",
+        "p_size",
+    )
+
+
+# --- A2-A4: driver-scalar aggregates as one lazy plan ------------------------
+# (utils.py:207,211; merge_census.py:129-131 + F10 date_format)
+
+@query(
+    "global_stats",
+    oracle="""
+SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS n_not_returned,
+       strftime(MAX(l_shipdate), '%m/%d/%Y') AS last_ship
+FROM lineitem
+""",
+)
+def _global_stats(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0)).alias("n_not_returned"),
+        F.date_format(F.max("l_shipdate"), "MM/dd/yyyy").alias("last_ship"),
+    )
+
+
+# --- W1: first(ignorenulls) backfill window (merge_census.py:29-39) ----------
+
+@query(
+    "window_backfill_first",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS v
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, v,
+       first_value(v IGNORE NULLS) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS backfilled
+FROM base
+""",
+)
+def _window_backfill_first(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    v = F.when(F.col("o_orderstatus") == "O", None).otherwise(F.col("o_totalprice"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        v.alias("v"),
+        F.first(v, ignorenulls=True).over(w).alias("backfilled"),
+    )
+
+
+# --- W2: row_number with nulls-last custom ordering (merge_census.py:144-153) -
+
+@query(
+    "window_rownum_order",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_totalprice END AS sort_v
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority,
+       ROW_NUMBER() OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY sort_v ASC NULLS LAST, o_orderkey ASC) AS row_num
+FROM base
+""",
+)
+def _window_rownum_order(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    sort_v = F.when(F.col("o_orderstatus") == "F", None).otherwise(F.col("o_totalprice"))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        sort_v.asc_nulls_last(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.row_number().over(w).alias("row_num"),
+    )
+
+
+# --- F8-F10: timestamp format/parse round-trip + duration --------------------
+# (transform_alchemer_data.py:44-56 under LEGACY parser)
+
+@query(
+    "timestamp_roundtrip",
+    oracle="""
+WITH base AS (
+  SELECT event_id,
+         strftime(CAST(ts AS TIMESTAMP), '%m/%d/%Y %-I:%M:%S %p') AS ts_str
+  FROM events
+), parsed AS (
+  SELECT event_id, ts_str, strptime(ts_str, '%m/%d/%Y %-I:%M:%S %p') AS t FROM base
+)
+SELECT event_id, ts_str,
+       round((epoch(t) - epoch(date_trunc('day', t))) / 60) AS minutes_since_midnight
+FROM parsed
+""",
+)
+def _timestamp_roundtrip(spark, sf_dir):
+    fmt = "MM/dd/yyyy h:mm:ss a"
+    ev = table(spark, sf_dir, "events")
+    ts_str = F.date_format("ts", fmt)
+    parsed = F.to_timestamp(ts_str, fmt)
+    return ev.select(
+        "event_id",
+        ts_str.alias("ts_str"),
+        F.round(
+            (F.unix_timestamp(parsed) - F.unix_timestamp(F.date_trunc("DAY", parsed))) / 60
+        ).alias("minutes_since_midnight"),
+    )
+
+
+# --- U1 + A1-A5: multi-demographic union roll-up -----------------------------
+# (rollup_alchemer_data.py:87-98)
+
+_ROLLUP_CTE = """
+  SELECT '{name}' AS "Demographic", "Category",
+         "# of Survey Responses",
+         printf('%.2f%%', "# of Survey Responses" * 100.0 / total_excl) AS "% of Survey Responses",
+         CASE WHEN "Category" <> 'Unknown' THEN CAST(total_excl AS VARCHAR) ELSE '' END AS "Total Responses"
+  FROM (
+    SELECT "Category", "# of Survey Responses",
+           SUM(CASE WHEN "Category" <> 'Unknown' THEN "# of Survey Responses" END) OVER () AS total_excl
+    FROM (SELECT {expr} AS "Category", COUNT(*) AS "# of Survey Responses" FROM cust_n GROUP BY 1)
+  )
+"""
+
+_UNION_ROLLUP_ORACLE = (
+    """
+WITH cust_n AS (
+  SELECT c.*, n.n_name,
+         CASE WHEN c_acctbal < 0 THEN 'Unknown' ELSE c_mktsegment END AS seg_recode,
+         CASE WHEN c_acctbal <= 0 THEN 'Unknown'
+              WHEN c_acctbal < 5000 THEN 'Low' ELSE 'High' END AS bal_bucket
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+"""
+    + _ROLLUP_CTE.format(name="Segment", expr="seg_recode")
+    + " UNION ALL "
+    + _ROLLUP_CTE.format(name="Nation", expr="n_name")
+    + " UNION ALL "
+    + _ROLLUP_CTE.format(name="Balance", expr="bal_bucket")
+)
+
+
+@query("union_rollup_multi", oracle=_UNION_ROLLUP_ORACLE)
+def _union_rollup_multi(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    bal = F.col("c_acctbal")
+    cust_n = (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .withColumn(
+            "seg_recode",
+            F.when(bal < 0, "Unknown").otherwise(F.col("c_mktsegment")),
+        )
+        .withColumn(
+            "bal_bucket",
+            F.when(bal <= 0, "Unknown").when(bal < 5000, "Low").otherwise("High"),
+        )
+    )
+    return rollup_all(
+        cust_n,
+        [("seg_recode", "Segment"), ("n_name", "Nation"), ("bal_bucket", "Balance")],
+    )
+
+
+# --- J2 + W1/W2 + F2/F6/F11/F12: the full census merge -----------------------
+# (merge_census.py end-to-end). Census analog = supplier share per nation;
+# survey analog = customer roll-up per nation. Filters force both outer-join
+# sides to exist at every scale factor. JROUND in the oracle replicates
+# Spark's F.round (BigDecimal-on-shortest-repr, HALF_UP).
+
+def _jround(x: str, n: int) -> str:
+    return f"CAST(round(try_cast(CAST(({x}) AS VARCHAR) AS DECIMAL(30,12)), {n}) AS DOUBLE)"
+
+
+_CENSUS_ORACLE = f"""
+WITH cust_n AS (
+  SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE c_nationkey < 20
+), g AS (
+  SELECT n_name AS cat, COUNT(*) AS cnt FROM cust_n GROUP BY 1
+), t AS (
+  SELECT g.*, SUM(CASE WHEN cat <> 'Unknown' THEN cnt END) OVER () AS total_excl FROM g
+), rollup AS (
+  SELECT 'Nation' AS rd, cat AS rc,
+         cnt AS n_resp,
+         printf('%.2f%%', cnt * 100.0 / total_excl) AS pct_resp,
+         CASE WHEN cat <> 'Unknown' THEN CAST(total_excl AS VARCHAR) ELSE '' END AS total_resp
+  FROM t
+), sc AS (
+  SELECT n_name, n_nationkey, n_regionkey, COUNT(*) AS scnt
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_nationkey >= 5
+  GROUP BY 1, 2, 3
+), census AS (
+  SELECT 'Nation' AS cd, n_name AS cc,
+         printf('%.1f%%', scnt * 100.0 / SUM(scnt) OVER ()) AS census_pct_str,
+         CASE WHEN n_regionkey = 2 THEN NULL ELSE n_nationkey END AS display_order
+  FROM sc
+), j AS (
+  SELECT * FROM census FULL OUTER JOIN rollup ON cd = rd AND cc = rc
+), md AS (SELECT max(o_orderdate) AS maxd FROM orders),
+s1 AS (
+  SELECT cd, cc, census_pct_str, display_order, rd, rc,
+    CASE WHEN rd IS NULL AND rc IS NULL
+         THEN first_value(total_resp IGNORE NULLS) OVER (
+              PARTITION BY cd ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ELSE total_resp END AS total_resp,
+    CASE WHEN rd IS NULL AND rc IS NULL THEN 0 ELSE n_resp END AS n_resp,
+    CASE WHEN rd IS NULL AND rc IS NULL THEN '0' ELSE pct_resp END AS pct_resp
+  FROM j
+), s2 AS (
+  -- two-sided key consolidation (merge_census.py:38-39,49-54); the :60-68
+  -- re-fill is dead after it (condition references coalesced keys) and the
+  -- engine mirrors that, so it is omitted here
+  SELECT total_resp, n_resp, pct_resp, display_order,
+    CASE WHEN cd IS NULL AND cc IS NULL THEN NULL ELSE census_pct_str END AS census_pct_str,
+    COALESCE(cd, rd) AS "Demographic", COALESCE(cc, rc) AS "Category"
+  FROM s1
+), s4 AS (
+  SELECT "Demographic", "Category", n_resp AS "# of Survey Responses",
+         total_resp AS "Total Responses", display_order,
+         try_cast(regexp_replace(census_pct_str, '%', '', 'g') AS DOUBLE) AS census_pct,
+         try_cast(regexp_replace(pct_resp, '%', '', 'g') AS DOUBLE) AS survey_pct
+  FROM s2
+), s5 AS (
+  SELECT *, CASE WHEN census_pct IS NOT NULL AND survey_pct IS NOT NULL
+                 THEN survey_pct - census_pct END AS diff
+  FROM s4
+), s6 AS (
+  SELECT *,
+    CASE WHEN diff < -5 THEN 'Under-Represented'
+         WHEN diff > 5 THEN 'Over-Represented'
+         WHEN diff > -5 AND diff < 5 THEN 'Looks Good' END AS "Representation Status"
+  FROM s5
+), s7 AS (
+  SELECT *, CASE WHEN "Representation Status" IN ('Under-Represented', 'Over-Represented')
+                 THEN {_jround('abs(diff * try_cast("Total Responses" AS DOUBLE) / 100)', 0)}
+            END AS arn0
+  FROM s6
+)
+SELECT "Demographic", "Category", "# of Survey Responses",
+       {_jround('survey_pct', 1)} || '%' AS "% of Survey Responses",
+       "Total Responses",
+       {_jround('census_pct', 1)} || '%' AS "% of Population (Census)",
+       {_jround('diff', 1)} || '%' AS "% Difference",
+       "Representation Status",
+       {_jround(_jround("arn0 / 10", 0) + " * 10", 0)} AS "Additional Responses Needed",
+       strftime(maxd, '%m/%d/%Y') AS "Data Last Updated"
+FROM s7, md
+"""
+
+
+@query("census_merge", oracle=_CENSUS_ORACLE)
+def _census_merge(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 20)
+    nation = table(spark, sf_dir, "nation")
+    supplier = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders")
+
+    cust_n = cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    rollup = demographic_rollup(cust_n, "n_name", "Nation")
+
+    supp_n = (
+        supplier.join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+        .filter(F.col("n_nationkey") >= 5)
+        .groupBy("n_name", "n_nationkey", "n_regionkey")
+        .agg(F.count(F.lit(1)).alias("scnt"))
+    )
+    census = supp_n.select(
+        F.lit("Nation").alias("Demographic"),
+        F.col("n_name").alias("Category"),
+        F.format_string(
+            "%.1f%%",
+            F.col("scnt") * 100.0 / F.sum("scnt").over(Window.partitionBy()),
+        ).alias("Census %"),
+        F.when(F.col("n_regionkey") == 2, None)
+        .otherwise(F.col("n_nationkey"))
+        .alias("Display Order"),
+    )
+    return merge_census(census, rollup, orders, "o_orderdate")
+
+
+# --- headline OLAP perf queries (scan→agg and join→agg spines) ---------------
+# Aggregates go through DECIMAL so sums are order-independent (exact),
+# then back to DOUBLE — deterministic across partitionings and vs DuckDB.
+
+@query(
+    "tpch_q1",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,8))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,8))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def _tpch_q1(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(27,8)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(27,8)")).cast("double").alias("sum_charge"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            (
+                F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "tpch_q3_top10",
+    oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,8))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def _tpch_q3_top10(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,8)")
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --- S5/S6: catalog registration + introspection -----------------------------
+# (spark.table / SHOW TABLES, write_to_volume.py:7-8)
+
+@query(
+    "catalog_tables",
+    oracle="""
+SELECT table_name FROM information_schema.tables
+WHERE table_name IN ('region','nation','customer','supplier','part','orders',
+                     'lineitem','events','documents','embeddings')
+""",
+)
+def _catalog_tables(spark, sf_dir):
+    from ffi_etl_spark.catalog import TESTDATA_TABLES, load_tables
+
+    load_tables(spark, sf_dir)
+    return (
+        spark.sql("SHOW VIEWS")
+        .select(F.col("viewName").alias("table_name"))
+        .filter(F.col("table_name").isin(*TESTDATA_TABLES))
+    )

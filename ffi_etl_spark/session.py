@@ -25,6 +25,13 @@ ENGINE_CONFS: dict[str, str] = {
     # reference requirement for `MM/dd/yyyy h:mm:ss a` parsing
     # (transform_alchemer_data.py:44,49-50)
     "spark.sql.legacy.timeParserPolicy": "LEGACY",
+    # the reference was written against non-ANSI Spark 3 semantics: lenient
+    # casts (`'12a'`::int -> NULL) and implicit string/number comparisons
+    # (transform_alchemer_data.py:157,169)
+    "spark.sql.ansi.enabled": "false",
+    # testdata events.parquet carries TIMESTAMP(NANOS) which Spark cannot
+    # represent; read as long and convert in the catalog loader
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
 }
 
