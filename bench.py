@@ -1,0 +1,82 @@
+"""Headline-query benchmark.
+
+Runs the engine's representative queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a cheap-but-complete action (count on the
+final plan) so timing covers scan → transform → shuffle → result
+without driver-side materialization skew from huge collects.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline spines: scan→agg (q1), join→agg→topk (q3), the reference's
+# full gold pipeline (census_merge), the union roll-up, and one
+# representative per extension family (dedup / similarity / text / events).
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3_top10",
+    "census_merge",
+    "union_rollup_multi",
+    "rollup_demographic",
+    "dedup_minhash",
+    "knn_bruteforce",
+    "text_stats",
+    "sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entry_mod
+    from ffi_etl_spark.session import get_session
+
+    spark = get_session("bench")
+    qs = entry_mod.queries()
+
+    # warm the JVM + parquet footers once, outside the timed region
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

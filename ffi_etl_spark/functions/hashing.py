@@ -1,0 +1,113 @@
+"""Deterministic hashing primitives for dedup/fingerprinting.
+
+Everything is built from ``md5`` prefixes so the DuckDB oracle can
+compute bit-identical values (`conv(substr(md5(x),1,8),16,10)` ==
+duckdb `('0x'||substr(md5(x),1,8))::bigint`). Spark's native
+``xxhash64``/``hash`` would be faster but engine-private; md5 keeps the
+whole dedup surface differentially testable. All expressions are
+JVM-side higher-order functions — no Python in the hot path.
+
+Scale: signatures are computed in one narrow map stage (no shuffle);
+the LSH band join is the only shuffle and its key (band hash) is
+uniform by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# prime > 2^32 for the universal-hash family
+MINHASH_PRIME = 4294967311
+
+
+def md5_int32(c: Column) -> Column:
+    """First 8 hex chars of md5 as a non-negative long (32-bit range)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def md5_int60(c: Column) -> Column:
+    """First 15 hex chars of md5 as a long (60-bit, positive)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def char_shingles(c: Column, k: int = 5) -> Column:
+    """All length-k character shingles (short texts yield their prefix)."""
+    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, F.lit(k)))
+
+
+def word_ngrams(c: Column, n: int = 3) -> Column:
+    """Whitespace-token n-grams re-joined with single spaces."""
+    tokens = F.split(F.trim(c), r"\s+")
+    cnt = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+
+
+def shingle_hash_set(c: Column, k: int = 5) -> Column:
+    """Distinct md5-int32 hashes of the char shingles (the MinHash input set)."""
+    return F.array_distinct(F.transform(char_shingles(c, k), md5_int32))
+
+
+def minhash_signature(hashes: Column, num_perm: int = 12) -> Column:
+    """MinHash signature via the universal hash family
+    h_p(x) = ((2p+1)·x + 7919p + 13) mod PRIME, p = 0..num_perm-1."""
+    def perm(p: int):
+        a, b = 2 * p + 1, 7919 * p + 13
+        # closure (not lambda defaults): PySpark infers HOF arity from the
+        # lambda signature, so extra default args break resolution
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    sigs = [F.array_min(F.transform(hashes, perm(p))) for p in range(num_perm)]
+    return F.array(*sigs)
+
+
+def band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """LSH banding: array of `bands` string keys, each joining `rows`
+    consecutive signature slots."""
+    return F.array(
+        *[
+            F.concat_ws("_", F.transform(F.slice(sig, 1 + b * rows, rows), lambda x: x.cast("string")))
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash64(tokens: Column, bits: int = 60) -> Column:
+    """SimHash over whitespace tokens (convenience wrapper). Prefer
+    materializing the hash array once (``F.transform(tokens, md5_int60)``
+    in its own projection) and calling ``simhash64_from_hashes`` so the
+    md5s aren't re-derived per bit."""
+    return simhash64_from_hashes(F.transform(tokens, md5_int60), bits)
+
+
+def simhash64_from_hashes(hashes: Column, bits: int = 60) -> Column:
+    """SimHash over pre-computed token hashes: bit b of the fingerprint
+    is 1 iff the sum over tokens of ±1 (sign of the token-hash's bit b)
+    is positive.
+
+    One pass per bit over the token-hash array — O(bits·tokens) JVM ops
+    per row, no shuffle."""
+    def bit_term(b: int) -> Column:
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + bit_term(b)
+    return out
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / union

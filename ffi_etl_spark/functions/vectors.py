@@ -1,0 +1,43 @@
+"""Vector expressions over array<float|double> embedding columns.
+
+All math is elementwise-cast to double and folded IN ARRAY ORDER
+(``F.aggregate`` is a sequential fold), so results are bit-identical
+across partitionings and to a DuckDB oracle that sums in list order.
+Stays fully JVM-side (higher-order functions) — a Pandas UDF would be
+faster per-batch for very high dims but adds an Arrow boundary; at
+dim≈64-1024 the codegen'd fold wins by staying in the stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm2(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm2(a) * norm2(b))
+
+
+def sign_bucket(a: Column, bits: int = 8) -> Column:
+    """Axis-aligned random-hyperplane LSH bucket: bit i = sign of dim i.
+
+    A deliberately deterministic (and oracle-expressible) member of the
+    hyperplane-LSH family: for unit-ish embeddings whose coordinates are
+    roughly isotropic, two vectors with high cosine agree on most
+    coordinate signs. The scale path for near-dup search: bucket-join
+    instead of an O(n²) cross join."""
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(
+            F.element_at(a, i + 1) >= 0, F.lit(2 ** i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out

@@ -1,0 +1,203 @@
+"""Deduplication operators for document-scale corpora.
+
+Four tiers, in increasing recall / cost:
+
+  * exact      — md5 content hash, group-by, keep min id. One shuffle on
+                 a uniform hash key; the canonical pattern at any scale.
+  * minhash    — shingle → MinHash signature → LSH band join → exact
+                 Jaccard verify on candidates. The band join is the only
+                 shuffle; candidates ≪ n², so the verify is cheap.
+  * simhash    — 60-bit fingerprint; Hamming-adjacent pairs found by
+                 4-chunk banding (a ≤3-bit-different pair shares ≥1 of 4
+                 15-bit chunks by pigeonhole).
+  * ngram-jaccard — word-3-gram sets with exact Jaccard on LSH-banded
+                 candidates (higher precision than char shingles for
+                 whitespace-y text).
+
+All hash math is md5-derived (functions/hashing.py) so every tier is
+DuckDB-oracle checkable. At 100 TB: signatures are computed in the scan
+stage (narrow), band keys are salted-uniform by construction, and the
+self-join's skew (hot buckets = boilerplate docs) is handled by AQE
+skew-join splitting; candidate pairs are deduplicated BEFORE the verify
+so pathological buckets don't quadratically explode the verify stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark import StorageLevel
+
+from ffi_etl_spark.functions.hashing import (
+    band_keys,
+    jaccard,
+    md5_int32,
+    md5_int60,
+    minhash_signature,
+    shingle_hash_set,
+    simhash64,
+    word_ngrams,
+)
+
+
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Spread rows across the session's shuffle parallelism before the
+    (CPU-heavy, narrow) signature computation. Document corpora often
+    arrive as few large files; without this every md5 shingle of a
+    partition-worth of docs lands on one core."""
+    return df.repartition(F.col(id_col))
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize the signature table once. It feeds BOTH sides of the
+    band self-join and both verify lookups — without persist, Spark
+    recomputes the shingle/minhash subtree four times. Signatures are
+    O(n) and columnar; memory-and-disk keeps the 100 TB posture safe."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-content groups: content hash -> canonical (min) id + count.
+    Returns one row per distinct content with n_copies."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _candidate_pairs(with_bands: DataFrame, id_col: str) -> DataFrame:
+    """Self-join rows that share any (band_idx, band_key); distinct pairs."""
+    bands = with_bands.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode("_bands").alias("_band_idx", "_band_key"),
+    )
+    left = bands.withColumnsRenamed({"_id": "id_a"})
+    right = bands.withColumnsRenamed({"_id": "id_b"})
+    return (
+        left.join(
+            right,
+            (left["_band_idx"] == right["_band_idx"])
+            & (left["_band_key"] == right["_band_key"])
+            & (left["id_a"] < right["id_b"]),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_perm: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs: MinHash-LSH candidates verified with exact Jaccard
+    on the char-shingle hash sets. rows-per-band = num_perm // bands."""
+    rows = num_perm // bands
+    hashed = _spread(df, id_col).select(
+        F.col(id_col),
+        shingle_hash_set(F.col(text_col), shingle_k).alias("_hashes"),
+    ).withColumn("_sig", minhash_signature(F.col("_hashes"), num_perm))
+    hashed = _pin(hashed.withColumn("_bands", band_keys(F.col("_sig"), bands, rows)))
+    pairs = _candidate_pairs(hashed, id_col)
+    sets = hashed.select(F.col(id_col), F.col("_hashes"))
+    verified = (
+        pairs.join(sets.withColumnsRenamed({id_col: "id_a", "_hashes": "_ha"}), "id_a")
+        .join(sets.withColumnsRenamed({id_col: "id_b", "_hashes": "_hb"}), "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("_ha"), F.col("_hb")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+    return verified
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash per document over whitespace tokens. Token hashes
+    are materialized in their own projection so each of the 60 bit-folds
+    reads the array instead of re-deriving md5s."""
+    from ffi_etl_spark.functions.hashing import simhash64_from_hashes
+
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    hashed = _spread(df, id_col).select(F.col(id_col), F.transform(tokens, md5_int60).alias("_th"))
+    return hashed.select(F.col(id_col), simhash64_from_hashes(F.col("_th")).alias("simhash"))
+
+
+def dedup_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band on 4 × 15-bit chunks (pigeonhole:
+    ≤3 differing bits ⇒ ≥1 identical chunk), verify Hamming distance."""
+    fp = _pin(simhash_fingerprints(df, text_col, id_col))
+    chunks = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(i)),
+                F.shiftright(F.col("simhash"), 15 * i).bitwiseAND(F.lit((1 << 15) - 1)).cast("string"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = fp.withColumn("_bands", F.transform(chunks, lambda x: x))
+    # reuse the band join; band_idx is embedded in the chunk string
+    bands = banded.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode("_bands").alias("_band_key"),
+    )
+    left = bands.select(
+        F.col("_id").alias("id_a"), F.col("simhash").alias("_sa"), "_band_key"
+    )
+    right = bands.select(
+        F.col("_id").alias("id_b"), F.col("simhash").alias("_sb"), "_band_key"
+    )
+    pairs = (
+        left.join(right, (left["_band_key"] == right["_band_key"]) & (left["id_a"] < right["id_b"]))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def dedup_ngram_jaccard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 12,
+    bands: int = 6,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Near-dup pairs on word-n-gram sets: LSH candidates (aggressive
+    banding for recall), exact n-gram Jaccard verify."""
+    rows = num_perm // bands
+    hashed = _spread(df, id_col).select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(word_ngrams(F.col(text_col), n), md5_int32)
+        ).alias("_hashes"),
+    ).withColumn("_sig", minhash_signature(F.col("_hashes"), num_perm))
+    hashed = _pin(hashed.withColumn("_bands", band_keys(F.col("_sig"), bands, rows)))
+    pairs = _candidate_pairs(hashed, id_col)
+    sets = hashed.select(F.col(id_col), F.col("_hashes"))
+    return (
+        pairs.join(sets.withColumnsRenamed({id_col: "id_a", "_hashes": "_ha"}), "id_a")
+        .join(sets.withColumnsRenamed({id_col: "id_b", "_hashes": "_hb"}), "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("_ha"), F.col("_hb")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )

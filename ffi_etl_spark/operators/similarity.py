@@ -1,0 +1,75 @@
+"""Similarity search over embedding columns (array<float>).
+
+  * knn_bruteforce — exact top-k: broadcast the (small) query set
+    against the corpus, fold cosine JVM-side, window top-k. The right
+    baseline AND the right 100 TB plan when |queries| is small: the
+    corpus is scanned once, never shuffled; only (|queries|·k) rows
+    survive to the final (tiny) sort.
+  * ann_sign_lsh — sign-bit hyperplane buckets: candidates share a
+    bucket, so the cross product shrinks from n² to Σ bucket².
+    Embedding-cosine near-dup detection uses the same bucket join.
+
+Cosine is a sequential double fold (functions/vectors.py) —
+deterministic and DuckDB-comparable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ffi_etl_spark.functions.vectors import cosine, sign_bucket
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query (self-matches excluded).
+    Output: query_id, neighbor_id, cosine_sim, rank."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def ann_sign_lsh_pairs(
+    corpus: DataFrame,
+    bits: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: bucket by coordinate-sign LSH, verify
+    cosine within buckets. Output: id_a, id_b, cosine_sim."""
+    b = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        sign_bucket(F.col(vec_col), bits).alias("_bucket"),
+    )
+    left = b.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bucket")
+    right = b.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bucket")
+    return (
+        left.join(right, (left["_bucket"] == right["_bucket"]) & (left["id_a"] < right["id_b"]))
+        .withColumn("cosine_sim", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

@@ -1,3 +1,453 @@
-"""LLM-data-pipeline extension queries (dedup, similarity, text, events)."""
+"""LLM-data-pipeline extension queries (dedup, similarity, text, events,
+multimodal) over the `documents` / `embeddings` / `events` testdata.
+
+These are first-class engine operators beyond the reference's surface
+(BASELINE.json north star). Every hash primitive is md5-derived
+(functions/hashing.py) precisely so each tier has a bit-exact DuckDB
+oracle here.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ffi_etl_spark.catalog import table
+from ffi_etl_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+    simhash_fingerprints,
+)
+from ffi_etl_spark.operators.multimodal import attach_binary_payload, extract_features
+from ffi_etl_spark.operators.similarity import ann_sign_lsh_pairs, knn_bruteforce
+from ffi_etl_spark.operators.textops import detect_language, fingerprint, text_stats
+from ffi_etl_spark.operators.windows import (
+    latest_per_key,
+    sessionize,
+    sliding_agg,
+    tumbling_agg,
+)
+from ffi_etl_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# dedup tier 1: exact content hash
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def _dedup_exact(spark, sf_dir):
+    return dedup_exact(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup tier 2: MinHash + LSH band join + exact-Jaccard verify
+# DuckDB mirror of functions/hashing.py: md5_int32 shingle hashes,
+# universal-hash MinHash signature, banded keys, verified pairs.
+# ---------------------------------------------------------------------------
+
+_MINHASH_PRIME = 4294967311
+
+
+def _sig_sql(num_perm: int) -> str:
+    """list of MinHash slots over the `hashes` list column."""
+    slots = ", ".join(
+        f"list_min([ (h * {2 * p + 1} + {7919 * p + 13}) % {_MINHASH_PRIME} for h in hashes ])"
+        for p in range(num_perm)
+    )
+    return f"[{slots}]"
+
+
+def _bands_sql(bands: int, rows: int) -> str:
+    keys = ", ".join(
+        f"array_to_string(sig[{1 + b * rows}:{(b + 1) * rows}], '_')" for b in range(bands)
+    )
+    return f"[{keys}]"
+
+
+_MINHASH_ORACLE = f"""
+WITH hashed AS (
+  SELECT doc_id,
+         list_distinct([
+           ('0x' || substr(md5(substr(text, i, 5)), 1, 8))::BIGINT
+           for i in generate_series(1, greatest(len(text) - 4, 1))
+         ]) AS hashes
+  FROM documents
+), sigs AS (
+  SELECT doc_id, hashes, {_sig_sql(12)} AS sig FROM hashed
+), banded AS (
+  SELECT doc_id, hashes, unnest({_bands_sql(4, 3)}) AS band_key,
+         unnest(generate_series(0, 3)) AS band_idx
+  FROM sigs
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT p.id_a, p.id_b,
+         len(list_intersect(ha.hashes, hb.hashes))::DOUBLE
+           / len(list_distinct(ha.hashes || hb.hashes))::DOUBLE AS jaccard_sim
+  FROM pairs p
+  JOIN hashed ha ON ha.doc_id = p.id_a
+  JOIN hashed hb ON hb.doc_id = p.id_b
+)
+SELECT * FROM verified WHERE jaccard_sim >= 0.5
+"""
+
+
+@query("dedup_minhash", oracle=_MINHASH_ORACLE)
+def _dedup_minhash(spark, sf_dir):
+    return dedup_minhash_lsh(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup tier 3: SimHash fingerprints + Hamming-banded near-dup pairs
+# ---------------------------------------------------------------------------
+
+_SIMHASH_FP_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+), votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b)
+  GROUP BY doc_id, b
+), fp AS (
+  SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+
+@query("simhash_fingerprints", oracle=_SIMHASH_FP_CTE + "SELECT doc_id, simhash FROM fp")
+def _simhash_fingerprints(spark, sf_dir):
+    return simhash_fingerprints(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_simhash",
+    oracle=_SIMHASH_FP_CTE
+    + """
+, chunks AS (
+  SELECT doc_id, simhash, c,
+         (simhash >> (15 * c)) & 32767 AS chunk_val
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM chunks a JOIN chunks b
+    ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+""",
+)
+def _dedup_simhash(spark, sf_dir):
+    return dedup_simhash(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup tier 4: word-n-gram Jaccard with aggressive banding
+# ---------------------------------------------------------------------------
+
+_NGRAM_ORACLE = rf"""
+WITH toked AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct([
+           ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8))::BIGINT
+           for i in generate_series(1, greatest(len(toks) - 2, 1))
+         ]) AS hashes
+  FROM toked
+), sigs AS (
+  SELECT doc_id, hashes, {_sig_sql(12)} AS sig FROM grams
+), banded AS (
+  SELECT doc_id, hashes, unnest({_bands_sql(6, 2)}) AS band_key,
+         unnest(generate_series(0, 5)) AS band_idx
+  FROM sigs
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT p.id_a, p.id_b,
+         len(list_intersect(ha.hashes, hb.hashes))::DOUBLE
+           / len(list_distinct(ha.hashes || hb.hashes))::DOUBLE AS jaccard_sim
+  FROM pairs p
+  JOIN grams ha ON ha.doc_id = p.id_a
+  JOIN grams hb ON hb.doc_id = p.id_b
+)
+SELECT * FROM verified WHERE jaccard_sim >= 0.4
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def _dedup_ngram_jaccard(spark, sf_dir):
+    return dedup_ngram_jaccard(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings (array<float>)
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_KNN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 100 = 0
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id, {_COS.format(a='qv', b='cv')} AS cosine_sim
+  FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank::INT AS rank FROM ranked WHERE rank <= 10
+"""
+
+
+@query("knn_bruteforce", oracle=_KNN_ORACLE)
+def _knn_bruteforce(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return knn_bruteforce(emb, queries, k=10)
+
+
+_SIGN_BUCKET = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)" for i in range(8)
+)
+
+_ANN_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {_SIGN_BUCKET} AS bucket FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+         {_COS.format(a='a.v', b='bb.v')} AS cosine_sim
+  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.15
+"""
+
+
+@query("ann_embedding_pairs", oracle=_ANN_ORACLE)
+def _ann_embedding_pairs(spark, sf_dir):
+    return ann_sign_lsh_pairs(table(spark, sf_dir, "embeddings"), bits=8, threshold=0.15)
+
+
+# ---------------------------------------------------------------------------
+# text analysis over documents
+# ---------------------------------------------------------------------------
+
+def _jround(x: str, n: int) -> str:
+    """DuckDB replica of Spark F.round (HALF_UP on shortest decimal repr)."""
+    return f"CAST(round(try_cast(CAST(({x}) AS VARCHAR) AS DECIMAL(30,15)), {n}) AS DOUBLE)"
+
+
+_STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
+_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_TEXT_STATS_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         len(text) AS n_chars,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens_ws,
+         len(regexp_extract_all(text, '{_TOKEN_REGEX}', 0)) AS n_tokens_bpe,
+         (len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+           / greatest(len(text), 1) AS punct_ratio_raw,
+         len(regexp_extract_all(lower(text), '{_STOPWORDS}', 0))::DOUBLE
+           / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS stopword_ratio_raw,
+         list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> len(t)))::DOUBLE
+           / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS mean_word_len_raw
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens_ws, n_tokens_bpe,
+       {_jround('punct_ratio_raw', 6)} AS punct_ratio,
+       {_jround('stopword_ratio_raw', 6)} AS stopword_ratio,
+       {_jround('mean_word_len_raw', 6)} AS mean_word_len,
+       ((CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.0 END)
+        + (CASE WHEN punct_ratio_raw < 0.1 THEN 1.0 ELSE 0.0 END)
+        + (CASE WHEN stopword_ratio_raw > 0.05 THEN 1.0 ELSE 0.0 END)
+        + (CASE WHEN mean_word_len_raw BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)) / 4.0
+         AS quality_score
+FROM base
+"""
+
+
+@query("text_stats", oracle=_TEXT_STATS_ORACLE)
+def _text_stats(spark, sf_dir):
+    return text_stats(table(spark, sf_dir, "documents"))
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+
+
+def _marker_count(lang: str) -> str:
+    pat = r"\b(" + "|".join(_LANG_MARKERS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}', 0))"
+
+
+_LANG_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {_marker_count('en')} AS s_en, {_marker_count('es')} AS s_es,
+         {_marker_count('de')} AS s_de, {_marker_count('fr')} AS s_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+            WHEN s_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM scored
+"""
+
+
+@query("lang_id", oracle=_LANG_ORACLE)
+def _lang_id(spark, sf_dir):
+    return detect_language(table(spark, sf_dir, "documents"))
+
+
+_FINGERPRINT_ORACLE = rf"""
+WITH toked AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct([
+           ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8))::BIGINT
+           for i in generate_series(1, greatest(len(toks) - 2, 1))
+         ]) AS hashes
+  FROM toked
+), sigs AS (
+  SELECT doc_id, {_sig_sql(4)} AS sig FROM grams
+)
+SELECT doc_id,
+       array_to_string(list_transform(sig, x -> printf('%x', x)), '-') AS fingerprint
+FROM sigs
+"""
+
+
+@query("doc_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def _doc_fingerprint(spark, sf_dir):
+    return fingerprint(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# event-time windows (batch forms of the streaming operators)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tumbling_agg",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def _tumbling_agg(spark, sf_dir):
+    return tumbling_agg(table(spark, sf_dir, "events"))
+
+
+@query(
+    "sliding_agg",
+    oracle="""
+WITH w AS (
+  SELECT e.*, time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS ws
+  FROM events e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+)
+SELECT ws AS window_start, ws + INTERVAL '1 hour' AS window_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM w
+GROUP BY 1, 2
+""",
+)
+def _sliding_agg(spark, sf_dir):
+    return sliding_agg(table(spark, sf_dir, "events"))
+
+
+@query(
+    "sessionize",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+  FROM o
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY 1, 2
+""",
+)
+def _sessionize(spark, sf_dir):
+    return sessionize(table(spark, sf_dir, "events"))
+
+
+@query(
+    "latest_per_key",
+    oracle="""
+WITH r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_id, ts, user_id, event_type, value, props FROM r WHERE rn = 1
+""",
+)
+def _latest_per_key(spark, sf_dir):
+    return latest_per_key(table(spark, sf_dir, "events"), ["user_id", "event_type"])
+
+
+# ---------------------------------------------------------------------------
+# multimodal: binary payload plumbing + Arrow-batched feature extraction
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       sha256(text) AS sha256,
+       CAST((octet_length(encode(text)) % 640) + 1 AS INT) AS fake_width,
+       CAST((octet_length(encode(text)) % 480) + 1 AS INT) AS fake_height
+FROM documents
+""",
+)
+def _multimodal_features(spark, sf_dir):
+    docs = attach_binary_payload(table(spark, sf_dir, "documents"))
+    return extract_features(docs)

@@ -1,0 +1,77 @@
+"""Unit tests: dedup tiers + similarity search on crafted corpora."""
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ffi_etl_spark.functions.vectors import cosine
+from ffi_etl_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_simhash,
+    simhash_fingerprints,
+)
+from ffi_etl_spark.operators.similarity import ann_sign_lsh_pairs, knn_bruteforce
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again until done"
+
+
+def test_dedup_exact_groups(spark):
+    df = _docs(spark, [BASE, BASE, "something else entirely"])
+    out = {r.canonical_id: r.n_copies for r in dedup_exact(df).collect()}
+    assert out == {0: 2, 2: 1}
+
+
+def test_minhash_finds_identical_and_near(spark):
+    near = BASE.replace("lazy", "sleepy")
+    df = _docs(spark, [BASE, BASE, near, "totally different words about spark engines"])
+    pairs = {(r.id_a, r.id_b): r.jaccard_sim for r in dedup_minhash_lsh(df).collect()}
+    assert pairs[(0, 1)] == 1.0               # identical docs: jaccard exactly 1
+    assert all(a < b for a, b in pairs)       # canonical pair ordering
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_simhash_identical_zero_hamming(spark):
+    df = _docs(spark, [BASE, BASE])
+    fps = [r.simhash for r in simhash_fingerprints(df).collect()]
+    assert fps[0] == fps[1]
+    pairs = dedup_simhash(df).collect()
+    assert len(pairs) == 1 and pairs[0].hamming == 0
+
+
+def test_cosine_identity_and_orthogonal(spark):
+    df = spark.createDataFrame(
+        [Row(a=[1.0, 0.0, 2.0], b=[1.0, 0.0, 2.0]), Row(a=[1.0, 0.0, 0.0], b=[0.0, 1.0, 0.0])]
+    )
+    out = [r.c for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert math.isclose(out[0], 1.0) and out[1] == 0.0
+
+
+def test_knn_bruteforce_topk(spark):
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in vecs])
+    out = knn_bruteforce(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
+    assert all(r.query_id == 0 for r in out)
+
+
+def test_ann_sign_lsh_buckets(spark):
+    # same orthant -> same bucket -> candidate; opposite signs -> pruned
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 1.0, 0.5]),
+            Row(vec_id=1, embedding=[0.9, 1.1, 0.4]),
+            Row(vec_id=2, embedding=[-1.0, -1.0, -0.5]),
+        ]
+    )
+    pairs = ann_sign_lsh_pairs(df, bits=3, threshold=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
+    assert pairs[0].cosine_sim > 0.99

@@ -1,0 +1,76 @@
+"""Unit tests: text stats, language ID, event windows, multimodal plumbing."""
+
+import hashlib
+from datetime import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ffi_etl_spark.operators.multimodal import attach_binary_payload, extract_features
+from ffi_etl_spark.operators.textops import detect_language, text_stats
+from ffi_etl_spark.operators.windows import (
+    latest_per_key,
+    sessionize,
+    tumbling_agg,
+)
+
+
+def test_text_stats_counts(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="Hello, world! The answer is 42.")])
+    r = text_stats(df).collect()[0]
+    assert r.n_chars == 31
+    assert r.n_tokens_ws == 6
+    # Hello , world ! The answer is 42 .  -> 9 BPE-ish pre-tokens
+    assert r.n_tokens_bpe == 9
+    assert 0 <= r.quality_score <= 1
+
+
+def test_lang_id_votes(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the cat and the dog of the house is here"),
+            Row(doc_id=1, text="el perro y la casa de los gatos"),
+            Row(doc_id=2, text="zzz qqq www"),
+        ]
+    )
+    out = {r.doc_id: r.lang_pred for r in detect_language(df).collect()}
+    assert out == {0: "en", 1: "es", 2: "und"}
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [Row(event_id=i, user_id=u, ts=datetime(2024, 1, 1, h, m), event_type=t, value=1.0)
+         for i, (u, h, m, t) in enumerate(rows)]
+    )
+
+
+def test_sessionize_gap(spark):
+    # user 1: events at 10:00, 10:10 (same session), 11:30 (new session: 80min gap)
+    ev = _events(spark, [(1, 10, 0, "a"), (1, 10, 10, "a"), (1, 11, 30, "a"), (2, 10, 0, "b")])
+    out = {(r.user_id, r.session_id): r.n_events for r in sessionize(ev).collect()}
+    assert out == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_tumbling_agg_hours(spark):
+    ev = _events(spark, [(1, 10, 5, "x"), (1, 10, 55, "x"), (1, 11, 5, "x")])
+    out = tumbling_agg(ev, "1 hour").collect()
+    by_start = {r.window_start.hour: r.n_events for r in out}
+    assert by_start == {10: 2, 11: 1}
+    assert all(r.window_end.hour == r.window_start.hour + 1 for r in out)
+
+
+def test_latest_per_key_deterministic(spark):
+    ev = _events(spark, [(1, 10, 0, "x"), (1, 12, 0, "x"), (1, 11, 0, "x")])
+    out = latest_per_key(ev, ["user_id", "event_type"]).collect()
+    assert len(out) == 1 and out[0].ts.hour == 12
+
+
+def test_multimodal_features_deterministic(spark):
+    text = "hello multimodal"
+    df = spark.createDataFrame([Row(doc_id=7, text=text)])
+    r = extract_features(attach_binary_payload(df)).collect()[0]
+    payload = text.encode()
+    assert r.doc_id == 7
+    assert r.byte_len == len(payload)
+    assert r.sha256 == hashlib.sha256(payload).hexdigest()
+    assert 1 <= r.fake_width <= 640 and 1 <= r.fake_height <= 480
