@@ -651,3 +651,58 @@ def _catalog_tables(spark, sf_dir):
         .select(F.col("viewName").alias("table_name"))
         .filter(F.col("table_name").isin(*TESTDATA_TABLES))
     )
+
+
+# --- J1: full-outer merge with pandas NaN-key parity --------------------------
+# (extract_alchemer_data.py:19-24) mapped onto two overlapping projections
+# of orders; the NULLed status column exercises the "nan"-sentinel key match.
+
+@query(
+    "merge_nan_outer_join",
+    oracle="""
+WITH a AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+         COALESCE(CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderstatus END, 'nan') AS st,
+         o_totalprice AS amount
+  FROM orders WHERE o_orderkey % 3 <> 0
+), b AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+         COALESCE(CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderstatus END, 'nan') AS st,
+         o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT COALESCE(a.k, b.k) AS k, COALESCE(a.st, b.st) AS st, amount, priority
+FROM a FULL OUTER JOIN b ON a.k = b.k AND a.st = b.st
+""",
+)
+def _merge_nan_outer_join(spark, sf_dir):
+    from ffi_etl_spark.operators.extract import merge_online_offline
+
+    o = table(spark, sf_dir, "orders")
+    st = F.when(F.col("o_orderstatus") == "F", None).otherwise(F.col("o_orderstatus"))
+    a = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"), st.alias("st"), F.col("o_totalprice").alias("amount")
+    )
+    b = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"), st.alias("st"), F.col("o_orderpriority").alias("priority")
+    )
+    return merge_online_offline(a, b)
+
+
+# --- S1/S9: CSV sink + schema'd CSV scan round-trip ---------------------------
+# (write_to_volume.py:15-16 export; extract_alchemer_data.py:8-9 ingest)
+
+@query(
+    "csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def _csv_roundtrip(spark, sf_dir):
+    import tempfile, os
+
+    from ffi_etl_spark.sources.readers import read_csv
+    from ffi_etl_spark.sources.writers import single_file_csv
+
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = os.path.join(tempfile.gettempdir(), f"ffi_etl_nation_{os.path.basename(sf_dir)}.csv")
+    single_file_csv(nation, path)
+    return read_csv(spark, path, schema="n_nationkey int, n_name string, n_regionkey int")

@@ -1,0 +1,63 @@
+"""Readers (SURVEY.md §2.1 S1-S5).
+
+The reference ingests published CSVs with driver pandas
+(extract_alchemer_data.py:8-9, utils.py:43-46, merge_census.py:8) and
+lifts them via ``spark.createDataFrame`` (S4). Here ingest is
+distributed ``spark.read`` with explicit schemas; the pandas lift
+survives only as the adapter for genuinely driver-local frames (tiny
+config sheets), Arrow-enabled.
+
+Scale: CSV scans parallelize per file-split; schemas are explicit so no
+inference pass reads the data twice; config sheets are the only
+driver-side reads and are bounded by definition.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """Header CSV read (S1-S3). With ``schema=None`` all columns land as
+    string — the reference's effective behavior after its ``astype(str)``
+    merge-key casts (extract_alchemer_data.py:20-21)."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", False)  # all-string, no extra pass
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan (S5 analog) — pushdown/pruning capable."""
+    return spark.read.parquet(path)
+
+
+def lift_pandas(spark: SparkSession, pdf: pd.DataFrame, schema: StructType | str | None = None) -> DataFrame:
+    """S4: driver pandas frame -> distributed DataFrame (Arrow path).
+    Legitimate only for small config/census sheets."""
+    if schema is not None:
+        return spark.createDataFrame(pdf, schema=schema)
+    return spark.createDataFrame(pdf)
+
+
+def config_map(df: DataFrame, key_col: str, value_col: str) -> dict[str, str]:
+    """S2: a two-column config sheet -> driver dict (utils.py:51-53).
+    The collect is bounded: config sheets are tens of rows."""
+    return {r[key_col]: r[value_col] for r in df.select(key_col, value_col).collect()}
+
+
+def config_list(df: DataFrame, col: str) -> list[str]:
+    """S2: a one-column config sheet -> driver list (utils.py:59,97)."""
+    return [r[col] for r in df.select(col).collect() if r[col] is not None]

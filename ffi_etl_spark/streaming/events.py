@@ -1,0 +1,117 @@
+"""Structured Streaming forms of the event-time operators.
+
+The reference is batch-only (SURVEY.md §2.10 — freshness came from
+scheduled full re-runs, README.py:11). This module is the engine's
+incremental path: the SAME logical transformations as
+operators/windows.py, expressed over an unbounded source with
+watermarks, so a pipeline can switch batch→streaming without changing
+semantics (batch is the bootstrap / backfill mode, streaming the
+steady state).
+
+Design notes for scale:
+  * Watermarks bound state: a window/dedup key is dropped once the
+    event-time watermark passes it, so state size tracks the lateness
+    budget, not history.
+  * ``session_window`` is Spark's native gap-session operator — state
+    per (user, open session) only.
+  * Sinks are exactly-once per epoch with checkpointing; the test
+    harness uses ``trigger(availableNow=True)`` + memory sink, which is
+    also the production backfill pattern.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, dir_path: str) -> DataFrame:
+    """File-source stream over an events parquet directory. An explicit
+    schema is mandatory for streaming file sources."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(dir_path)
+
+
+def stream_tumbling_agg(
+    events: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of operators/windows.tumbling_agg: watermarked
+    windowed count + sum. State per (window, key), dropped past the
+    watermark."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Native gap-session aggregation (``session_window``). Session
+    bounds match the batch lag+running-sum sessionizer for the same gap:
+    a session closes when no event arrives within ``gap``."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(user_col, "n_events", "session_start", "session_end")
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked exactly-once dedup on arrival order. State holds one
+    entry per key inside the lateness window only."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(keys or ["event_id"])
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    table_prefix: str = "stream_out",
+) -> DataFrame:
+    """Drain the stream with ``availableNow`` into a memory sink and
+    return the result as a batch DataFrame (test/backfill harness)."""
+    name = f"{table_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

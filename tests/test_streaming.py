@@ -1,0 +1,82 @@
+"""Streaming ⇔ batch equivalence tests.
+
+The streaming operators must produce the same results as their batch
+twins when drained with ``availableNow`` (complete data, watermark
+never trips) — that is the contract that makes streaming a drop-in
+incremental mode.
+"""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from ffi_etl_spark.catalog import table
+from ffi_etl_spark.operators.windows import sessionize, tumbling_agg
+from ffi_etl_spark.streaming.events import (
+    run_to_memory,
+    stream_dedup,
+    stream_events,
+    stream_sessionize,
+    stream_tumbling_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Streaming file sources need a directory; re-land the events table
+    (with the nanos->micros normalization applied) as parquet files."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    table(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, events_dir):
+    batch = tumbling_agg(table(spark, sf_dir, "events"), "1 hour")
+    stream = run_to_memory(stream_tumbling_agg(stream_events(spark, events_dir), "1 hour"), output_mode="complete")
+    b = {(r.window_start, r.event_type): (r.n_events, r.total_value) for r in batch.collect()}
+    s = {(r.window_start, r.event_type): (r.n_events, r.total_value) for r in stream.collect()}
+    assert b == s and len(b) > 0
+
+
+def test_stream_sessionize_crafted(spark, tmp_path):
+    """Deterministic gap pattern: sub-gap spacing chains a session,
+    super-gap spacing breaks it — identical for the batch sessionizer
+    and ``session_window`` (away from the exact-gap boundary, where the
+    batch op's second-truncation can legitimately differ)."""
+    rows = [
+        # user 1: 3 events 10 min apart (one session), then a 2h jump (new session)
+        Row(event_id=1, ts=datetime(2024, 1, 1, 10, 0), user_id=1, event_type="a", value=1.0, props=""),
+        Row(event_id=2, ts=datetime(2024, 1, 1, 10, 10), user_id=1, event_type="a", value=1.0, props=""),
+        Row(event_id=3, ts=datetime(2024, 1, 1, 10, 20), user_id=1, event_type="a", value=1.0, props=""),
+        Row(event_id=4, ts=datetime(2024, 1, 1, 12, 30), user_id=1, event_type="a", value=1.0, props=""),
+        # user 2: single event
+        Row(event_id=5, ts=datetime(2024, 1, 1, 9, 0), user_id=2, event_type="b", value=1.0, props=""),
+    ]
+    df = spark.createDataFrame(rows)
+    d = str(tmp_path / "crafted")
+    df.write.parquet(d)
+
+    batch = sessionize(df, gap_minutes=30)
+    stream = run_to_memory(stream_sessionize(stream_events(spark, d), "30 minutes"), output_mode="complete")
+    b = sorted((r.user_id, r.n_events, r.session_start, r.session_end) for r in batch.collect())
+    s = sorted((r.user_id, r.n_events, r.session_start, r.session_end) for r in stream.collect())
+    assert b == s == [
+        (1, 1, datetime(2024, 1, 1, 12, 30), datetime(2024, 1, 1, 12, 30)),
+        (1, 3, datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 10, 20)),
+        (2, 1, datetime(2024, 1, 1, 9, 0), datetime(2024, 1, 1, 9, 0)),
+    ]
+
+
+def test_stream_sessionize_conserves_events(spark, sf_dir, events_dir):
+    """On the real events table: every event lands in exactly one session."""
+    total = table(spark, sf_dir, "events").count()
+    stream = run_to_memory(stream_sessionize(stream_events(spark, events_dir), "30 minutes"), output_mode="complete")
+    assert sum(r.n_events for r in stream.collect()) == total
+
+
+def test_stream_dedup(spark, sf_dir, events_dir):
+    n_users = table(spark, sf_dir, "events").select("user_id").distinct().count()
+    out = run_to_memory(stream_dedup(stream_events(spark, events_dir), keys=["user_id"]))
+    assert out.count() == n_users
+    assert out.select("user_id").distinct().count() == n_users
