@@ -72,3 +72,85 @@ def extract_features(
             yield out
 
     return df.select(id_col, payload_col).mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, byte_len int, fake_width int, fake_height int, "
+    "out_width int, out_height int, resized_sha string"
+)
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_sha string, frame_chars int"
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> dict:
+    """Deterministic fake 'resize': output dims are the requested ones,
+    content hash mixes the target size into the digest (stand-in for a
+    real resampler's output bytes)."""
+    digest = hashlib.sha256(payload + f"{width}x{height}".encode()).hexdigest()
+    return {"out_width": width, "out_height": height, "resized_sha": digest}
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode -> resize pipeline stage over the binary column; narrow
+    (no shuffle), Arrow-batched."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                meta = decode_stub(payload)
+                out = resize_stub(payload, width, height)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "byte_len": meta["byte_len"],
+                        "fake_width": meta["fake_width"],
+                        "fake_height": meta["fake_height"],
+                        **out,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_chars: int = 256,
+    every_n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: one input row
+    fans out to a variable number of frame rows, every ``every_n``-th
+    kept — the exact shape a real decoder produces, which is why this
+    is ``mapInPandas`` (variable-cardinality output) and not a scalar
+    UDF. The deterministic fake treats each ``frame_chars``-character
+    text chunk as one 'frame' (empty docs yield one empty frame)."""
+    import math
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                t = text or ""
+                n = max(1, math.ceil(len(t) / frame_chars))
+                for i in range(0, n, every_n):
+                    chunk = t[i * frame_chars : (i + 1) * frame_chars]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": i,
+                            "frame_sha": hashlib.sha256(chunk.encode()).hexdigest(),
+                            "frame_chars": len(chunk),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(_frames, schema=FRAME_SCHEMA)

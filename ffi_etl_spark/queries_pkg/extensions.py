@@ -451,3 +451,44 @@ FROM documents
 def _multimodal_features(spark, sf_dir):
     docs = attach_binary_payload(table(spark, sf_dir, "documents"))
     return extract_features(docs)
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       CAST((octet_length(encode(text)) % 640) + 1 AS INT) AS fake_width,
+       CAST((octet_length(encode(text)) % 480) + 1 AS INT) AS fake_height,
+       224 AS out_width, 224 AS out_height,
+       sha256(text || '224x224') AS resized_sha
+FROM documents
+""",
+)
+def _multimodal_resize(spark, sf_dir):
+    from ffi_etl_spark.operators.multimodal import resize_images
+
+    docs = attach_binary_payload(table(spark, sf_dir, "documents"))
+    return resize_images(docs)
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(CAST(ceil(len(text) / 256.0) AS INT) - 1, 0)))
+           AS frame_idx
+  FROM documents
+), chunked AS (
+  SELECT doc_id, frame_idx, substr(text, 1 + frame_idx * 256, 256) AS chunk
+  FROM f WHERE frame_idx % 2 = 0
+)
+SELECT doc_id, frame_idx, sha256(chunk) AS frame_sha, len(chunk) AS frame_chars
+FROM chunked
+""",
+)
+def _multimodal_frames(spark, sf_dir):
+    from ffi_etl_spark.operators.multimodal import sample_frames
+
+    return sample_frames(table(spark, sf_dir, "documents"))

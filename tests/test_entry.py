@@ -19,3 +19,20 @@ def test_registry_consistency(spark):
     # all callables, all SQL strings
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in oracles.values())
+
+
+def test_headline_plans_pushdown(spark):
+    """Plan-shape guard: filters reach the parquet scan and the scan is
+    column-pruned on the headline queries."""
+    qs = entry_mod.queries()
+    plan = qs["tpch_q1"](spark, "/root/testdata/sf0.001")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "l_partkey" not in plan  # pruned: unused column never read
+
+    plan3 = qs["tpch_q3_top10"](spark, "/root/testdata/sf0.001")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan3
+    assert "SortMergeJoin" not in plan3

@@ -74,3 +74,22 @@ def test_multimodal_features_deterministic(spark):
     assert r.byte_len == len(payload)
     assert r.sha256 == hashlib.sha256(payload).hexdigest()
     assert 1 <= r.fake_width <= 640 and 1 <= r.fake_height <= 480
+
+
+def test_multimodal_resize_and_frames(spark):
+    import hashlib
+
+    from ffi_etl_spark.operators.multimodal import resize_images, sample_frames
+
+    text = "x" * 600  # 3 frames of 256/256/88 chars, every 2nd kept -> idx 0, 2
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    rz = resize_images(attach_binary_payload(df)).collect()[0]
+    assert (rz.out_width, rz.out_height) == (224, 224)
+    assert rz.resized_sha == hashlib.sha256(text.encode() + b"224x224").hexdigest()
+
+    frames = {r.frame_idx: r for r in sample_frames(df).collect()}
+    assert set(frames) == {0, 2}
+    assert frames[0].frame_chars == 256 and frames[2].frame_chars == 88
+
+    empty = sample_frames(spark.createDataFrame([Row(doc_id=2, text="")])).collect()
+    assert len(empty) == 1 and empty[0].frame_chars == 0
