@@ -73,3 +73,83 @@ def ann_sign_lsh_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def compute_centroids(
+    corpus: DataFrame,
+    dim: int,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Elementwise-mean centroid per partition label — the IVF 'coarse
+    quantizer' trained outside the engine in a real deployment; here the
+    corpus's own label column stands in for the k-means assignment.
+
+    One hash aggregation (dim avg aggregates); output is K rows."""
+    return corpus.groupBy(F.col(label_col).alias("centroid_id")).agg(
+        F.array(
+            *[
+                F.avg(F.element_at(F.col(vec_col), i + 1).cast("double"))
+                for i in range(dim)
+            ]
+        ).alias("centroid")
+    )
+
+
+def assign_to_centroid(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid (max cosine) assignment: broadcast the K
+    centroids, score K candidates per vector, keep the argmax. Narrow
+    except the broadcast — the corpus is scanned once, never shuffled.
+    Ties break on centroid_id for determinism."""
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        corpus.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", cosine(F.col(vec_col), F.col("centroid")))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF(nprobe=1) approximate top-k: both corpus and queries are
+    assigned to their nearest centroid; each query searches ONLY its
+    cell. The scale path when |queries| is large: the candidate join is
+    an equi-join on centroid_id instead of a full cross product, so
+    work scales with Σ cell² not n·q. Output matches knn_bruteforce
+    minus cross-cell neighbors (the recall/cost dial is nprobe)."""
+    cents = compute_centroids(corpus, dim, label_col, vec_col)
+    c = assign_to_centroid(corpus, cents, id_col, vec_col).withColumnsRenamed(
+        {id_col: "neighbor_id", vec_col: "_cv"}
+    )
+    q = assign_to_centroid(queries, cents, id_col, vec_col).withColumnsRenamed(
+        {id_col: "query_id", vec_col: "_qv"}
+    )
+    scored = (
+        c.join(q, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

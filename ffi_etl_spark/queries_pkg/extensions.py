@@ -492,3 +492,84 @@ def _multimodal_frames(spark, sf_dir):
     from ffi_etl_spark.operators.multimodal import sample_frames
 
     return sample_frames(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# IVF(nprobe=1) approximate top-k: label-centroid coarse quantizer,
+# per-cell search (the scale path when |queries| is large).
+# ---------------------------------------------------------------------------
+
+_IVF_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), cent AS (
+  SELECT label AS centroid_id, list(avg_x ORDER BY i) AS centroid
+  FROM (
+    SELECT label, i, avg(v[i]) AS avg_x
+    FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY label, i
+  )
+  GROUP BY label
+), assign AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS.format(a='e.v', b='c.centroid')} DESC, c.centroid_id ASC
+           ) AS rk
+    FROM e CROSS JOIN cent c
+  ) WHERE rk = 1
+), scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {_COS.format(a='q.v', b='n.v')} AS cosine_sim
+  FROM assign q JOIN assign n USING (centroid_id)
+  WHERE q.vec_id % 100 = 0 AND n.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank::INT AS rank FROM ranked WHERE rank <= 10
+"""
+
+
+@query("ann_ivf_topk", oracle=_IVF_ORACLE)
+def _ann_ivf_topk(spark, sf_dir):
+    from ffi_etl_spark.operators.similarity import ann_ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ann_ivf_topk(emb, queries, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# sketch / quantile surface
+# ---------------------------------------------------------------------------
+
+@query(
+    "quantiles_exact",
+    oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type
+""",
+)
+def _quantiles_exact(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+
+
+@query("approx_distinct_users")  # HLL++ sketch: engine-specific, rows-only check
+def _approx_distinct_users(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )

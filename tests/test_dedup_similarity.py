@@ -75,3 +75,25 @@ def test_ann_sign_lsh_buckets(spark):
     pairs = ann_sign_lsh_pairs(df, bits=3, threshold=0.5).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
     assert pairs[0].cosine_sim > 0.99
+
+
+def test_ivf_assignment_and_topk(spark):
+    from ffi_etl_spark.operators.similarity import ann_ivf_topk, assign_to_centroid, compute_centroids
+
+    # two well-separated clusters on the first axis
+    rows = [
+        Row(vec_id=0, label=0, embedding=[1.0, 0.1]),
+        Row(vec_id=1, label=0, embedding=[0.9, 0.2]),
+        Row(vec_id=2, label=0, embedding=[1.1, 0.0]),
+        Row(vec_id=3, label=1, embedding=[-1.0, 0.1]),
+        Row(vec_id=4, label=1, embedding=[-0.9, -0.1]),
+    ]
+    df = spark.createDataFrame(rows)
+    cents = compute_centroids(df, dim=2)
+    assert cents.count() == 2
+    assigned = {r.vec_id: r.centroid_id for r in assign_to_centroid(df, cents).collect()}
+    assert assigned == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
+
+    out = ann_ivf_topk(df, df.filter(F.col("vec_id") == 0), dim=2, k=5).collect()
+    # only same-cell neighbors: 1 and 2, never the negative cluster
+    assert sorted(r.neighbor_id for r in out) == [1, 2]
