@@ -31,9 +31,12 @@ HEADLINE = [
     "union_rollup_multi",
     "rollup_demographic",
     "dedup_minhash",
+    "dedup_simhash",
     "knn_bruteforce",
+    "ann_ivf_topk",
     "text_stats",
     "sessionize",
+    "multimodal_frames",
 ]
 
 
