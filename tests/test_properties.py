@@ -1,0 +1,72 @@
+"""Property-based checks (SURVEY.md §5 item 4).
+
+Hypothesis generates small category/flag distributions; the invariants
+must hold for ANY input, not just the fixtures:
+
+  * non-Unknown roll-up percentages sum to ~100% per demographic;
+  * valid + invalid is a disjoint cover of the non-null-flag rows;
+  * union roll-up is column-order invariant;
+  * MinHash Jaccard estimate is bounded by banding guarantees
+    (identical docs always pair).
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ffi_etl_spark.operators.rollup import demographic_rollup
+from ffi_etl_spark.operators.validity import split_valid
+
+CATEGORIES = ["A", "B", "C", "Unknown"]
+
+_SETTINGS = dict(
+    max_examples=8,  # each example spins Spark jobs; keep the loop tight
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(cats=st.lists(st.sampled_from(CATEGORIES), min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_rollup_percentages_sum_to_100(spark, cats):
+    df = spark.createDataFrame([Row(c=c) for c in cats])
+    rows = demographic_rollup(df, "c", "D").collect()
+    non_unknown = [r for r in rows if r["Category"] != "Unknown"]
+    if not non_unknown:
+        return  # all-Unknown input: no denominator, percentages are NULL-ish
+    pcts = [float(r["% of Survey Responses"].rstrip("%")) for r in non_unknown]
+    assert abs(sum(pcts) - 100.0) < 0.05 * len(pcts)
+    # counts are conserved
+    assert sum(r["# of Survey Responses"] for r in rows) == len(cats)
+
+
+@given(
+    flags=st.lists(
+        st.sampled_from(["Valid", "bad-1", "bad-2", None]), min_size=1, max_size=30
+    )
+)
+@settings(**_SETTINGS)
+def test_split_is_disjoint_cover(spark, flags):
+    df = spark.createDataFrame(
+        [Row(**{"Is_Invalid": f, "i": i}) for i, f in enumerate(flags)],
+        "Is_Invalid string, i int",
+    )
+    valid, invalid = split_valid(df)
+    v = {r.i for r in valid.collect()}
+    inv = {r.i for r in invalid.collect()}
+    assert v.isdisjoint(inv)
+    # cover = exactly the non-null-flag rows (reference nulls fall in neither)
+    expected = {i for i, f in enumerate(flags) if f is not None}
+    assert v | inv == expected
+
+
+@given(perm=st.permutations(["x", "y", "z"]))
+@settings(**_SETTINGS)
+def test_rollup_column_order_invariant(spark, perm):
+    """U1 via unionByName: input column order never changes the result."""
+    rows = [Row(x="1", y="2", z="3") for _ in range(4)]
+    df = spark.createDataFrame(rows).select(*perm)  # only column ORDER varies
+    out = demographic_rollup(df, "x", "X").collect()
+    assert out[0]["Category"] == "1" and out[0]["# of Survey Responses"] == 4

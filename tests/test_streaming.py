@@ -10,6 +10,7 @@ from datetime import datetime
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from ffi_etl_spark.catalog import table
 from ffi_etl_spark.operators.windows import sessionize, tumbling_agg
@@ -80,3 +81,38 @@ def test_stream_dedup(spark, sf_dir, events_dir):
     out = run_to_memory(stream_dedup(stream_events(spark, events_dir), keys=["user_id"]))
     assert out.count() == n_users
     assert out.select("user_id").distinct().count() == n_users
+
+
+def test_stateful_user_totals(spark, sf_dir, events_dir):
+    """applyInPandasWithState running profile converges to the batch
+    groupBy answer after draining all input."""
+    import math
+
+    from ffi_etl_spark.streaming.stateful import user_running_totals
+
+    out = run_to_memory(
+        user_running_totals(stream_events(spark, events_dir)), output_mode="update"
+    )
+    # update mode may emit once per microbatch; the max-count row per
+    # user is the final state
+    final = {}
+    for r in out.collect():
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+    batch = {
+        r.user_id: r
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("tv"),
+            F.max("ts").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, b in batch.items():
+        s = final[uid]
+        assert s.n_events == b.n
+        assert math.isclose(s.total_value, b.tv, rel_tol=1e-9)
+        assert s.last_ts == b.mx
