@@ -83,3 +83,38 @@ def rollup_all(df: DataFrame, demographics: list[tuple[str, str]]) -> DataFrame:
     frames = [demographic_rollup(df, col, name) for col, name in demographics]
     unioned = reduce(DataFrame.unionByName, frames)
     return unioned.select(FINAL_COLUMNS)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, "F.Column"]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe two-stage aggregation: pre-aggregate on (keys, salt)
+    so a hot key's rows spread over ``n_salts`` reducers, then merge the
+    partials on the bare keys (COUNT merges as SUM; SUM as SUM).
+
+    ``aggs`` maps output name -> ("count" | "sum", expression). AQE's
+    skew handling covers joins; this is the equivalent lever for
+    aggregations whose key histogram is pathological (e.g. a null-heavy
+    demographic), at the cost of one extra (tiny) shuffle stage.
+    """
+    salt = (F.spark_partition_id() * 31 + F.monotonically_increasing_id() % n_salts) % n_salts
+    partial_exprs = []
+    final_exprs = []
+    for name, (kind, expr) in aggs.items():
+        if kind == "count":
+            partial_exprs.append(F.count(expr).alias(f"_p_{name}"))
+        elif kind == "sum":
+            partial_exprs.append(F.sum(expr).alias(f"_p_{name}"))
+        else:
+            raise ValueError(f"salted_agg supports count/sum, got {kind}")
+        final_exprs.append(F.sum(f"_p_{name}").alias(name))
+    return (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(*partial_exprs)
+        .groupBy(*keys)
+        .agg(*final_exprs)
+    )

@@ -706,3 +706,100 @@ def _csv_roundtrip(spark, sf_dir):
     path = os.path.join(tempfile.gettempdir(), f"ffi_etl_nation_{os.path.basename(sf_dir)}.csv")
     single_file_csv(nation, path)
     return read_csv(spark, path, schema="n_nationkey int, n_name string, n_regionkey int")
+
+
+# --- S10/EP3: the SQL-string entry point over registered views ----------------
+# (spark.sql(...) on catalog names — merge_census.py:16, write_to_volume.py:7)
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,8))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("sql_tpch_q6", oracle=_Q6_SQL)
+def _sql_tpch_q6(spark, sf_dir):
+    from ffi_etl_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, names=("lineitem",))
+    return spark.sql(_Q6_SQL)
+
+
+# --- multi-join OLAP spine (TPC-H q5 shape) -----------------------------------
+
+@query(
+    "tpch_q5",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,8))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC
+""",
+)
+def _tpch_q5(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,8)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(
+                supp.join(
+                    F.broadcast(nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+# --- skew-safe two-stage aggregation ------------------------------------------
+# Salting demo: COUNT/SUM decompose over a (key, salt) pre-aggregation,
+# so one hot key spreads over N reducers before the final (tiny) merge.
+
+@query(
+    "salted_group_count",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def _salted_group_count(spark, sf_dir):
+    from ffi_etl_spark.operators.rollup import salted_agg
+
+    li = table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_rows": ("count", F.lit(1)),
+            "sum_qty": ("sum", F.col("l_quantity").cast("decimal(18,2)")),
+        },
+        n_salts=16,
+    ).withColumn("sum_qty", F.col("sum_qty").cast("double"))

@@ -1,0 +1,49 @@
+"""Bucketed co-located join: the zero-shuffle path for repeated joins.
+
+At 100 TB, fact-fact joins (lineitem ⋈ orders) dominate shuffle volume;
+bucketing both tables on the join key at write time makes every later
+join shuffle-free. This test proves the engine's write/read path
+produces genuinely co-located scans: the join plan has NO Exchange.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ffi_etl_spark.catalog import table
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_dir):
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    table(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable("orders_b")
+    table(spark, sf_dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).mode("overwrite").saveAsTable("lineitem_b")
+    yield spark.table("orders_b"), spark.table("lineitem_b")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed):
+    orders_b, lineitem_b = bucketed
+    joined = lineitem_b.hint("merge").join(
+        orders_b, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # both sides pre-bucketed: zero shuffle
+    assert "SelectedBucketsCount" in plan
+
+
+def test_bucketed_join_correct(spark, sf_dir, bucketed):
+    orders_b, lineitem_b = bucketed
+    n = lineitem_b.join(orders_b, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    expected = (
+        table(spark, sf_dir, "lineitem")
+        .join(table(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    assert n == expected > 0
