@@ -96,3 +96,17 @@ def single_file_csv(df: DataFrame, final_path: str, strict: bool = True) -> None
     """S9: one-file header CSV export (write_to_volume.py:15-16, minus
     the driver-pandas round-trip)."""
     _single_file_export(df, "csv", final_path, strict, header=True)
+
+
+def export_gold_tables(
+    spark: SparkSession, out_dir: str, pattern: str | None = None, strict: bool = True
+) -> list[str]:
+    """S8+S9 orchestration (write_to_volume.py:7-16): every registered
+    table matching ``pattern`` lands as one JSON file + one header CSV
+    under ``out_dir``. Returns the exported table names."""
+    names = list_tables(spark, pattern)
+    for name in names:
+        df = spark.table(name)
+        single_file_json(df, os.path.join(out_dir, f"{name}.json"), strict=strict)
+        single_file_csv(df, os.path.join(out_dir, f"{name}.csv"), strict=strict)
+    return names

@@ -211,3 +211,30 @@ def test_nan_key_parity(spark):
     out = merge_online_offline(a, b).collect()
     assert len(out) == 1  # one merged row, not two half-rows
     assert out[0].k == "nan" and out[0].a == "left" and out[0].b == "right"
+
+
+def test_config_sheet_adapters(spark, tmp_path):
+    """S2/S4: config sheets -> dict/list via the reader adapters."""
+    import pandas as pd
+
+    from ffi_etl_spark.sources.readers import config_list, config_map, lift_pandas, read_csv
+
+    pdf = pd.DataFrame({"column_in_csv": ["a", "b"], "rename_to": ["A", "B"]})
+    lifted = lift_pandas(spark, pdf)
+    assert config_map(lifted, "column_in_csv", "rename_to") == {"a": "A", "b": "B"}
+
+    p = tmp_path / "cfg.csv"
+    pd.DataFrame({"open_text_columns": ["q1", "q2", None]}).to_csv(p, index=False)
+    cfg = read_csv(spark, str(p))
+    assert config_list(cfg, "open_text_columns") == ["q1", "q2"]
+
+
+def test_export_gold_tables(gold, spark, tmp_path):
+    import os
+
+    from ffi_etl_spark.sources.writers import export_gold_tables
+
+    names = export_gold_tables(spark, str(tmp_path), pattern="roll_up")
+    assert "roll_up" in names
+    assert os.path.isfile(tmp_path / "roll_up.json")
+    assert os.path.isfile(tmp_path / "roll_up.csv")
