@@ -97,13 +97,24 @@ def dedup_minhash_lsh(
     num_perm: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    fast: bool = False,
 ) -> DataFrame:
     """Near-dup pairs: MinHash-LSH candidates verified with exact Jaccard
-    on the char-shingle hash sets. rows-per-band = num_perm // bands."""
+    on the char-shingle hash sets. rows-per-band = num_perm // bands.
+    ``fast=True`` swaps md5 shingle hashing for native xxhash64 — same
+    algorithm, engine-private hashes (no DuckDB oracle), ~2-4x cheaper
+    signatures; the production default at 100 TB."""
+    from ffi_etl_spark.functions.hashing import xxhash_shingle_set
+
     rows = num_perm // bands
+    shingles = (
+        xxhash_shingle_set(F.col(text_col), shingle_k)
+        if fast
+        else shingle_hash_set(F.col(text_col), shingle_k)
+    )
     hashed = _spread(df, id_col).select(
         F.col(id_col),
-        shingle_hash_set(F.col(text_col), shingle_k).alias("_hashes"),
+        shingles.alias("_hashes"),
     ).withColumn("_sig", minhash_signature(F.col("_hashes"), num_perm))
     hashed = _pin(hashed.withColumn("_bands", band_keys(F.col("_sig"), bands, rows)))
     pairs = _candidate_pairs(hashed, id_col)

@@ -573,3 +573,8 @@ def _approx_distinct_users(spark, sf_dir):
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
     )
+
+
+@query("dedup_minhash_fast")  # xxhash64 tier: engine-private hashes, rows-only check
+def _dedup_minhash_fast(spark, sf_dir):
+    return dedup_minhash_lsh(table(spark, sf_dir, "documents"), fast=True)

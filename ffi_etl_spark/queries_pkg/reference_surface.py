@@ -803,3 +803,31 @@ def _salted_group_count(spark, sf_dir):
         },
         n_salts=16,
     ).withColumn("sum_qty", F.col("sum_qty").cast("double"))
+
+
+# --- incremental MERGE/upsert (the engine's beyond-overwrite path) ------------
+
+@query(
+    "upsert_merge",
+    oracle="""
+WITH target AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+), updates AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT t.* FROM target t
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)
+UNION ALL
+SELECT * FROM updates
+""",
+)
+def _upsert_merge(spark, sf_dir):
+    from ffi_etl_spark.operators.upsert import upsert
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    target = o.filter(F.col("o_orderkey") % 2 == 0)
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).withColumns(
+        {"o_orderstatus": F.lit("U"), "o_totalprice": F.col("o_totalprice") * 2}
+    )
+    return upsert(target, updates, ["o_orderkey"])

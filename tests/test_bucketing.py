@@ -47,3 +47,36 @@ def test_bucketed_join_correct(spark, sf_dir, bucketed):
         .count()
     )
     assert n == expected > 0
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """S7 partition_by: a filter on the partition column prunes at the
+    source (PartitionFilters), never scanning other partitions."""
+    from ffi_etl_spark.sources.writers import write_table
+
+    path = str(tmp_path / "events_by_type")
+    write_table(table(spark, sf_dir, "events"), path, partition_by=["event_type"])
+    df = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    n_click = table(spark, sf_dir, "events").filter(F.col("event_type") == "click").count()
+    assert df.count() == n_click > 0
+
+
+def test_upsert_semantics(spark):
+    from pyspark.sql import Row
+
+    from ffi_etl_spark.operators.upsert import upsert
+
+    target = spark.createDataFrame([Row(k=1, v="old"), Row(k=2, v="keep")])
+    updates = spark.createDataFrame([Row(k=1, v="new"), Row(k=3, v="insert")])
+    out = {r.k: r.v for r in upsert(target, updates, ["k"]).collect()}
+    assert out == {1: "new", 2: "keep", 3: "insert"}
+
+    # versioned conflict resolution inside the updates batch
+    versioned = spark.createDataFrame(
+        [Row(k=1, v="v1", ver=1), Row(k=1, v="v2", ver=2)]
+    )
+    tgt = spark.createDataFrame([Row(k=1, v="old", ver=0)])
+    out2 = {r.k: r.v for r in upsert(tgt, versioned, ["k"], version_col="ver").collect()}
+    assert out2 == {1: "v2"}
