@@ -110,3 +110,35 @@ def export_gold_tables(
         single_file_json(df, os.path.join(out_dir, f"{name}.json"), strict=strict)
         single_file_csv(df, os.path.join(out_dir, f"{name}.csv"), strict=strict)
     return names
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ceil(total_bytes / target) files. The 100 TB housekeeping primitive —
+    streaming sinks and fine-grained upserts accrete small files whose
+    per-file open/footer cost eventually dominates scans.
+
+    Returns the new file count. Rewrite goes through a temp dir then an
+    atomic-ish swap so a crash never leaves the dataset half-written."""
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + ".__compact__"
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__old__"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return n_files

@@ -80,3 +80,34 @@ def test_upsert_semantics(spark):
     tgt = spark.createDataFrame([Row(k=1, v="old", ver=0)])
     out2 = {r.k: r.v for r in upsert(tgt, versioned, ["k"], version_col="ver").collect()}
     assert out2 == {1: "v2"}
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    import glob
+
+    from ffi_etl_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    table(spark, sf_dir, "events").repartition(32).write.parquet(path)
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 32
+    before = spark.read.parquet(path).count()
+
+    n = compact_parquet(spark, path, target_file_bytes=10 * 1024 * 1024)
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) == n < 32
+    assert spark.read.parquet(path).count() == before
+
+
+def test_lenient_writer_swallows(spark, capsys):
+    from pyspark.sql import Row
+
+    from ffi_etl_spark.sources.writers import single_file_csv, write_table
+
+    df = spark.createDataFrame([Row(a=1)])
+    # invalid target: strict raises, lenient prints (reference utils.py:140-142)
+    with pytest.raises(Exception):
+        write_table(df, "/proc/definitely/not/writable", strict=True)
+    write_table(df, "/proc/definitely/not/writable", strict=False)
+    single_file_csv(df, "/proc/definitely/not/writable.csv", strict=False)
+    out = capsys.readouterr().out
+    assert "Error writing data" in out and "Error exporting csv" in out
