@@ -48,16 +48,33 @@ def demographic_rollup(
     demographic_col: str,
     demographic_name: str,
     unknown_label: str = "Unknown",
+    total_via: str = "window",
 ) -> DataFrame:
-    """Roll up one demographic column; collect-free port of utils.py:190-223."""
+    """Roll up one demographic column; collect-free port of utils.py:190-223.
+
+    ``total_via`` picks how the excl-Unknown denominator enters the plan:
+      * ``"window"`` (default): empty-partition window over the K
+        post-aggregation rows — cheapest when K (category count) is
+        small, which holds for every reference demographic;
+      * ``"broadcast"``: a 1-row aggregate cross-joined in — same
+        semantics, no single-partition window, the safe choice when the
+        grouping key is high-cardinality (e.g. rolling up by zip or
+        doc shard at 100 TB)."""
     grouped = df.groupBy(F.col(demographic_col).alias("Category")).agg(
         F.count(F.lit(1)).alias("# of Survey Responses")
     )
-    everything = Window.partitionBy()  # single global "partition" of K category rows
     cnt = F.col("# of Survey Responses")
-    total_excl_unknown = F.sum(
-        F.when(F.col("Category") != unknown_label, cnt)
-    ).over(everything)
+    if total_via == "broadcast":
+        total_df = grouped.agg(
+            F.sum(F.when(F.col("Category") != unknown_label, cnt)).alias("__total")
+        )
+        grouped = grouped.crossJoin(F.broadcast(total_df))
+        total_excl_unknown = F.col("__total")
+    else:
+        everything = Window.partitionBy()  # single global "partition" of K category rows
+        total_excl_unknown = F.sum(
+            F.when(F.col("Category") != unknown_label, cnt)
+        ).over(everything)
     return grouped.select(
         F.lit(demographic_name).alias("Demographic"),
         F.col("Category"),

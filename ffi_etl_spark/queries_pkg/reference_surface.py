@@ -36,7 +36,7 @@ WITH base AS (
 SELECT 'Segment' AS "Demographic",
        "Category",
        "# of Survey Responses",
-       printf('%.2f%%', "# of Survey Responses" * 100.0 / total_excl) AS "% of Survey Responses",
+       printf('%.2f%%', CAST(round(try_cast(CAST(("# of Survey Responses" * 100.0 / total_excl) AS VARCHAR) AS DECIMAL(30,12)), 2) AS DOUBLE)) AS "% of Survey Responses",
        CASE WHEN "Category" <> 'Unknown' THEN CAST(total_excl AS VARCHAR) ELSE '' END AS "Total Responses"
 FROM t
 ORDER BY "Category" DESC
@@ -378,7 +378,7 @@ def _timestamp_roundtrip(spark, sf_dir):
 _ROLLUP_CTE = """
   SELECT '{name}' AS "Demographic", "Category",
          "# of Survey Responses",
-         printf('%.2f%%', "# of Survey Responses" * 100.0 / total_excl) AS "% of Survey Responses",
+         printf('%.2f%%', CAST(round(try_cast(CAST(("# of Survey Responses" * 100.0 / total_excl) AS VARCHAR) AS DECIMAL(30,12)), 2) AS DOUBLE)) AS "% of Survey Responses",
          CASE WHEN "Category" <> 'Unknown' THEN CAST(total_excl AS VARCHAR) ELSE '' END AS "Total Responses"
   FROM (
     SELECT "Category", "# of Survey Responses",
@@ -448,7 +448,7 @@ WITH cust_n AS (
 ), rollup AS (
   SELECT 'Nation' AS rd, cat AS rc,
          cnt AS n_resp,
-         printf('%.2f%%', cnt * 100.0 / total_excl) AS pct_resp,
+         printf('%.2f%%', CAST(round(try_cast(CAST((cnt * 100.0 / total_excl) AS VARCHAR) AS DECIMAL(30,12)), 2) AS DOUBLE)) AS pct_resp,
          CASE WHEN cat <> 'Unknown' THEN CAST(total_excl AS VARCHAR) ELSE '' END AS total_resp
   FROM t
 ), sc AS (
@@ -458,7 +458,7 @@ WITH cust_n AS (
   GROUP BY 1, 2, 3
 ), census AS (
   SELECT 'Nation' AS cd, n_name AS cc,
-         printf('%.1f%%', scnt * 100.0 / SUM(scnt) OVER ()) AS census_pct_str,
+         printf('%.1f%%', CAST(round(try_cast(CAST((scnt * 100.0 / SUM(scnt) OVER ()) AS VARCHAR) AS DECIMAL(30,12)), 1) AS DOUBLE)) AS census_pct_str,
          CASE WHEN n_regionkey = 2 THEN NULL ELSE n_nationkey END AS display_order
   FROM sc
 ), j AS (

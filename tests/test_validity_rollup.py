@@ -79,3 +79,14 @@ def test_rollup_all_union_shape(spark):
     ]
     # per demographic, non-Unknown percentages sum to ~100 (A: 100, B: 50+50)
     assert abs(sum(pcts) - 200.0) < 0.02
+
+
+def test_rollup_total_via_broadcast_equivalent(spark):
+    """The broadcast-total variant (high-cardinality-safe plan) must be
+    value-identical to the window-total default."""
+    df = spark.createDataFrame(
+        [Row(seg=s) for s in ["A"] * 6 + ["B"] * 2 + ["Unknown"] * 2]
+    )
+    a = sorted(map(tuple, demographic_rollup(df, "seg", "Seg").collect()))
+    b = sorted(map(tuple, demographic_rollup(df, "seg", "Seg", total_via="broadcast").collect()))
+    assert a == b
