@@ -115,3 +115,48 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def stream_upsert_sink(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    version_col: str,
+    checkpoint: str | None = None,
+):
+    """Incremental MERGE sink: each microbatch upserts into a parquet
+    target (operators/upsert.py), so the target converges to
+    latest-per-key state instead of append-only history — the
+    foreachBatch pattern that replaces the reference's full-overwrite
+    refresh cadence with true incrementality.
+
+    Each batch: read current target (if any) -> upsert -> rewrite via a
+    temp dir + swap (a crash mid-batch leaves the previous target
+    intact; the checkpoint replays the batch)."""
+    import os
+    import shutil
+
+    from ffi_etl_spark.operators.upsert import upsert
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_latest = batch_df
+        if os.path.exists(target_path):
+            target = spark.read.parquet(target_path)
+            merged = upsert(target, batch_latest, keys, version_col=version_col)
+        else:
+            from ffi_etl_spark.operators.windows import latest_per_key
+
+            merged = latest_per_key(batch_latest, keys, ts_col=version_col, id_col=version_col)
+        tmp = target_path + ".__merge__"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target_path):
+            shutil.rmtree(target_path)
+        shutil.move(tmp, target_path)
+
+    writer = stream_df.writeStream.foreachBatch(_merge_batch).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q

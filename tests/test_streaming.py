@@ -116,3 +116,30 @@ def test_stateful_user_totals(spark, sf_dir, events_dir):
         assert s.n_events == b.n
         assert math.isclose(s.total_value, b.tv, rel_tol=1e-9)
         assert s.last_ts == b.mx
+
+
+def test_stream_upsert_sink_converges(spark, sf_dir, events_dir, tmp_path):
+    """Streaming MERGE sink: the target converges to latest-per-(user,type)
+    regardless of arrival batching."""
+    from ffi_etl_spark.operators.windows import latest_per_key
+    from ffi_etl_spark.streaming.events import stream_upsert_sink
+
+    target = str(tmp_path / "user_state")
+    stream_upsert_sink(
+        stream_events(spark, events_dir),
+        target,
+        keys=["user_id", "event_type"],
+        version_col="ts",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    got = {
+        (r.user_id, r.event_type): r.value
+        for r in spark.read.parquet(target).collect()
+    }
+    expected = {
+        (r.user_id, r.event_type): r.value
+        for r in latest_per_key(
+            table(spark, sf_dir, "events"), ["user_id", "event_type"], ts_col="ts", id_col="ts"
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
