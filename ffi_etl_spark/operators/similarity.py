@@ -153,3 +153,44 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def ann_brp_lsh_pairs(
+    corpus: DataFrame,
+    threshold: float = 1.0,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-pair search via stock pyspark.ml
+    ``BucketedRandomProjectionLSH`` (Euclidean): the library counterpart
+    to the hand-rolled sign-LSH. Seeded for determinism, but the random
+    hyperplanes are engine-private — differential testing uses the
+    sign-LSH/IVF tiers; this tier exists for MLlib interop (same
+    ``approxSimilarityJoin`` scale path: bucket join, no cross
+    product). Output: id_a, id_b, euclid_dist."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        F.col(id_col).alias("id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, threshold, distCol="euclid_dist")
+    return (
+        joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            "euclid_dist",
+        )
+    )

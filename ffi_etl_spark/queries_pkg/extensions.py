@@ -578,3 +578,10 @@ def _approx_distinct_users(spark, sf_dir):
 @query("dedup_minhash_fast")  # xxhash64 tier: engine-private hashes, rows-only check
 def _dedup_minhash_fast(spark, sf_dir):
     return dedup_minhash_lsh(table(spark, sf_dir, "documents"), fast=True)
+
+
+@query("ann_brp_lsh")  # MLlib LSH: random hyperplanes are engine-private, rows-only
+def _ann_brp_lsh(spark, sf_dir):
+    from ffi_etl_spark.operators.similarity import ann_brp_lsh_pairs
+
+    return ann_brp_lsh_pairs(table(spark, sf_dir, "embeddings"), threshold=1.2)

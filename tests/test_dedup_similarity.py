@@ -97,3 +97,17 @@ def test_ivf_assignment_and_topk(spark):
     out = ann_ivf_topk(df, df.filter(F.col("vec_id") == 0), dim=2, k=5).collect()
     # only same-cell neighbors: 1 and 2, never the negative cluster
     assert sorted(r.neighbor_id for r in out) == [1, 2]
+
+
+def test_ann_brp_lsh_finds_close_pairs(spark):
+    from ffi_etl_spark.operators.similarity import ann_brp_lsh_pairs
+
+    rows = [
+        Row(vec_id=0, embedding=[0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.1, 0.0]),    # dist 0.1 from 0
+        Row(vec_id=2, embedding=[10.0, 10.0]),  # far from everything
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = {(r.id_a, r.id_b): r.euclid_dist for r in ann_brp_lsh_pairs(df, threshold=1.0).collect()}
+    assert (0, 1) in pairs and abs(pairs[(0, 1)] - 0.1) < 1e-9
+    assert all(2 not in p for p in pairs)
