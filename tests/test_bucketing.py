@@ -111,3 +111,35 @@ def test_lenient_writer_swallows(spark, capsys):
     single_file_csv(df, "/proc/definitely/not/writable.csv", strict=False)
     out = capsys.readouterr().out
     assert "Error writing data" in out and "Error exporting csv" in out
+
+
+def test_versioned_tables(spark, sf_dir, tmp_path):
+    from pyspark.sql import Row
+
+    from ffi_etl_spark.sources.versioned import (
+        latest_version,
+        read_version,
+        rollback,
+        vacuum_versions,
+        write_version,
+    )
+
+    path = str(tmp_path / "vt")
+    df1 = spark.createDataFrame([Row(k=1, v="a")])
+    df2 = spark.createDataFrame([Row(k=1, v="b"), Row(k=2, v="c")])
+    assert write_version(df1, path) == 0
+    assert write_version(df2, path) == 1
+    assert latest_version(path) == 1
+    assert read_version(spark, path).count() == 2      # latest
+    assert read_version(spark, path, 0).count() == 1   # time travel
+
+    rollback(path, 0)
+    assert read_version(spark, path).count() == 1
+
+    for i in range(4):
+        write_version(df2, path)
+    removed = vacuum_versions(path, keep=2)
+    assert removed and 0 not in (latest_version(path),)
+    assert read_version(spark, path).count() == 2
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, path, 99)
