@@ -71,7 +71,11 @@ def extract_features(
             out.insert(0, "doc_id", pdf[id_col].values)
             yield out
 
-    return df.select(id_col, payload_col).mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    from ffi_etl_spark.operators.util import spread
+
+    return spread(df, id_col).select(id_col, payload_col).mapInPandas(
+        _extract, schema=FEATURE_SCHEMA
+    )
 
 
 RESIZE_SCHEMA = (
@@ -117,7 +121,11 @@ def resize_images(
                 )
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, payload_col).mapInPandas(_resize, schema=RESIZE_SCHEMA)
+    from ffi_etl_spark.operators.util import spread
+
+    return spread(df, id_col).select(id_col, payload_col).mapInPandas(
+        _resize, schema=RESIZE_SCHEMA
+    )
 
 
 def sample_frames(
@@ -153,4 +161,8 @@ def sample_frames(
                     )
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, text_col).mapInPandas(_frames, schema=FRAME_SCHEMA)
+    from ffi_etl_spark.operators.util import spread
+
+    return spread(df, id_col).select(id_col, text_col).mapInPandas(
+        _frames, schema=FRAME_SCHEMA
+    )
