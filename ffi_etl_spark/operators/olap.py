@@ -1,0 +1,108 @@
+"""Temporal join operators Spark lacks natively: as-of and range joins.
+
+Neither exists as a DataFrame primitive (Spark 4), so both are built as
+compositions with the scale-correct shape:
+
+  * as-of join — the union/last-observation trick: tag right rows, sort
+    (key, ts) within key partitions, carry the latest right payload
+    forward with a ``last(ignorenulls)`` window, keep left rows. ONE
+    shuffle on the key, no per-row subquery, no skew beyond the key
+    histogram — the standard distributed as-of (vs. the naive
+    inequality-join which explodes to |L|·|R| per key).
+  * range join — time-bin bucketing: candidates must share a coarse
+    time bucket (or be in adjacent buckets), so the join is an
+    equi-join on (key, bucket) with an exact predicate filter after —
+    work scales with events-per-bucket, not |L|·|R|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Backward (most-recent-prior, inclusive) as-of join.
+
+    Every ``left`` row gains the ``right_cols`` of the latest ``right``
+    row with the same ``on`` keys and ``right_ts <= left_ts`` (NULLs if
+    none, or if it is older than ``tolerance_seconds``).
+    """
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+    )
+    l = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c) for c in left.columns if c not in on],
+    )
+    # right rows sort BEFORE left rows at equal ts => inclusive (>=) match
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).withColumn(
+        "__last", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__is_left") == 1)
+    if tolerance_seconds is not None:
+        out = out.withColumn(
+            "__last",
+            F.when(
+                F.unix_timestamp("__ts") - F.unix_timestamp(F.col("__last.__rts"))
+                <= tolerance_seconds,
+                F.col("__last"),
+            ),
+        )
+    keep = [*on, *[c for c in left.columns if c not in on]]
+    return out.select(
+        *[F.col(c) for c in keep],
+        F.col("__last.__rts").alias(f"asof_{right_ts}"),
+        *[F.col(f"__last.{c}").alias(c) for c in right_cols],
+    )
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    max_gap_seconds: int,
+) -> DataFrame:
+    """Pairs where ``0 < right_ts - left_ts <= max_gap_seconds`` and the
+    ``on`` keys match. Bucketed: a qualifying pair's bucket distance is
+    0 or 1 when the bin width equals the gap, so candidates come from an
+    equi-join on (keys, bucket) ∪ (keys, bucket+1)."""
+    bin_l = (F.unix_timestamp(F.col(left_ts)) / max_gap_seconds).cast("long")
+    bin_r = (F.unix_timestamp(F.col(right_ts)) / max_gap_seconds).cast("long")
+    l = left.withColumn("__bin", bin_l)
+    # right lands in its own bucket AND the previous one (explode, not a
+    # second join: one shuffle, both candidate classes covered)
+    r = right.withColumn(
+        "__bin", F.explode(F.array(bin_r, bin_r - 1))
+    )
+    gap = F.unix_timestamp(F.col(right_ts)) - F.unix_timestamp(F.col(left_ts))
+    return (
+        l.join(r, [*on, "__bin"])
+        .filter((gap > 0) & (gap <= max_gap_seconds))
+        .drop("__bin")
+    )

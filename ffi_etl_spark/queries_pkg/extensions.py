@@ -585,3 +585,110 @@ def _ann_brp_lsh(spark, sf_dir):
     from ffi_etl_spark.operators.similarity import ann_brp_lsh_pairs
 
     return ann_brp_lsh_pairs(table(spark, sf_dir, "embeddings"), threshold=1.2)
+
+
+# ---------------------------------------------------------------------------
+# temporal joins Spark lacks natively (as-of, range) + OLAP grouping breadth
+# ---------------------------------------------------------------------------
+
+@query(
+    "asof_join_last_purchase",
+    oracle="""
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, ts AS r_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, l.ts,
+       r.r_ts AS last_purchase_ts, r.purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.r_ts
+""",
+)
+def _asof_join_last_purchase(spark, sf_dir):
+    from ffi_etl_spark.operators.olap import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("value").alias("purchase_value")
+    )
+    return asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="r_ts",
+        right_cols=["purchase_value"],
+    ).withColumnRenamed("asof_r_ts", "last_purchase_ts")
+
+
+@query(
+    "range_join_follows",
+    oracle="""
+WITH l AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.click_id, l.user_id, l.click_ts, r.purchase_id, r.purchase_ts
+FROM l JOIN r ON l.user_id = r.user_id
+ AND epoch(r.purchase_ts) - epoch(l.click_ts) > 0
+ AND epoch(r.purchase_ts) - epoch(l.click_ts) <= 1800
+""",
+)
+def _range_join_follows(spark, sf_dir):
+    from ffi_etl_spark.operators.olap import range_join_binned
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    return range_join_binned(
+        clicks, purchases, on=["user_id"],
+        left_ts="click_ts", right_ts="purchase_ts", max_gap_seconds=1800,
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def _cube_agg(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def _rollup_agg(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "pivot_status",
+    oracle="""
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def _pivot_status(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").pivot("o_orderstatus", ["O", "F", "P"]).count()

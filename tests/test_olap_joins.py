@@ -1,0 +1,53 @@
+"""Unit tests: as-of join and binned range join semantics."""
+
+from datetime import datetime
+
+from pyspark.sql import Row
+
+from ffi_etl_spark.operators.olap import asof_join, range_join_binned
+
+
+def _t(m):
+    return datetime(2024, 1, 1, 12, m)
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, lid=1, ts=_t(10)), Row(k=1, lid=2, ts=_t(30)), Row(k=2, lid=3, ts=_t(10))]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rts=_t(5), v="early"), Row(k=1, rts=_t(10), v="tie"),
+         Row(k=1, rts=_t(20), v="mid"), Row(k=1, rts=_t(40), v="late")]
+    )
+    out = {r.lid: r for r in asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts", right_cols=["v"]
+    ).collect()}
+    assert out[1].v == "tie"           # rts == ts is matched (inclusive)
+    assert out[2].v == "mid"           # latest prior, never the future 'late'
+    assert out[3].v is None            # key 2 has no right rows -> NULLs
+    assert out[3].asof_rts is None
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame([Row(k=1, lid=1, ts=_t(59))])
+    right = spark.createDataFrame([Row(k=1, rts=_t(0), v="stale")])
+    fresh = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                      right_cols=["v"], tolerance_seconds=3600).collect()[0]
+    assert fresh.v == "stale"          # 59 min old, within 1h tolerance
+    expired = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                        right_cols=["v"], tolerance_seconds=600).collect()[0]
+    assert expired.v is None           # older than 10 min -> nulled
+
+
+def test_range_join_binned_boundaries(spark):
+    left = spark.createDataFrame([Row(k=1, lid=1, lts=_t(0))])
+    right = spark.createDataFrame(
+        [Row(k=1, rid=10, rts=_t(0)),    # gap 0: excluded (strict >)
+         Row(k=1, rid=11, rts=_t(10)),   # gap 600 <= 900: kept
+         Row(k=1, rid=12, rts=_t(15)),   # gap 900 == max: kept (inclusive)
+         Row(k=1, rid=13, rts=_t(16)),   # gap 960 > max: excluded
+         Row(k=2, rid=14, rts=_t(10))]   # other key: excluded
+    )
+    out = range_join_binned(left, right, on=["k"], left_ts="lts",
+                            right_ts="rts", max_gap_seconds=900)
+    assert sorted(r.rid for r in out.collect()) == [11, 12]
