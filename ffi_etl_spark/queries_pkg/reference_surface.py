@@ -831,3 +831,58 @@ def _upsert_merge(spark, sf_dir):
         {"o_orderstatus": F.lit("U"), "o_totalprice": F.col("o_totalprice") * 2}
     )
     return upsert(target, updates, ["o_orderkey"])
+
+
+# --- semi/anti joins (absent from the reference; engine breadth) --------------
+
+@query(
+    "semi_anti_join",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            THEN 'has_orders' ELSE 'no_orders' END AS order_flag
+FROM customer c
+""",
+)
+def _semi_anti_join(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    with_orders = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).withColumn("order_flag", F.lit("has_orders"))
+    without = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).withColumn("order_flag", F.lit("no_orders"))
+    return with_orders.unionByName(without).select("c_custkey", "c_mktsegment", "order_flag")
+
+
+# --- TPC-H q18 shape: group-by-having feeding a semi-join ---------------------
+
+@query(
+    "tpch_q18_top",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def _tpch_q18_top(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
