@@ -31,7 +31,7 @@ from pyspark import StorageLevel
 
 from ffi_etl_spark.functions.hashing import (
     band_keys,
-    jaccard,
+    jaccard_with_sizes,
     md5_int32,
     md5_int60,
     minhash_signature,
@@ -87,9 +87,14 @@ def _verify_join(
     2.5x end-to-end at sf0.1: 8.1s -> 3.0s). At 100 TB the per-doc set
     table no longer fits the driver: pass broadcast_verify=False to
     fall back to the shuffle join (AQE still picks broadcast per
-    sub-partition where stats allow)."""
-    sa = sets.withColumnsRenamed({id_col: "id_a", "_hashes": "_ha"})
-    sb = sets.withColumnsRenamed({id_col: "id_b", "_hashes": "_hb"})
+    sub-partition where stats allow).
+
+    Set sizes ride along (``_na``/``_nb``) so the similarity can be
+    computed from the intersection alone (inclusion-exclusion) instead
+    of intersect + union."""
+    sized = sets.withColumn("_n", F.size("_hashes"))
+    sa = sized.withColumnsRenamed({id_col: "id_a", "_hashes": "_ha", "_n": "_na"})
+    sb = sized.withColumnsRenamed({id_col: "id_b", "_hashes": "_hb", "_n": "_nb"})
     if broadcast_verify:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     return pairs.join(sa, "id_a").join(sb, "id_b")
@@ -148,7 +153,10 @@ def dedup_minhash_lsh(
     sets = hashed.select(F.col(id_col), F.col("_hashes"))
     verified = (
         _verify_join(pairs, sets, id_col, broadcast_verify)
-        .withColumn("jaccard_sim", jaccard(F.col("_ha"), F.col("_hb")))
+        .withColumn(
+            "jaccard_sim",
+            jaccard_with_sizes(F.col("_ha"), F.col("_hb"), F.col("_na"), F.col("_nb")),
+        )
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
@@ -234,7 +242,10 @@ def dedup_ngram_jaccard(
     sets = hashed.select(F.col(id_col), F.col("_hashes"))
     return (
         _verify_join(pairs, sets, id_col, broadcast_verify)
-        .withColumn("jaccard_sim", jaccard(F.col("_ha"), F.col("_hb")))
+        .withColumn(
+            "jaccard_sim",
+            jaccard_with_sizes(F.col("_ha"), F.col("_hb"), F.col("_na"), F.col("_nb")),
+        )
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
