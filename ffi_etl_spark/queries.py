@@ -39,4 +39,5 @@ def query(name: str, oracle: str | None = None):
 from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
     reference_surface,
     extensions,
+    olap_spines,
 )
