@@ -40,4 +40,5 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
     reference_surface,
     extensions,
     olap_spines,
+    breadth,
 )

@@ -1,0 +1,207 @@
+"""Breadth queries: semi-structured JSON, explode/top-k, cumulative
+windows, set operations, unpivot.
+
+None of these shapes exist in the reference (SURVEY.md §2 — its surface
+is flat strings + two join shapes); they round out the engine to the
+full DataFrame shape catalogue a migrating user expects. Every query
+has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ffi_etl_spark.catalog import table
+from ffi_etl_spark.queries import query
+
+
+# --- semi-structured: JSON path extraction inside an aggregation --------------
+
+@query(
+    "json_extract_agg",
+    oracle="""
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def _json_extract_agg(spark, sf_dir):
+    """JSON path extraction stays JVM-side (``get_json_object``) and
+    feeds a plain hash aggregate — no UDF, no Python. At 100 TB the
+    better shape is parsing ONCE with an explicit schema
+    (``from_json``) and persisting typed columns; per-query path
+    extraction is the ad-hoc form."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("k_sum"),
+            F.min(k).alias("k_min"),
+            F.max(k).alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- explode + top-k: the word-count spine ------------------------------------
+
+@query(
+    "token_topk",
+    oracle=r"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 30
+""",
+)
+def _token_topk(spark, sf_dir):
+    """explode → group → top-k. The explode is a narrow generator (no
+    shuffle); the aggregation shuffles once on the token, where map-side
+    partial aggregation collapses each partition's token histogram
+    before the exchange — the classic wordcount plan, which survives
+    any corpus size because the shuffle volume is bounded by distinct
+    tokens per partition, not rows."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(30)
+    )
+
+
+# --- cumulative window: running total per key ---------------------------------
+
+@query(
+    "running_total",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS lifetime_value
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+)
+def _running_total(spark, sf_dir):
+    """Explicit ROWS frame (unbounded-preceding → current): per-customer
+    lifetime value after each order. One shuffle on the partition key;
+    o_orderkey breaks date ties so the frame — and therefore every
+    intermediate sum — is deterministic. Sums accumulate in
+    decimal(18,2) and cast to double only at the edge, so Spark and the
+    oracle agree bit-for-bit."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("lifetime_value"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+# --- set operations: INTERSECT / EXCEPT ---------------------------------------
+
+@query(
+    "set_ops_retention",
+    oracle="""
+WITH y1997 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+), y1998 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+)
+SELECT 'retained' AS cohort, o_custkey FROM (SELECT o_custkey FROM y1997 INTERSECT SELECT o_custkey FROM y1998)
+UNION ALL
+SELECT 'churned' AS cohort, o_custkey FROM (SELECT o_custkey FROM y1997 EXCEPT SELECT o_custkey FROM y1998)
+ORDER BY cohort, o_custkey
+""",
+)
+def _set_ops_retention(spark, sf_dir):
+    """INTERSECT / EXCEPT as cohort retention. Catalyst rewrites both
+    to joins (semi/anti over distinct inputs), so the physical plan is
+    two hash joins sharing the same scans — no dedicated set-op
+    machinery to tune."""
+    o = table(spark, sf_dir, "orders")
+
+    def active(year: int):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01 00:00:00").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y1997, y1998 = active(1997), active(1998)
+    retained = y1997.intersect(y1998).withColumn("cohort", F.lit("retained"))
+    churned = y1997.exceptAll(y1998).withColumn("cohort", F.lit("churned"))
+    return (
+        retained.unionByName(churned)
+        .select("cohort", "o_custkey")
+        .orderBy("cohort", "o_custkey")
+    )
+
+
+# --- unpivot (melt): wide metrics -> long (metric, value) ---------------------
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
+UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+ORDER BY l_returnflag, metric
+""",
+)
+def _unpivot_metrics(spark, sf_dir):
+    """pivot's inverse: ``unpivot`` lowers wide per-flag metrics to
+    (key, metric, value) rows. Runs after the aggregation, so the melt
+    touches K×M rows (flags × metrics), never the fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double").alias("sum_disc"),
+    )
+    return (
+        wide.unpivot(
+            ["l_returnflag"],
+            ["sum_qty", "sum_price", "sum_disc"],
+            "metric",
+            "value",
+        )
+        .orderBy("l_returnflag", "metric")
+    )

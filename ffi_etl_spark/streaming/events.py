@@ -117,6 +117,34 @@ def run_to_memory(
     return stream_df.sparkSession.table(name)
 
 
+def stream_to_parquet(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+):
+    """Drain a stream into a parquet file sink with a durable
+    checkpoint, exactly-once across restarts.
+
+    The checkpoint's offset log records which source files each epoch
+    consumed and the sink's file manifest records which output files
+    each epoch committed; re-starting with the same checkpoint resumes
+    after the last committed epoch, so a processed input file is never
+    re-emitted and a crash between offset-write and commit replays into
+    the same epoch id (idempotent). This is the production recovery
+    story — ``run_to_memory`` is only the test/backfill harness."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", target_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def stream_upsert_sink(
     stream_df: DataFrame,
     target_path: str,
