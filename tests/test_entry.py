@@ -36,3 +36,27 @@ def test_headline_plans_pushdown(spark):
     )
     assert "BroadcastHashJoin" in plan3
     assert "SortMergeJoin" not in plan3
+
+
+def _plan(spark, name):
+    qs = entry_mod.queries()
+    return qs[name](spark, "/root/testdata/sf0.001")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_olap_spine_plans(spark):
+    """Round-2 spines: dimension filters reach the scans, dimension
+    joins broadcast, and the sample predicate stays a narrow filter."""
+    p9 = _plan(spark, "tpch_q9_profit")
+    assert "StringContains(p_name,gear)" in p9  # selective filter IN the scan
+    assert "BroadcastHashJoin" in p9
+    assert "SortMergeJoin" not in p9
+
+    p10 = _plan(spark, "tpch_q10_returns")
+    assert "EqualTo(l_returnflag,R)" in p10  # fact filter pushed
+    assert "TakeOrderedAndProject" in p10  # top-k never global-sorts
+
+    ps = _plan(spark, "deterministic_sample")
+    assert "BroadcastHashJoin" not in ps and "SortMergeJoin" not in ps
+    assert "Exchange" in ps  # only the final presentation sort shuffles
