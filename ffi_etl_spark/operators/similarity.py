@@ -102,19 +102,47 @@ def assign_to_centroid(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Nearest-centroid (max cosine) assignment: broadcast the K
-    centroids, score K candidates per vector, keep the argmax. Narrow
-    except the broadcast — the corpus is scanned once, never shuffled.
-    Ties break on centroid_id for determinism."""
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_sim").desc(), F.col("centroid_id").asc()
+    """Nearest-centroid (max cosine) assignment, fully narrow: the K
+    centroids collapse into ONE broadcast row holding an array of
+    (centroid_id, centroid) structs, and the argmax is a higher-order
+    fold over that array — no per-vector window, no shuffle of the
+    corpus at all. The strict (sim, id)-total-order comparison in the
+    fold makes the result independent of the array's build order, and
+    ties break on the lower centroid_id.
+
+    (Previous formulation cross-joined K rows per vector and ranked
+    with a Window.partitionBy(id) — that shuffles n·K rows twice; this
+    one moves only the K-row centroid table.)"""
+    packed = F.broadcast(
+        centroids.agg(
+            F.collect_list(F.struct("centroid_id", "centroid")).alias("_cents")
+        )
+    )
+    # Score each centroid exactly once (transform), THEN fold for the
+    # argmax — referencing sim() inside the fold lambda would re-derive
+    # the 64-dim cosine on every comparison branch.
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            c["centroid_id"].alias("cid"),
+            cosine(F.col(vec_col), c["centroid"]).alias("sim"),
+        ),
+    )
+    first = F.element_at(scored, 1)
+    rest = F.slice(scored, 2, F.greatest(F.size(scored) - 1, F.lit(0)))
+    best = F.aggregate(
+        rest,
+        first,
+        lambda acc, c: F.when(
+            (c["sim"] > acc["sim"])
+            | ((c["sim"] == acc["sim"]) & (c["cid"] < acc["cid"])),
+            c,
+        ).otherwise(acc),
     )
     return (
-        corpus.crossJoin(F.broadcast(centroids))
-        .withColumn("_sim", cosine(F.col(vec_col), F.col("centroid")))
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select(id_col, vec_col, "centroid_id")
+        corpus.crossJoin(packed)
+        .withColumn("_best", best)
+        .select(id_col, vec_col, F.col("_best.cid").alias("centroid_id"))
     )
 
 
