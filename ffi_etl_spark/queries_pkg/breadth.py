@@ -205,3 +205,39 @@ def _unpivot_metrics(spark, sf_dir):
         )
         .orderBy("l_returnflag", "metric")
     )
+
+
+# --- statistical moments: corr / covar / stddev / variance --------------------
+
+@query(
+    "stats_moments",
+    oracle="""
+SELECT l_returnflag,
+       corr(l_quantity, l_extendedprice) AS qty_price_corr,
+       covar_samp(l_quantity, l_extendedprice) AS qty_price_covar,
+       stddev_samp(l_quantity) AS qty_stddev,
+       var_samp(l_extendedprice) AS price_var,
+       stddev_pop(l_discount) AS disc_stddev_pop
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def _stats_moments(spark, sf_dir):
+    """Second-moment aggregate family in one hash aggregation — Spark's
+    implementations are single-pass co-moment updates (Welford-style),
+    so they distribute: partials merge associatively across partitions,
+    no second scan. The driver's 6-sig-fig float canon absorbs the
+    merge-order difference vs DuckDB's accumulation."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
+            F.stddev_samp("l_quantity").alias("qty_stddev"),
+            F.var_samp("l_extendedprice").alias("price_var"),
+            F.stddev_pop("l_discount").alias("disc_stddev_pop"),
+        )
+        .orderBy("l_returnflag")
+    )
