@@ -163,14 +163,28 @@ def dedup_minhash_lsh(
     return verified
 
 
-def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fast: bool = False,
+) -> DataFrame:
     """60-bit SimHash per document over whitespace tokens. Token hashes
     are materialized in their own projection so each of the 60 bit-folds
-    reads the array instead of re-deriving md5s."""
+    reads the array instead of re-deriving hashes. ``fast=True`` swaps
+    the md5-derived token hash for native xxhash64 (one JVM intrinsic vs
+    digest + hex parse) — same algorithm, engine-private bits (no DuckDB
+    oracle); the production tier at 100 TB."""
     from ffi_etl_spark.functions.hashing import simhash64_from_hashes
 
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
-    hashed = _spread(df, id_col).select(F.col(id_col), F.transform(tokens, md5_int60).alias("_th"))
+    if fast:
+        token_hash = lambda t: F.pmod(F.xxhash64(t), F.lit(2 ** 60))  # noqa: E731
+    else:
+        token_hash = md5_int60
+    hashed = _spread(df, id_col).select(
+        F.col(id_col), F.transform(tokens, token_hash).alias("_th")
+    )
     return hashed.select(F.col(id_col), simhash64_from_hashes(F.col("_th")).alias("simhash"))
 
 
@@ -179,10 +193,11 @@ def dedup_simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    fast: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band on 4 × 15-bit chunks (pigeonhole:
     ≤3 differing bits ⇒ ≥1 identical chunk), verify Hamming distance."""
-    fp = _pin(simhash_fingerprints(df, text_col, id_col))
+    fp = _pin(simhash_fingerprints(df, text_col, id_col, fast=fast))
     chunks = F.array(
         *[
             F.concat_ws(

@@ -580,6 +580,13 @@ def _dedup_minhash_fast(spark, sf_dir):
     return dedup_minhash_lsh(table(spark, sf_dir, "documents"), fast=True)
 
 
+@query("dedup_simhash_fast")  # xxhash64 tier: engine-private hashes, rows-only check
+def _dedup_simhash_fast(spark, sf_dir):
+    from ffi_etl_spark.operators.dedup import dedup_simhash
+
+    return dedup_simhash(table(spark, sf_dir, "documents"), fast=True)
+
+
 @query("ann_brp_lsh")  # MLlib LSH: random hyperplanes are engine-private, rows-only
 def _ann_brp_lsh(spark, sf_dir):
     from ffi_etl_spark.operators.similarity import ann_brp_lsh_pairs
