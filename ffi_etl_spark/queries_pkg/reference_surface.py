@@ -708,6 +708,44 @@ def _csv_roundtrip(spark, sf_dir):
     return read_csv(spark, path, schema="n_nationkey int, n_name string, n_regionkey int")
 
 
+@query(
+    "json_roundtrip",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def _json_roundtrip(spark, sf_dir):
+    """S8's JSON sink + the schema-explicit JSON source, round-tripped
+    (timestamps excluded — JSON serializes them as strings; parquet is
+    the typed interchange format, JSON the export format)."""
+    import os
+    import tempfile
+
+    from ffi_etl_spark.sources.readers import read_json
+    from ffi_etl_spark.sources.writers import single_file_json
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"ffi_etl_orders_{os.path.basename(sf_dir)}.json"
+    )
+    single_file_json(orders, path)
+    back = read_json(
+        spark, path, schema="o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 # --- S10/EP3: the SQL-string entry point over registered views ----------------
 # (spark.sql(...) on catalog names — merge_census.py:16, write_to_volume.py:7)
 

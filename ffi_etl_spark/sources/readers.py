@@ -44,6 +44,24 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """JSON-lines read. An explicit schema skips Spark's inference pass
+    (which scans the whole input once before the real read — at 100 TB
+    that doubles the scan); with ``schema=None`` inference is allowed
+    for ad-hoc exploration only."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
 def lift_pandas(spark: SparkSession, pdf: pd.DataFrame, schema: StructType | str | None = None) -> DataFrame:
     """S4: driver pandas frame -> distributed DataFrame (Arrow path).
     Legitimate only for small config/census sheets."""
