@@ -108,6 +108,37 @@ def _dedup_minhash(spark, sf_dir):
     return dedup_minhash_lsh(table(spark, sf_dir, "documents"))
 
 
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_MINHASH_ORACLE})
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), verts AS (
+  SELECT DISTINCT a AS v FROM edges
+), reach(v, m) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.v
+)
+SELECT v AS doc_id, MIN(m) AS component FROM reach GROUP BY v
+"""
+
+
+@query("dedup_components", oracle=_COMPONENTS_ORACLE)
+def _dedup_components(spark, sf_dir):
+    """Near-dup clusters: transitive closure of the MinHash pair graph.
+    component = min doc_id of the cluster = the canonical document to
+    keep; "corpus minus non-canonical members" is then a single anti
+    join. Oracle = recursive CTE over the same pair query (min
+    reachable id per vertex ≡ min-label fixpoint)."""
+    from ffi_etl_spark.operators.graph import connected_components
+
+    pairs = dedup_minhash_lsh(table(spark, sf_dir, "documents"))
+    return connected_components(pairs).withColumnsRenamed({"vertex": "doc_id"})
+
+
 # ---------------------------------------------------------------------------
 # dedup tier 3: SimHash fingerprints + Hamming-banded near-dup pairs
 # ---------------------------------------------------------------------------

@@ -111,3 +111,21 @@ def test_ann_brp_lsh_finds_close_pairs(spark):
     pairs = {(r.id_a, r.id_b): r.euclid_dist for r in ann_brp_lsh_pairs(df, threshold=1.0).collect()}
     assert (0, 1) in pairs and abs(pairs[(0, 1)] - 0.1) < 1e-9
     assert all(2 not in p for p in pairs)
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 5-vertex chain (diameter forces several propagation rounds),
+    a disjoint triangle, and an isolated pair must each collapse to
+    their min-id component."""
+    from ffi_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain 1-2-3-4-5
+         (10, 11), (11, 12), (10, 12),        # triangle
+         (20, 21)],                            # pair
+        "id_a long, id_b long",
+    )
+    got = {(r.vertex, r.component) for r in connected_components(edges).collect()}
+    want = {(v, 1) for v in (1, 2, 3, 4, 5)} | {(v, 10) for v in (10, 11, 12)} | {
+        (20, 20), (21, 20)}
+    assert got == want
