@@ -241,3 +241,105 @@ def _stats_moments(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- grouping sets with grouping() indicators ---------------------------------
+
+@query(
+    "grouping_sets_agg",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_prio,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+""",
+)
+def _grouping_sets_agg(spark, sf_dir):
+    """Explicit GROUPING SETS (not derivable from cube/rollup when the
+    sets aren't a prefix lattice) + grouping() indicators to tell a
+    real NULL key from a superaggregate row. One pass: Spark expands
+    the sets map-side and aggregates each in the same shuffle."""
+    from ffi_etl_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, names=("orders",))
+    return spark.sql("""
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) AS g_status,
+       grouping(o_orderpriority) AS g_prio,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+""")
+
+
+# --- frame-sensitive value windows: first/last/nth ----------------------------
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       LAST_VALUE(o_totalprice)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+)
+def _window_first_last_nth(spark, sf_dir):
+    """first/last/nth positional window values. last_value must widen
+    the frame to unbounded-following — under the default frame it just
+    echoes the current row, the classic silent-wrong-answer; the
+    explicit frame here is the correctness point being locked in."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w_full).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+# --- deterministic collection aggregates: sorted list + string agg ------------
+
+@query(
+    "grouped_list_agg",
+    oracle="""
+SELECT c_mktsegment,
+       list_sort(list(DISTINCT c_nationkey)) AS nations,
+       string_agg(DISTINCT CAST(c_nationkey AS VARCHAR), ',' ORDER BY CAST(c_nationkey AS VARCHAR)) AS nation_csv
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def _grouped_list_agg(spark, sf_dir):
+    """Collection aggregates made deterministic: collect_set's arrival
+    order is partition-dependent, so a sort must follow before the
+    result is comparable/storable. array_sort + array_join happen
+    post-aggregation on K rows — cost-free at any scale."""
+    c = table(spark, sf_dir, "customer")
+    nations = F.array_sort(F.collect_set("c_nationkey"))
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            nations.alias("nations"),
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("c_nationkey").cast("string"))), ","
+            ).alias("nation_csv"),
+        )
+        .orderBy("c_mktsegment")
+    )
