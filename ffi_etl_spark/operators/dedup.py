@@ -135,7 +135,13 @@ def dedup_minhash_lsh(
     on the char-shingle hash sets. rows-per-band = num_perm // bands.
     ``fast=True`` swaps md5 shingle hashing for native xxhash64 — same
     algorithm, engine-private hashes (no DuckDB oracle), ~2-4x cheaper
-    signatures; the production default at 100 TB."""
+    signatures; the production default at 100 TB.
+
+    Choosing (num_perm, bands) for a different threshold or corpus:
+    functions/lsh_tuning.py::tune_bands picks the split that minimizes
+    S-curve error at the verify threshold; raise its fp_weight on
+    high-ambient-similarity corpora, where candidate count — not
+    signature cost — dominates the bill."""
     from ffi_etl_spark.functions.hashing import xxhash_shingle_set
 
     rows = num_perm // bands

@@ -129,3 +129,23 @@ def test_connected_components_chain_and_clique(spark):
     want = {(v, 1) for v in (1, 2, 3, 4, 5)} | {(v, 10) for v in (10, 11, 12)} | {
         (20, 20), (21, 20)}
     assert got == want
+
+
+def test_lsh_tuning_tracks_threshold():
+    """Higher verify thresholds must push the tuner toward more rows
+    per band (sharper S-curve), and the canonical threshold~ (1/b)^(1/r)
+    rule must roughly hold for the chosen split."""
+    from ffi_etl_spark.functions.lsh_tuning import candidate_probability, tune_bands
+
+    b_lo, r_lo = tune_bands(24, 0.3)
+    b_hi, r_hi = tune_bands(24, 0.9)
+    assert r_hi > r_lo and b_lo > b_hi
+    # the S-curve midpoint of the chosen split sits near the threshold
+    for thr in (0.3, 0.5, 0.7, 0.9):
+        b, r = tune_bands(24, thr)
+        midpoint = (1 / b) ** (1 / r)
+        assert abs(midpoint - thr) < 0.25
+    # penalizing false positives never increases the candidate rate
+    b1, r1 = tune_bands(12, 0.5)
+    b2, r2 = tune_bands(12, 0.5, fp_weight=4.0)
+    assert candidate_probability(0.3, b2, r2) <= candidate_probability(0.3, b1, r1)
