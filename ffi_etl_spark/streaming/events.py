@@ -65,6 +65,33 @@ def stream_tumbling_agg(
     )
 
 
+def stream_sliding_agg(
+    events: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of operators/windows.sliding_agg: each event
+    contributes to duration/slide overlapping windows. State per open
+    window only — the watermark closes (and drops) a window once event
+    time passes window_end + lateness budget."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def stream_sessionize(
     events: DataFrame,
     gap: str = "30 minutes",

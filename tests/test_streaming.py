@@ -176,3 +176,17 @@ def test_stream_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     # a third restart with no new data is a no-op
     stream_to_parquet(stream_events(spark, src), sink, ckpt)
     assert spark.read.parquet(sink).count() == total
+
+
+def test_stream_sliding_matches_batch(spark, sf_dir, events_dir):
+    from ffi_etl_spark.operators.windows import sliding_agg
+    from ffi_etl_spark.streaming.events import stream_sliding_agg
+
+    batch = sliding_agg(table(spark, sf_dir, "events"), "1 hour", "15 minutes")
+    stream = run_to_memory(
+        stream_sliding_agg(stream_events(spark, events_dir), "1 hour", "15 minutes"),
+        output_mode="complete",
+    )
+    b = {(r.window_start, r.window_end): (r.n_events, r.total_value) for r in batch.collect()}
+    s = {(r.window_start, r.window_end): (r.n_events, r.total_value) for r in stream.collect()}
+    assert b == s and len(b) > 0
