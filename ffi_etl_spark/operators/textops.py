@@ -50,3 +50,27 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             F.concat_ws("-", F.transform(sig, lambda x: F.conv(x.cast("string"), 10, 16)))
         ).alias("fingerprint"),
     )
+
+
+def quality_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Pretraining-corpus quality gate: first-match-wins rejection
+    cascade over the quality signals (the C4/Gopher-rule shape, and the
+    same ordered-when-chain pattern as the reference's validity cascade,
+    transform_alchemer_data.py:201-224). Entirely JVM-side expressions —
+    one narrow pass, no shuffle; at 100 TB this is a scan-stage filter
+    whose selectivity should be measured (text_stats) before it runs."""
+    t = F.col(text_col)
+    n = F.length(t)
+    reason = (
+        F.when(n < 100, "too_short")
+        .when(n > 10000, "too_long")
+        .when(punct_ratio(t) >= 0.1, "too_punctuated")
+        .when(stopword_ratio(t) <= 0.05, "low_stopword_density")
+        .when((mean_word_length(t) < 3) | (mean_word_length(t) > 10), "abnormal_word_length")
+        .otherwise("ok")
+    )
+    return df.select(
+        F.col(id_col),
+        reason.alias("reject_reason"),
+        (reason == "ok").alias("keep"),
+    )

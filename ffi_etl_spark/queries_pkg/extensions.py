@@ -284,6 +284,33 @@ def _ann_embedding_pairs(spark, sf_dir):
     return ann_sign_lsh_pairs(table(spark, sf_dir, "embeddings"), bits=8, threshold=0.15)
 
 
+_EMB_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE p AS (
+  SELECT id_a, id_b FROM ({_ANN_ORACLE})
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p
+), verts AS (SELECT DISTINCT a AS v FROM edges),
+reach(v, m) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.v
+)
+SELECT v AS vec_id, MIN(m) AS component FROM reach GROUP BY v
+"""
+
+
+@query("dedup_embedding", oracle=_EMB_COMPONENTS_ORACLE)
+def _dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup, clustered: sign-LSH bucketed cosine
+    pairs -> connected components -> (vec_id, component) where the
+    component id is the canonical (min) member to keep. Completes the
+    dedup family: exact / MinHash / SimHash / n-gram / embedding."""
+    from ffi_etl_spark.operators.graph import connected_components
+
+    pairs = ann_sign_lsh_pairs(table(spark, sf_dir, "embeddings"), bits=8, threshold=0.15)
+    return connected_components(pairs).withColumnsRenamed({"vertex": "vec_id"})
+
+
 # ---------------------------------------------------------------------------
 # text analysis over documents
 # ---------------------------------------------------------------------------
@@ -730,3 +757,35 @@ FROM orders GROUP BY o_orderpriority
 def _pivot_status(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").pivot("o_orderstatus", ["O", "F", "P"]).count()
+
+
+_QUALITY_FILTER_ORACLE = rf"""
+WITH sig AS (
+  SELECT doc_id,
+         len(text) AS n_chars,
+         (len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+           / greatest(len(text), 1) AS punct_ratio_raw,
+         len(regexp_extract_all(lower(text), '{_STOPWORDS}', 0))::DOUBLE
+           / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS stopword_ratio_raw,
+         list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> len(t)))::DOUBLE
+           / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS mean_word_len_raw
+  FROM documents
+), tagged AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 100 THEN 'too_short'
+              WHEN n_chars > 10000 THEN 'too_long'
+              WHEN punct_ratio_raw >= 0.1 THEN 'too_punctuated'
+              WHEN stopword_ratio_raw <= 0.05 THEN 'low_stopword_density'
+              WHEN mean_word_len_raw < 3 OR mean_word_len_raw > 10 THEN 'abnormal_word_length'
+              ELSE 'ok' END AS reject_reason
+  FROM sig
+)
+SELECT doc_id, reject_reason, reject_reason = 'ok' AS keep FROM tagged
+"""
+
+
+@query("doc_quality_filter", oracle=_QUALITY_FILTER_ORACLE)
+def _doc_quality_filter(spark, sf_dir):
+    from ffi_etl_spark.operators.textops import quality_filter
+
+    return quality_filter(table(spark, sf_dir, "documents"))
