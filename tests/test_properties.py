@@ -70,3 +70,44 @@ def test_rollup_column_order_invariant(spark, perm):
     df = spark.createDataFrame(rows).select(*perm)  # only column ORDER varies
     out = demographic_rollup(df, "x", "X").collect()
     assert out[0]["Category"] == "1" and out[0]["# of Survey Responses"] == 4
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=18,
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_invariants(spark, edges):
+    """For any random graph: both endpoints of every edge share a
+    component, every component id is its own minimum member, and the
+    result matches a driver-side union-find ground truth."""
+    from ffi_etl_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.vertex: r.component for r in connected_components(df).collect()}
+
+    # ground truth: union-find
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth_groups = {}
+    for v in parent:
+        truth_groups.setdefault(find(v), set()).add(v)
+
+    for a, b in edges:
+        assert got[a] == got[b]
+    for root, members in truth_groups.items():
+        assert {got[v] for v in members} == {min(members)}
