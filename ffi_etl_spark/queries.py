@@ -40,5 +40,6 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
     reference_surface,
     extensions,
     olap_spines,
+    olap_spines2,
     breadth,
 )
