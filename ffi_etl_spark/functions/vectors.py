@@ -27,6 +27,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm2(a) * norm2(b))
 
 
+def cosine_prenorm(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with the two vector norms already materialized as columns.
+
+    Bit-identical to ``cosine`` (same ``dot/(sqrt(dot)·sqrt(dot))``
+    expression, just factored), but the per-pair work drops from three
+    64-element folds to ONE: norms are computed once per VECTOR (narrow,
+    pre-join) instead of once per PAIR. On an n·K candidate join that is
+    a 3× cut of the dominant cost, and it shrinks the expression tree
+    Catalyst must analyze per query."""
+    return dot(a, b) / (norm_a * norm_b)
+
+
 def sign_bucket(a: Column, bits: int = 8) -> Column:
     """Axis-aligned random-hyperplane LSH bucket: bit i = sign of dim i.
 

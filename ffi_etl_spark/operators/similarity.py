@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ffi_etl_spark.functions.vectors import cosine, sign_bucket
+from ffi_etl_spark.functions.vectors import (
+    cosine,
+    cosine_prenorm,
+    dot,
+    norm2,
+    sign_bucket,
+)
 
 
 def knn_bruteforce(
@@ -31,15 +37,22 @@ def knn_bruteforce(
     """Exact cosine top-k per query (self-matches excluded).
     Output: query_id, neighbor_id, cosine_sim, rank."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm2(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm2(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "cosine_sim",
+            cosine_prenorm(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -85,14 +98,42 @@ def compute_centroids(
     quantizer' trained outside the engine in a real deployment; here the
     corpus's own label column stands in for the k-means assignment.
 
-    One hash aggregation (dim avg aggregates); output is K rows."""
-    return corpus.groupBy(F.col(label_col).alias("centroid_id")).agg(
-        F.array(
-            *[
-                F.avg(F.element_at(F.col(vec_col), i + 1).cast("double"))
-                for i in range(dim)
-            ]
+    Shape: posexplode to (label, pos, x) rows, ONE 2-key hash aggregate
+    to K·dim means, then reassemble each centroid with an order-pinned
+    collect. This scales in dim where a per-element aggregate list does
+    not — dim separate avg() aggregates generate kilobytes of
+    aggregation code per element (seconds of janino compile at dim=64,
+    unusable at dim=1024), while the exploded form is one tiny codegen
+    whatever the dim, and the explode is map-side-combined into K·dim
+    groups before the (tiny) shuffle."""
+    exploded = corpus.select(
+        F.col(label_col).alias("centroid_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    means = exploded.groupBy("centroid_id", "pos").agg(
+        F.avg(F.col("x").cast("double")).alias("avg_x")
+    )
+    return means.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "avg_x"))),
+            lambda s: s["avg_x"],
         ).alias("centroid")
+    )
+
+
+def pack_centroids(centroids: DataFrame) -> DataFrame:
+    """Collapse the K centroid rows into ONE row holding an array of
+    (centroid_id, centroid, cnorm) structs — the broadcastable model.
+    Each centroid's norm is computed here, once, so assignment scoring
+    costs a single dot-fold per centroid instead of three."""
+    return centroids.agg(
+        F.collect_list(
+            F.struct(
+                "centroid_id",
+                "centroid",
+                norm2(F.col("centroid")).alias("cnorm"),
+            )
+        ).alias("_cents")
     )
 
 
@@ -101,48 +142,43 @@ def assign_to_centroid(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    norm_col: str = "vec_norm",
 ) -> DataFrame:
-    """Nearest-centroid (max cosine) assignment, fully narrow: the K
-    centroids collapse into ONE broadcast row holding an array of
-    (centroid_id, centroid) structs, and the argmax is a higher-order
-    fold over that array — no per-vector window, no shuffle of the
-    corpus at all. The strict (sim, id)-total-order comparison in the
-    fold makes the result independent of the array's build order, and
-    ties break on the lower centroid_id.
+    """Nearest-centroid (max cosine) assignment against a
+    ``compute_centroids`` output, in one lazy narrow pass: the K rows
+    pack into a 1-row broadcast model (the corpus itself never
+    shuffles — two assignments against the same centroids share the
+    broadcast via exchange reuse), each centroid
+    is scored with a single zip_with/fold dot (the vector's norm is a
+    column computed once per row, the centroid's norm ships inside the
+    broadcast struct), and the argmax is ``array_max`` over
+    (sim, -centroid_id) structs — lexicographic struct ordering gives
+    the highest sim with ties to the LOWEST centroid_id, independent of
+    the array's build order, and the scored array appears exactly once
+    in the plan.
 
-    (Previous formulation cross-joined K rows per vector and ranked
-    with a Window.partitionBy(id) — that shuffles n·K rows twice; this
-    one moves only the K-row centroid table.)"""
-    packed = F.broadcast(
-        centroids.agg(
-            F.collect_list(F.struct("centroid_id", "centroid")).alias("_cents")
-        )
-    )
-    # Score each centroid exactly once (transform), THEN fold for the
-    # argmax — referencing sim() inside the fold lambda would re-derive
-    # the 64-dim cosine on every comparison branch.
+    Output keeps the per-vector norm under ``norm_col`` so downstream
+    pair scoring reuses it instead of re-folding.
+
+    (Rejected formulations: cross-join K rows per vector + a
+    Window.partitionBy(id) rank — shuffles n·K rows twice; collecting
+    centroids to driver-side literals — an extra eager job per
+    assignment and a plan Catalyst re-analyzes per call.)"""
+    packed = pack_centroids(centroids)
     scored = F.transform(
         F.col("_cents"),
         lambda c: F.struct(
-            c["centroid_id"].alias("cid"),
-            cosine(F.col(vec_col), c["centroid"]).alias("sim"),
+            (dot(F.col(vec_col), c["centroid"]) / (F.col(norm_col) * c["cnorm"])).alias(
+                "sim"
+            ),
+            (-c["centroid_id"]).alias("ncid"),
         ),
     )
-    first = F.element_at(scored, 1)
-    rest = F.slice(scored, 2, F.greatest(F.size(scored) - 1, F.lit(0)))
-    best = F.aggregate(
-        rest,
-        first,
-        lambda acc, c: F.when(
-            (c["sim"] > acc["sim"])
-            | ((c["sim"] == acc["sim"]) & (c["cid"] < acc["cid"])),
-            c,
-        ).otherwise(acc),
-    )
     return (
-        corpus.crossJoin(packed)
-        .withColumn("_best", best)
-        .select(id_col, vec_col, F.col("_best.cid").alias("centroid_id"))
+        corpus.withColumn(norm_col, norm2(F.col(vec_col)))
+        .crossJoin(F.broadcast(packed))
+        .withColumn("_best", F.array_max(scored))
+        .select(id_col, vec_col, norm_col, (-F.col("_best.ncid")).alias("centroid_id"))
     )
 
 
@@ -162,16 +198,21 @@ def ann_ivf_topk(
     work scales with Σ cell² not n·q. Output matches knn_bruteforce
     minus cross-cell neighbors (the recall/cost dial is nprobe)."""
     cents = compute_centroids(corpus, dim, label_col, vec_col)
+    # Both assignments broadcast the SAME packed centroid plan — Spark
+    # reuses the broadcast exchange, so centroids are computed once.
     c = assign_to_centroid(corpus, cents, id_col, vec_col).withColumnsRenamed(
-        {id_col: "neighbor_id", vec_col: "_cv"}
+        {id_col: "neighbor_id", vec_col: "_cv", "vec_norm": "_cn"}
     )
     q = assign_to_centroid(queries, cents, id_col, vec_col).withColumnsRenamed(
-        {id_col: "query_id", vec_col: "_qv"}
+        {id_col: "query_id", vec_col: "_qv", "vec_norm": "_qn"}
     )
     scored = (
         c.join(q, "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "cosine_sim",
+            cosine_prenorm(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
