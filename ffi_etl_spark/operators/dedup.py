@@ -35,9 +35,7 @@ from ffi_etl_spark.functions.hashing import (
     md5_int32,
     md5_int60,
     minhash_signature,
-    shingle_hash_set,
     simhash64,
-    word_ngrams,
 )
 
 
@@ -120,6 +118,36 @@ def _candidate_pairs(with_bands: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _shingle_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    fast: bool,
+) -> DataFrame:
+    """(id, _hashes) — distinct shingle-hash set per doc, computed the
+    codegen way: explode the shingle positions to ROWS, hash each with
+    the row-wise builtin (md5+conv or xxhash64 — both whole-stage
+    codegen), and collect_set back per doc. The groupBy key equals the
+    ``_spread`` repartition key, so Catalyst reuses the partitioning and
+    NO extra shuffle happens — while the per-element work runs compiled
+    instead of through interpreted array-lambda dispatch (the previous
+    ``transform(char_shingles(...), md5_int32)`` formulation), which
+    also shrinks the fused projection janino has to compile."""
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(1)))
+    ).alias("_i")
+    shingle = F.substring(F.col(text_col), F.col("_i"), F.lit(k))
+    h = F.xxhash64(shingle) if fast else md5_int32(shingle)
+    return (
+        _spread(df, id_col)
+        .select(F.col(id_col), F.col(text_col), pos)
+        .select(F.col(id_col), h.alias("_h"))
+        .groupBy(id_col)
+        .agg(F.collect_set("_h").alias("_hashes"))
+    )
+
+
 def dedup_minhash_lsh(
     df: DataFrame,
     text_col: str = "text",
@@ -142,18 +170,10 @@ def dedup_minhash_lsh(
     S-curve error at the verify threshold; raise its fp_weight on
     high-ambient-similarity corpora, where candidate count — not
     signature cost — dominates the bill."""
-    from ffi_etl_spark.functions.hashing import xxhash_shingle_set
-
     rows = num_perm // bands
-    shingles = (
-        xxhash_shingle_set(F.col(text_col), shingle_k)
-        if fast
-        else shingle_hash_set(F.col(text_col), shingle_k)
+    hashed = _shingle_sets(df, text_col, id_col, shingle_k, fast).withColumn(
+        "_sig", minhash_signature(F.col("_hashes"), num_perm)
     )
-    hashed = _spread(df, id_col).select(
-        F.col(id_col),
-        shingles.alias("_hashes"),
-    ).withColumn("_sig", minhash_signature(F.col("_hashes"), num_perm))
     hashed = _pin(hashed.withColumn("_bands", band_keys(F.col("_sig"), bands, rows)))
     pairs = _candidate_pairs(hashed, id_col)
     sets = hashed.select(F.col(id_col), F.col("_hashes"))
@@ -250,14 +270,25 @@ def dedup_ngram_jaccard(
     broadcast_verify: bool = True,
 ) -> DataFrame:
     """Near-dup pairs on word-n-gram sets: LSH candidates (aggressive
-    banding for recall), exact n-gram Jaccard verify."""
+    banding for recall), exact n-gram Jaccard verify.
+
+    N-gram hash sets are built the same codegen way as ``_shingle_sets``:
+    explode the n-gram start positions to rows, hash row-wise, collect_set
+    back on the already-spread partitioning (no extra shuffle)."""
     rows = num_perm // bands
-    hashed = _spread(df, id_col).select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(word_ngrams(F.col(text_col), n), md5_int32)
-        ).alias("_hashes"),
-    ).withColumn("_sig", minhash_signature(F.col("_hashes"), num_perm))
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    cnt = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))
+    ngram_sets = (
+        _spread(df, id_col)
+        .select(F.col(id_col), tokens.alias("_toks"), F.explode(F.sequence(F.lit(1), cnt)).alias("_i"))
+        .select(
+            F.col(id_col),
+            md5_int32(F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_i"), F.lit(n)))).alias("_h"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_h").alias("_hashes"))
+    )
+    hashed = ngram_sets.withColumn("_sig", minhash_signature(F.col("_hashes"), num_perm))
     hashed = _pin(hashed.withColumn("_bands", band_keys(F.col("_sig"), bands, rows)))
     pairs = _candidate_pairs(hashed, id_col)
     sets = hashed.select(F.col(id_col), F.col("_hashes"))
