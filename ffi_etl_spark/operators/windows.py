@@ -101,6 +101,62 @@ def sessionize(
     )
 
 
+def resample_locf(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Hourly resample with last-observation-carried-forward — the
+    classic time-series gap-fill the reference's batch surface lacks
+    (no window op beyond first/row_number, SURVEY.md §2.5).
+
+    Three steps, all expressed relationally so Catalyst plans them:
+      1. downsample: latest event per (key, hour) — deterministic
+         row_number over (ts desc, id desc);
+      2. densify: per-key hourly grid via sequence() + explode between
+         that key's first and last observed hour (no driver loop, no
+         global calendar table — each key densifies only its own span);
+      3. fill: left-join the grid to observations and forward-fill with
+         last(value, ignorenulls=True) over the per-key hour order.
+
+    Scale: every shuffle is keyed by user (or user+hour) so the work
+    fans out with key cardinality; the LOCF window is narrow within a
+    key's grid rows. Grid size is bounded by keys × horizon, not by the
+    event count — the standard hypertable gap-fill shape."""
+    hour = F.date_trunc("hour", F.col(ts_col))
+    w_latest = Window.partitionBy(user_col, "hour").orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc()
+    )
+    hourly = (
+        events.withColumn("hour", hour)
+        .withColumn("_rn", F.row_number().over(w_latest))
+        .filter(F.col("_rn") == 1)
+        .select(user_col, "hour", value_col)
+    )
+    grid = (
+        hourly.groupBy(user_col)
+        .agg(F.min("hour").alias("_h0"), F.max("hour").alias("_h1"))
+        .select(
+            user_col,
+            F.explode(
+                F.sequence(F.col("_h0"), F.col("_h1"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy(user_col)
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(hourly, [user_col, "hour"], "left_outer").select(
+        user_col,
+        "hour",
+        F.last(value_col, ignorenulls=True).over(w_fill).alias("value_locf"),
+    )
+
+
 def latest_per_key(
     events: DataFrame,
     keys: list[str],

@@ -343,3 +343,40 @@ def _grouped_list_agg(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "embedding_unit_norm",
+    oracle="""
+SELECT vec_id,
+       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2_norm,
+       list_transform(embedding::DOUBLE[],
+                      x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                     embedding::DOUBLE[]))) AS unit
+FROM embeddings
+ORDER BY l2_norm DESC, vec_id
+LIMIT 50
+""",
+)
+def _embedding_unit_norm(spark, sf_dir):
+    """Array higher-order functions as first-class columns: L2 norm via
+    the sequential zip_with/aggregate fold (functions/vectors.py — same
+    order DuckDB's list_dot_product sums in, so values hash-match) and
+    unit-vector normalization via transform over the stored float
+    array. Fully narrow until the global top-k, which Spark executes as
+    TakeOrderedAndProject (per-partition heaps, no full sort)."""
+    from ffi_etl_spark.functions.vectors import norm2
+
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("l2_norm", norm2(F.col("embedding")))
+        .select(
+            "vec_id",
+            "l2_norm",
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") / F.col("l2_norm")
+            ).alias("unit"),
+        )
+        .orderBy(F.col("l2_norm").desc(), "vec_id")
+        .limit(50)
+    )

@@ -24,6 +24,7 @@ from ffi_etl_spark.operators.similarity import ann_sign_lsh_pairs, knn_bruteforc
 from ffi_etl_spark.operators.textops import detect_language, fingerprint, text_stats
 from ffi_etl_spark.operators.windows import (
     latest_per_key,
+    resample_locf,
     sessionize,
     sliding_agg,
     tumbling_agg,
@@ -450,6 +451,33 @@ GROUP BY 1, 2
 )
 def _sliding_agg(spark, sf_dir):
     return sliding_agg(table(spark, sf_dir, "events"))
+
+
+@query(
+    "resample_gapfill",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), hourly AS (
+  SELECT user_id, hour, value FROM ranked WHERE rn = 1
+), span AS (
+  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span
+)
+SELECT g.user_id, g.hour,
+       last_value(h.value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+""",
+)
+def _resample_gapfill(spark, sf_dir):
+    """Hourly LOCF gap-fill per user (operators/windows.py::resample_locf)."""
+    return resample_locf(table(spark, sf_dir, "events"))
 
 
 @query(

@@ -10,6 +10,7 @@ from ffi_etl_spark.operators.multimodal import attach_binary_payload, extract_fe
 from ffi_etl_spark.operators.textops import detect_language, text_stats
 from ffi_etl_spark.operators.windows import (
     latest_per_key,
+    resample_locf,
     sessionize,
     tumbling_agg,
 )
@@ -57,6 +58,29 @@ def test_tumbling_agg_hours(spark):
     by_start = {r.window_start.hour: r.n_events for r in out}
     assert by_start == {10: 2, 11: 1}
     assert all(r.window_end.hour == r.window_start.hour + 1 for r in out)
+
+
+def test_resample_locf_gapfill(spark):
+    # user 1 observes at 10:00 (value via _events is 1.0) and 13:00;
+    # hours 11 and 12 must exist in the grid and carry the 10:00 value
+    # forward. Two events inside hour 13 -> the later one wins.
+    from datetime import datetime as dt
+
+    rows = [
+        Row(event_id=1, user_id=1, ts=dt(2024, 1, 1, 10, 5), event_type="a", value=10.0),
+        Row(event_id=2, user_id=1, ts=dt(2024, 1, 1, 13, 1), event_type="a", value=20.0),
+        Row(event_id=3, user_id=1, ts=dt(2024, 1, 1, 13, 40), event_type="a", value=30.0),
+        Row(event_id=4, user_id=2, ts=dt(2024, 1, 1, 10, 0), event_type="a", value=99.0),
+    ]
+    out = resample_locf(spark.createDataFrame(rows))
+    got = {(r.user_id, r.hour.hour): r.value_locf for r in out.collect()}
+    assert got == {
+        (1, 10): 10.0,
+        (1, 11): 10.0,  # gap-filled
+        (1, 12): 10.0,  # gap-filled
+        (1, 13): 30.0,  # latest event in the hour wins
+        (2, 10): 99.0,
+    }
 
 
 def test_latest_per_key_deterministic(spark):
