@@ -143,3 +143,35 @@ def test_versioned_tables(spark, sf_dir, tmp_path):
     assert read_version(spark, path).count() == 2
     with pytest.raises(FileNotFoundError):
         read_version(spark, path, 99)
+
+
+def test_zorder_layout_shrinks_file_bboxes(spark, sf_dir, tmp_path):
+    """Z-order clustering must give each parquet file a tight bounding
+    box in BOTH clustered columns (the file-skipping condition), unlike
+    a hash-shuffled layout where every file spans ~the full domain."""
+    import glob
+
+    from ffi_etl_spark.sources.layout import zorder_write
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+
+    plain_path = str(tmp_path / "plain")
+    li.repartition(8).write.mode("overwrite").parquet(plain_path)
+    z_path = str(tmp_path / "zorder")
+    zorder_write(li, z_path, ["l_partkey", "l_suppkey"], n_files=8)
+
+    def avg_bbox_area(path):
+        areas = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            pdf = spark.read.parquet(f).agg(
+                F.min("l_partkey"), F.max("l_partkey"),
+                F.min("l_suppkey"), F.max("l_suppkey"),
+            ).first()
+            areas.append((pdf[1] - pdf[0] + 1) * (pdf[3] - pdf[2] + 1))
+        return sum(areas) / len(areas)
+
+    # rows survive intact
+    assert spark.read.parquet(z_path).count() == li.count()
+    # each z-file's 2-D bounding box must be far smaller than the
+    # unclustered layout's (which spans ~the whole key domain per file)
+    assert avg_bbox_area(z_path) < 0.5 * avg_bbox_area(plain_path)
