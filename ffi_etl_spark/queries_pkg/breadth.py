@@ -380,3 +380,138 @@ def _embedding_unit_norm(spark, sf_dir):
         .orderBy(F.col("l2_norm").desc(), "vec_id")
         .limit(50)
     )
+
+
+# --- map-typed columns: from_json -> map -> explode ---------------------------
+
+@query(
+    "props_map_explode",
+    oracle="""
+SELECT event_type, 'k' AS prop_key,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS value_sum
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type, prop_key
+""",
+)
+def _props_map_explode(spark, sf_dir):
+    """MapType as a first-class column: parse the JSON props into
+    map<string,long>, explode to (key, value) rows, aggregate per
+    (event_type, key). The Spark side is fully generic over the key set
+    (map_keys/explode, no schema listing the keys); the oracle pins the
+    testdata's single key 'k' because this DuckDB build has no
+    json_each table function — values still hash-compare exactly."""
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.explode(F.from_json(F.col("props"), "map<string,bigint>")).alias(
+            "prop_key", "prop_value"
+        ),
+    )
+    return (
+        parsed.groupBy("event_type", "prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("prop_value").alias("value_sum"),
+        )
+        .orderBy("event_type", "prop_key")
+    )
+
+
+# --- stratified deterministic sampling ----------------------------------------
+
+@query(
+    "stratified_sample",
+    oracle="""
+SELECT event_id, event_type, user_id
+FROM events
+WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+      % (CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 50 ELSE 20 END) = 0
+ORDER BY event_id
+""",
+)
+def _stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling: each event_type gets its own
+    md5-hash-mod rate (clicks 1/10, views 1/50, rest 1/20) — the
+    class-rebalancing cousin of deterministic_sample. Reproducible
+    across engines/partitionings unlike seeded sampleBy; pure narrow
+    scan filter, no shuffle at any scale."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    rate = (
+        F.when(F.col("event_type") == "click", 10)
+        .when(F.col("event_type") == "view", 50)
+        .otherwise(20)
+    )
+    return (
+        ev.filter(bucket % rate == 0)
+        .select("event_id", "event_type", "user_id")
+        .orderBy("event_id")
+    )
+
+
+# --- distribution windows: percent_rank / cume_dist ---------------------------
+
+@query(
+    "window_percent_rank",
+    oracle="""
+WITH rev AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_mktsegment
+)
+SELECT c_custkey, c_mktsegment, revenue,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM rev
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY revenue DESC, c_custkey)
+ORDER BY c_mktsegment, pct_rank, c_custkey
+LIMIT 200
+""",
+)
+def _window_percent_rank(spark, sf_dir):
+    """Distribution ranks (percent_rank = (rank-1)/(n-1), cume_dist)
+    per segment — completes the ranking family beside rank/ntile. Both
+    engines derive them from the same integer rank and partition count,
+    so the doubles match bit-for-bit."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    rev = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        rev.select(
+            "c_custkey",
+            "c_mktsegment",
+            "revenue",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("c_mktsegment", "pct_rank", "c_custkey")
+        .limit(200)
+    )
+
+
+# --- approximate quantiles (sketch tier beside quantiles_exact) ---------------
+
+@query("approx_quantiles")  # GK/KLL-style sketch: engine-specific, rows-only
+def _approx_quantiles(spark, sf_dir):
+    """approx_percentile with bounded error beside the exact
+    percentile family (quantiles_exact) — the sketch that actually runs
+    at 100 TB, where exact percentiles would shuffle the full column.
+    Rows-only: DuckDB's approx_quantile uses a different sketch, so
+    values are engine-specific by nature. The test surface pins row
+    count/schema; quantiles_exact is the accuracy oracle."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
+        F.count(F.lit(1)).alias("n"),
+    )
