@@ -60,3 +60,29 @@ def test_olap_spine_plans(spark):
     ps = _plan(spark, "deterministic_sample")
     assert "BroadcastHashJoin" not in ps and "SortMergeJoin" not in ps
     assert "Exchange" in ps  # only the final presentation sort shuffles
+
+
+def test_r2b_spine_plans(spark):
+    """Round-2b spines: EXISTS lowers to a broadcast semi join, the
+    disjunctive join stays shuffle-free until the 1-row agg, the
+    correlated-avg decorrelates to ONE window (no lineitem self-join),
+    and the gap-fill's row_number(<=1) uses WindowGroupLimit."""
+    p4 = _plan(spark, "tpch_q4_priority")
+    assert "LeftSemi" in p4 and "BroadcastHashJoin" in p4
+    assert "SortMergeJoin" not in p4
+
+    p19 = _plan(spark, "tpch_q19_disjunct")
+    assert "BroadcastHashJoin" in p19 and "SortMergeJoin" not in p19
+
+    p17 = _plan(spark, "tpch_q17_small_qty")
+    assert p17.count("Window") >= 1 and "SortMergeJoin" not in p17
+    # decorrelated: lineitem is scanned once, not self-joined
+    # (formatted mode prints each scan twice: tree node + details section)
+    assert p17.count("Scan parquet") == 4  # (lineitem + part) x 2
+
+    p8 = _plan(spark, "tpch_q8_share")
+    assert p8.count("BroadcastHashJoin") >= 3  # all dims broadcast
+
+    pr = _plan(spark, "resample_gapfill")
+    assert "WindowGroupLimit" in pr  # rank<=1 never materializes full ranks
+    assert "CartesianProduct" not in pr
