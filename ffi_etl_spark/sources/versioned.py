@@ -89,3 +89,53 @@ def vacuum_versions(path: str, keep: int = 3) -> list[int]:
     for v in removable:
         shutil.rmtree(os.path.join(path, f"v={v}"))
     return removable
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two snapshots, computed relationally.
+
+    Without ``key_cols``: row-level diff via two anti joins —
+    ``_change`` is 'insert' (row only in ``to``) or 'delete' (row only
+    in ``from``); an updated row appears as delete+insert.
+
+    With ``key_cols``: keyed CDC — a full-outer join on the keys
+    classifies each key as 'insert', 'delete', or 'update' (same key,
+    any non-key column changed), the shape downstream MERGE consumers
+    expect. Each variant is one shuffle pair on the same key columns.
+    """
+    old = read_version(spark, path, from_version)
+    new = read_version(spark, path, to_version)
+    from pyspark.sql import functions as F
+
+    if not key_cols:
+        inserts = new.exceptAll(old).withColumn("_change", F.lit("insert"))
+        deletes = old.exceptAll(new).withColumn("_change", F.lit("delete"))
+        return inserts.unionByName(deletes)
+
+    val_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in key_cols],
+        F.struct(*val_cols).alias("_o_vals"),
+    )
+    n = new.select(*key_cols, F.struct(*val_cols).alias("_n_vals"))
+    cond = [n[k].eqNullSafe(o[f"_o_{k}"]) for k in key_cols]
+    joined = n.join(o, cond, "full_outer")
+    change = (
+        F.when(o[f"_o_{key_cols[0]}"].isNull(), F.lit("insert"))
+        .when(n[key_cols[0]].isNull(), F.lit("delete"))
+        .when(~F.col("_n_vals").eqNullSafe(F.col("_o_vals")), F.lit("update"))
+    )
+    keys_out = [
+        F.coalesce(n[k], o[f"_o_{k}"]).alias(k) for k in key_cols
+    ]
+    return (
+        joined.withColumn("_change", change)
+        .filter(F.col("_change").isNotNull())
+        .select(*keys_out, "_n_vals", "_o_vals", "_change")
+    )

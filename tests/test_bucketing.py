@@ -175,3 +175,38 @@ def test_zorder_layout_shrinks_file_bboxes(spark, sf_dir, tmp_path):
     # each z-file's 2-D bounding box must be far smaller than the
     # unclustered layout's (which spans ~the whole key domain per file)
     assert avg_bbox_area(z_path) < 0.5 * avg_bbox_area(plain_path)
+
+
+def test_snapshot_diff_cdc(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from ffi_etl_spark.sources.versioned import snapshot_diff, write_version
+
+    path = str(tmp_path / "cdc")
+    v0 = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    v1 = spark.createDataFrame(
+        [Row(k=1, v="a"),        # unchanged -> absent from diff
+         Row(k=2, v="B"),        # updated
+         Row(k=4, v="d")]        # inserted  (k=3 deleted)
+    )
+    write_version(v0, path)
+    write_version(v1, path)
+
+    # keyed CDC: insert / delete / update classification
+    keyed = {
+        r.k: r._change
+        for r in snapshot_diff(spark, path, 0, 1, key_cols=["k"]).collect()
+    }
+    assert keyed == {2: "update", 3: "delete", 4: "insert"}
+
+    # row-level CDC: update shows as delete+insert
+    rows = {
+        (r.k, r.v, r._change)
+        for r in snapshot_diff(spark, path, 0, 1).collect()
+    }
+    assert rows == {
+        (2, "B", "insert"), (2, "b", "delete"),
+        (3, "c", "delete"), (4, "d", "insert"),
+    }
