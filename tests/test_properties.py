@@ -111,3 +111,53 @@ def test_connected_components_invariants(spark, edges):
         assert got[a] == got[b]
     for root, members in truth_groups.items():
         assert {got[v] for v in members} == {min(members)}
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),    # user
+            st.integers(min_value=0, max_value=40),   # hour offset
+            st.integers(min_value=0, max_value=59),   # minute
+            st.integers(min_value=-5, max_value=5),   # value
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_resample_locf_matches_pandas(spark, obs):
+    """Differential: the distributed gap-fill must equal pandas'
+    per-user hourly resample().last().ffill() on arbitrary event sets."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from ffi_etl_spark.operators.windows import resample_locf
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        Row(
+            event_id=i,
+            user_id=u,
+            ts=base + timedelta(hours=h, minutes=m),
+            event_type="x",
+            value=float(v),
+        )
+        for i, (u, h, m, v) in enumerate(obs)
+    ]
+    got = {
+        (r.user_id, r.hour): r.value_locf
+        for r in resample_locf(spark.createDataFrame(rows)).collect()
+    }
+
+    pdf = pd.DataFrame([r.asDict() for r in rows])
+    want = {}
+    for u, g in pdf.groupby("user_id"):
+        # latest event per hour (ties: higher event_id wins), then ffill
+        g = g.sort_values(["ts", "event_id"]).set_index("ts")
+        hourly = g["value"].resample("1h").last().ffill()
+        for ts, v in hourly.items():
+            want[(u, ts.to_pydatetime())] = v
+    assert got == want
