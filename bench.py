@@ -67,6 +67,9 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {n} rows in {dt:.3f}s", file=sys.stderr)
+        # isolation between queries: drop persisted signature tables etc.
+        # so no query is timed under a predecessor's memory footprint
+        spark.catalog.clearCache()
 
     print(
         json.dumps(
