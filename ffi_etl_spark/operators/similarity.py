@@ -182,30 +182,83 @@ def assign_to_centroid(
     )
 
 
+def assign_top_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    top_n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    norm_col: str = "vec_norm",
+) -> DataFrame:
+    """Multi-probe assignment: each vector gets its ``top_n`` nearest
+    centroids (one output row per probe). Same broadcast/scoring shape
+    as ``assign_to_centroid``; the top-n is reverse(array_sort) + slice
+    + explode on the scored array — still narrow, still one pass, the
+    per-vector cost is K dots regardless of top_n. Ordering ties match
+    the argmax rule (equal sims -> lower centroid_id first)."""
+    packed = pack_centroids(centroids)
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (dot(F.col(vec_col), c["centroid"]) / (F.col(norm_col) * c["cnorm"])).alias(
+                "sim"
+            ),
+            (-c["centroid_id"]).alias("ncid"),
+        ),
+    )
+    # ascending sort by (sim, ncid) reversed = descending sim, ties to
+    # the larger ncid first (= smaller centroid_id), matching array_max
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, top_n)
+    return (
+        corpus.withColumn(norm_col, norm2(F.col(vec_col)))
+        .crossJoin(F.broadcast(packed))
+        .select(
+            id_col,
+            vec_col,
+            norm_col,
+            F.posexplode(top).alias("probe_rank", "_probe"),
+        )
+        .select(
+            id_col,
+            vec_col,
+            norm_col,
+            (F.col("probe_rank") + 1).alias("probe_rank"),
+            (-F.col("_probe.ncid")).alias("centroid_id"),
+        )
+    )
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 10,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
 ) -> DataFrame:
-    """IVF(nprobe=1) approximate top-k: both corpus and queries are
-    assigned to their nearest centroid; each query searches ONLY its
-    cell. The scale path when |queries| is large: the candidate join is
-    an equi-join on centroid_id instead of a full cross product, so
-    work scales with Σ cell² not n·q. Output matches knn_bruteforce
-    minus cross-cell neighbors (the recall/cost dial is nprobe)."""
+    """IVF approximate top-k: the corpus is assigned to its nearest
+    centroid; each query probes its ``nprobe`` nearest cells. The scale
+    path when |queries| is large: the candidate join is an equi-join on
+    centroid_id instead of a full cross product, so work scales with
+    nprobe·Σ cell² not n·q. Output matches knn_bruteforce minus
+    out-of-probe neighbors — nprobe is the recall/cost dial (a corpus
+    vector lives in exactly one cell, so multi-probe never duplicates a
+    candidate pair)."""
     cents = compute_centroids(corpus, dim, label_col, vec_col)
     # Both assignments broadcast the SAME packed centroid plan — Spark
     # reuses the broadcast exchange, so centroids are computed once.
     c = assign_to_centroid(corpus, cents, id_col, vec_col).withColumnsRenamed(
         {id_col: "neighbor_id", vec_col: "_cv", "vec_norm": "_cn"}
     )
-    q = assign_to_centroid(queries, cents, id_col, vec_col).withColumnsRenamed(
-        {id_col: "query_id", vec_col: "_qv", "vec_norm": "_qn"}
-    )
+    if nprobe > 1:
+        q = assign_top_centroids(queries, cents, nprobe, id_col, vec_col).drop(
+            "probe_rank"
+        )
+    else:
+        q = assign_to_centroid(queries, cents, id_col, vec_col)
+    q = q.withColumnsRenamed({id_col: "query_id", vec_col: "_qv", "vec_norm": "_qn"})
     scored = (
         c.join(q, "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))

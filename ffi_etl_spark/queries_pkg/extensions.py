@@ -629,6 +629,63 @@ def _ann_ivf_topk(spark, sf_dir):
     return ann_ivf_topk(emb, queries, dim=64)
 
 
+_IVF_NPROBE2_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), cent AS (
+  SELECT label AS centroid_id, list(avg_x ORDER BY i) AS centroid
+  FROM (
+    SELECT label, i, avg(v[i]) AS avg_x
+    FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY label, i
+  )
+  GROUP BY label
+), assign_c AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {{cos_ec}} DESC, c.centroid_id ASC
+           ) AS rk
+    FROM e CROSS JOIN cent c
+  ) WHERE rk = 1
+), assign_q AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {{cos_ec}} DESC, c.centroid_id ASC
+           ) AS rk
+    FROM e CROSS JOIN cent c
+    WHERE e.vec_id % 100 = 0
+  ) WHERE rk <= 2
+), scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {_COS.format(a='q.v', b='n.v')} AS cosine_sim
+  FROM assign_q q JOIN assign_c n USING (centroid_id)
+  WHERE n.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank::INT AS rank FROM ranked WHERE rank <= 10
+""".format(cos_ec=_COS.format(a="e.v", b="c.centroid"))
+
+
+@query("ann_ivf_nprobe2", oracle=_IVF_NPROBE2_ORACLE)
+def _ann_ivf_nprobe2(spark, sf_dir):
+    """IVF with nprobe=2: each query searches its two nearest cells —
+    the recall dial turned one notch, still an equi-join on
+    centroid_id (operators/similarity.py::ann_ivf_topk)."""
+    from ffi_etl_spark.operators.similarity import ann_ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ann_ivf_topk(emb, queries, dim=64, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # sketch / quantile surface
 # ---------------------------------------------------------------------------

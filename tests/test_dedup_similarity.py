@@ -5,6 +5,7 @@ import math
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
+from ffi_etl_spark.catalog import table
 from ffi_etl_spark.functions.vectors import cosine
 from ffi_etl_spark.operators.dedup import (
     dedup_exact,
@@ -149,3 +150,23 @@ def test_lsh_tuning_tracks_threshold():
     b1, r1 = tune_bands(12, 0.5)
     b2, r2 = tune_bands(12, 0.5, fp_weight=4.0)
     assert candidate_probability(0.3, b2, r2) <= candidate_probability(0.3, b1, r1)
+
+
+def test_ivf_nprobe_improves_recall(spark, sf_dir):
+    from ffi_etl_spark.operators.similarity import ann_ivf_topk, knn_bruteforce
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    truth = {
+        (r.query_id, r.neighbor_id) for r in knn_bruteforce(emb, queries).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_ivf_topk(emb, queries, dim=64, nprobe=nprobe).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r2 = recall(1), recall(2)
+    assert 0 < r1 <= r2  # probing more cells can only add candidates
