@@ -515,3 +515,50 @@ def _approx_quantiles(spark, sf_dir):
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- time-RANGE frame: trailing 30-day window ---------------------------------
+
+@query(
+    "window_trailing_30d",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_30d,
+       COUNT(*) OVER (PARTITION BY o_custkey
+                      ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+         AS orders_30d
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+)
+def _window_trailing_30d(spark, sf_dir):
+    """Time-based RANGE frame (vs running_total's ROWS frame): each
+    order sees the sum/count of the customer's orders in the trailing
+    30 days INCLUDING same-timestamp peers — RANGE semantics ROWS can't
+    express. Both engines order by epoch seconds with a 2,592,000 s
+    frame, so tie handling and frame edges agree exactly; sums stay in
+    decimal until the output cast. One shuffle on the partition key."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, 0)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("trailing_30d"),
+            F.count(F.lit(1)).over(w).alias("orders_30d"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
