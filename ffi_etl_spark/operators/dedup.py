@@ -34,7 +34,6 @@ from ffi_etl_spark.functions.hashing import (
     jaccard_with_sizes,
     md5_int32,
     md5_int60,
-    minhash_signature,
     simhash64,
 )
 
@@ -118,34 +117,64 @@ def _candidate_pairs(with_bands: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _sig_aggs(num_perm: int) -> list:
+    """MinHash as AGGREGATES over exploded hash rows: the p-th slot is
+    min(perm_p(_h)) — min over the row multiset equals min over the
+    distinct set, so this matches functions/hashing.py::minhash_signature
+    exactly while every permutation runs as codegen'd row arithmetic +
+    a codegen min aggregate instead of an interpreted array-lambda pass
+    per permutation."""
+    from ffi_etl_spark.functions.hashing import MINHASH_PRIME
+
+    aggs = []
+    for p in range(num_perm):
+        a, b = 2 * p + 1, 7919 * p + 13
+        aggs.append(
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+                f"_m{p}"
+            )
+        )
+    return aggs
+
+
 def _shingle_sets(
     df: DataFrame,
     text_col: str,
     id_col: str,
     k: int,
     fast: bool,
+    num_perm: int = 0,
 ) -> DataFrame:
-    """(id, _hashes) — distinct shingle-hash set per doc, computed the
+    """(id, _hashes[, _sig]) — distinct shingle-hash set (and, when
+    ``num_perm`` > 0, the MinHash signature) per doc, computed the
     codegen way: explode the shingle positions to ROWS, hash each with
     the row-wise builtin (md5+conv or xxhash64 — both whole-stage
-    codegen), and collect_set back per doc. The groupBy key equals the
-    ``_spread`` repartition key, so Catalyst reuses the partitioning and
-    NO extra shuffle happens — while the per-element work runs compiled
-    instead of through interpreted array-lambda dispatch (the previous
-    ``transform(char_shingles(...), md5_int32)`` formulation), which
-    also shrinks the fused projection janino has to compile."""
+    codegen), then ONE aggregation per doc computing collect_set AND
+    the ``num_perm`` signature mins together. The groupBy key equals
+    the ``_spread`` repartition key, so Catalyst reuses the
+    partitioning and NO extra shuffle happens — and no interpreted
+    array-lambda dispatch remains anywhere in the signature path (the
+    original formulation ran ``transform(char_shingles(...))`` plus one
+    ``array_min(transform(...))`` pass per permutation)."""
     pos = F.explode(
         F.sequence(F.lit(1), F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(1)))
     ).alias("_i")
     shingle = F.substring(F.col(text_col), F.col("_i"), F.lit(k))
     h = F.xxhash64(shingle) if fast else md5_int32(shingle)
-    return (
+    grouped = (
         _spread(df, id_col)
         .select(F.col(id_col), F.col(text_col), pos)
         .select(F.col(id_col), h.alias("_h"))
         .groupBy(id_col)
-        .agg(F.collect_set("_h").alias("_hashes"))
+        .agg(F.collect_set("_h").alias("_hashes"), *_sig_aggs(num_perm))
     )
+    if num_perm:
+        grouped = grouped.select(
+            id_col,
+            "_hashes",
+            F.array(*[F.col(f"_m{p}") for p in range(num_perm)]).alias("_sig"),
+        )
+    return grouped
 
 
 def dedup_minhash_lsh(
@@ -171,9 +200,7 @@ def dedup_minhash_lsh(
     high-ambient-similarity corpora, where candidate count — not
     signature cost — dominates the bill."""
     rows = num_perm // bands
-    hashed = _shingle_sets(df, text_col, id_col, shingle_k, fast).withColumn(
-        "_sig", minhash_signature(F.col("_hashes"), num_perm)
-    )
+    hashed = _shingle_sets(df, text_col, id_col, shingle_k, fast, num_perm)
     hashed = _pin(hashed.withColumn("_bands", band_keys(F.col("_sig"), bands, rows)))
     pairs = _candidate_pairs(hashed, id_col)
     sets = hashed.select(F.col(id_col), F.col("_hashes"))
@@ -278,7 +305,7 @@ def dedup_ngram_jaccard(
     rows = num_perm // bands
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     cnt = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))
-    ngram_sets = (
+    hashed = (
         _spread(df, id_col)
         .select(F.col(id_col), tokens.alias("_toks"), F.explode(F.sequence(F.lit(1), cnt)).alias("_i"))
         .select(
@@ -286,9 +313,13 @@ def dedup_ngram_jaccard(
             md5_int32(F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_i"), F.lit(n)))).alias("_h"),
         )
         .groupBy(id_col)
-        .agg(F.collect_set("_h").alias("_hashes"))
+        .agg(F.collect_set("_h").alias("_hashes"), *_sig_aggs(num_perm))
+        .select(
+            id_col,
+            "_hashes",
+            F.array(*[F.col(f"_m{p}") for p in range(num_perm)]).alias("_sig"),
+        )
     )
-    hashed = ngram_sets.withColumn("_sig", minhash_signature(F.col("_hashes"), num_perm))
     hashed = _pin(hashed.withColumn("_bands", band_keys(F.col("_sig"), bands, rows)))
     pairs = _candidate_pairs(hashed, id_col)
     sets = hashed.select(F.col(id_col), F.col("_hashes"))
