@@ -74,14 +74,17 @@ def _bands_sql(bands: int, rows: int) -> str:
     return f"[{keys}]"
 
 
-_MINHASH_ORACLE = f"""
-WITH hashed AS (
+def _minhash_pairs_cte(source: str = "documents") -> str:
+    """The MinHash-LSH pair pipeline as a flat CTE list over ``source``
+    (must expose doc_id, text) ending in a ``verified`` relation —
+    reusable standalone and inside composed oracles."""
+    return f"""hashed AS (
   SELECT doc_id,
          list_distinct([
            ('0x' || substr(md5(substr(text, i, 5)), 1, 8))::BIGINT
            for i in generate_series(1, greatest(len(text) - 4, 1))
          ]) AS hashes
-  FROM documents
+  FROM {source}
 ), sigs AS (
   SELECT doc_id, hashes, {_sig_sql(12)} AS sig FROM hashed
 ), banded AS (
@@ -99,7 +102,11 @@ WITH hashed AS (
   FROM pairs p
   JOIN hashed ha ON ha.doc_id = p.id_a
   JOIN hashed hb ON hb.doc_id = p.id_b
-)
+)"""
+
+
+_MINHASH_ORACLE = f"""
+WITH {_minhash_pairs_cte()}
 SELECT * FROM verified WHERE jaccard_sim >= 0.5
 """
 
@@ -874,3 +881,47 @@ def _doc_quality_filter(spark, sf_dir):
     from ffi_etl_spark.operators.textops import quality_filter
 
     return quality_filter(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# flagship composition: quality gate -> exact dedup -> near-dup components
+# ---------------------------------------------------------------------------
+
+_PRETRAIN_ORACLE = f"""
+WITH RECURSIVE
+q AS ({_QUALITY_FILTER_ORACLE}),
+kept AS (SELECT doc_id FROM q WHERE keep),
+qd AS (SELECT d.doc_id, d.text FROM documents d
+       WHERE d.doc_id IN (SELECT doc_id FROM kept)),
+canon AS (SELECT MIN(doc_id) AS doc_id FROM qd GROUP BY md5(text)),
+cd AS (SELECT d.doc_id, d.text FROM qd d
+       WHERE d.doc_id IN (SELECT doc_id FROM canon)),
+{_minhash_pairs_cte("cd")},
+np AS (SELECT id_a, id_b FROM verified WHERE jaccard_sim >= 0.5),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM np
+  UNION ALL
+  SELECT id_b, id_a FROM np
+),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+reach(v, m) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.v
+),
+comp AS (SELECT v AS doc_id, MIN(m) AS component FROM reach GROUP BY v),
+dups AS (SELECT doc_id FROM comp WHERE component <> doc_id)
+SELECT doc_id, len(text) AS n_chars FROM cd
+WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+ORDER BY doc_id
+"""
+
+
+@query("pretraining_corpus", oracle=_PRETRAIN_ORACLE)
+def _pretraining_corpus(spark, sf_dir):
+    """Flagship LLM-data composition (operators/corpus.py): quality
+    cascade -> exact dedup -> MinHash near-dup components, one lazy
+    plan, each stage a keyed semi/anti join."""
+    from ffi_etl_spark.operators.corpus import pretraining_corpus
+
+    return pretraining_corpus(table(spark, sf_dir, "documents"))
