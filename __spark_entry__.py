@@ -21,9 +21,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return Q.QUERIES["rollup_demographic"](spark, "/root/testdata/sf0.001")
 
 
+def _configured(fn: Callable[[SparkSession, str], DataFrame]):
+    """Apply the engine's session confs (UTC, nanosAsLong, LEGACY
+    parser, non-ANSI casts — all runtime-settable) before building the
+    plan, so queries behave identically under a driver-created session
+    that didn't go through session.get_session."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        configure(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(Q.QUERIES)
+    return {name: _configured(fn) for name, fn in Q.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
