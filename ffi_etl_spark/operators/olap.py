@@ -106,3 +106,42 @@ def range_join_binned(
         .filter((gap > 0) & (gap <= max_gap_seconds))
         .drop("__bin")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_seconds: int,
+    cond=None,
+) -> DataFrame:
+    """Pairs whose [start, end] intervals overlap (closed, i.e.
+    l_start <= r_end AND r_start <= l_end), found WITHOUT a cross or
+    theta join: both sides explode to the bins their interval covers
+    and candidates equi-join on the bin. A pair overlapping across many
+    shared bins would duplicate, so the join keeps only the CANONICAL
+    shared bin — greatest(start-bin_l, start-bin_r), which every
+    overlapping pair shares exactly once — making the output
+    duplicate-free with no distinct() pass.
+
+    ``bin_seconds`` trades explode width against join fan-in: bins much
+    wider than typical intervals put many intervals per bin (bigger
+    candidate sets); much narrower explodes long intervals into many
+    rows. Pick ~the median interval length. Caller must pre-rename
+    columns so the two sides don't collide; ``cond`` adds a residual
+    predicate (e.g. different-user)."""
+    lsb = (F.unix_timestamp(F.col(l_start)) / bin_seconds).cast("long")
+    leb = (F.unix_timestamp(F.col(l_end)) / bin_seconds).cast("long")
+    rsb = (F.unix_timestamp(F.col(r_start)) / bin_seconds).cast("long")
+    reb = (F.unix_timestamp(F.col(r_end)) / bin_seconds).cast("long")
+    l2 = left.withColumn("__lsb", lsb).withColumn("__bin", F.explode(F.sequence(lsb, leb)))
+    r2 = right.withColumn("__rsb", rsb).withColumn("__rbin", F.explode(F.sequence(rsb, reb)))
+    overlap = (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
+    canonical = F.col("__bin") == F.greatest(F.col("__lsb"), F.col("__rsb"))
+    join_cond = (F.col("__bin") == F.col("__rbin")) & canonical & overlap
+    if cond is not None:
+        join_cond = join_cond & cond
+    return l2.join(r2, join_cond).drop("__bin", "__rbin", "__lsb", "__rsb")

@@ -925,3 +925,81 @@ def _pretraining_corpus(spark, sf_dir):
     from ffi_etl_spark.operators.corpus import pretraining_corpus
 
     return pretraining_corpus(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join: concurrent sessions
+# ---------------------------------------------------------------------------
+
+@query(
+    "concurrent_sessions",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+  FROM o
+), sess AS (
+  SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM s GROUP BY 1, 2
+), overl AS (
+  SELECT a.user_id, a.session_id, COUNT(*) AS n
+  FROM sess a JOIN sess b
+    ON a.session_start <= b.session_end AND b.session_start <= a.session_end
+   AND a.user_id <> b.user_id
+  GROUP BY 1, 2
+)
+SELECT sess.user_id, sess.session_id, COALESCE(overl.n, 0) AS n_concurrent
+FROM sess LEFT JOIN overl USING (user_id, session_id)
+ORDER BY user_id, session_id
+""",
+)
+def _concurrent_sessions(spark, sf_dir):
+    """Interval-overlap self-join (operators/olap.py::
+    interval_overlap_join): per session, how many OTHER users' sessions
+    overlap it in time. The bin-explode + canonical-shared-bin join
+    turns the theta (overlap) predicate into a duplicate-free equi-join
+    — the generalization of the binned range join to intervals; the
+    oracle runs DuckDB's native IEJoin over the same session set."""
+    from ffi_etl_spark.operators.olap import interval_overlap_join
+    from ffi_etl_spark.operators.windows import sessionize
+
+    sess = sessionize(table(spark, sf_dir, "events")).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    a = sess.select(
+        F.col("user_id").alias("a_user"),
+        F.col("session_id").alias("a_session"),
+        F.col("session_start").alias("a_start"),
+        F.col("session_end").alias("a_end"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("b_user"),
+        F.col("session_start").alias("b_start"),
+        F.col("session_end").alias("b_end"),
+    )
+    pairs = interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end",
+        bin_seconds=3600,
+        cond=F.col("a_user") != F.col("b_user"),
+    )
+    counts = pairs.groupBy("a_user", "a_session").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sess.join(
+            counts,
+            (F.col("user_id") == F.col("a_user")) & (F.col("session_id") == F.col("a_session")),
+            "left_outer",
+        )
+        .select(
+            "user_id",
+            "session_id",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_concurrent"),
+        )
+        .orderBy("user_id", "session_id")
+    )
