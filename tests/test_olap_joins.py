@@ -3,6 +3,7 @@
 from datetime import datetime
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from ffi_etl_spark.operators.olap import asof_join, range_join_binned
 
@@ -51,3 +52,25 @@ def test_range_join_binned_boundaries(spark):
     out = range_join_binned(left, right, on=["k"], left_ts="lts",
                             right_ts="rts", max_gap_seconds=900)
     assert sorted(r.rid for r in out.collect()) == [11, 12]
+
+
+def test_interval_overlap_join_edges(spark):
+    from datetime import datetime as dt
+
+    from pyspark.sql import Row
+
+    from ffi_etl_spark.operators.olap import interval_overlap_join
+
+    def iv(i, h0, m0, h1, m1):
+        return Row(id=i, s=dt(2024, 1, 1, h0, m0), e=dt(2024, 1, 1, h1, m1))
+
+    # a1 overlaps b1 (proper), touches b2 exactly at the endpoint
+    # (closed intervals -> overlap), and misses b3; a2 spans many bins
+    # and overlaps b1 AND b3 (must appear once each, not once per bin)
+    a = spark.createDataFrame([iv(1, 10, 0, 11, 0), iv(2, 9, 0, 15, 0)])
+    b = spark.createDataFrame([iv(10, 10, 30, 12, 0), iv(20, 11, 0, 11, 30), iv(30, 14, 0, 14, 5)])
+    a2 = a.select(F.col("id").alias("a_id"), F.col("s").alias("a_s"), F.col("e").alias("a_e"))
+    b2 = b.select(F.col("id").alias("b_id"), F.col("s").alias("b_s"), F.col("e").alias("b_e"))
+    out = interval_overlap_join(a2, b2, "a_s", "a_e", "b_s", "b_e", bin_seconds=3600)
+    got = sorted((r.a_id, r.b_id) for r in out.collect())
+    assert got == [(1, 10), (1, 20), (2, 10), (2, 20), (2, 30)]
