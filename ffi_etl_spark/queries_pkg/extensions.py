@@ -88,8 +88,8 @@ def _minhash_pairs_cte(source: str = "documents") -> str:
 ), sigs AS (
   SELECT doc_id, hashes, {_sig_sql(12)} AS sig FROM hashed
 ), banded AS (
-  SELECT doc_id, hashes, unnest({_bands_sql(4, 3)}) AS band_key,
-         unnest(generate_series(0, 3)) AS band_idx
+  SELECT doc_id, hashes, unnest({_bands_sql(3, 4)}) AS band_key,
+         unnest(generate_series(0, 2)) AS band_idx
   FROM sigs
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
