@@ -52,6 +52,108 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 addresses from a corpus
+    before it becomes training data. Pure ``regexp_replace`` chain —
+    narrow, JVM-side, whole-stage-codegen; a scan-stage rewrite with
+    zero shuffle at any scale. Patterns are RE2-compatible (no
+    backrefs / lookaround) so external engines can mirror them.
+
+    Redaction order matters and is part of the contract: emails first
+    (their local part may contain digits-and-dots an IP pattern could
+    nibble), then phones, then bare IPs. Counts are taken BEFORE any
+    rewrite so later patterns can't eat earlier matches."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, PII_PHONE, "<PHONE>")
+    redacted = F.regexp_replace(redacted, PII_IP, "<IP>")
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
+        F.regexp_count(t, F.lit(PII_IP)).alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    max_top_frac: float = 0.2,
+) -> DataFrame:
+    """Gopher-style repetition gate: a document whose single most
+    frequent word ``n``-gram accounts for more than ``max_top_frac``
+    of all its n-grams is template/boilerplate spam and is dropped
+    from a pretraining corpus.
+
+    Shape: explode n-grams to rows, count per (doc, gram), then reduce
+    per doc — two hash aggregates, both with map-side partial
+    aggregation, keyed by doc-uniform hashes (no skew). The n-gram
+    multiset is NEVER collected to an array, so a pathological
+    million-token doc streams through the aggregate instead of
+    materializing one giant row."""
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_gram")
+    )
+    per_gram = grams.groupBy(id_col, "_gram").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum("_c").alias("n_grams"), F.max("_c").alias("top_gram_n")
+    )
+    top_frac = F.col("top_gram_n").cast("double") / F.col("n_grams").cast("double")
+    # keep-test in INTEGER arithmetic (top_n * 5 <= total for 0.2), so
+    # the decision is exact and engine-portable; the double ratio is
+    # display-only
+    inv = int(round(1 / max_top_frac))
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "top_gram_n",
+        F.round(top_frac, 6).alias("top_gram_frac"),
+        (F.col("top_gram_n") * F.lit(inv) <= F.col("n_grams")).alias("keep"),
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with a held-out eval set (the n-gram-collision
+    test used for LM eval hygiene; 8-13 grams are the usual window).
+
+    ``bench_pred`` is a Column predicate selecting the benchmark rows
+    from ``df`` (eval sets are tiny by construction). The benchmark's
+    distinct gram-hash set is broadcast, so the training-side check is
+    a map-side semi-join in the scan stage — no shuffle of the corpus;
+    the only shuffle is the per-doc overlap count on flagged docs
+    (a vanishing fraction). Gram hashes are md5-derived
+    (functions/hashing.py) for engine-portable parity."""
+    grams = lambda frame: frame.select(  # noqa: E731
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.transform(word_ngrams(F.col(text_col), n), md5_int32))
+        ).alias("_gh"),
+    )
+    bench_set = grams(df.filter(bench_pred)).select("_gh").distinct()
+    train = grams(df.filter(~bench_pred))
+    return (
+        train.join(F.broadcast(bench_set), "_gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .orderBy(id_col)
+    )
+
+
 def quality_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Pretraining-corpus quality gate: first-match-wins rejection
     cascade over the quality signals (the C4/Gopher-rule shape, and the

@@ -562,3 +562,142 @@ def _window_trailing_30d(spark, sf_dir):
         )
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
+
+
+# --- training-corpus hygiene: PII redaction / repetition / decontamination ---
+
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE_SQL = "\\d{3}-\\d{3}-\\d{4}"
+_PII_IP_SQL = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+_PII_ORACLE = """
+WITH injected AS (
+  SELECT doc_id,
+         text || ' Contact doc' || doc_id || '@example.org or 555-' ||
+         lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+         lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+         ' at 10.0.' || (doc_id % 256) || '.1' AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{email}', 0)) AS n_emails,
+       len(regexp_extract_all(text, '{phone}', 0)) AS n_phones,
+       len(regexp_extract_all(text, '{ip}', 0)) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{email}', '<EMAIL>', 'g'),
+         '{phone}', '<PHONE>', 'g'),
+         '{ip}', '<IP>', 'g') AS redacted
+FROM injected
+ORDER BY doc_id
+""".format(email=_PII_EMAIL_SQL, phone=_PII_PHONE_SQL, ip=_PII_IP_SQL)
+
+
+@query("pii_redact", oracle=_PII_ORACLE)
+def _pii_redact(spark, sf_dir):
+    """PII scrub over the documents table. The synthetic corpus holds
+    no real PII, so the query plants one deterministic email / phone /
+    IPv4 per doc (keyed off doc_id) before redacting — making every
+    pattern measurably fire while staying oracle-reproducible. The
+    operator itself (operators/textops.py::redact_pii) is the
+    production surface: a narrow regexp_replace chain in the scan
+    stage."""
+    from ffi_etl_spark.operators.textops import redact_pii
+
+    docs = table(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ),
+    )
+    return (
+        redact_pii(injected)
+        .withColumns(
+            {
+                "n_emails": F.col("n_emails").cast("long"),
+                "n_phones": F.col("n_phones").cast("long"),
+                "n_ips": F.col("n_ips").cast("long"),
+            }
+        )
+        .orderBy("doc_id")
+    )
+
+
+_REPETITION_ORACLE = r"""
+WITH toked AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+1], ' ')
+                 for i in generate_series(1, greatest(len(toks) - 1, 1))]) AS gram
+  FROM toked
+), per_gram AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+), per_doc AS (
+  SELECT doc_id, SUM(c)::BIGINT AS n_grams, MAX(c) AS top_gram_n
+  FROM per_gram GROUP BY doc_id
+)
+SELECT doc_id, n_grams, top_gram_n,
+       round(top_gram_n::DOUBLE / n_grams::DOUBLE, 6) AS top_gram_frac,
+       top_gram_n * 5 <= n_grams AS keep
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+@query("repetition_filter", oracle=_REPETITION_ORACLE)
+def _repetition_filter(spark, sf_dir):
+    """Gopher-style repeated-n-gram gate (operators/textops.py::
+    repetition_filter): docs whose top word-2-gram exceeds 20% of all
+    2-grams are boilerplate. The keep-decision is integer arithmetic
+    (top*5 <= total) so both engines decide identically; the double
+    ratio is display-only (round-to-6 stays inside %.6g canon)."""
+    from ffi_etl_spark.operators.textops import repetition_filter
+
+    docs = table(spark, sf_dir, "documents")
+    return repetition_filter(docs).orderBy("doc_id")
+
+
+_DECONTAMINATE_ORACLE = r"""
+WITH toked AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct([
+           ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 8))::BIGINT
+           for i in generate_series(1, greatest(len(toks) - 4, 1))
+         ])) AS gh
+  FROM toked
+), bench AS (
+  SELECT DISTINCT gh FROM grams WHERE doc_id % 10 = 0
+)
+SELECT g.doc_id, COUNT(*) AS n_shared_grams
+FROM grams g JOIN bench USING (gh)
+WHERE g.doc_id % 10 <> 0
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+@query("decontaminate", oracle=_DECONTAMINATE_ORACLE)
+def _decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/textops.py::decontaminate):
+    training docs sharing any word-5-gram with the held-out set
+    (doc_id % 10 == 0 stands in for an eval benchmark; 5-grams and a
+    10% bench split are sized so the synthetic corpus actually shows
+    overlap at the sf0.01 gate — production would use 8-13 grams and a
+    real eval set). The benchmark gram set is broadcast, so at 100 TB
+    the overlap test rides the scan stage map-side."""
+    from ffi_etl_spark.operators.textops import decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    return decontaminate(docs, F.col("doc_id") % 10 == 0, n=5)

@@ -1,0 +1,72 @@
+"""Unit tests for the training-corpus hygiene operators
+(operators/textops.py: redact_pii / repetition_filter / decontaminate)
+on crafted inputs where the right answer is hand-checkable."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ffi_etl_spark.operators.textops import (
+    decontaminate,
+    redact_pii,
+    repetition_filter,
+)
+
+
+def test_redact_pii_all_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.smith+x@sub.example.co.uk now"),
+            (2, "call 415-555-0147 or visit 192.168.0.1"),
+            (3, "no pii here"),
+            (4, "two mails a@b.io c@d.org and 10.0.0.1"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["redacted"] == "mail <EMAIL> now"
+    assert (rows[1]["n_emails"], rows[1]["n_phones"], rows[1]["n_ips"]) == (1, 0, 0)
+    assert rows[2]["redacted"] == "call <PHONE> or visit <IP>"
+    assert rows[3]["redacted"] == "no pii here"
+    assert rows[4]["redacted"] == "two mails <EMAIL> <EMAIL> and <IP>"
+    assert rows[4]["n_emails"] == 2
+
+
+def test_redact_pii_email_wins_over_ip(spark):
+    # digits-and-dots local part: the email pattern must consume it
+    # before the bare-IP pattern can nibble the middle
+    df = spark.createDataFrame([(1, "x 1.2.3.4@example.com y")], "doc_id long, text string")
+    row = redact_pii(df).collect()[0]
+    assert row["redacted"] == "x <EMAIL> y"
+    assert row["n_ips"] >= 1  # counted pre-redaction; the rewrite order still wins
+
+
+def test_repetition_filter_flags_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham " * 10),  # one 2-gram dominates -> reject
+            (2, "a b c d e f g h i j"),  # all 2-grams unique -> keep
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_filter(df).collect()}
+    assert rows[1]["keep"] is False
+    assert rows[1]["top_gram_n"] == 10  # "spam ham" x10
+    assert rows[2]["keep"] is True
+    assert rows[2]["n_grams"] == 9
+    assert rows[2]["top_gram_n"] == 1
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (100, bench_text),  # benchmark doc (id % 100 == 0)
+            (1, "intro alpha beta gamma delta epsilon outro"),  # 5-gram overlap
+            (2, "totally unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = decontaminate(df, F.col("doc_id") % 100 == 0, n=5).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["n_shared_grams"] == 1  # exactly "alpha beta gamma delta epsilon"
