@@ -125,6 +125,83 @@ def stream_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicates(keys or ["event_id"])
 
 
+def stream_dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermark-bounded dedup (``dropDuplicatesWithinWatermark``): two
+    records with the same key are collapsed when they arrive within the
+    lateness budget of each other; a key re-appearing AFTER its state
+    was evicted is emitted again.
+
+    This is the right tier for at-least-once upstreams (Kafka producer
+    retries land duplicates seconds apart, not days): unlike
+    ``stream_dedup`` — whose guarantee needs the event-time column in
+    the key set to bound state — this evicts on processing progress of
+    the watermark alone, so unbounded key spaces (event_id over an
+    infinite stream) can't grow state without bound."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def continuous_aggregate(
+    rolled: DataFrame,
+    target_path: str,
+    bucket_keys: list[str],
+    checkpoint: str | None = None,
+):
+    """Hypertable-style continuous aggregate: maintain a tumbling rollup
+    as a materialized parquet table, incrementally — the TimescaleDB
+    cagg / materialized-view-maintenance pattern, packaged as ONE
+    operator over Spark primitives.
+
+    ``rolled`` is a watermarked streaming aggregation (e.g.
+    ``stream_tumbling_agg``); ``bucket_keys`` identify a bucket row
+    (e.g. ``["window_start", "event_type"]``). Each microbatch emits
+    only buckets revised by that batch (update mode); the foreachBatch
+    MERGE (operators/upsert.py) replaces exactly those rows in the
+    target, so late data inside the watermark re-states its bucket
+    instead of appending a duplicate, and closed buckets are never
+    rewritten. The reference refreshed rollups by full overwrite on a
+    schedule (README.py:11, utils.py:139); at 100 TB only this
+    revised-buckets-only maintenance cadence survives.
+
+    Crash safety matches stream_upsert_sink: temp-dir + swap per batch,
+    checkpoint replays an uncommitted batch (idempotent: same buckets,
+    same MERGE)."""
+    import os
+    import shutil
+
+    from ffi_etl_spark.operators.upsert import upsert
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(target_path):
+            target = spark.read.parquet(target_path)
+            merged = upsert(target, batch_df, bucket_keys)
+        else:
+            merged = batch_df
+        tmp = target_path + ".__cagg__"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target_path):
+            shutil.rmtree(target_path)
+        shutil.move(tmp, target_path)
+
+    writer = (
+        rolled.writeStream.foreachBatch(_merge_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory(
     stream_df: DataFrame,
     output_mode: str = "append",

@@ -190,3 +190,67 @@ def test_stream_sliding_matches_batch(spark, sf_dir, events_dir):
     b = {(r.window_start, r.window_end): (r.n_events, r.total_value) for r in batch.collect()}
     s = {(r.window_start, r.window_end): (r.n_events, r.total_value) for r in stream.collect()}
     assert b == s and len(b) > 0
+
+
+def test_continuous_aggregate_converges_incrementally(spark, sf_dir, tmp_path):
+    """Hypertable-style continuous aggregate: two time-split arrival
+    tranches maintained through the upsert sink converge to the batch
+    rollup of all data — revised buckets are re-stated, closed buckets
+    keep exactly one row."""
+    from ffi_etl_spark.streaming.events import continuous_aggregate
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "cagg")
+    ckpt = str(tmp_path / "ckpt")
+    ev = table(spark, sf_dir, "events")
+    split_ts = ev.selectExpr("percentile_approx(ts, 0.5) p").collect()[0]["p"]
+    # time-split (not hash-split) tranches: tranche 2 is never later
+    # than the watermark the tranche-1 drain left behind
+    ev.filter(F.col("ts") <= F.lit(split_ts)).write.mode("append").parquet(src)
+    continuous_aggregate(
+        stream_tumbling_agg(stream_events(spark, src), "1 hour"),
+        target,
+        bucket_keys=["window_start", "event_type"],
+        checkpoint=ckpt,
+    )
+    n_after_first = spark.read.parquet(target).count()
+    assert n_after_first > 0
+
+    ev.filter(F.col("ts") > F.lit(split_ts)).write.mode("append").parquet(src)
+    continuous_aggregate(
+        stream_tumbling_agg(stream_events(spark, src), "1 hour"),
+        target,
+        bucket_keys=["window_start", "event_type"],
+        checkpoint=ckpt,
+    )
+
+    batch = tumbling_agg(table(spark, sf_dir, "events"), "1 hour")
+    b = {(r.window_start, r.event_type): (r.n_events, r.total_value) for r in batch.collect()}
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == b
+    # exactly one row per bucket (the MERGE replaced, not appended)
+    assert spark.read.parquet(target).count() == len(b)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicates arriving inside the lateness budget collapse to one
+    row per key (the guaranteed direction of the contract)."""
+    from ffi_etl_spark.streaming.events import stream_dedup_within_watermark
+
+    rows = [
+        Row(event_id=1, ts=datetime(2024, 1, 1, 10, 0), user_id=1, event_type="a", value=1.0, props=""),
+        Row(event_id=1, ts=datetime(2024, 1, 1, 10, 5), user_id=1, event_type="a", value=1.0, props=""),
+        Row(event_id=2, ts=datetime(2024, 1, 1, 10, 7), user_id=2, event_type="b", value=2.0, props=""),
+        Row(event_id=2, ts=datetime(2024, 1, 1, 10, 9), user_id=2, event_type="b", value=2.0, props=""),
+        Row(event_id=3, ts=datetime(2024, 1, 1, 11, 0), user_id=3, event_type="c", value=3.0, props=""),
+    ]
+    d = str(tmp_path / "dups")
+    spark.createDataFrame(rows).write.parquet(d)
+    out = run_to_memory(
+        stream_dedup_within_watermark(stream_events(spark, d), keys=["event_id"])
+    )
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [1, 2, 3]
