@@ -154,6 +154,48 @@ def decontaminate(
     )
 
 
+def keyword_tfidf(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf — keyword
+    extraction over a corpus, the ranking spine of retrieval-style
+    training-data curation (topic labeling, near-topic filtering).
+
+    idf is the rational BM25 form ``(N - df + 0.5) / (df + 0.5)``, NOT
+    ``ln(N/df)``: +, -, *, / are IEEE-correctly-rounded in every
+    engine, so scores are bit-identical cross-engine (differentially
+    testable), while ``ln`` is a transcendental whose last ulp is
+    library-specific. Monotone in 1/df exactly like log-idf, so the
+    RANKING is the standard one.
+
+    Shape: one shuffle to (doc, term) for tf, a term-keyed aggregate
+    for df (vocab-sized — broadcast back; at 100 TB web-scale vocab
+    outgrows the driver, so drop the hint and let AQE pick a shuffle
+    join), a 1-row broadcast for N, and a per-doc window for top-k.
+    Ties break on term asc, so the top-k set is deterministic."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.select(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.col("tf") * (
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", tfidf)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf")
+    )
+
+
 def quality_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Pretraining-corpus quality gate: first-match-wins rejection
     cascade over the quality signals (the C4/Gopher-rule shape, and the

@@ -701,3 +701,41 @@ def _decontaminate(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return decontaminate(docs, F.col("doc_id") % 10 == 0, n=5)
+
+
+_TFIDF_ORACLE = r"""
+WITH toked AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toked GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*)::BIGINT AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf * ((n.n_docs - d.df + 0.5) / (d.df + 0.5)) AS tfidf
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf
+FROM ranked WHERE rk <= 3
+ORDER BY doc_id, tfidf DESC, term
+"""
+
+
+@query("keyword_tfidf", oracle=_TFIDF_ORACLE)
+def _keyword_tfidf(spark, sf_dir):
+    """Top-3 tf-idf keywords per document (operators/textops.py::
+    keyword_tfidf). Rational BM25 idf — (N-df+0.5)/(df+0.5), all
+    IEEE-exact arithmetic on integer inputs — keeps the raw double
+    scores bit-identical to DuckDB without any rounding, while ranking
+    identically to log-idf."""
+    from ffi_etl_spark.operators.textops import keyword_tfidf
+
+    docs = table(spark, sf_dir, "documents")
+    return keyword_tfidf(docs, k=3).orderBy("doc_id", F.desc("tfidf"), "term")

@@ -70,3 +70,26 @@ def test_decontaminate_finds_planted_overlap(spark):
     out = decontaminate(df, F.col("doc_id") % 100 == 0, n=5).collect()
     assert [r["doc_id"] for r in out] == [1]
     assert out[0]["n_shared_grams"] == 1  # exactly "alpha beta gamma delta epsilon"
+
+
+def test_keyword_tfidf_ranks_rare_terms(spark):
+    from ffi_etl_spark.operators.textops import keyword_tfidf
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common rare common"),
+            (2, "common unique"),
+            (3, "common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = keyword_tfidf(df, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'common' appears in every doc (df=3, idf=(3-3+.5)/3.5) while the
+    # doc-specific terms have df=1 (idf=2.5/1.5) -> rare term wins
+    assert top[1] == "rare"
+    assert top[2] == "unique"
+    assert top[3] == "common"  # only term present
+    row1 = {r["doc_id"]: r for r in out}[1]
+    assert row1["tf"] == 1 and row1["df"] == 1
+    assert abs(row1["tfidf"] - (1 * (3 - 1 + 0.5) / 1.5)) < 1e-12
