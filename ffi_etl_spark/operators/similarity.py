@@ -316,3 +316,64 @@ def ann_brp_lsh_pairs(
             "euclid_dist",
         )
     )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    k: int = 5,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means by Lloyd iteration — the engine's
+    representative ITERATIVE algorithm (genuinely non-SQL-expressible:
+    each round's input is the previous round's output, so the gate is
+    the numpy differential in tests/test_similarity_kmeans.py, not a
+    DuckDB oracle).
+
+    Per round: (1) update — mean centroid per cluster via the exploded
+    K·dim aggregate (compute_centroids; cos(x, m) == cos(x, m/|m|), so
+    the un-normalized mean assigns identically to the true spherical
+    centroid and no normalization pass is needed); (2) assign — the
+    packed 1-row broadcast argmax (assign_to_centroid), ties to lowest
+    centroid_id. Init is deterministic random-partition
+    (``pmod(id, k)``), so runs are reproducible modulo float summation
+    order in the means.
+
+    Scale: each round is one narrow corpus pass + one K·dim-group
+    aggregate; the K-row centroid model is persisted and materialized
+    per round (driver never sees the corpus — only K rows are pinned,
+    and eagerly so the lazy chain doesn't re-run every PRIOR round's
+    assignment inside each later round's plan). The corpus itself is
+    scanned once per round: persist it first at production scale.
+    """
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.pmod(F.col(id_col), F.lit(k)).cast("int").alias("centroid_id"),
+    )
+    prev = None
+    for _ in range(n_iter):
+        cents = compute_centroids(
+            assigned, 0, label_col="centroid_id", vec_col=vec_col
+        ).persist()
+        cents.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = cents
+        assigned = assign_to_centroid(corpus, cents, id_col=id_col, vec_col=vec_col)
+    return assigned
+
+
+def kmeans_cluster_profile(assigned: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Per-cluster summary of a ``kmeans_lloyd`` assignment:
+    (centroid_id, n_members, min member id) — the stable, small surface
+    for the rows-only gate."""
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(id_col).alias("first_member"),
+        )
+        .orderBy("centroid_id")
+    )

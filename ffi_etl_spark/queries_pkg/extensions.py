@@ -1003,3 +1003,17 @@ def _concurrent_sessions(spark, sf_dir):
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query("kmeans_clusters")  # iterative Lloyd rounds: rows-only (numpy differential in tests)
+def _kmeans_clusters(spark, sf_dir):
+    """Spherical k-means (operators/similarity.py::kmeans_lloyd), 3
+    Lloyd rounds at k=5 over the embeddings table, reported as the
+    per-cluster profile. Iterative: each round consumes the previous
+    round's assignment, so no single SQL statement expresses it — the
+    correctness gate is the numpy step-by-step differential
+    (tests/test_similarity_kmeans.py) plus this rows-only entry."""
+    from ffi_etl_spark.operators.similarity import kmeans_cluster_profile, kmeans_lloyd
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kmeans_cluster_profile(kmeans_lloyd(emb, k=5, n_iter=3))
