@@ -218,3 +218,79 @@ def quality_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         reason.alias("reject_reason"),
         (reason == "ok").alias("keep"),
     )
+
+
+def global_cumsum_exclusive(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out_col: str = "offset",
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Total-order EXCLUSIVE running sum of ``val_col`` by ``order_col``
+    (which must be unique), computed the scalable way: a naive
+    ``Window.orderBy`` with no partition key collapses the whole table
+    onto ONE task — the classic 100 TB cliff. Instead: range-partition
+    on the order column (partition i's keys all precede partition
+    i+1's), cumsum WITHIN each partition, and add each partition's
+    exclusive offset — a P-row aggregate joined back as a broadcast.
+    Result is identical to the single-partition window for any range
+    boundaries, so the sampled split points don't affect values."""
+    from pyspark.sql import Window
+
+    ranged = df.repartitionByRange(num_ranges, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum(val_col).over(w_in), F.lit(0).cast("long"))
+    ptot = ranged.groupBy("_pid").agg(F.sum(val_col).alias("_ptot"))
+    w_p = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = ptot.select(
+        "_pid", F.coalesce(F.sum("_ptot").over(w_p), F.lit(0).cast("long")).alias("_poff")
+    )
+    return (
+        ranged.join(F.broadcast(offs), "_pid")
+        .withColumn(out_col, (F.col("_poff") + within).cast("long"))
+        .drop("_pid", "_poff")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 256,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-style pretraining
+    batcher: documents are laid end-to-end in ``id_col`` order on one
+    global token axis, which is cut into fixed ``chunk_tokens`` context
+    windows; a document belongs to every chunk its token span overlaps.
+    Output: (doc, n_tokens, tok_start, chunk_start, chunk_end,
+    n_chunks) — all integer arithmetic, so the layout is bit-exactly
+    reproducible on any engine and any partitioning.
+
+    The token axis comes from ``global_cumsum_exclusive`` (range
+    partition + per-partition window + broadcast offsets), NOT a global
+    single-partition window, so the layout computation scales with the
+    cluster. Chunk ids are ``DIV`` integer division; whitespace token
+    counts stand in for a real tokenizer (swap ``ws_token_count`` for a
+    BPE count column when available)."""
+    toked = df.select(
+        F.col(id_col), ws_token_count(F.col(text_col)).cast("long").alias("n_tokens")
+    )
+    off = global_cumsum_exclusive(toked, id_col, "n_tokens", "tok_start")
+    L = F.lit(chunk_tokens).cast("long")
+    chunk_start = F.expr(f"tok_start DIV {chunk_tokens}")
+    chunk_end = F.expr(f"(tok_start + n_tokens - 1) DIV {chunk_tokens}")
+    return off.select(
+        id_col,
+        "n_tokens",
+        "tok_start",
+        chunk_start.alias("chunk_start"),
+        chunk_end.alias("chunk_end"),
+        (chunk_end - chunk_start + F.lit(1)).alias("n_chunks"),
+    )

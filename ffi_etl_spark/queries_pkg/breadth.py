@@ -739,3 +739,37 @@ def _keyword_tfidf(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return keyword_tfidf(docs, k=3).orderBy("doc_id", F.desc("tfidf"), "term")
+
+
+_PACK_ORACLE = r"""
+WITH toked AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+  FROM documents
+), off AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+  FROM toked
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // 256 AS chunk_start,
+       (tok_start + n_tokens - 1) // 256 AS chunk_end,
+       ((tok_start + n_tokens - 1) // 256) - (tok_start // 256) + 1 AS n_chunks
+FROM off
+ORDER BY doc_id
+"""
+
+
+@query("pack_sequences", oracle=_PACK_ORACLE)
+def _pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 256-token context windows
+    (operators/textops.py::pack_sequences). The oracle is the naive
+    single-window global cumsum; the Spark side computes the SAME
+    integer layout with the scalable range-partition + broadcast-offset
+    cumsum — the differential proves the two-phase decomposition exact,
+    not just plausible."""
+    from ffi_etl_spark.operators.textops import pack_sequences
+
+    docs = table(spark, sf_dir, "documents")
+    return pack_sequences(docs, chunk_tokens=256).orderBy("doc_id")

@@ -93,3 +93,41 @@ def test_keyword_tfidf_ranks_rare_terms(spark):
     row1 = {r["doc_id"]: r for r in out}[1]
     assert row1["tf"] == 1 and row1["df"] == 1
     assert abs(row1["tfidf"] - (1 * (3 - 1 + 0.5) / 1.5)) < 1e-12
+
+
+def test_global_cumsum_matches_naive_window(spark):
+    from pyspark.sql import Window
+
+    from ffi_etl_spark.operators.textops import global_cumsum_exclusive
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.pmod(F.col("id") * 37, F.lit(11)) + 1).alias("v")
+    )
+    got = {
+        r["id"]: r["off"]
+        for r in global_cumsum_exclusive(df, "id", "v", "off", num_ranges=7).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["id"]: r["off"]
+        for r in df.select("id", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("off")).collect()
+    }
+    assert got == want
+
+
+def test_pack_sequences_layout(spark):
+    from ffi_etl_spark.operators.textops import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),            # 3 tokens: [0,3) -> chunk 0
+            (2, " ".join(["t"] * 6)),  # 6 tokens: [3,9) -> straddles 0..2 with L=4
+            (3, "x"),                # 1 token: [9,10) -> chunk 2
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(docs, chunk_tokens=4).collect()}
+    assert (rows[1]["tok_start"], rows[1]["chunk_start"], rows[1]["chunk_end"]) == (0, 0, 0)
+    assert (rows[2]["tok_start"], rows[2]["chunk_start"], rows[2]["chunk_end"]) == (3, 0, 2)
+    assert rows[2]["n_chunks"] == 3
+    assert (rows[3]["tok_start"], rows[3]["chunk_start"], rows[3]["n_chunks"]) == (9, 2, 1)
