@@ -79,3 +79,26 @@ def config_map(df: DataFrame, key_col: str, value_col: str) -> dict[str, str]:
 def config_list(df: DataFrame, col: str) -> list[str]:
     """S2: a one-column config sheet -> driver list (utils.py:59,97)."""
     return [r[col] for r in df.select(col).collect() if r[col] is not None]
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar scan — same pushdown/pruning class as parquet for
+    estates standardized on ORC (Hive lineage). Kept schema-explicit by
+    the format itself; no inference pass."""
+    return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw-file ingest for multimodal payloads (``binaryFile`` source):
+    one row per file with (path, modificationTime, length, content
+    binary). The entry point that turns an image/audio dump into the
+    opaque-binary + metadata shape operators/multimodal.py consumes —
+    files become splits (never driver-collected), so a 100 TB media
+    corpus ingests with the same parallelism as any table scan.
+    ``glob`` filters by name pattern (e.g. ``*.jpg``) BEFORE any read."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

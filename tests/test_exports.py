@@ -1,0 +1,43 @@
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from ffi_etl_spark.catalog import table
+    from ffi_etl_spark.sources.readers import read_orc
+
+    nat = table(spark, sf_dir, "nation")
+    p = str(tmp_path / "nation_orc")
+    nat.write.orc(p)
+    back = read_orc(spark, p)
+    assert back.schema == nat.schema
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in nat.collect()
+    )
+
+
+def test_binary_file_source_feeds_multimodal(spark, tmp_path):
+    """binaryFile ingest -> rename to the multimodal payload shape ->
+    Arrow-batched feature extraction, end to end on real files."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ffi_etl_spark.operators.multimodal import extract_features
+    from ffi_etl_spark.sources.readers import read_binary_files
+
+    blobs = {f"img_{i}.bin": bytes([i] * (100 + i)) for i in range(5)}
+    (tmp_path / "media").mkdir()
+    for name, data in blobs.items():
+        (tmp_path / "media" / name).write_bytes(data)
+    (tmp_path / "media" / "ignore.txt").write_text("not a blob")
+
+    files = read_binary_files(spark, str(tmp_path / "media"), glob="*.bin")
+    assert files.count() == 5
+    with_ids = files.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.bin", 1).cast("long").alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    feats = {r["doc_id"]: r for r in extract_features(with_ids).collect()}
+    for name, data in blobs.items():
+        i = int(name.split("_")[1].split(".")[0])
+        assert feats[i]["byte_len"] == len(data)
+        assert feats[i]["sha256"] == hashlib.sha256(data).hexdigest()
