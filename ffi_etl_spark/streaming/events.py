@@ -292,3 +292,42 @@ def stream_upsert_sink(
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    within: str = "10 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream inner interval join: pair each left event with the
+    same key's right events landing in ``[l_ts, l_ts + within]`` —
+    attribution's bread and butter (view→click, click→purchase within a
+    window), run continuously.
+
+    Both sides carry watermarks AND the join condition bounds r_ts
+    relative to l_ts, which is exactly what Spark needs to expire
+    buffered state: a left row is dropped once the right watermark
+    passes ``l_ts + within``, a right row once the left watermark
+    passes ``r_ts`` — without the time bound the state store grows
+    forever. Inner matches emit immediately (no watermark wait), so
+    results stream with matching latency, not lateness latency.
+
+    Batch twin: the identical join expression over bounded frames
+    (tests prove equivalence) — also the backfill path."""
+    l = left.withWatermark(ts_col, watermark).select(
+        F.col(key_col),
+        F.col("event_id").alias("l_event_id"),
+        F.col(ts_col).alias("l_ts"),
+    )
+    r = right.withWatermark(ts_col, watermark).select(
+        F.col(key_col).alias("_rk"),
+        F.col("event_id").alias("r_event_id"),
+        F.col(ts_col).alias("r_ts"),
+    )
+    cond = F.expr(
+        f"{key_col} = _rk AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL {within}"
+    )
+    return l.join(r, cond).select(key_col, "l_event_id", "r_event_id", "l_ts", "r_ts")

@@ -86,3 +86,31 @@ def test_r2b_spine_plans(spark):
     pr = _plan(spark, "resample_gapfill")
     assert "WindowGroupLimit" in pr  # rank<=1 never materializes full ranks
     assert "CartesianProduct" not in pr
+
+
+def test_corpus_pipeline_plans(spark):
+    """Round-2 corpus ops: the scale-posture properties their
+    docstrings claim are actually in the physical plan."""
+    # decontaminate: the benchmark gram set is a broadcast semi-join
+    # side — the training corpus itself never shuffles before the match
+    pd_ = _plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" in pd_
+    assert "SortMergeJoin" not in pd_
+
+    # keyword_tfidf: df join rides a broadcast; the only exchanges are
+    # the two aggregates and the per-doc window
+    pt = _plan(spark, "keyword_tfidf")
+    assert "BroadcastHashJoin" in pt
+    assert "SortMergeJoin" not in pt
+
+    # pack_sequences: the corpus-side cumsum is range-partitioned (the
+    # scalable two-phase form); only the P-row offsets table may pass
+    # through a single partition
+    pp = _plan(spark, "pack_sequences")
+    assert "rangepartitioning" in pp
+    assert "BroadcastHashJoin" in pp  # offsets join back as broadcast
+
+    # pii_redact: pure scan-stage projection — no exchange at all
+    # before the presentation sort
+    pr = _plan(spark, "pii_redact")
+    assert "BroadcastHashJoin" not in pr and "SortMergeJoin" not in pr

@@ -254,3 +254,34 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     )
     ids = sorted(r.event_id for r in out.collect())
     assert ids == [1, 2, 3]
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
+    """Stream-stream interval join (view -> click within 10 min, same
+    user) equals the identical batch join expression."""
+    from ffi_etl_spark.streaming.events import stream_interval_join
+
+    src = stream_events(spark, events_dir)
+    out = run_to_memory(
+        stream_interval_join(
+            src.filter(F.col("event_type") == "view"),
+            src.filter(F.col("event_type") == "click"),
+            within="10 minutes",
+        )
+    )
+    ev = table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("l_event_id"), F.col("ts").alias("l_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("_rk"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    batch = v.join(
+        c,
+        F.expr("user_id = _rk AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 10 minutes"),
+    )
+    got = sorted((r.l_event_id, r.r_event_id) for r in out.collect())
+    want = sorted((r.l_event_id, r.r_event_id) for r in batch.collect())
+    assert got == want and len(got) > 0
