@@ -145,3 +145,42 @@ def interval_overlap_join(
     if cond is not None:
         join_cond = join_cond & cond
     return l2.join(r2, join_cond).drop("__bin", "__rbin", "__lsb", "__rsb")
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    keys: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: rows of the ``skewed`` (large) side draw a
+    uniform per-ROW salt in [0, n_salts); the ``other`` side is
+    replicated once per salt value; the join key becomes
+    (keys..., salt). A hot key's rows then fan out over ``n_salts``
+    reducer tasks instead of serializing through one straggler, and
+    every skewed row still meets exactly ONE replica of each matching
+    row — the result multiset is identical to the plain join.
+
+    Placement vs AQE: adaptive skew-join splitting already repairs most
+    batch skew at runtime (keep it on); explicit salting is the
+    deterministic lever for the cases AQE can't touch — stream-stream
+    joins (no runtime re-plan), skew you know in advance (null-heavy
+    keys), or engines/stages where AQE is disabled. The salt must vary
+    per row, NOT per key (hashing the key would re-concentrate the hot
+    key); ``rand`` is fine because the OUTPUT is salt-invariant — a
+    task retry may re-draw salts, changing only row placement.
+
+    Only inner/left are offered: replicating ``other`` makes its
+    unmatched rows appear once per salt, so right/full-outer semantics
+    would need a post-dedup that costs the shuffle this operator
+    exists to avoid."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted = skewed.withColumn(
+        "_salt", (F.rand(42) * n_salts).cast("int")
+    )
+    replicated = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted.join(replicated, [*keys, "_salt"], how).drop("_salt")

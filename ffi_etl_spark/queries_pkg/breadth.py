@@ -773,3 +773,40 @@ def _pack_sequences(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return pack_sequences(docs, chunk_tokens=256).orderBy("doc_id")
+
+
+@query(
+    "salted_join_agg",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,8))) AS DOUBLE) AS gross
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def _salted_join_agg(spark, sf_dir):
+    """Priority-level revenue through the skew-safe salted join
+    (operators/olap.py::salted_join): lineitem rows fan out over 8
+    salts, orders replicate per salt, and the differential proves the
+    salted result multiset identical to the plain SQL join. Money sums
+    ride DECIMAL(27,8) on both sides (addition-order-proof), double
+    only at the edge."""
+    from ffi_etl_spark.operators.olap import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, ["l_orderkey"], n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(27,8)"))
+            .cast("double")
+            .alias("gross"),
+        )
+        .orderBy("o_orderpriority")
+    )

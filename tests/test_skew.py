@@ -46,3 +46,37 @@ def test_skew_join_is_split(spark, skew_confs):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "skew=true" in plan  # AQE split the hot partition
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from ffi_etl_spark.operators.olap import salted_join
+
+    # 5000 rows on one hot key + a uniform tail, joined to a 6-key dim
+    big = spark.range(0, 5500).select(
+        F.when(F.col("id") < 5000, F.lit(0)).otherwise(F.col("id") % 5 + 1).alias("k"),
+        F.col("id").alias("row_id"),
+    )
+    dim = spark.createDataFrame(
+        [(i, f"name_{i}") for i in range(6)], "k long, name string"
+    )
+    got = salted_join(big, dim, ["k"], n_salts=4)
+    want = big.join(dim, ["k"])
+    assert got.count() == want.count() == 5500
+    assert (
+        sorted((r.row_id, r.name) for r in got.collect())
+        == sorted((r.row_id, r.name) for r in want.collect())
+    )
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from pyspark.sql import functions as F
+
+    from ffi_etl_spark.operators.olap import salted_join
+
+    big = spark.range(0, 100).select((F.col("id") % 10).alias("k"), F.col("id").alias("row_id"))
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "k long, name string")
+    got = salted_join(big, dim, ["k"], n_salts=4, how="left")
+    assert got.count() == 100  # unmatched rows appear exactly once
+    assert got.filter(F.col("name").isNull()).count() == 80
