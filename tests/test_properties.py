@@ -161,3 +161,28 @@ def test_resample_locf_matches_pandas(spark, obs):
         for ts, v in hourly.items():
             want[(u, ts.to_pydatetime())] = v
     assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=60),
+    nr=st.integers(min_value=1, max_value=9),
+)
+@settings(**_SETTINGS)
+def test_global_cumsum_exclusive_property(spark, vals, nr):
+    """For ANY value sequence and ANY range-partition count, the
+    two-phase cumsum equals the python prefix sum — the decomposition
+    is exact, not approximately right."""
+    from ffi_etl_spark.operators.textops import global_cumsum_exclusive
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        r["id"]: r["off"]
+        for r in global_cumsum_exclusive(df, "id", "v", "off", num_ranges=nr).collect()
+    }
+    acc, want = 0, {}
+    for i, v in enumerate(vals):
+        want[i] = acc
+        acc += v
+    assert got == want
