@@ -80,3 +80,22 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def triangle_enum(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """Enumerate triangles in an undirected pair graph (edges given
+    once with ``a < b``): rows (v1, v2, v3), v1 < v2 < v3 — the cluster
+    -density probe for a near-dup graph (a triangle-rich component is a
+    template family, not a chain of borderline matches).
+
+    The a<b edge orientation makes each triangle match exactly one join
+    pattern (wedge v1<v2<v3 closed by the (v1,v3) edge), so no
+    post-dedup is needed. Orientation by id is the differential-
+    testable choice; at 100 TB orient by DEGREE (lower-degree endpoint
+    first) instead — id orientation lets one high-id hub vertex own
+    O(deg²) wedges, degree orientation provably bounds per-vertex wedge
+    work (arboricity bound), same triangles out."""
+    e1 = pairs.select(F.col(a_col).alias("v1"), F.col(b_col).alias("v2"))
+    e2 = pairs.select(F.col(a_col).alias("v2"), F.col(b_col).alias("v3"))
+    e3 = pairs.select(F.col(a_col).alias("v1"), F.col(b_col).alias("v3"))
+    return e1.join(e2, "v2").join(e3, ["v1", "v3"]).select("v1", "v2", "v3")

@@ -810,3 +810,80 @@ def _salted_join_agg(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- data profiling: equi-width + equi-depth histograms -----------------------
+
+_HIST_WIDTH_ORACLE = """
+WITH rng AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+), binned AS (
+  SELECT CASE WHEN e.value >= rng.hi THEN 9
+              ELSE CAST(floor((e.value - rng.lo) / (rng.hi - rng.lo) * 10) AS BIGINT)
+         END AS bin
+  FROM events e CROSS JOIN rng
+)
+SELECT bin, COUNT(*) AS n
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+@query("histogram_equiwidth", oracle=_HIST_WIDTH_ORACLE)
+def _histogram_equiwidth(spark, sf_dir):
+    """10-bin equi-width histogram of events.value. The [lo, hi] range
+    is a 1-row broadcast (no collect); the bin formula is the identical
+    double expression on both engines (floor of correctly-rounded /,*
+    — bit-exact), with the max value clamped into the last bin. One
+    narrow pass + a 10-group aggregate: the profiling primitive at any
+    scale."""
+    ev = table(spark, sf_dir, "events")
+    rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bin_ = F.when(F.col("value") >= F.col("hi"), F.lit(9).cast("long")).otherwise(
+        F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10)
+    )
+    return (
+        ev.select("value")
+        .crossJoin(F.broadcast(rng))
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
+
+
+_HIST_DEPTH_ORACLE = """
+WITH tiled AS (
+  SELECT value, event_id,
+         ntile(10) OVER (ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT decile, COUNT(*) AS n,
+       MIN(value) AS lo, MAX(value) AS hi
+FROM tiled GROUP BY decile ORDER BY decile
+"""
+
+
+@query("histogram_equidepth", oracle=_HIST_DEPTH_ORACLE)
+def _histogram_equidepth(spark, sf_dir):
+    """Equi-depth (decile) histogram of events.value: ntile over a
+    total order (event_id breaks value ties, so bucket boundaries are
+    deterministic), then per-bucket count + bounds. The global-order
+    window is the single-partition formulation — the honest caveat is
+    in the operator family: at 100 TB use approx_percentile cutpoints
+    (Q:`approx_quantiles`) or the two-phase cumsum
+    (operators/textops.py::global_cumsum_exclusive) to place rows; this
+    query is the exact small-output profiling tier."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", "event_id", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("decile")
+    )

@@ -1017,3 +1017,24 @@ def _kmeans_clusters(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     return kmeans_cluster_profile(kmeans_lloyd(emb, k=5, n_iter=3))
+
+
+_TRIANGLES_ORACLE = f"""
+WITH p AS ({_ANN_ORACLE})
+SELECT e1.id_a AS v1, e1.id_b AS v2, e2.id_b AS v3
+FROM p e1
+JOIN p e2 ON e1.id_b = e2.id_a
+JOIN p e3 ON e1.id_a = e3.id_a AND e2.id_b = e3.id_b
+ORDER BY v1, v2, v3
+"""
+
+
+@query("graph_triangles", oracle=_TRIANGLES_ORACLE)
+def _graph_triangles(spark, sf_dir):
+    """Triangles of the embedding near-dup graph (operators/graph.py::
+    triangle_enum over ann_sign_lsh_pairs edges) — one oriented 3-way
+    self-join, no dedup pass needed."""
+    from ffi_etl_spark.operators.graph import triangle_enum
+
+    pairs = ann_sign_lsh_pairs(table(spark, sf_dir, "embeddings"), bits=8, threshold=0.15)
+    return triangle_enum(pairs).orderBy("v1", "v2", "v3")

@@ -186,3 +186,13 @@ def test_global_cumsum_exclusive_property(spark, vals, nr):
         want[i] = acc
         acc += v
     assert got == want
+
+
+def test_triangle_enum_crafted(spark):
+    from ffi_etl_spark.operators.graph import triangle_enum
+
+    # K4 on {1,2,3,4} (4 triangles) + a pendant edge (no triangle)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = sorted(tuple(r) for r in triangle_enum(df).collect())
+    assert got == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
