@@ -426,3 +426,47 @@ def _deterministic_sample(spark, sf_dir):
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "weighted_sample",
+    oracle="""
+WITH keyed AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         pow((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT + 1)
+               / 4294967296.0,
+             1.0 / o_totalprice) AS _key
+  FROM orders
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY _key DESC, o_orderkey) AS rk FROM keyed
+)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM ranked WHERE rk <= 100
+ORDER BY o_orderkey
+""",
+)
+def _weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis):
+    each row draws u in (0,1] and is ranked by u^(1/weight); the top-k
+    ARE a weight-proportional sample. The draw is md5-derived from the
+    key — reproducible across engines/runs/partitionings like
+    deterministic_sample, and the whole thing is one narrow projection
+    + a top-k (TakeOrderedAndProject — never a global sort), so it
+    scales like a scan. The sampling KEY itself is pow() (transcendental)
+    and is therefore not emitted — only the selected rows are; a
+    last-ulp cross-engine divergence could in principle flip the k-th
+    boundary row, in practice distinct md5 draws sit far apart.
+    row_number ties (none in practice) break on o_orderkey."""
+    o = table(spark, sf_dir, "orders")
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10).cast("long")
+        + F.lit(1)
+    ) / F.lit(4294967296.0)
+    key = F.pow(u, F.lit(1.0) / F.col("o_totalprice"))
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", key.alias("_key"))
+        .orderBy(F.desc("_key"), "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

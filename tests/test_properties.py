@@ -196,3 +196,28 @@ def test_triangle_enum_crafted(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = sorted(tuple(r) for r in triangle_enum(df).collect())
     assert got == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+
+def test_weighted_sample_overselects_heavy_rows(spark):
+    """Efraimidis-Spirakis top-k with md5 draws: rows with 1000x weight
+    must dominate the sample far beyond their 10% population share."""
+    from ffi_etl_spark.queries import QUERIES  # noqa: F401  (registry import)
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("o_orderkey"),
+        F.col("id").alias("o_custkey"),
+        F.when(F.col("id") < 100, F.lit(1000.0)).otherwise(F.lit(1.0)).alias("o_totalprice"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10).cast("long")
+        + F.lit(1)
+    ) / F.lit(4294967296.0)
+    key = F.pow(u, F.lit(1.0) / F.col("o_totalprice"))
+    top = (
+        df.select("o_orderkey", "o_totalprice", key.alias("_key"))
+        .orderBy(F.desc("_key"), "o_orderkey")
+        .limit(50)
+        .collect()
+    )
+    heavy = sum(1 for r in top if r["o_totalprice"] == 1000.0)
+    assert heavy >= 35  # 10% of the population, >=70% of the sample
