@@ -1,16 +1,27 @@
 """Build a cleaned pretraining corpus from a documents parquet table.
 
-The LLM-data composition (operators/corpus.py): quality cascade →
-exact dedup → MinHash near-dup components → one canonical doc per
-cluster, all as a single lazy Spark plan. Run:
+The full LLM-data composition, end to end and lazy per stage:
+
+  1. hygiene  — PII redaction (textops.redact_pii)
+  2. quality  — rejection cascade + Gopher repetition gate
+               (textops.quality_filter / repetition_filter)
+  3. dedup    — exact → MinHash near-dup components, one canonical doc
+               per cluster (operators/corpus.pretraining_corpus)
+  4. decontam — drop docs sharing word-5-grams with a held-out eval
+               split (textops.decontaminate)
+  5. pack     — concat-and-chunk the survivors into 256-token context
+               windows (textops.pack_sequences)
+
+Run:
 
     python examples/build_pretraining_corpus.py \
         [--input /root/testdata/sf0.01/documents.parquet] \
         [--out ./corpus_out]
 
-Prints per-stage survivor counts and writes the final (doc_id,
-n_chars) manifest as parquet. On real data, swap the manifest join for
-a semi-join back to the full document rows.
+Prints per-stage survivor counts and writes the packed-sequence
+manifest as parquet. On real data, swap the manifest join for a
+semi-join back to the full document rows, and swap the whitespace
+token count inside pack_sequences for your tokenizer's.
 """
 
 from __future__ import annotations
@@ -32,23 +43,57 @@ def main() -> None:
 
     from ffi_etl_spark.operators.corpus import pretraining_corpus
     from ffi_etl_spark.operators.dedup import dedup_minhash_lsh
-    from ffi_etl_spark.operators.textops import quality_filter
+    from ffi_etl_spark.operators.textops import (
+        decontaminate,
+        pack_sequences,
+        quality_filter,
+        redact_pii,
+        repetition_filter,
+    )
     from ffi_etl_spark.session import get_session
 
     spark = get_session("build-corpus")
     docs = spark.read.parquet(args.input)
     n0 = docs.count()
 
-    kept = quality_filter(docs).filter(F.col("keep")).count()
-    pairs = dedup_minhash_lsh(docs).count()
-    final = pretraining_corpus(docs)
-    final.write.mode("overwrite").parquet(args.out)
-    n_final = spark.read.parquet(args.out).count()
+    # 1. hygiene: scrub PII in place (narrow, scan-stage rewrite)
+    clean = redact_pii(docs).select(
+        "doc_id", F.col("redacted").alias("text")
+    )
 
-    print(f"input docs:          {n0}")
-    print(f"pass quality gate:   {kept}")
-    print(f"near-dup pairs:      {pairs}")
-    print(f"final corpus:        {n_final}  -> {args.out}")
+    # 2. quality: cascade + repetition gate
+    q_ok = quality_filter(clean).filter(F.col("keep")).select("doc_id")
+    r_ok = repetition_filter(clean).filter(F.col("keep")).select("doc_id")
+    gated = clean.join(q_ok, "doc_id").join(r_ok, "doc_id")
+    n_gated = gated.count()
+
+    # 3. dedup: exact + near-dup components -> canonical survivors
+    pairs = dedup_minhash_lsh(gated).count()
+    survivors = pretraining_corpus(gated)
+    n_dedup = survivors.count()
+
+    # 4. decontamination: doc_id % 10 == 0 stands in for the eval split
+    contaminated = decontaminate(gated, F.col("doc_id") % 10 == 0, n=5).select("doc_id")
+    final_ids = (
+        survivors.join(contaminated, "doc_id", "left_anti")
+        .filter(F.col("doc_id") % 10 != 0)
+    )
+    final_docs = gated.join(final_ids.select("doc_id"), "doc_id")
+    n_final = final_docs.count()
+
+    # 5. pack into 256-token context windows
+    packed = pack_sequences(final_docs, chunk_tokens=256)
+    packed.write.mode("overwrite").parquet(args.out)
+    n_chunks = (
+        spark.read.parquet(args.out).agg(F.max("chunk_end")).collect()[0][0] or 0
+    ) + 1
+
+    print(f"input docs:            {n0}")
+    print(f"pass quality gates:    {n_gated}")
+    print(f"near-dup pairs:        {pairs}")
+    print(f"dedup survivors:       {n_dedup}")
+    print(f"after decontamination: {n_final}")
+    print(f"packed 256-tok chunks: {n_chunks}  -> {args.out}")
 
 
 if __name__ == "__main__":
