@@ -102,3 +102,42 @@ def read_binary_files(
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_csv_lenient(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    corrupt_col: str = "_corrupt_record",
+    **options,
+) -> DataFrame:
+    """Schema'd CSV read that QUARANTINES malformed rows instead of
+    failing or silently dropping them: PERMISSIVE mode parks each
+    unparseable line, whole, in ``corrupt_col`` (appended to the
+    schema here) with every typed column null. Callers split on
+    ``col(corrupt_col).isNotNull()`` and route the quarantine to a
+    dead-letter sink.
+
+    This makes the reference's accidental policy explicit and safe:
+    its writers swallowed exceptions (utils.py:140-142) and its
+    cleaners ignored missing columns (transform_alchemer_data.py:31-33)
+    — fail-fast core, lenient EDGE, with the lenience now visible as
+    data instead of lost as prints. At 100 TB a handful of mangled
+    lines must never kill a 1000-executor job, and they must still be
+    accounted for."""
+    from pyspark.sql.types import StringType
+
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    full = schema.add(corrupt_col, StringType(), True)
+    reader = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)

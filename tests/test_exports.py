@@ -41,3 +41,24 @@ def test_binary_file_source_feeds_multimodal(spark, tmp_path):
         i = int(name.split("_")[1].split(".")[0])
         assert feats[i]["byte_len"] == len(data)
         assert feats[i]["sha256"] == hashlib.sha256(data).hexdigest()
+
+
+def test_read_csv_lenient_quarantines_bad_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ffi_etl_spark.sources.readers import read_csv_lenient
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,amount\n"
+        "1,10.5\n"
+        "2,not_a_number\n"
+        "3,30.25\n"
+    )
+    df = read_csv_lenient(spark, str(p), "id int, amount double").cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r.id for r in good.collect()) == [1, 3]
+    assert bad.count() == 1
+    assert "not_a_number" in bad.collect()[0]["_corrupt_record"]
+    df.unpersist()
