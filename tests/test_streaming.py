@@ -285,3 +285,47 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
     got = sorted((r.l_event_id, r.r_event_id) for r in out.collect())
     want = sorted((r.l_event_id, r.r_event_id) for r in batch.collect())
     assert got == want and len(got) > 0
+
+
+def test_continuous_aggregate_drops_data_older_than_watermark(spark, tmp_path):
+    """The state-eviction contract: a bucket already closed by the
+    checkpointed watermark is NOT revised by later-arriving data (the
+    lateness budget is the re-statement horizon, not forever)."""
+    from ffi_etl_spark.streaming.events import continuous_aggregate
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "cagg")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows):
+        spark.createDataFrame(rows).write.mode("append").parquet(src)
+
+    def drain():
+        continuous_aggregate(
+            stream_tumbling_agg(stream_events(spark, src), "1 hour", watermark="2 hours"),
+            target,
+            bucket_keys=["window_start", "event_type"],
+            checkpoint=ckpt,
+        )
+        return {
+            (r.window_start, r.event_type): r.n_events
+            for r in spark.read.parquet(target).collect()
+        }
+
+    # tranche 1: one event at 10:00, one at 20:00 -> watermark ends at 18:00
+    land([
+        Row(event_id=1, ts=datetime(2024, 1, 1, 10, 0), user_id=1, event_type="a", value=1.0, props=""),
+        Row(event_id=2, ts=datetime(2024, 1, 1, 20, 0), user_id=1, event_type="a", value=1.0, props=""),
+    ])
+    first = drain()
+    assert first[(datetime(2024, 1, 1, 10, 0), "a")] == 1
+
+    # tranche 2: a 10:30 straggler is 7.5h older than the watermark ->
+    # its bucket is closed; a 19:30 row is inside the budget -> lands
+    land([
+        Row(event_id=3, ts=datetime(2024, 1, 1, 10, 30), user_id=1, event_type="a", value=1.0, props=""),
+        Row(event_id=4, ts=datetime(2024, 1, 1, 19, 30), user_id=1, event_type="a", value=1.0, props=""),
+    ])
+    second = drain()
+    assert second[(datetime(2024, 1, 1, 10, 0), "a")] == 1  # NOT revised to 2
+    assert second[(datetime(2024, 1, 1, 19, 0), "a")] == 1  # accepted
