@@ -294,3 +294,34 @@ def pack_sequences(
         chunk_end.alias("chunk_end"),
         (chunk_end - chunk_start + F.lit(1)).alias("n_chunks"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Per-document sliding-window chunking — the RAG/embedding-prep
+    splitter (complement of ``pack_sequences``, which packs MANY docs
+    onto one global axis; this cuts EACH doc into overlapping windows
+    for retrieval indexing). Chunk i covers tokens
+    [1 + i*stride, 1 + i*stride + chunk_tokens); the final partial
+    window is kept (a short tail beats a lost tail for recall).
+
+    Entirely narrow — tokenize, sequence the window starts, slice, one
+    posexplode; no shuffle at any scale, so chunking rides the same
+    scan that reads the corpus."""
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(tokens), F.lit(1)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(tokens, s, chunk_tokens))
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    ).withColumn(
+        "n_tokens", F.size(F.split(F.col("chunk_text"), r"\s+"))
+    )

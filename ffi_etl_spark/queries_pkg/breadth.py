@@ -887,3 +887,37 @@ def _histogram_equidepth(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+
+
+@query(
+    "chunk_documents",
+    oracle=r"""
+WITH toked AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), starts AS (
+  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks), 1), 32)) AS s
+  FROM toked
+)
+SELECT doc_id,
+       ((s - 1) / 32)::BIGINT AS chunk_idx,
+       array_to_string(toks[s : s + 63], ' ') AS chunk_text,
+       len(string_split_regex(array_to_string(toks[s : s + 63], ' '), '\s+'))::INT AS n_tokens
+FROM starts
+ORDER BY doc_id, chunk_idx
+""",
+)
+def _chunk_documents(spark, sf_dir):
+    """Sliding 64-token windows at stride 32 per document
+    (operators/textops.py::chunk_documents). DuckDB slice ``[s:s+63]``
+    is inclusive-end = Spark ``slice(toks, s, 64)``; chunk_idx is the
+    0-based window ordinal (posexplode == (s-1)/stride)."""
+    from ffi_etl_spark.operators.textops import chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        chunk_documents(docs, chunk_tokens=64, stride=32)
+        .withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -131,3 +131,23 @@ def test_pack_sequences_layout(spark):
     assert (rows[2]["tok_start"], rows[2]["chunk_start"], rows[2]["chunk_end"]) == (3, 0, 2)
     assert rows[2]["n_chunks"] == 3
     assert (rows[3]["tok_start"], rows[3]["chunk_start"], rows[3]["n_chunks"]) == (9, 2, 1)
+
+
+def test_chunk_documents_windows(spark):
+    from ffi_etl_spark.operators.textops import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "short doc")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    )
+    # doc 1: starts at tokens 1,4,7,10 -> windows of 4 with a short tail
+    assert rows[0] == (1, 0, "t0 t1 t2 t3", 4)
+    assert rows[1] == (1, 1, "t3 t4 t5 t6", 4)
+    assert rows[2] == (1, 2, "t6 t7 t8 t9", 4)
+    assert rows[3] == (1, 3, "t9", 1)
+    # doc 2: single window shorter than chunk_tokens
+    assert rows[4] == (2, 0, "short doc", 2)
