@@ -325,3 +325,67 @@ def chunk_documents(
     ).withColumn(
         "n_tokens", F.size(F.split(F.col("chunk_text"), r"\s+"))
     )
+
+
+def term_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` collocations: ordered term pairs co-occurring within
+    ``window`` tokens, scored by the Dice coefficient
+    ``2·f(a,b) / (f(a)+f(b))`` — the phrase-mining primitive behind
+    tokenizer-vocabulary candidates and stop-phrase lists. Dice (not
+    PMI) on purpose: it's a single division of exact integer counts, so
+    scores are bit-identical cross-engine where PMI's log is not.
+
+    Pair generation is NARROW: per doc, a nested transform emits the
+    ≤``window`` forward neighbors of each position (guarded to the
+    empty array for 1-token docs — ``sequence(1, 0)`` would descend),
+    then one explode feeds the (a, b) count aggregate. No join happens
+    until the (vocab-sized, broadcastable) unigram counts attach to the
+    surviving ``min_count``-filtered pairs; top-k is a TakeOrdered, not
+    a global sort."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    pair_arr = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(F.lit(1), F.least(F.lit(window), n - i)),
+                    lambda d: F.struct(
+                        F.element_at(toks, i).alias("a"),
+                        F.element_at(toks, (i + d).cast("int")).alias("b"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pairs = df.select(F.explode(pair_arr).alias("p")).select("p.a", "p.b")
+    pair_counts = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ua = F.broadcast(uni.withColumnsRenamed({"term": "a", "n": "n_a"}))
+    ub = F.broadcast(uni.withColumnsRenamed({"term": "b", "n": "n_b"}))
+    dice = (F.col("n_ab") * 2).cast("double") / (
+        (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    return (
+        pair_counts.join(ua, "a")
+        .join(ub, "b")
+        .select("a", "b", "n_ab", "n_a", "n_b", dice.alias("dice"))
+        .orderBy(F.desc("dice"), "a", "b")
+        .limit(k)
+    )

@@ -921,3 +921,41 @@ def _chunk_documents(spark, sf_dir):
         .withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@query(
+    "term_collocations",
+    oracle=r"""
+WITH toked AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+), pos AS (
+  SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM toked WHERE len(toks) >= 2
+), pd AS (
+  SELECT toks, i, unnest(generate_series(1, least(3, len(toks) - i))) AS d FROM pos
+), pc AS (
+  SELECT toks[i] AS a, toks[i + d] AS b, COUNT(*) AS n_ab
+  FROM pd GROUP BY 1, 2 HAVING COUNT(*) >= 5
+), uni AS (
+  SELECT unnest(toks) AS term FROM toked
+), uc AS (
+  SELECT term, COUNT(*) AS n FROM uni GROUP BY term
+), scored AS (
+  SELECT pc.a, pc.b, pc.n_ab, ua.n AS n_a, ub.n AS n_b,
+         (pc.n_ab * 2)::DOUBLE / (ua.n + ub.n)::DOUBLE AS dice
+  FROM pc JOIN uc ua ON pc.a = ua.term JOIN uc ub ON pc.b = ub.term
+)
+SELECT * FROM scored ORDER BY dice DESC, a, b LIMIT 50
+""",
+)
+def _term_collocations(spark, sf_dir):
+    """Top-50 within-3-token collocations by Dice coefficient
+    (operators/textops.py::term_collocations): exact integer counts,
+    one double division — the transcendental-free collocation score
+    that survives the value-hash gate."""
+    from ffi_etl_spark.operators.textops import term_collocations
+
+    docs = table(spark, sf_dir, "documents")
+    return term_collocations(docs, window=3, min_count=5, k=50).orderBy(
+        F.desc("dice"), "a", "b"
+    )

@@ -151,3 +151,17 @@ def test_chunk_documents_windows(spark):
     assert rows[3] == (1, 3, "t9", 1)
     # doc 2: single window shorter than chunk_tokens
     assert rows[4] == (2, 0, "short doc", 2)
+
+
+def test_term_collocations_finds_planted_phrase(spark):
+    from ffi_etl_spark.operators.textops import term_collocations
+
+    rows = [(i, "the quick fox saw a dull dog") for i in range(10)]
+    rows += [(100 + i, "unrelated words entirely here") for i in range(3)]
+    rows += [(200, "solo")]  # 1-token doc: must not break pair generation
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = term_collocations(df, window=2, min_count=5, k=5).collect()
+    top = (out[0]["a"], out[0]["b"])
+    # every repeated-doc adjacency has f(a,b)=10 = f(a)=f(b) -> dice=1.0
+    assert out[0]["dice"] == 1.0 and top[0] != top[1]
+    assert all(r["n_ab"] >= 5 for r in out)
