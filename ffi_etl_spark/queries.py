@@ -27,6 +27,11 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} — a silent overwrite "
+                "would shadow one implementation's gate with another's"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -42,4 +47,6 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
     olap_spines,
     olap_spines2,
     breadth,
+    profiling,
+    behavioral,
 )

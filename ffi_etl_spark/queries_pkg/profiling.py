@@ -1,0 +1,220 @@
+"""Data-profiling and entity-matching queries: single-scan column
+profiler, per-group z-score standardization, blocked fuzzy matching.
+
+These extend the engine's introspection surface (the reference's only
+introspection is its table lister, ``SURVEY.md §2`` S6) with the
+profile/quality/match operators a data platform team runs before and
+after every large ingest. Every query has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ffi_etl_spark.catalog import table
+from ffi_etl_spark.queries import query
+
+
+# --- single-scan column profiler ----------------------------------------------
+
+# (column, stringifier) — min/max are canonicalized to strings so one
+# long-format schema covers every column type. Doubles go through
+# printf('%.6f') on BOTH engines (C-style formatting, bit-identical for
+# in-range values); timestamps through an explicit pattern so neither
+# engine's default cast format leaks in.
+_PROFILE_COLS = [
+    ("o_orderkey", "cast"),
+    ("o_custkey", "cast"),
+    ("o_orderstatus", "cast"),
+    ("o_totalprice", "f6"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "cast"),
+]
+
+
+def _duck_str(expr, kind):
+    if kind == "f6":
+        return f"printf('%.6f', {expr})"
+    if kind == "ts":
+        return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+    return f"CAST({expr} AS VARCHAR)"
+
+
+def _profile_oracle() -> str:
+    selects = []
+    for col, kind in _PROFILE_COLS:
+        selects.append(
+            f"SELECT '{col}' AS col_name, COUNT(*) AS n_rows,"
+            f" COUNT(*) - COUNT({col}) AS n_nulls,"
+            f" COUNT(DISTINCT {col}) AS n_distinct,"
+            f" {_duck_str(f'MIN({col})', kind)} AS min_str,"
+            f" {_duck_str(f'MAX({col})', kind)} AS max_str"
+            f" FROM orders"
+        )
+    return "\nUNION ALL ".join(selects) + "\nORDER BY col_name"
+
+
+@query("profile_columns", oracle=_profile_oracle())
+def _profile_columns(spark, sf_dir):
+    """Whole-table column profile (rows / nulls / exact distincts /
+    min / max per column) in ONE scan: every per-column statistic is an
+    aggregate expression in a single ``agg``, so Spark reads the table
+    once; the wide one-row result is lowered to long format with an
+    array-of-structs explode (driver-free, K rows).
+
+    Scale note: N exact ``count(distinct)`` in one agg plan through an
+    Expand operator (N× the input rows into the shuffle). At 100 TB the
+    production tier swaps ``countDistinct`` → ``approx_count_distinct``
+    (HLL partials, no Expand) — same plan shape, sketch merge instead
+    of exact dedup. Exact kept here because the oracle gate compares
+    values bit-for-bit.
+    """
+    t = table(spark, sf_dir, "orders")
+    # min/max are computed on the RAW column (so ordering semantics
+    # match the oracle's MIN()-then-format, never string ordering where
+    # "10" < "9") and stringified afterwards.
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, kind in _PROFILE_COLS:
+        aggs += [
+            F.count(col).alias(f"{col}__nn"),
+            F.countDistinct(col).alias(f"{col}__nd"),
+        ]
+        if kind == "cast":
+            aggs += [
+                F.min(col).cast("string").alias(f"{col}__min"),
+                F.max(col).cast("string").alias(f"{col}__max"),
+            ]
+        else:
+            aggs += [
+                _spark_fmt_minmax(col, kind, "min").alias(f"{col}__min"),
+                _spark_fmt_minmax(col, kind, "max").alias(f"{col}__max"),
+            ]
+    wide = t.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(col).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"{col}__nn")).alias("n_nulls"),
+                F.col(f"{col}__nd").alias("n_distinct"),
+                F.col(f"{col}__min").alias("min_str"),
+                F.col(f"{col}__max").alias("max_str"),
+            )
+            for col, _ in _PROFILE_COLS
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+def _spark_fmt_minmax(col, kind, which):
+    agg = F.min(col) if which == "min" else F.max(col)
+    if kind == "f6":
+        return F.format_string("%.6f", agg)
+    return F.date_format(agg, "yyyy-MM-dd HH:mm:ss")
+
+
+# --- per-group standardization (z-score feature scaling) ----------------------
+
+@query(
+    "zscore_normalize",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         AVG(value) AS mu,
+         STDDEV_SAMP(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       (e.value - s.mu) / s.sigma AS z
+FROM events e JOIN s USING (event_type)
+WHERE e.event_id % 97 = 0
+ORDER BY e.event_id
+""",
+)
+def _zscore_normalize(spark, sf_dir):
+    """Per-group feature standardization (the classic ML preprocessing
+    step): one hash aggregate computes per-type (mean, stddev), then a
+    **broadcast** join maps the K-row stats back over the fact rows —
+    no shuffle of the big side, no window over the whole table.
+
+    The ``event_id % 97`` filter picks the checked subset by a
+    *deterministic integer* predicate, so gate membership can never
+    flip on float noise; the z values themselves go through the
+    driver's 6-sig-fig canon (same contract as ``stats_moments``).
+    """
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.col("event_id") % 97 == 0)
+        .select(
+            "event_id",
+            "event_type",
+            ((F.col("value") - F.col("mu")) / F.col("sigma")).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --- blocked fuzzy matching (edit-distance entity resolution) -----------------
+
+@query(
+    "fuzzy_match_blocked",
+    oracle="""
+WITH names AS (
+  SELECT p_name, COUNT(*) AS n, split_part(p_name, ' ', 1) AS blk
+  FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist,
+       a.n AS n_a, b.n AS n_b
+FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+ORDER BY name_a, name_b
+""",
+)
+def _fuzzy_match_blocked(spark, sf_dir):
+    """Entity resolution by edit distance, made scalable by the
+    canonical block-then-verify shape: (1) collapse the fact table to
+    DISTINCT names + frequencies (tiny), (2) self-join only within a
+    cheap blocking key (first token) so the O(n²) candidate space is
+    per-block, (3) verify candidates with exact ``levenshtein`` —
+    classic DP, bit-identical integers on both engines.
+
+    At 100 TB the same plan holds: the distinct-names aggregation is
+    the only pass over the corpus; blocks shuffle by key and the
+    quadratic work is bounded per block (skewed blocks → re-block on a
+    longer prefix, same trick as LSH band salting in
+    ``operators/dedup.py``).
+    """
+    names = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("blk", F.split("p_name", " ")[0])
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+        .where(F.col("dist") <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            "dist",
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .orderBy("name_a", "name_b")
+    )

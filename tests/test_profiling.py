@@ -1,0 +1,57 @@
+"""Tests for the profiling/matching queries (queries_pkg/profiling.py)."""
+
+from __future__ import annotations
+
+from ffi_etl_spark.queries import QUERIES
+
+
+def test_profile_columns_invariants(spark, sf_dir):
+    rows = {r["col_name"]: r for r in QUERIES["profile_columns"](spark, sf_dir).collect()}
+    assert set(rows) == {
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    }
+    n_rows = {r["n_rows"] for r in rows.values()}
+    assert len(n_rows) == 1 and n_rows.pop() > 0  # one scan, one row count
+    for r in rows.values():
+        assert 0 <= r["n_nulls"] <= r["n_rows"]
+        assert 1 <= r["n_distinct"] <= r["n_rows"]
+    # primary key: all-distinct, no nulls
+    pk = rows["o_orderkey"]
+    assert pk["n_nulls"] == 0 and pk["n_distinct"] == pk["n_rows"]
+    # formatted doubles keep 6 decimal places; min <= max numerically
+    lo, hi = rows["o_totalprice"]["min_str"], rows["o_totalprice"]["max_str"]
+    assert "." in lo and len(lo.split(".")[1]) == 6
+    assert float(lo) <= float(hi)
+
+
+def test_profile_columns_single_scan(spark, sf_dir):
+    plan = QUERIES["profile_columns"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1  # all stats from one pass
+
+
+def test_zscore_normalize_stats_and_plan(spark, sf_dir):
+    df = QUERIES["zscore_normalize"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # K-row stats side must broadcast
+    rows = df.collect()
+    assert rows, "deterministic event_id % 97 subset should be non-empty"
+    ids = [r["event_id"] for r in rows]
+    assert ids == sorted(ids) and all(i % 97 == 0 for i in ids)
+    zs = [r["z"] for r in rows]
+    assert all(z == z and abs(z) < 50 for z in zs)  # finite, sane scale
+
+
+def test_fuzzy_match_blocked_semantics(spark, sf_dir):
+    rows = QUERIES["fuzzy_match_blocked"](spark, sf_dir).collect()
+    assert rows, "testdata has rod/bolt and rod/ring near-matches"
+    for r in rows:
+        assert r["name_a"] < r["name_b"]  # canonical pair order, no dups
+        assert 1 <= r["dist"] <= 3
+        # blocking key: pairs share their first token
+        assert r["name_a"].split(" ")[0] == r["name_b"].split(" ")[0]
+        assert r["n_a"] > 0 and r["n_b"] > 0
