@@ -49,4 +49,5 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
     breadth,
     profiling,
     behavioral,
+    datamix,
 )

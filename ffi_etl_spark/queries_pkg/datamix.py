@@ -1,0 +1,184 @@
+"""Training-data layout queries: shard assignment, source-mixture
+balancing, sorted-neighborhood dedup.
+
+The export-side ops of a pretraining pipeline: how a cleaned corpus is
+sharded, mixed, and last-pass deduplicated on its way to the trainer.
+All draws are md5-derived so both engines compute identical integers
+(engine-state memory: ``conv(substr(md5(x),1,8),16,10)`` ==
+``('0x'||substr(md5(x),1,8))::BIGINT``) — sampling decisions are pure
+integer comparisons, never float thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ffi_etl_spark.catalog import table
+from ffi_etl_spark.queries import query
+
+
+def _md5_key(col):
+    """First 32 bits of md5 as a BIGINT in [0, 2^32) — the engine's
+    portable uniform draw."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+# --- deterministic shard assignment -------------------------------------------
+
+@query(
+    "shard_assignment",
+    oracle="""
+SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard_id,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS chars_total,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY shard_id
+ORDER BY shard_id
+""",
+)
+def _shard_assignment(spark, sf_dir):
+    """Deterministic 16-way shard layout for a training export: shard =
+    md5(doc_id) mod 16, so the assignment is stable across runs,
+    engines, and partitionings (a seeded ``repartition`` is not). The
+    summary here is the manifest a trainer checks (docs + chars per
+    shard); the real export is one ``write.partitionBy("shard_id")``
+    over the same expression. ``n_chars`` is integer, so SUM is exact
+    on both engines."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("shard_id", _md5_key(F.col("doc_id")) % 16)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+# --- source-mixture balancing -------------------------------------------------
+
+@query(
+    "mixture_balance",
+    oracle="""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source
+),
+mn AS (SELECT MIN(n_total) AS min_n FROM counts),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_kept
+  FROM documents d
+  JOIN counts c USING (source) CROSS JOIN mn
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT * c.n_total
+        < mn.min_n * 4294967296
+  GROUP BY d.source
+)
+SELECT c.source, c.n_total, COALESCE(k.n_kept, 0) AS n_kept
+FROM counts c LEFT JOIN kept k USING (source)
+ORDER BY c.source
+""",
+)
+def _mixture_balance(spark, sf_dir):
+    """Data-mixture balancing: downsample every source to the size of
+    the smallest one (uniform target mixture), with a per-document
+    md5 draw. The keep decision is the INTEGER comparison
+    ``draw * n_source < min_n * 2^32`` — exactly the rational
+    ``draw/2^32 < min_n/n_source`` with no float rounding to disagree
+    on (draw < 2^32 and counts < 2^31 keep the product inside int64).
+
+    Plan: one K-row counts agg, broadcast back over the corpus
+    (`n_total` per row), scan-side filter. Two passes over documents,
+    zero wide shuffles of the corpus — the 100 TB shape."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    min_n = counts.agg(F.min("n_total").alias("min_n"))
+    kept = (
+        d.join(F.broadcast(counts), "source")
+        .join(F.broadcast(min_n))
+        .where(
+            _md5_key(F.col("doc_id")) * F.col("n_total")
+            < F.col("min_n") * F.lit(4294967296)
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        counts.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- sorted-neighborhood dedup ------------------------------------------------
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         lower(regexp_replace(substr(text, 1, 40), '\\s+', '', 'g')) AS sk
+  FROM documents
+),
+blocked AS (
+  SELECT doc_id, sk, substr(sk, 1, 2) AS blk FROM keyed
+),
+lagged AS (
+  SELECT blk, doc_id, sk,
+         LAG(doc_id) OVER w AS prev_id,
+         LAG(sk) OVER w AS prev_sk
+  FROM blocked
+  WINDOW w AS (PARTITION BY blk ORDER BY sk, doc_id)
+)
+SELECT prev_id AS doc_a, doc_id AS doc_b,
+       levenshtein(prev_sk, sk) AS dist
+FROM lagged
+WHERE prev_id IS NOT NULL AND levenshtein(prev_sk, sk) <= 8
+ORDER BY doc_a, doc_b
+""",
+)
+def _dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood dedup (the third blocking family beside
+    LSH — `operators/dedup.py` — and token blocking —
+    `fuzzy_match_blocked`): normalize a 40-char sort key, sort within
+    a 2-char prefix block, and compare each doc to its immediate
+    neighbor with exact ``levenshtein``. Near-dups cluster under the
+    sort, so a window of 1 catches them at O(n log n), not O(n²).
+
+    The window partitions by the prefix block — neighbor pairs that
+    straddle block boundaries are the method's documented loss (SNM's
+    classic trade) and what keeps this a per-block sort instead of a
+    single-partition global window at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.lower(
+            F.regexp_replace(F.substring("text", 1, 40), r"\s+", "")
+        ).alias("sk"),
+    ).withColumn("blk", F.substring("sk", 1, 2))
+    w = Window.partitionBy("blk").orderBy("sk", "doc_id")
+    lagged = keyed.select(
+        "doc_id",
+        "sk",
+        F.lag("doc_id").over(w).alias("prev_id"),
+        F.lag("sk").over(w).alias("prev_sk"),
+    )
+    return (
+        lagged.where(F.col("prev_id").isNotNull())
+        .withColumn("dist", F.levenshtein("prev_sk", "sk"))
+        .where(F.col("dist") <= 8)
+        .select(
+            F.col("prev_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            "dist",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
