@@ -50,4 +50,5 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
     profiling,
     behavioral,
     datamix,
+    audit,
 )

@@ -1,0 +1,205 @@
+"""Temporal-audit queries: exact rolling distinct users, Markov
+transition matrix, referential-integrity audit.
+
+Rolling COUNT(DISTINCT) is the one window aggregate Spark (and SQL)
+cannot express directly — ``COUNT(DISTINCT) OVER (RANGE ...)`` is
+unsupported — so ``rolling_distinct_users`` lowers it to an exact
+interval-merge + difference-array plan instead of the quadratic
+day×activity range join the oracle runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ffi_etl_spark.catalog import table
+from ffi_etl_spark.queries import query
+
+
+# --- exact rolling 7-day distinct users ---------------------------------------
+
+@query(
+    "rolling_distinct_users",
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM activity)
+SELECT d.day, COUNT(DISTINCT a.user_id) AS rolling_users
+FROM days d JOIN activity a ON a.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+ORDER BY d.day
+""",
+)
+def _rolling_distinct_users(spark, sf_dir):
+    """Exact trailing-7-day distinct users for every active day,
+    WITHOUT the O(days × activity) range join the oracle uses.
+
+    A user is counted on day d iff they were active in [d-6, d] —
+    i.e. iff d falls in the union of per-activity intervals
+    [day, day+6]. So: (1) dedup to (user, day); (2) gaps-and-islands
+    per user merges overlapping intervals (gap ≤ 6 chains); (3) each
+    merged interval emits +1 at start and -1 past end; (4) a running
+    sum over the K distinct days evaluates the interval-stabbing count.
+
+    Everything heavy is keyed by ``user_id`` (one shuffle, reused by
+    the dedup, the island window, and the interval agg); the final
+    cumsum runs over K post-agg calendar days — the documented K-row
+    global-window pattern, NOT a window over facts."""
+    ev = table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = (
+        activity.withColumn("gap", F.datediff("day", F.lag("day").over(w)))
+        .withColumn(
+            "new_island",
+            F.when(F.col("gap").isNull() | (F.col("gap") > 6), 1).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    intervals = islands.groupBy("user_id", "island").agg(
+        F.min("day").alias("start"),
+        F.date_add(F.max("day"), 6).alias("end"),
+    )
+    deltas = (
+        intervals.select(F.col("start").alias("day"), F.lit(1).alias("delta"))
+        .unionByName(
+            intervals.select(
+                F.date_add("end", 1).alias("day"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    qdays = activity.select("day").distinct().withColumn("delta", F.lit(0))
+    merged = (
+        deltas.unionByName(qdays).groupBy("day").agg(F.sum("delta").alias("delta"))
+    )
+    counts = merged.withColumn(
+        "rolling_users",
+        F.sum("delta").over(
+            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        counts.join(qdays.select("day"), "day")
+        .select("day", "rolling_users")
+        .orderBy("day")
+    )
+
+
+# --- Markov transition matrix over event sequences ----------------------------
+
+@query(
+    "markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS src, nxt AS dst, COUNT(*) AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+FROM pairs
+ORDER BY src, dst
+""",
+)
+def _markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (ties broken by ``event_id``): bigram via per-key LEAD,
+    hash-agg to S² pair counts, row-normalize with a window over the
+    tiny S² frame. The probability is a ratio of two exact integer
+    counts cast to double — bit-identical across engines."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.select(
+        "src",
+        "dst",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("src")).cast("double")
+        ).alias("p"),
+    ).orderBy("src", "dst")
+
+
+# --- referential-integrity audit ----------------------------------------------
+
+_FK_EDGES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_oracle() -> str:
+    selects = []
+    for child, fk, parent, pk in _FK_EDGES:
+        selects.append(
+            f"SELECT '{child}.{fk}->{parent}.{pk}' AS edge,"
+            f" (SELECT COUNT(*) FROM {child}) AS n_child,"
+            f" (SELECT COUNT(*) FROM {child} c"
+            f"  WHERE c.{fk} IS NOT NULL"
+            f"    AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})"
+            f" ) AS n_orphans"
+        )
+    return "\nUNION ALL ".join(selects) + "\nORDER BY edge"
+
+
+@query("fk_integrity_audit", oracle=_fk_oracle())
+def _fk_integrity_audit(spark, sf_dir):
+    """Post-ingest referential-integrity sweep: for every declared FK
+    edge, count child rows whose non-null key has no parent (left-anti
+    join). Parents are dimension-sized, so every probe broadcasts —
+    the whole audit is map-side against each fact scan, no shuffle of
+    any fact table. The reference engine's pipelines assume intact
+    keys and silently drop on merge (SURVEY.md §2 J1/J2); this makes
+    the assumption a measured gate instead."""
+    frames = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = table(spark, sf_dir, child)
+        p = table(spark, sf_dir, parent)
+        orphans = (
+            c.where(F.col(fk).isNotNull())
+            .join(F.broadcast(p), c[fk] == p[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        total = c.agg(F.count(F.lit(1)).alias("n_child"))
+        frames.append(
+            total.join(orphans)
+            .select(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("edge"),
+                "n_child",
+                "n_orphans",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("edge")
