@@ -99,3 +99,85 @@ def triangle_enum(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b") ->
     e2 = pairs.select(F.col(a_col).alias("v2"), F.col(b_col).alias("v3"))
     e3 = pairs.select(F.col(a_col).alias("v1"), F.col(b_col).alias("v3"))
     return e1.join(e2, "v2").join(e3, ["v1", "v3"]).select("v1", "v2", "v3")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    undirected: bool = False,
+) -> DataFrame:
+    """Power-iteration PageRank over an edge list — the second
+    iterative operator beside ``connected_components``, sharing its
+    loop discipline (``localCheckpoint`` per round to truncate lineage,
+    cheapest-possible driver probe for convergence).
+
+    Returns ``(vertex, rank)`` with ranks summing to 1. Dangling
+    vertices (no out-edges) redistribute their mass uniformly — the
+    standard stochastic-matrix repair — via a 1-row aggregate per
+    round (same cost class as the convergence probe). ``undirected``
+    symmetrizes the edge list first (near-dup graphs: rank becomes a
+    centrality score for template families — high-rank docs sit in
+    dense mirror clusters).
+
+    Per round: one join of ranks onto edges (both sides partitioned by
+    vertex id; the edge list's partitioning is reused every round
+    because the checkpoint pins it) and one dst-keyed partial+final
+    agg. Rows-only gate: iterative floating-point accumulation has no
+    SQL oracle; the numpy power-iteration differential in
+    tests/test_forensics.py is the correctness check.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if undirected:
+        sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+
+    vertices = (
+        sym.select(F.col("a").alias("vertex"))
+        .union(sym.select(F.col("b").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = vertices.count()
+    out_deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # edges pre-joined with out-degree once: the loop never recomputes it
+    contrib_edges = sym.join(out_deg, "a").localCheckpoint(eager=True)
+
+    ranks = vertices.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        dangling = (
+            ranks.join(out_deg, ranks["vertex"] == out_deg["a"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            contrib_edges.join(ranks, contrib_edges["a"] == ranks["vertex"])
+            .select(F.col("b").alias("vertex"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("c"))
+        )
+        new_ranks = (
+            vertices.join(contribs, "vertex", "left")
+            .select(
+                "vertex",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            ranks.withColumnsRenamed({"rank": "_old"})
+            .join(new_ranks, "vertex")
+            .agg(F.max(F.abs(F.col("rank") - F.col("_old"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks

@@ -389,3 +389,154 @@ def term_collocations(
         .orderBy(F.desc("dice"), "a", "b")
         .limit(k)
     )
+
+
+def dup_span_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated-span profile: for every document, how
+    many of its distinct token ``n``-grams also appear in at least one
+    OTHER document — the distributed analogue of exact-substring
+    training-data dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better"), with fixed-length token windows
+    standing in for suffix-array matches.
+
+    Per doc: ``n_grams`` (distinct n-grams), ``n_dup_grams`` (those
+    shared cross-doc), ``dup_ratio`` — an exact integer ratio cast to
+    double, so it is bit-identical across engines. Within-doc repeats
+    are deliberately NOT counted (that is ``repetition_filter``'s job);
+    a gram is "duplicated" iff its distinct-doc frequency is ≥ 2.
+
+    Scale shape: one narrow explode (no shuffle) → distinct on
+    (doc, gram-hash) → gram-keyed doc-frequency agg (map-side partial
+    collapse bounds shuffle volume by distinct grams per partition) →
+    co-partitioned join back on the gram hash (AQE reuses the agg's
+    partitioning) → doc-keyed agg. Boilerplate-hot grams skew the
+    doc-frequency COUNT only, never a collect — safe at corpus scale.
+    No counterpart in the reference (its dedup surface is row-identity
+    only, SURVEY.md §2.7); this is north-star extension surface.
+    """
+    from ffi_etl_spark.functions.hashing import md5_int60
+
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        .select(F.col(id_col), md5_int60(F.col("gram")).alias("g"))
+        .distinct()
+    )
+    docfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        grams.join(docfreq, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("d") >= 2, 1).otherwise(0)).alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.col("n_dup_grams").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Term → posting-list build (the retrieval-index spine): distinct
+    (term, doc) pairs → per-term document frequency + the sorted
+    posting list serialized as a comma-joined string (sorted + string
+    so the result is deterministic and hash-comparable across engines).
+
+    ``max_postings`` caps the serialized list (stopword-grade terms
+    would otherwise make one output row carry the whole corpus): the
+    cap keeps the agg state bounded, and ``df`` still reports the TRUE
+    document frequency. At 100 TB the cap is the difference between a
+    bounded ObjectHashAggregate and a driver-killing collect_set — a
+    production index would also shard postings by (term, bucket);
+    single narrow explode → one term-keyed shuffle either way.
+    """
+    pairs = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("doc")), 1, max_postings), ","
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def source_ngram_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, the number of distinct token n-grams they share and the
+    overlap coefficient |A∩B| / min(|A|,|B|) (exact integer ratio cast
+    to double). The pretraining use: a high-overlap source pair means
+    one of them is a re-crawl / mirror and the mixture weights double-
+    count it (`decontaminate` handles the train/eval direction; this is
+    train/train).
+
+    Plan: narrow explode → distinct (source, gram-hash) — the dedup
+    collapses boilerplate before anything wide — then a gram-keyed
+    self-join whose per-key fan-out is bounded by the number of
+    SOURCES (small), never by gram frequency, and an S²-sized agg.
+    Per-source gram totals broadcast back onto the S² frame.
+    """
+    from ffi_etl_spark.functions.hashing import md5_int60
+
+    sg = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        .select("source", md5_int60(F.col("gram")).alias("g"))
+        .distinct()
+    )
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sg.withColumnsRenamed({"source": "source_a"})
+    b = sg.withColumnsRenamed({"source": "source_b"})
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = F.broadcast(sizes.withColumnsRenamed({"source": "source_a", "n_grams": "n_a"}))
+    sb = F.broadcast(sizes.withColumnsRenamed({"source": "source_b", "n_grams": "n_b"}))
+    return (
+        shared.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("overlap_coef"),
+        )
+    )
