@@ -13,7 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 # Tables the driver testdata ships (TESTDATA.md).
 TESTDATA_TABLES = (
@@ -33,12 +33,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _normalize(name: str, df: DataFrame) -> DataFrame:
-    """Testdata-specific type repair: events.ts is parquet TIMESTAMP(NANOS),
-    read as long (see session.ENGINE_CONFS) and truncated here to Spark's
-    microsecond timestamps — the same truncation DuckDB's TIMESTAMP cast
-    applies, keeping oracle comparisons exact."""
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    """Testdata-specific type repair: events.ts is parquet TIMESTAMP(NANOS).
+
+    Spark 4.1 reads it as TIMESTAMP_NTZ with the nanos truncated to
+    Spark's microsecond precision (the legacy ``nanosAsLong`` conf no
+    longer applies). Cast to the session-zoned TIMESTAMP here so every
+    downstream op (``unix_micros``, interval arithmetic, window ranges)
+    sees one canonical type; with the engine's UTC session timezone the
+    wall-clock values are unchanged and match DuckDB's naive-timestamp
+    reading of the same file. Older long-read environments are repaired
+    by the LongType branch."""
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -503,12 +503,24 @@ WITH o AS (
   FROM o
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
-       MIN(ts) AS session_start, MAX(ts) AS session_end
+       epoch_us(MIN(ts)) AS session_start_us, epoch_us(MAX(ts)) AS session_end_us
 FROM s GROUP BY 1, 2
 """,
 )
 def _sessionize(spark, sf_dir):
-    return sessionize(table(spark, sf_dir, "events"))
+    """Session bounds are emitted as epoch-microsecond BIGINTs, not raw
+    timestamps: integer columns hash identically under any harness
+    canonicalizer, where timestamp stringification (trailing-zero /
+    sub-second digits) can diverge between a Spark collect and a DuckDB
+    fetch even when the instants are equal."""
+    s = sessionize(table(spark, sf_dir, "events"))
+    return s.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+    )
 
 
 @query(

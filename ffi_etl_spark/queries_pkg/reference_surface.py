@@ -256,7 +256,7 @@ def _project_rename_prefix(spark, sf_dir):
 @query(
     "global_stats",
     oracle="""
-SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_cents,
        COUNT(*) AS n_rows,
        SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS n_not_returned,
        strftime(MAX(l_shipdate), '%m/%d/%Y') AS last_ship
@@ -264,9 +264,15 @@ FROM lineitem
 """,
 )
 def _global_stats(spark, sf_dir):
+    """The quantity sum is aggregated in DECIMAL(18,2) (deterministic
+    regardless of partition order, unlike a DOUBLE sum) and emitted as
+    integer hundredths: a BIGINT hashes identically under any harness
+    canonicalizer, where a bare DOUBLE aggregate's repr ('1524135.0' vs
+    '1.52414e+06' vs Decimal) can diverge between fetch paths even when
+    the value is exact on both sides."""
     li = table(spark, sf_dir, "lineitem")
     return li.agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100).cast("long").alias("sum_qty_cents"),
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0)).alias("n_not_returned"),
         F.date_format(F.max("l_shipdate"), "MM/dd/yyyy").alias("last_ship"),

@@ -29,9 +29,9 @@ ENGINE_CONFS: dict[str, str] = {
     # casts (`'12a'`::int -> NULL) and implicit string/number comparisons
     # (transform_alchemer_data.py:157,169)
     "spark.sql.ansi.enabled": "false",
-    # testdata events.parquet carries TIMESTAMP(NANOS) which Spark cannot
-    # represent; read as long and convert in the catalog loader
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # testdata events.parquet carries TIMESTAMP(NANOS): Spark 4.1 reads it
+    # as TIMESTAMP_NTZ truncated to micros; catalog._normalize casts it to
+    # the session-zoned TIMESTAMP (UTC) — no legacy conf needed
     "spark.ui.enabled": "false",
 }
 
