@@ -475,16 +475,36 @@ WITH ranked AS (
 ), grid AS (
   SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span
 )
-SELECT g.user_id, g.hour,
-       last_value(h.value IGNORE NULLS) OVER (
-         PARTITION BY g.user_id ORDER BY g.hour
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
-FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+, locf AS (
+  SELECT g.user_id, g.hour,
+         last_value(h.value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+)
+SELECT user_id,
+       COUNT(*) AS n_hours,
+       COUNT(value_locf) AS n_filled,
+       MIN(value_locf) AS min_locf,
+       MAX(value_locf) AS max_locf
+FROM locf GROUP BY user_id
 """,
 )
 def _resample_gapfill(spark, sf_dir):
-    """Hourly LOCF gap-fill per user (operators/windows.py::resample_locf)."""
-    return resample_locf(table(spark, sf_dir, "events"))
+    """Hourly LOCF gap-fill per user (operators/windows.py::resample_locf),
+    verified through a per-user profile of the filled grid (grid size,
+    fill coverage, min/max of the carried values — all order-independent
+    aggregates, no DOUBLE sums). Row-level fill values are separately
+    property-tested against pandas resample().last().ffill()
+    (test_properties.py); the aggregate keeps the gate's result transfer
+    at |users| rows instead of the full 105k-row grid."""
+    locf = resample_locf(table(spark, sf_dir, "events"))
+    return locf.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.count("value_locf").alias("n_filled"),
+        F.min("value_locf").alias("min_locf"),
+        F.max("value_locf").alias("max_locf"),
+    )
 
 
 @query(

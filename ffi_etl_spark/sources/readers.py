@@ -39,6 +39,32 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_csv_url(
+    spark: SparkSession,
+    url: str,
+    schema: StructType | str | None = None,
+    timeout: float = 30.0,
+    **options,
+) -> DataFrame:
+    """S1/S2: published-CSV ingest over HTTP (the reference reads its
+    survey extracts and config sheets straight from published
+    Google-Sheets CSV URLs: extract_alchemer_data.py:8-9,
+    utils.py:43-46). A thin DRIVER-SIDE downloader by design: these
+    endpoints are single small documents, not data lakes — fetch once
+    to a local temp file, then hand off to the distributed ``read_csv``
+    path. Accepts any urllib-supported scheme (http/https/file)."""
+    import tempfile
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=timeout) as resp:
+        with tempfile.NamedTemporaryFile(
+            mode="wb", suffix=".csv", delete=False
+        ) as tmp:
+            tmp.write(resp.read())
+            local = tmp.name
+    return read_csv(spark, local, schema=schema, **options)
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Columnar scan (S5 analog) — pushdown/pruning capable."""
     return spark.read.parquet(path)

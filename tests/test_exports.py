@@ -62,3 +62,17 @@ def test_read_csv_lenient_quarantines_bad_rows(spark, tmp_path):
     assert bad.count() == 1
     assert "not_a_number" in bad.collect()[0]["_corrupt_record"]
     df.unpersist()
+
+
+def test_read_csv_url_file_scheme(spark, tmp_path):
+    """S1 HTTP shim: fetch-to-tmp + distributed read, exercised via a
+    file:// URL (the sandbox has no network; the urllib handoff is
+    identical across schemes)."""
+    from ffi_etl_spark.sources.readers import read_csv_url
+
+    src = tmp_path / "sheet.csv"
+    src.write_text("Response ID,Gender\n1,Woman\n2,Man\n")
+    df = read_csv_url(spark, src.as_uri())
+    rows = {r["Response ID"]: r["Gender"] for r in df.collect()}
+    assert rows == {"1": "Woman", "2": "Man"}
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string", "string"]
