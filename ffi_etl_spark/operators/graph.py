@@ -10,23 +10,26 @@ takes the minimum label over {self} ∪ neighbors until a fixpoint — the
 label converges to the component's minimum vertex id, which doubles as
 the canonical-document id.
 
+Components are computed by alternating large-star/small-star edge
+rewrites (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) — each pair of rounds contracts paths roughly
+geometrically, so the round count is O(log n) even on chain-shaped
+components, where plain min-label propagation needs O(diameter)
+rounds. The fixpoint is a star per component centered on its minimum
+vertex id, which doubles as the canonical-document id.
+
 This is the engine's one genuinely iterative operator, so it shows the
 loop pattern that keeps iteration safe at scale:
 
   * ``localCheckpoint(eager=True)`` each round — truncates the lineage
     (otherwise plan depth grows linearly and the optimizer revisits
     the whole history every action) and materializes the frontier;
-  * convergence is a ``limit(1).count()`` probe on changed labels —
-    the cheapest possible action, short-circuiting on the first
-    changed row rather than counting all of them;
-  * rounds needed = graph diameter, and near-dup graphs are
-    short-diameter (clusters are quasi-cliques), so the loop is
-    typically 2-4 rounds. For adversarially long chains the
-    production upgrade is alternating large-star/small-star
-    (Kiveris et al., "Connected Components in MapReduce"), which
-    contracts paths exponentially; the fixpoint contract — label =
-    min id of the component — is identical, so it can be swapped in
-    without touching callers.
+  * convergence is an edge-set-stability probe: equal counts (free on
+    the checkpointed frame) plus an ``exceptAll(...).limit(1).count()``
+    that short-circuits on the first differing edge;
+  * every shuffle in a round is keyed by vertex id, so the work
+    distributes with the frontier; per-round ``distinct()`` keeps the
+    rewritten edge multiset from ballooning on dense clusters.
 """
 
 from __future__ import annotations
@@ -39,7 +42,8 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Components of the undirected graph given by (src, dst) pairs.
 
@@ -48,38 +52,81 @@ def connected_components(
     id reachable from ``vertex`` — i.e. the cluster's canonical id.
     Vertices with no edges are by definition their own singleton
     component and are not emitted (callers union them in if needed).
-    """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)
 
-    labels = (
-        sym.select(F.col("a").alias("vertex"))
+    Alternating star rounds (each bounded by vertex-keyed shuffles):
+
+    * **large-star** — per vertex ``u`` over the symmetrized edges, let
+      ``m(u) = min(N(u) ∪ {u})``; every LARGER neighbor ``v > u``
+      re-links to ``(v, m(u))``. Strictly-larger linking is what makes
+      the rewrite a contraction (no two-cycles).
+    * **small-star** — orient each edge toward its larger endpoint
+      (``u = max``); per ``u``, all smaller neighbors plus ``u`` itself
+      link to the smallest, ``(v, m)`` and ``(u, m)``.
+
+    ``stats`` (optional dict) receives ``{"rounds": n}`` — exposed so
+    the logarithmic-round contract is testable on crafted path graphs.
+    """
+    verts = (
+        edges.select(F.col(src).alias("vertex"))
+        .union(edges.select(F.col(dst).alias("vertex")))
         .distinct()
-        .withColumn("component", F.col("vertex"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        neighbor_labels = sym.join(
-            labels, sym["a"] == labels["vertex"]
-        ).select(F.col("b").alias("vertex"), F.col("component"))
-        new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("vertex")
-            .agg(F.min("component").alias("component"))
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    rounds = 0
+    prev_count = e.count()
+    while rounds < max_iter and prev_count > 0:
+        rounds += 1
+        # large-star: v > u re-links to u's minimum
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.least(F.min("b"), F.col("a")).alias("m"))
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.withColumnsRenamed({"component": "_old"})
-            .join(new_labels, "vertex")
-            .filter(F.col("_old") != F.col("component"))
-            .limit(1)
-            .count()
+        # small-star: orient toward the larger endpoint, link the
+        # smaller neighborhood (and u itself) to its minimum
+        ori = large.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
-        labels = new_labels
-        if changed == 0:
+        mins2 = ori.groupBy("u").agg(F.min("v").alias("m"))
+        new_e = (
+            ori.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_count = new_e.count()
+        stable = (
+            new_count == prev_count
+            and new_e.exceptAll(e).limit(1).count() == 0
+        )
+        e, prev_count = new_e, new_count
+        if stable:
             break
-    return labels
+
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    # fixpoint is a star per component: every non-root vertex carries an
+    # edge to the component minimum; roots (and self-loop-only vertices)
+    # label themselves
+    return verts.join(
+        e.withColumnsRenamed({"a": "vertex", "b": "component"}), "vertex", "left"
+    ).select(
+        "vertex", F.coalesce("component", F.col("vertex")).alias("component")
+    )
 
 
 def triangle_enum(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:

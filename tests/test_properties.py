@@ -221,3 +221,21 @@ def test_weighted_sample_overselects_heavy_rows(spark):
     )
     heavy = sum(1 for r in top if r["o_totalprice"] == 1000.0)
     assert heavy >= 35  # 10% of the population, >=70% of the sample
+
+
+def test_connected_components_logarithmic_on_path(spark):
+    """Large-star/small-star contract: a path graph (worst case for
+    plain label propagation, which needs O(n) rounds) converges in
+    O(log n) alternating rounds, and still labels every vertex with the
+    path minimum."""
+    import math
+
+    from ffi_etl_spark.operators.graph import connected_components
+
+    n = 64
+    df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    stats = {}
+    got = {r.vertex: r.component for r in connected_components(df, stats=stats).collect()}
+    assert got == {i: 0 for i in range(n)}
+    # geometric contraction: far under the path's O(n) propagation count
+    assert stats["rounds"] <= 2 * int(math.log2(n)) + 3, stats
