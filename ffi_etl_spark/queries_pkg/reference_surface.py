@@ -930,3 +930,250 @@ def _tpch_q18_top(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(20)
     )
+
+
+# --- EP1 end-to-end: the full survey medallion pipeline ----------------------
+# (README.py:8-11 — extract → transform → roll_up → merge_census as ONE
+# driver-gated query). Survey-shaped inputs are derived deterministically
+# from `customer` with modular-arithmetic case selection so every
+# transform branch (recode / bucket / validity / null-phrase / mojibake /
+# fused-phrase quirk) has live rows; the oracle replicates the semantics
+# that reach the gold output (demographic recodes, validity cascade, the
+# six-demographic roll-up, and the census merge chain — identical to
+# _CENSUS_ORACLE's skeleton).
+
+_SURVEY_PIPE_ORACLE = f"""
+WITH resp AS (
+  SELECT c_custkey AS k,
+         -- silver recodes (cleaning is a no-op on these constructed values)
+         CASE WHEN c_custkey % 7 IN (0, 2) THEN 'Unknown'
+              WHEN c_custkey % 7 = 1 THEN 'Other'
+              WHEN c_custkey % 7 = 3 THEN 'Man'
+              ELSE 'Woman' END AS gender,
+         CASE WHEN c_custkey % 11 = 0 THEN 'Hispanic or Latinx'
+              WHEN c_custkey % 13 = 0 THEN 'Other race'
+              WHEN c_custkey % 17 = 0 THEN 'Unknown'
+              WHEN c_custkey % 19 = 0 THEN 'Unknown'
+              ELSE c_mktsegment END AS race,
+         CASE WHEN c_custkey % 47 = 0 THEN 'Unknown'
+              WHEN c_custkey % 53 = 0 THEN 'Unknown'
+              WHEN 5 + c_custkey % 90 < 10 THEN 'Less than 10 years old'
+              WHEN 5 + c_custkey % 90 < 18 THEN '10 to 17 years old'
+              WHEN 5 + c_custkey % 90 < 30 THEN '18 to 29 years old'
+              WHEN 5 + c_custkey % 90 < 45 THEN '30 to 44 years old'
+              WHEN 5 + c_custkey % 90 < 60 THEN '45 to 59 years old'
+              WHEN 5 + c_custkey % 90 < 75 THEN '60 to 74 years old'
+              ELSE '75 years and older' END AS age,
+         CASE WHEN c_custkey % 5 IN (3, 4) THEN 'Unknown'
+              WHEN c_custkey % 5 IN (0, 1) THEN 'Less than $50,000'
+              ELSE '$50,000 to $74,999' END AS income,
+         CASE WHEN c_custkey % 2 = 0 THEN 'English' ELSE 'Spanish' END AS language,
+         CASE WHEN c_custkey % 23 = 0 THEN 'Unknown'
+              ELSE 'CM ' || CAST(c_custkey % 4 AS VARCHAR) END AS cm,
+         -- validity cascade: admin override, then status, link, geo
+         (c_custkey % 59 = 0 OR c_custkey % 61 = 0
+          OR (c_custkey % 8 NOT IN (0, 1, 2)
+              AND c_custkey % 67 <> 0 AND c_custkey % 71 <> 0
+              AND c_custkey % 29 <> 0)) AS is_valid,
+         strptime(printf('03/%02d/2024 %02d:%02d:12 PM',
+                         10 + c_custkey % 6, 1 + c_custkey % 3, c_custkey % 50),
+                  '%m/%d/%Y %I:%M:%S %p') AS submitted
+  FROM customer
+), unpiv AS (
+  SELECT 'Gender' AS demo, gender AS cat FROM resp WHERE is_valid
+  UNION ALL SELECT 'Age', age FROM resp WHERE is_valid
+  UNION ALL SELECT 'Race/Ethnicity', race FROM resp WHERE is_valid
+  UNION ALL SELECT 'Household Income', income FROM resp WHERE is_valid
+  UNION ALL SELECT 'Language', language FROM resp WHERE is_valid
+  UNION ALL SELECT 'CM Name', cm FROM resp WHERE is_valid
+), g AS (
+  SELECT demo, cat, COUNT(*) AS cnt FROM unpiv GROUP BY 1, 2
+), t AS (
+  SELECT g.*, SUM(CASE WHEN cat <> 'Unknown' THEN cnt END)
+                OVER (PARTITION BY demo) AS total_excl
+  FROM g
+), rollup AS (
+  SELECT demo AS rd, cat AS rc, cnt AS n_resp,
+         printf('%.2f%%', {_jround('cnt * 100.0 / total_excl', 2)}) AS pct_resp,
+         CASE WHEN cat <> 'Unknown' THEN CAST(total_excl AS VARCHAR) ELSE '' END AS total_resp
+  FROM t
+), census AS (
+  SELECT * FROM (VALUES
+    ('Gender', 'Woman', '48.0%', 1),
+    ('Gender', 'Man', '46.5%', 2),
+    ('Age', '18 to 29 years old', '15.0%', 1),
+    ('Age', '30 to 44 years old', '22.0%', 2),
+    ('Age', '75 years and older', '2.0%', 3),
+    ('Language', 'English', '58.0%', 1),
+    ('Language', 'Spanish', '38.0%', 2),
+    ('Language', 'French', '4.0%', NULL)
+  ) AS c(cd, cc, census_pct_str, display_order)
+), j AS (
+  SELECT * FROM census FULL OUTER JOIN rollup ON cd = rd AND cc = rc
+), md AS (SELECT max(submitted) AS maxd FROM resp),
+s1 AS (
+  SELECT cd, cc, census_pct_str, display_order, rd, rc,
+    CASE WHEN rd IS NULL AND rc IS NULL
+         THEN first_value(total_resp IGNORE NULLS) OVER (
+              PARTITION BY cd ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ELSE total_resp END AS total_resp,
+    CASE WHEN rd IS NULL AND rc IS NULL THEN 0 ELSE n_resp END AS n_resp,
+    CASE WHEN rd IS NULL AND rc IS NULL THEN '0' ELSE pct_resp END AS pct_resp
+  FROM j
+), s2 AS (
+  SELECT total_resp, n_resp, pct_resp, display_order,
+    CASE WHEN cd IS NULL AND cc IS NULL THEN NULL ELSE census_pct_str END AS census_pct_str,
+    COALESCE(cd, rd) AS "Demographic", COALESCE(cc, rc) AS "Category"
+  FROM s1
+), s4 AS (
+  SELECT "Demographic", "Category", n_resp AS "# of Survey Responses",
+         total_resp AS "Total Responses", display_order,
+         try_cast(regexp_replace(census_pct_str, '%', '', 'g') AS DOUBLE) AS census_pct,
+         try_cast(regexp_replace(pct_resp, '%', '', 'g') AS DOUBLE) AS survey_pct
+  FROM s2
+), s5 AS (
+  SELECT *, CASE WHEN census_pct IS NOT NULL AND survey_pct IS NOT NULL
+                 THEN survey_pct - census_pct END AS diff
+  FROM s4
+), s6 AS (
+  SELECT *,
+    CASE WHEN diff < -5 THEN 'Under-Represented'
+         WHEN diff > 5 THEN 'Over-Represented'
+         WHEN diff > -5 AND diff < 5 THEN 'Looks Good' END AS "Representation Status"
+  FROM s5
+), s7 AS (
+  SELECT *, CASE WHEN "Representation Status" IN ('Under-Represented', 'Over-Represented')
+                 THEN {_jround('abs(diff * try_cast("Total Responses" AS DOUBLE) / 100)', 0)}
+            END AS arn0
+  FROM s6
+)
+SELECT "Demographic", "Category", "# of Survey Responses",
+       {_jround('survey_pct', 1)} || '%' AS "% of Survey Responses",
+       "Total Responses",
+       {_jround('census_pct', 1)} || '%' AS "% of Population (Census)",
+       {_jround('diff', 1)} || '%' AS "% Difference",
+       "Representation Status",
+       {_jround(_jround("arn0 / 10", 0) + " * 10", 0)} AS "Additional Responses Needed",
+       strftime(maxd, '%m/%d/%Y') AS "Data Last Updated"
+FROM s7, md
+"""
+
+
+@query("survey_pipeline", oracle=_SURVEY_PIPE_ORACLE)
+def _survey_pipeline(spark, sf_dir):
+    """The reference's whole product as one gated query: build
+    survey-shaped online/offline extracts + a census sheet, run the
+    5-stage medallion Pipeline (bronze parquet warehouse between
+    stages), return the census-merged roll-up gold table.
+
+    Every silver branch gets live rows via modular case selection:
+    mojibake repair, null phrases incl. the fused-phrase quirk
+    (utils.py:105), the LEGACY 12-hour timestamp parse, Likert scoring
+    (all 15 columns), every recode/bucket, the full validity cascade,
+    blank-CM fill, and the census merge's matched / census-only /
+    rollup-only paths (French is census-only; Race/Income/CM have no
+    census rows)."""
+    import tempfile
+
+    from ffi_etl_spark.functions.recode import LIKERT_COLUMNS
+    from ffi_etl_spark.pipelines.survey import build_survey_pipeline
+
+    cust = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+
+    def lik(j):
+        m = (k + F.lit(j)) % 7
+        return (
+            F.when(m == 0, "No change")
+            .when(m == 1, "A little better")
+            .when(m == 2, "A lot better")
+            .when(m == 3, "A little worse")
+            .when(m == 4, "A lot worse")
+            .when(m == 5, None)
+            .otherwise("junk")
+        )
+
+    cols = {
+        "Response ID": k.cast("string"),
+        "Time Started": F.format_string("03/%02d/2024 09:01:12 AM", 10 + k % 6),
+        "Survey Date Submitted": F.format_string(
+            "03/%02d/2024 %02d:%02d:12 PM", 10 + k % 6, 1 + k % 3, k % 50
+        ),
+        "Survey Lang": F.when(k % 2 == 0, "English").otherwise("Spanish"),
+        "Hispanic or Latinx": F.when(k % 11 == 0, "Yes")
+        .when(k % 11 == 1, "I prefer not to answer this question")
+        .otherwise("No"),
+        "Race/Ethnicity": F.when(k % 13 == 0, "Some other race (please write it in here)")
+        .when(k % 17 == 0, "I prefer not to answer this question")
+        .when(k % 19 == 0, None)
+        .otherwise(F.col("c_mktsegment")),
+        "Gender": F.when(k % 7 == 0, "Prefer not to say")
+        .when(k % 7 == 1, "Write In")
+        .when(k % 7 == 2, None)
+        .when(k % 7 == 3, "Man")
+        .otherwise("Woman"),
+        "CM Name": F.when(k % 23 == 0, "  ").otherwise(
+            F.concat(F.lit("CM "), (k % 4).cast("string"))
+        ),
+        "Current living situation": F.when(k % 6 == 0, "Prefer not to say")
+        .when(k % 6 == 1, None)
+        .otherwise(F.concat(F.lit("Situation "), (k % 3).cast("string"))),
+        "How many years lived in Kingston": F.when(
+            k % 31 == 0, "I prefer not to answer this question"
+        ).otherwise((k % 40).cast("string")),
+        "IP Address - Zip Code": F.when(k % 37 == 0, None)
+        .when(k % 41 == 0, "abcde-99")
+        .when(k % 43 == 0, "00000-11")
+        .otherwise(F.format_string("%05d-%04d", 10000 + k % 80000, k % 10000)),
+        "IP Address - Country": F.when(k % 29 == 0, "Canada").otherwise("United States"),
+        "Age": F.when(k % 47 == 0, "0")
+        .when(k % 53 == 0, "abc")
+        .otherwise((5 + k % 90).cast("string")),
+        "Household Income": F.when(k % 5 == 0, "Less than $20,000")
+        .when(k % 5 == 1, "$20,000 to $49,999")
+        .when(k % 5 == 2, "$50,000 to $74,999")
+        .when(k % 5 == 3, "I prefer not to answer this question")
+        .otherwise(None),
+        "Alchemer Admin Comments": F.when(k % 59 == 0, "ok")
+        .when(k % 61 == 0, "VALID")
+        .otherwise(None),
+        "Survey Completed?": F.when(k % 8 == 0, "Partial")
+        .when(k % 8 == 1, "Disqualified")
+        .when(k % 8 == 2, "Abandoned")
+        .otherwise("Complete"),
+        "Survey Link Used": F.when(k % 67 == 0, "Test link")
+        .when(k % 71 == 0, "Test")
+        .otherwise("Email"),
+        "Anything else you want to tell us?": F.when(k % 9 == 0, "N/A")
+        .when(k % 9 == 1, "donâ€™t worry")
+        .when(k % 9 == 2, "not really")
+        .when(k % 9 == 3, "Nada Mas Que Agregarnot Really!")
+        .when(k % 9 == 4, None)
+        .when(k % 9 == 5, "nan")
+        .otherwise(F.concat(F.lit("answer "), k.cast("string"))),
+        **{name: lik(j) for j, name in enumerate(LIKERT_COLUMNS)},
+    }
+    base = cust.select(k.alias("_k"), *[v.alias(n) for n, v in cols.items()])
+    online = base.filter(F.col("_k") % 10 != 0).drop("_k")
+    offline = base.filter(F.col("_k") % 10 == 0).drop("_k")
+    census = spark.createDataFrame(
+        [
+            ("Gender", "Woman", "48.0%", 1),
+            ("Gender", "Man", "46.5%", 2),
+            ("Age", "18 to 29 years old", "15.0%", 1),
+            ("Age", "30 to 44 years old", "22.0%", 2),
+            ("Age", "75 years and older", "2.0%", 3),
+            ("Language", "English", "58.0%", 1),
+            ("Language", "Spanish", "38.0%", 2),
+            ("Language", "French", "4.0%", None),
+        ],
+        "`Demographic` string, `Category` string, `Census %` string, `Display Order` int",
+    )
+    pipe = build_survey_pipeline(
+        warehouse=tempfile.mkdtemp(prefix="survey_wh_"),
+        open_text_cols=["Anything else you want to tell us?", "not a real column"],
+        cols_to_delete=["How many years lived in Kingston"],
+        rename_map={"Survey Lang": "Survey Language"},
+    )
+    tables = pipe.run(spark, {"online": online, "offline": offline, "census": census})
+    return tables["census_merged_roll_up"]
