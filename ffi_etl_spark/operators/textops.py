@@ -540,3 +540,41 @@ def source_ngram_overlap(
             ).alias("overlap_coef"),
         )
     )
+
+
+def token_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document unigram (whitespace-token) Shannon entropy in nats —
+    the repetition/quality signal that catches keyword-stuffed or
+    boilerplate docs a length/punctuation score misses (low entropy =
+    few distinct tokens dominate).
+
+    Shape: explode tokens → count per (doc, token) → fold
+    ``-Σ (c/n)·ln(c/n)`` per doc. Both aggregations partial-aggregate
+    map-side and key by doc id (the second reuses the first's
+    partitioning modulo the dropped token column), so the work fans out
+    with the corpus — the 100 TB shape, vs a per-row
+    O(tokens × distinct) array fold that stalls on long documents.
+
+    Rows-only gate by design: ``ln`` is transcendental, and last-ulp
+    differences between JVM ``Math.log`` and a C libm make a bit-exact
+    SQL oracle unsound; the correctness check is the Counter-based
+    Python differential in tests."""
+    toks = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_tok")
+    per_token = (
+        df.select(F.col(id_col), toks)
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        per_token.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("_n"),
+            F.sum(F.col("_c") * F.log(F.col("_c"))).alias("_clogc"),
+        )
+        # -Σ (c/n)ln(c/n) = ln(n) - (Σ c·ln c)/n  — one pass, no second join
+        .select(
+            F.col(id_col),
+            F.col("_n").cast("long").alias("n_tokens"),
+            (F.log(F.col("_n")) - F.col("_clogc") / F.col("_n")).alias("entropy_nats"),
+        )
+    )

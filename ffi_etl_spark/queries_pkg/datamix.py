@@ -182,3 +182,50 @@ def _dedup_sorted_neighborhood(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- exact-k deterministic reservoir sample ----------------------------------
+
+@query(
+    "reservoir_sample",
+    oracle="""
+SELECT doc_id, source, n_chars
+FROM documents
+ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id
+LIMIT 100
+""",
+)
+def _reservoir_sample(spark, sf_dir):
+    """Exact-k uniform sample as a deterministic reservoir: keep the k
+    smallest md5 draws (classic bottom-k). Same statistics as a
+    sequential reservoir, but order-free and re-runnable: the kept set
+    depends only on doc ids, never on scan order or partitioning.
+
+    Plan shape: ``orderBy(draw).limit(k)`` lowers to
+    TakeOrderedAndProject — each partition keeps its local top-k and the
+    driver merges k·partitions rows; NO global sort, no single-partition
+    window, which is what makes bottom-k the 100 TB sampling primitive
+    (`sample(fraction)` can't hit an exact k; a row_number window over a
+    global order would funnel the corpus through one task)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .orderBy(_md5_key(F.col("doc_id")), F.col("doc_id"))
+        .limit(100)
+    )
+
+
+# --- unigram-entropy quality signal ------------------------------------------
+
+@query("token_entropy", oracle=None)
+def _token_entropy(spark, sf_dir):
+    """Per-doc unigram Shannon entropy (operators/textops.py::
+    token_entropy) with a stable rounding for display; rows-only by
+    design (transcendental ln has no bit-exact SQL oracle — the gate is
+    the Counter differential in test_corpus_hygiene.py)."""
+    from ffi_etl_spark.operators.textops import token_entropy
+
+    d = table(spark, sf_dir, "documents")
+    return token_entropy(d).select(
+        "doc_id", "n_tokens", F.round("entropy_nats", 6).alias("entropy_nats")
+    )

@@ -165,3 +165,52 @@ def test_term_collocations_finds_planted_phrase(spark):
     # every repeated-doc adjacency has f(a,b)=10 = f(a)=f(b) -> dice=1.0
     assert out[0]["dice"] == 1.0 and top[0] != top[1]
     assert all(r["n_ab"] >= 5 for r in out)
+
+
+def test_token_entropy_matches_counter(spark):
+    """Differential: engine entropy == -Σ (c/n)ln(c/n) computed with
+    collections.Counter in Python, to 1e-9."""
+    import math
+    from collections import Counter
+
+    from ffi_etl_spark.operators.textops import token_entropy
+
+    docs = [
+        (1, "a a a a"),                       # zero entropy
+        (2, "a b c d"),                       # ln(4), maximal
+        (3, "the cat sat on the mat the end"),
+        (4, "x"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.entropy_nats) for r in token_entropy(df).collect()}
+    for doc_id, text in docs:
+        counts = Counter(text.split())
+        n = sum(counts.values())
+        want = -sum((c / n) * math.log(c / n) for c in counts.values())
+        assert got[doc_id][0] == n
+        assert abs(got[doc_id][1] - want) < 1e-9, (doc_id, got[doc_id], want)
+
+
+def test_reservoir_sample_is_deterministic_bottom_k(spark):
+    """The kept set is exactly the k smallest md5 draws, independent of
+    partitioning."""
+    import hashlib
+
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry_mod.queries()["reservoir_sample"](spark, sf).collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == 100 and len(set(ids)) == 100
+
+    import duckdb
+
+    all_ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{sf}/documents.parquet')"
+        ).fetchall()
+    ]
+    draw = lambda i: (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16), i)  # noqa: E731
+    want = [i for _, i in sorted(draw(i) for i in all_ids)[:100]]
+    assert sorted(ids) == sorted(want)
