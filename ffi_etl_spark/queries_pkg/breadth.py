@@ -22,7 +22,7 @@ from ffi_etl_spark.queries import query
     "json_extract_agg",
     oracle="""
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
 FROM events
@@ -389,7 +389,7 @@ def _embedding_unit_norm(spark, sf_dir):
     oracle="""
 SELECT event_type, 'k' AS prop_key,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS value_sum
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS value_sum
 FROM events
 WHERE json_extract_string(props, '$.k') IS NOT NULL
 GROUP BY event_type

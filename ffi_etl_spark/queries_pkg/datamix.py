@@ -31,7 +31,7 @@ def _md5_key(col):
     oracle="""
 SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard_id,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS chars_total,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
        MIN(doc_id) AS min_doc,
        MAX(doc_id) AS max_doc
 FROM documents

@@ -522,7 +522,7 @@ WITH o AS (
                            ROWS UNBOUNDED PRECEDING) + 1 AS session_id
   FROM o
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
        epoch_us(MIN(ts)) AS session_start_us, epoch_us(MAX(ts)) AS session_end_us
 FROM s GROUP BY 1, 2
 """,
@@ -789,12 +789,16 @@ WITH l AS (
   SELECT user_id, ts AS r_ts, value AS purchase_value
   FROM events WHERE event_type = 'purchase'
 )
-SELECT l.event_id, l.user_id, l.ts,
-       r.r_ts AS last_purchase_ts, r.purchase_value
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       epoch_us(r.r_ts) AS last_purchase_ts_us, r.purchase_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.r_ts
 """,
 )
 def _asof_join_last_purchase(spark, sf_dir):
+    """Timestamps are emitted as epoch-microsecond BIGINTs (same
+    hardening as `sessionize`): integer columns hash identically under
+    any harness canonicalizer, where sub-second timestamp
+    stringification can diverge between fetch paths."""
     from ffi_etl_spark.operators.olap import asof_join
 
     ev = table(spark, sf_dir, "events")
@@ -802,10 +806,20 @@ def _asof_join_last_purchase(spark, sf_dir):
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("r_ts"), F.col("value").alias("purchase_value")
     )
-    return asof_join(
-        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="r_ts",
-        right_cols=["purchase_value"],
-    ).withColumnRenamed("asof_r_ts", "last_purchase_ts")
+    return (
+        asof_join(
+            clicks, purchases, on=["user_id"], left_ts="ts", right_ts="r_ts",
+            right_cols=["purchase_value"],
+        )
+        .withColumnRenamed("asof_r_ts", "last_purchase_ts")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.unix_micros("last_purchase_ts").alias("last_purchase_ts_us"),
+            "purchase_value",
+        )
+    )
 
 
 @query(
@@ -872,9 +886,9 @@ def _rollup_agg(spark, sf_dir):
     "pivot_status",
     oracle="""
 SELECT o_orderpriority,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
-       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
 FROM orders GROUP BY o_orderpriority
 """,
 )
@@ -987,7 +1001,7 @@ WITH o AS (
    AND a.user_id <> b.user_id
   GROUP BY 1, 2
 )
-SELECT sess.user_id, sess.session_id, COALESCE(overl.n, 0) AS n_concurrent
+SELECT sess.user_id, CAST(sess.session_id AS BIGINT) AS session_id, COALESCE(overl.n, 0) AS n_concurrent
 FROM sess LEFT JOIN overl USING (user_id, session_id)
 ORDER BY user_id, session_id
 """,

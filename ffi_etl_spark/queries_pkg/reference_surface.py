@@ -258,7 +258,7 @@ def _project_rename_prefix(spark, sf_dir):
     oracle="""
 SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_cents,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS n_not_returned,
+       CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_not_returned,
        strftime(MAX(l_shipdate), '%m/%d/%Y') AS last_ship
 FROM lineitem
 """,
