@@ -959,3 +959,95 @@ def _term_collocations(spark, sf_dir):
     return term_collocations(docs, window=3, min_count=5, k=50).orderBy(
         F.desc("dice"), "a", "b"
     )
+
+
+# --- semi-structured: VARIANT binary encoding (Spark 4) -----------------------
+
+@query(
+    "variant_extract_agg",
+    oracle="""
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def _variant_extract_agg(spark, sf_dir):
+    """Semi-structured ingestion via the VARIANT type (Spark 4):
+    ``parse_json`` decodes each props document ONCE into the binary
+    Variant encoding, then ``try_variant_get`` path reads are
+    O(field-offset) lookups instead of per-access string re-parses —
+    the shape that makes wide semi-structured scans tractable at 100 TB
+    (parse once in the scan projection, read many paths downstream).
+    Same aggregate semantics as `json_extract_agg`'s get_json_object
+    form; the oracle is shared JSON-path SQL."""
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("_k").alias("n_with_k"),
+            F.sum("_k").alias("k_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- native session windows (gap-merged) --------------------------------------
+
+@query(
+    "session_window_agg",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM o
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) + 1800000000 AS session_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS value_sum_micros
+FROM s GROUP BY user_id, grp
+""",
+)
+def _session_window_agg(spark, sf_dir):
+    """Gap-based sessions via Spark's NATIVE ``session_window``
+    aggregation — the engine-managed merge (one shuffle on
+    (user, window), SessionWindowStateStore in streaming) beside the
+    lag+cumsum formulation `sessionize` uses. The merge rule is
+    inclusive at the boundary: an event EXACTLY gap after the previous
+    one still merges (locked by test_session_window_splits_at_exact_gap
+    — the [start, last+gap) windows are treated as closed for overlap),
+    i.e. the same strict-> split as `sessionize`; the distinct surface
+    is the window struct (end = last event + gap) and the native
+    state-store execution. Bounds are epoch-micros BIGINTs; the value
+    sum is aggregated in exact integer micros (canonicalizer-proof,
+    partition-order-independent)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # floor() on both engines — a bare double→long cast truncates
+            # in Spark but rounds in DuckDB, diverging on x.999… reprs
+            F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("value_sum_micros"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("_w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("_w.end")).alias("session_end_us"),
+            "n_events",
+            "value_sum_micros",
+        )
+    )

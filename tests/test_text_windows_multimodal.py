@@ -117,3 +117,28 @@ def test_multimodal_resize_and_frames(spark):
 
     empty = sample_frames(spark.createDataFrame([Row(doc_id=2, text="")])).collect()
     assert len(empty) == 1 and empty[0].frame_chars == 0
+
+
+def test_session_window_splits_at_exact_gap(spark):
+    """Boundary lock: native session_window's merge is INCLUSIVE — an
+    event exactly gap seconds after the previous one merges into the
+    same session (matching sessionize's strict-> split rule), and one
+    past the gap splits."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00"),
+        (1, 2, "2024-01-01 00:30:00"),   # exactly 30min later -> merges
+        (1, 3, "2024-01-01 01:00:01"),   # 30:01 after #2 -> new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts_s string").select(
+        "user_id", "event_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    sess = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").cast("string").alias("s"), "n")
+        .collect()
+    )
+    got = sorted((r.s, r.n) for r in sess)
+    assert got == [("2024-01-01 00:00:00", 2), ("2024-01-01 01:00:01", 1)]
