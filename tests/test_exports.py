@@ -76,3 +76,28 @@ def test_read_csv_url_file_scheme(spark, tmp_path):
     rows = {r["Response ID"]: r["Gender"] for r in df.collect()}
     assert rows == {"1": "Woman", "2": "Man"}
     assert [f.dataType.simpleString() for f in df.schema.fields] == ["string", "string"]
+
+
+def test_urlcsv_datasource_distributed_fetch(spark, tmp_path):
+    """Python Data Source connector: one partition per URL, Arrow-batch
+    parse, schema-driven column pruning, absent columns -> null."""
+    from ffi_etl_spark.sources.urlcsv import UrlCsvDataSource
+
+    a = tmp_path / "a.csv"
+    a.write_text("Response ID,Gender,Extra\n1,Woman,x\n2,Man,y\n")
+    b = tmp_path / "b.csv"
+    b.write_text("Response ID,Gender\n3,Woman\n")
+    c = tmp_path / "c.csv"  # missing Gender entirely
+    c.write_text("Response ID\n4\n")
+
+    spark.dataSource.register(UrlCsvDataSource)
+    df = (
+        spark.read.format("urlcsv")
+        .schema("`Response ID` string, `Gender` string")
+        .option("urls", ",".join(p.as_uri() for p in (a, b, c)))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # one per URL
+    rows = {r["Response ID"]: r["Gender"] for r in df.collect()}
+    assert rows == {"1": "Woman", "2": "Man", "3": "Woman", "4": None}
+    assert df.columns == ["Response ID", "Gender"]  # Extra pruned at parse
