@@ -19,7 +19,8 @@ import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from ffi_etl_spark.sources.writers import write_table
 
@@ -35,10 +36,21 @@ class Stage:
 
 @dataclass
 class Pipeline:
-    """Sequences stages through a parquet-backed warehouse."""
+    """Sequences stages through a parquet-backed warehouse.
+
+    ``metrics`` fills during ``run`` with per-table write observations
+    (row count + per-requested-column null count), collected via
+    ``DataFrame.observe`` — accumulator-backed, so the numbers ride the
+    write job itself: NO second pass over the data, which is the only
+    acceptable cost model for run-ledger metrics at 100 TB (a
+    ``df.count()`` after every stage write would double each stage's
+    scan). The reference prints nothing and swallows write errors
+    (utils.py:140-142); a production ledger needs the counts."""
 
     warehouse: str
     stages: list[Stage] = field(default_factory=list)
+    watch_nulls: dict[str, list[str]] = field(default_factory=dict)
+    metrics: dict[str, dict] = field(default_factory=dict)
 
     def stage(self, name: str, materialize: bool = True):
         """Decorator: register a stage in declaration order."""
@@ -61,8 +73,19 @@ class Pipeline:
             outputs = st.fn(spark, tables)
             for tname, df in outputs.items():
                 if st.materialize:
+                    obs = Observation(f"{st.name}/{tname}")
+                    aggs = [F.count(F.lit(1)).alias("n_rows")]
+                    for c in self.watch_nulls.get(tname, []):
+                        if c in df.columns:
+                            aggs.append(
+                                F.sum(F.col(f"`{c}`").isNull().cast("long")).alias(
+                                    f"nulls:{c}"
+                                )
+                            )
+                    df = df.observe(obs, *aggs)
                     path = os.path.join(self.warehouse, tname)
                     write_table(df, path, name=tname)
+                    self.metrics[tname] = obs.get
                     tables[tname] = spark.read.parquet(path)
                 else:
                     tables[tname] = df

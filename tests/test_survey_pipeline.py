@@ -238,3 +238,26 @@ def test_export_gold_tables(gold, spark, tmp_path):
     assert "roll_up" in names
     assert os.path.isfile(tmp_path / "roll_up.json")
     assert os.path.isfile(tmp_path / "roll_up.csv")
+
+
+def test_pipeline_observe_metrics_ride_the_write(spark, tmp_path):
+    """Run-ledger metrics (row counts + watched null counts) come from
+    DataFrame.observe on the write job — values must match ground truth
+    without any extra count() pass in the runner."""
+    from pyspark.sql import functions as F
+
+    from ffi_etl_spark.pipeline import Pipeline
+
+    pipe = Pipeline(str(tmp_path / "wh"), watch_nulls={"out": ["v"]})
+
+    @pipe.stage("s1")
+    def _s1(spark_, t):
+        df = spark_.range(100).select(
+            "id", F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v")
+        )
+        return {"out": df}
+
+    tables = pipe.run(spark, {})
+    assert tables["out"].count() == 100
+    assert pipe.metrics["out"]["n_rows"] == 100
+    assert pipe.metrics["out"]["nulls:v"] == 10
