@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ffi_etl_spark.catalog import table
+from ffi_etl_spark.catalog import load_tables, table
 from ffi_etl_spark.queries import query
 
 
@@ -1051,3 +1051,89 @@ def _session_window_agg(spark, sf_dir):
             "value_sum_micros",
         )
     )
+
+
+# --- recursive CTE: hierarchy traversal (Spark 4) -----------------------------
+
+_ORG_DEPTH_SQL = """
+WITH RECURSIVE org(id, root, depth) AS (
+  SELECT c_custkey, c_custkey, 0
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, o.root, o.depth + 1
+  FROM customer c JOIN org o ON CAST(c.c_custkey / 10 AS BIGINT) = o.id
+  WHERE c.c_custkey >= 10
+)
+SELECT id, root, depth FROM org
+"""
+
+
+@query(
+    "recursive_org_depth",
+    oracle="""
+WITH RECURSIVE org(id, root, depth) AS (
+  SELECT c_custkey, c_custkey, 0
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, o.root, o.depth + 1
+  FROM customer c JOIN org o ON CAST(FLOOR(c.c_custkey / 10) AS BIGINT) = o.id
+  WHERE c.c_custkey >= 10
+)
+SELECT id, root, CAST(depth AS INT) AS depth FROM org
+""",
+)
+def _recursive_org_depth(spark, sf_dir):
+    """Hierarchy traversal with a RECURSIVE CTE (Spark 4): a synthetic
+    reporting chain over customer (manager = custkey div 10, roots
+    below 10) resolved to (node, root, depth) in SQL — the org-chart /
+    BOM shape. Each recursion level is one join keyed on the manager
+    id; levels here are log10(n) deep, so the iterative plan is a
+    handful of broadcast-friendly self-joins, not a driver loop. The
+    engine's iterative-operator alternative (label-propagation style)
+    remains operators/graph.py; this gates the declarative SQL surface.
+    Spark integer division `/` + CAST matches DuckDB FLOOR()/CAST."""
+    load_tables(spark, sf_dir, names=("customer",))
+    return spark.sql(_ORG_DEPTH_SQL)
+
+
+# --- LATERAL correlated subquery: per-key top-k in SQL ------------------------
+
+_LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) t
+WHERE c.c_custkey % 50 = 0
+"""
+
+
+@query(
+    "lateral_topk_orders",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) t
+WHERE c.c_custkey % 50 = 0
+""",
+)
+def _lateral_topk_orders(spark, sf_dir):
+    """Correlated LATERAL subquery with per-key ORDER BY + LIMIT — the
+    SQL spelling of grouped top-k. Catalyst decorrelates it to a
+    window rank ≤ 3 over the joined orders (WindowGroupLimit prunes
+    rank materialization), so the physical plan is the same
+    shuffle-once shape as the DataFrame row_number formulation — no
+    per-customer re-scan of orders, which is what a naive nested-loop
+    reading of LATERAL would do at 100 TB."""
+    load_tables(spark, sf_dir, names=("customer", "orders"))
+    return spark.sql(_LATERAL_TOPK_SQL)

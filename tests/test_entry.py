@@ -156,3 +156,17 @@ def test_registry_priority_prefix(spark):
     for must in ("census_merge", "global_stats", "sql_tpch_q6", "sessionize",
                  "dedup_minhash", "ann_ivf_topk", "multimodal_frames"):
         assert names.index(must) < 50, must
+
+
+def test_sql_surface_plans(spark):
+    """Spark-4 SQL surfaces: LATERAL top-k decorrelates to a
+    WindowGroupLimit over one broadcast join (no nested loop), and the
+    recursive CTE resolves the full hierarchy."""
+    pl = _plan(spark, "lateral_topk_orders")
+    assert "WindowGroupLimit" in pl
+    assert "CartesianProduct" not in pl and "BroadcastNestedLoopJoin" not in pl
+
+    qs = entry_mod.queries()
+    rows = qs["recursive_org_depth"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 150  # every customer reached
+    assert {r.depth for r in rows} == {0, 1, 2}  # 150 -> 15 -> root tiers
