@@ -55,3 +55,53 @@ def test_fuzzy_match_blocked_semantics(spark, sf_dir):
         # blocking key: pairs share their first token
         assert r["name_a"].split(" ")[0] == r["name_b"].split(" ")[0]
         assert r["n_a"] > 0 and r["n_b"] > 0
+
+
+def test_approx_distinct_within_hll_error_band(spark):
+    """HLL++ rows-only tier gets a numeric gate: per event_type, the
+    sketch estimate must sit within 5% of the exact distinct count
+    (default rsd is 0.05; the band is ~3 sigma at these cardinalities)."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from ffi_etl_spark.catalog import table
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r[0]: r[1]
+        for r in entry_mod.queries()["approx_distinct_users"](spark, sf).collect()
+    }
+    exact = {
+        r[0]: r[1]
+        for r in table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(0.05 * exact[k], 2), (k, est, exact[k])
+
+
+def test_approx_quantiles_within_relative_error(spark):
+    """approx_percentile rows-only tier: each sketch quantile must sit
+    within the sketch's rank-error band of the exact percentile values
+    (accuracy=10000 -> 1/10000 rank error; assert against a loose 1%
+    value band on this distribution)."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: list(r["approx_pcts"])
+        for r in entry_mod.queries()["approx_quantiles"](spark, sf).collect()
+    }
+    exact = {
+        r["event_type"]: [r["p50"], r["p90"], r["p99"]]
+        for r in entry_mod.queries()["quantiles_exact"](spark, sf).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, v in approx.items():
+        assert len(v) == 3
+        for a, b in zip(v, exact[k]):
+            denom = max(abs(b), 1.0)
+            assert abs(a - b) / denom < 0.01, (k, a, b)
