@@ -13,7 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, TimestampNTZType
+from pyspark.sql.types import TimestampNTZType
 
 # Tables the driver testdata ships (TESTDATA.md).
 TESTDATA_TABLES = (
@@ -37,18 +37,14 @@ def _normalize(name: str, df: DataFrame) -> DataFrame:
 
     Spark 4.1 reads it as TIMESTAMP_NTZ with the nanos truncated to
     Spark's microsecond precision (the legacy ``nanosAsLong`` conf no
-    longer applies). Cast to the session-zoned TIMESTAMP here so every
+    longer applies — verified, and the old long-read repair branch is
+    deleted as dead). Cast to the session-zoned TIMESTAMP here so every
     downstream op (``unix_micros``, interval arithmetic, window ranges)
     sees one canonical type; with the engine's UTC session timezone the
     wall-clock values are unchanged and match DuckDB's naive-timestamp
-    reading of the same file. Older long-read environments are repaired
-    by the LongType branch."""
-    if name == "events":
-        dt = df.schema["ts"].dataType
-        if isinstance(dt, LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
-        elif isinstance(dt, TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    reading of the same file (bit-equal micros, verified both engines)."""
+    if name == "events" and isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
