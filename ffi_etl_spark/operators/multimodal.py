@@ -166,3 +166,39 @@ def sample_frames(
     return spread(df, id_col).select(id_col, text_col).mapInPandas(
         _frames, schema=FRAME_SCHEMA
     )
+
+
+def extract_features_arrow(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """``mapInArrow`` twin of ``extract_features``: identical features,
+    but the Python boundary stays on raw Arrow RecordBatches — no
+    pandas Series materialization, no object-dtype boxing of the binary
+    payloads. For multi-MB media payloads that boxing is the dominant
+    Python-side cost of the pandas lane, so this is the preferred form
+    when the decode fn consumes raw bytes anyway (codecs do). Output
+    parity with the pandas lane is locked by
+    test_multimodal_arrow_matches_pandas."""
+    import pyarrow as pa
+
+    def _extract(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            payloads = batch.column(batch.schema.get_field_index(payload_col))
+            feats = [decode_stub(p.as_py()) for p in payloads]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array([f["byte_len"] for f in feats], pa.int32()),
+                    pa.array([f["sha256"] for f in feats], pa.string()),
+                    pa.array([f["fake_width"] for f in feats], pa.int32()),
+                    pa.array([f["fake_height"] for f in feats], pa.int32()),
+                ],
+                names=["doc_id", "byte_len", "sha256", "fake_width", "fake_height"],
+            )
+
+    from ffi_etl_spark.operators.util import spread
+
+    return spread(df, id_col).select(id_col, payload_col).mapInArrow(
+        _extract, schema=FEATURE_SCHEMA
+    )

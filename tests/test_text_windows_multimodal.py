@@ -142,3 +142,19 @@ def test_session_window_splits_at_exact_gap(spark):
     )
     got = sorted((r.s, r.n) for r in sess)
     assert got == [("2024-01-01 00:00:00", 2), ("2024-01-01 01:00:01", 1)]
+
+
+def test_multimodal_arrow_matches_pandas(spark):
+    """The mapInArrow feature lane must be row-for-row identical to the
+    mapInPandas lane (same decode, no boxing differences)."""
+    from ffi_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+        extract_features_arrow,
+    )
+    from ffi_etl_spark.catalog import table
+
+    docs = attach_binary_payload(table(spark, "/root/testdata/sf0.001", "documents"))
+    a = sorted(tuple(r) for r in extract_features(docs).collect())
+    b = sorted(tuple(r) for r in extract_features_arrow(docs).collect())
+    assert a == b and len(a) > 0
