@@ -218,3 +218,56 @@ def _fuzzy_match_blocked(spark, sf_dir):
         )
         .orderBy("name_a", "name_b")
     )
+
+
+# --- join-key skew probe ------------------------------------------------------
+
+@query(
+    "skew_probe",
+    oracle="""
+WITH per_key AS (
+  SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey
+), stats AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total,
+         COUNT(*) AS n_keys,
+         CAST(MAX(n) AS BIGINT) AS max_n
+  FROM per_key
+)
+SELECT p.key, p.n,
+       CAST(FLOOR(p.n * 1000000 / s.total) AS BIGINT) AS share_ppm,
+       CAST(FLOOR(p.n * s.n_keys / s.total) AS BIGINT) AS x_mean
+FROM per_key p, stats s
+ORDER BY p.n DESC, p.key
+LIMIT 10
+""",
+)
+def _skew_probe(spark, sf_dir):
+    """Heavy-hitter probe for a join/agg key — the diagnostic run before
+    choosing a salt factor or bucketing layout: top-10 keys with exact
+    counts, parts-per-million share, and multiple-of-mean (all integer
+    ratios, canonicalizer-proof). Plan: one key-count aggregation (the
+    same partial-agg shuffle the real join would pay), a 1-row
+    broadcast stats cross-join, TakeOrderedAndProject top-k. At 100 TB
+    this is the cheap dry-run that tells you whether AQE skew split
+    suffices or the key needs salting (operators/rollup.salted_agg /
+    salted_join)."""
+    o = table(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = per_key.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").cast("long").alias("max_n"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "n",
+            F.floor(F.col("n") * 1000000 / F.col("total")).cast("long").alias("share_ppm"),
+            F.floor(F.col("n") * F.col("n_keys") / F.col("total")).cast("long").alias("x_mean"),
+        )
+        .orderBy(F.col("n").desc(), F.col("key"))
+        .limit(10)
+    )
