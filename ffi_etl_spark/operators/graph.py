@@ -4,11 +4,7 @@ deduplication.
 Pair detection (operators/dedup.py) yields near-dup EDGES; to actually
 deduplicate a corpus you need the transitive clusters ("doc A ~ B,
 B ~ C" must collapse to one canonical document even when A ~ C was
-never directly found). Components are computed by iterative min-label
-propagation: every vertex starts labeled with itself and repeatedly
-takes the minimum label over {self} ∪ neighbors until a fixpoint — the
-label converges to the component's minimum vertex id, which doubles as
-the canonical-document id.
+never directly found).
 
 Components are computed by alternating large-star/small-star edge
 rewrites (Kiveris et al., "Connected Components in MapReduce and
@@ -175,7 +171,8 @@ def pagerank(
     because the checkpoint pins it) and one dst-keyed partial+final
     agg. Rows-only gate: iterative floating-point accumulation has no
     SQL oracle; the numpy power-iteration differential in
-    tests/test_forensics.py is the correctness check.
+    tests/test_properties.py::test_pagerank_matches_numpy is the
+    correctness check.
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if undirected:

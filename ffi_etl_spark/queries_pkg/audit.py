@@ -203,3 +203,26 @@ def _fk_integrity_audit(spark, sf_dir):
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("edge")
+
+
+# --- near-dup graph centrality ------------------------------------------------
+
+@query("pagerank_centrality", oracle=None)
+def _pagerank_centrality(spark, sf_dir):
+    """PageRank over the MinHash near-dup pair graph (undirected):
+    high-rank documents sit in dense mirror/template clusters — the
+    triage order for manual review of a dedup run. Rows-only gate by
+    design (iterative floating-point accumulation has no SQL oracle);
+    the correctness check is the dense-numpy power-iteration
+    differential in test_properties.py::test_pagerank_matches_numpy.
+    Ranks are rounded for display; rank mass sums to 1."""
+    from pyspark.sql import functions as F
+
+    from ffi_etl_spark.operators.dedup import dedup_minhash_lsh
+    from ffi_etl_spark.operators.graph import pagerank
+
+    pairs = dedup_minhash_lsh(table(spark, sf_dir, "documents"))
+    ranks = pagerank(pairs, undirected=True, max_iter=10)
+    return ranks.select("vertex", F.round("rank", 8).alias("rank")).orderBy(
+        F.col("rank").desc(), F.col("vertex")
+    )

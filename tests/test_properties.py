@@ -239,3 +239,35 @@ def test_connected_components_logarithmic_on_path(spark):
     assert got == {i: 0 for i in range(n)}
     # geometric contraction: far under the path's O(n) propagation count
     assert stats["rounds"] <= 2 * int(math.log2(n)) + 3, stats
+
+
+def test_pagerank_matches_numpy(spark):
+    """Differential: distributed PageRank == dense numpy power
+    iteration (same damping, dangling redistribution, iteration count)
+    on a crafted graph with a dangling node and a hub."""
+    import numpy as np
+
+    from ffi_etl_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]  # 4 -> 3, 3 -> 1 cycle; no out from... all have out except none; add dangling 5
+    edges.append((3, 5))  # 5 has no out-edges -> dangling
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.vertex: r.rank for r in pagerank(df, max_iter=25, tol=0.0).collect()}
+
+    verts = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    out = {v: [b for a, b in edges if a == v] for v in verts}
+    d = 0.85
+    r = np.full(n, 1.0 / n)
+    for _ in range(25):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = sum(r[idx[v]] for v in verts if not out[v])
+        nxt += d * dangling / n
+        for v in verts:
+            for b in out[v]:
+                nxt[idx[b]] += d * r[idx[v]] / len(out[v])
+        r = nxt
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in verts:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
