@@ -47,11 +47,6 @@ def word_ngrams(c: Column, n: int = 3) -> Column:
     )
 
 
-def shingle_hash_set(c: Column, k: int = 5) -> Column:
-    """Distinct md5-int32 hashes of the char shingles (the MinHash input set)."""
-    return F.array_distinct(F.transform(char_shingles(c, k), md5_int32))
-
-
 def minhash_signature(hashes: Column, num_perm: int = 12) -> Column:
     """MinHash signature via the universal hash family
     h_p(x) = ((2p+1)·x + 7919p + 13) mod PRIME, p = 0..num_perm-1."""

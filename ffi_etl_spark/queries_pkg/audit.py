@@ -226,3 +226,99 @@ def _pagerank_centrality(spark, sf_dir):
     return ranks.select("vertex", F.round("rank", 8).alias("rank")).orderBy(
         F.col("rank").desc(), F.col("vertex")
     )
+
+
+# --- cross-document duplicated-span profile ----------------------------------
+
+@query(
+    "dup_span_profile",
+    oracle=r"""
+WITH toked AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest([
+           ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT
+           for i in generate_series(1, greatest(len(toks) - 7, 1))
+         ]) AS g
+  FROM toked
+), docfreq AS (
+  SELECT g, COUNT(*) AS d FROM grams GROUP BY g
+)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       CAST(SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_ratio
+FROM grams JOIN docfreq USING (g)
+GROUP BY doc_id
+""",
+)
+def _dup_span_profile(spark, sf_dir):
+    """operators/textops.py::dup_span_profile over documents (token
+    8-gram cross-doc duplication — the Lee-et-al-style span-dedup
+    signal)."""
+    from ffi_etl_spark.operators.textops import dup_span_profile
+
+    return dup_span_profile(table(spark, sf_dir, "documents"))
+
+
+# --- inverted index (retrieval spine) ----------------------------------------
+
+@query(
+    "inverted_index",
+    oracle=r"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id AS doc,
+         unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+)
+SELECT term, COUNT(*) AS df,
+       array_to_string(list_sort(list(doc))[1:1000], ',') AS postings
+FROM pairs WHERE term <> ''
+GROUP BY term
+HAVING COUNT(*) >= 2
+""",
+)
+def _inverted_index(spark, sf_dir):
+    """operators/textops.py::inverted_index over documents (term df +
+    capped sorted posting lists)."""
+    from ffi_etl_spark.operators.textops import inverted_index
+
+    return inverted_index(table(spark, sf_dir, "documents"))
+
+
+# --- cross-source n-gram overlap matrix --------------------------------------
+
+@query(
+    "source_ngram_overlap",
+    oracle=r"""
+WITH toked AS (
+  SELECT source, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), sg AS (
+  SELECT DISTINCT source,
+         unnest([
+           ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 15))::BIGINT
+           for i in generate_series(1, greatest(len(toks) - 2, 1))
+         ]) AS g
+  FROM toked
+), sizes AS (
+  SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY source
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       sa.n_grams AS n_a, sb.n_grams AS n_b,
+       CAST(n_shared AS DOUBLE) / least(sa.n_grams, sb.n_grams) AS overlap_coef
+FROM shared
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+""",
+)
+def _source_ngram_overlap(spark, sf_dir):
+    """operators/textops.py::source_ngram_overlap over documents
+    (train/train contamination matrix, word 3-grams)."""
+    from ffi_etl_spark.operators.textops import source_ngram_overlap
+
+    return source_ngram_overlap(table(spark, sf_dir, "documents"))
