@@ -123,18 +123,3 @@ def jaccard_with_sizes(a: Column, b: Column, na: Column, nb: Column) -> Column:
     (each builds a hash set over both arrays)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
     return inter / (na.cast("double") + nb.cast("double") - inter)
-
-
-def xxhash_shingle_set(c: Column, k: int = 5) -> Column:
-    """Production fast path for the MinHash input set: Spark's native
-    ``xxhash64`` per shingle (one JVM intrinsic vs an md5 digest + hex
-    parse). Folded non-negative for the universal-hash family. NOT
-    DuckDB-reproducible — use the md5 tier when differential testing,
-    this tier at scale."""
-    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.pmod(F.xxhash64(F.substring(c, i, F.lit(k))), F.lit(2 ** 32)),
-        )
-    )
