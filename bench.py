@@ -37,6 +37,7 @@ HEADLINE = [
     "text_stats",
     "sessionize",
     "multimodal_frames",
+    "skew_salted_join",
 ]
 
 
@@ -103,6 +104,21 @@ def main() -> None:
         # isolation between queries: drop persisted signature tables etc.
         # so no query is timed under a predecessor's memory footprint
         spark.catalog.clearCache()
+
+    # skew lever, measured: the unsalted twin of skew_salted_join runs the
+    # same shuffle join with the hot key serialized through one reducer
+    # task — stderr-only context for the salted line above
+    from ffi_etl_spark.queries_pkg.breadth import skew_join_plain
+
+    t0 = time.perf_counter()
+    skew_join_plain(spark, sf_dir).count()
+    dt_plain = time.perf_counter() - t0
+    print(
+        f"# skew_join_plain (unsalted twin): {dt_plain:.3f}s vs salted "
+        f"{timings.get('skew_salted_join', float('nan')):.3f}s",
+        file=sys.stderr,
+    )
+    spark.catalog.clearCache()
 
     print(
         json.dumps(

@@ -98,21 +98,27 @@ def _verify_join(
 
 
 def _candidate_pairs(with_bands: DataFrame, id_col: str) -> DataFrame:
-    """Self-join rows that share any (band_idx, band_key); distinct pairs."""
+    """Self-join rows that share any (band_idx, band_key); distinct pairs.
+
+    Both sides derive from the same frame, so the band columns carry
+    identical attribute IDs; plan-level aliases + qualified refs make
+    every predicate provably cross-frame (an unqualified ``_band_key ==
+    _band_key`` logs a "trivially true equals predicate" WARN and leans
+    on Spark's self-join disambiguation heuristics)."""
     bands = with_bands.select(
         F.col(id_col).alias("_id"),
         F.posexplode("_bands").alias("_band_idx", "_band_key"),
     )
-    left = bands.withColumnsRenamed({"_id": "id_a"})
-    right = bands.withColumnsRenamed({"_id": "id_b"})
+    left = bands.alias("l")
+    right = bands.alias("r")
     return (
         left.join(
             right,
-            (left["_band_idx"] == right["_band_idx"])
-            & (left["_band_key"] == right["_band_key"])
-            & (left["id_a"] < right["id_b"]),
+            (F.col("l._band_idx") == F.col("r._band_idx"))
+            & (F.col("l._band_key") == F.col("r._band_key"))
+            & (F.col("l._id") < F.col("r._id")),
         )
-        .select("id_a", "id_b")
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
     )
 
@@ -273,15 +279,20 @@ def dedup_simhash(
         F.col("simhash"),
         F.explode("_bands").alias("_band_key"),
     )
-    left = bands.select(
-        F.col("_id").alias("id_a"), F.col("simhash").alias("_sa"), "_band_key"
-    )
-    right = bands.select(
-        F.col("_id").alias("id_b"), F.col("simhash").alias("_sb"), "_band_key"
-    )
+    left = bands.alias("l")
+    right = bands.alias("r")
     pairs = (
-        left.join(right, (left["_band_key"] == right["_band_key"]) & (left["id_a"] < right["id_b"]))
-        .select("id_a", "id_b", "_sa", "_sb")
+        left.join(
+            right,
+            (F.col("l._band_key") == F.col("r._band_key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.simhash").alias("_sa"),
+            F.col("r.simhash").alias("_sb"),
+        )
         .distinct()
     )
     return (

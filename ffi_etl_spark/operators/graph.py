@@ -76,6 +76,7 @@ def connected_components(
     )
 
     rounds = 0
+    stable = False
     prev_count = e.count()
     while rounds < max_iter and prev_count > 0:
         rounds += 1
@@ -112,8 +113,20 @@ def connected_components(
         if stable:
             break
 
+    converged = stable or prev_count == 0
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        # the final star-join below assumes one edge per non-root vertex;
+        # a non-star edge set would silently emit duplicated / wrong
+        # labels, so fail loudly instead (O(log n) contraction means 30
+        # rounds covers ~2^30 vertices — hitting this is a bug or an
+        # absurdly small max_iter, not a big graph)
+        raise RuntimeError(
+            f"connected_components did not reach the star fixpoint in "
+            f"{max_iter} rounds ({prev_count} edges remain); raise max_iter"
+        )
 
     # fixpoint is a star per component: every non-root vertex carries an
     # edge to the component minimum; roots (and self-loop-only vertices)

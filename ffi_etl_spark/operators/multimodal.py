@@ -25,9 +25,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FEATURE_SCHEMA = (
-    "doc_id long, byte_len int, sha256 string, fake_width int, fake_height int"
-)
+FEATURE_COLS = "byte_len int, sha256 string, fake_width int, fake_height int"
+
+
+def _out_schema(df: DataFrame, id_col: str, rest: str) -> str:
+    """Output schema with the id column's NAME and TYPE taken from the
+    input frame — a non-default ``id_col`` keeps its identity instead of
+    being silently renamed to ``doc_id`` and retyped long."""
+    dt = dict(df.dtypes)[id_col]
+    return f"`{id_col}` {dt}, {rest}"
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -68,22 +74,22 @@ def extract_features(
         for pdf in batches:
             feats = pdf[payload_col].map(decode_stub)
             out = pd.DataFrame(list(feats))
-            out.insert(0, "doc_id", pdf[id_col].values)
+            out.insert(0, id_col, pdf[id_col].values)
             yield out
 
     from ffi_etl_spark.operators.util import spread
 
     return spread(df, id_col).select(id_col, payload_col).mapInPandas(
-        _extract, schema=FEATURE_SCHEMA
+        _extract, schema=_out_schema(df, id_col, FEATURE_COLS)
     )
 
 
-RESIZE_SCHEMA = (
-    "doc_id long, byte_len int, fake_width int, fake_height int, "
+RESIZE_COLS = (
+    "byte_len int, fake_width int, fake_height int, "
     "out_width int, out_height int, resized_sha string"
 )
 
-FRAME_SCHEMA = "doc_id long, frame_idx int, frame_sha string, frame_chars int"
+FRAME_COLS = "frame_idx int, frame_sha string, frame_chars int"
 
 
 def resize_stub(payload: bytes, width: int, height: int) -> dict:
@@ -112,7 +118,7 @@ def resize_images(
                 out = resize_stub(payload, width, height)
                 rows.append(
                     {
-                        "doc_id": doc_id,
+                        id_col: doc_id,
                         "byte_len": meta["byte_len"],
                         "fake_width": meta["fake_width"],
                         "fake_height": meta["fake_height"],
@@ -124,7 +130,7 @@ def resize_images(
     from ffi_etl_spark.operators.util import spread
 
     return spread(df, id_col).select(id_col, payload_col).mapInPandas(
-        _resize, schema=RESIZE_SCHEMA
+        _resize, schema=_out_schema(df, id_col, RESIZE_COLS)
     )
 
 
@@ -153,7 +159,7 @@ def sample_frames(
                     chunk = t[i * frame_chars : (i + 1) * frame_chars]
                     rows.append(
                         {
-                            "doc_id": doc_id,
+                            id_col: doc_id,
                             "frame_idx": i,
                             "frame_sha": hashlib.sha256(chunk.encode()).hexdigest(),
                             "frame_chars": len(chunk),
@@ -164,7 +170,7 @@ def sample_frames(
     from ffi_etl_spark.operators.util import spread
 
     return spread(df, id_col).select(id_col, text_col).mapInPandas(
-        _frames, schema=FRAME_SCHEMA
+        _frames, schema=_out_schema(df, id_col, FRAME_COLS)
     )
 
 
@@ -194,11 +200,11 @@ def extract_features_arrow(
                     pa.array([f["fake_width"] for f in feats], pa.int32()),
                     pa.array([f["fake_height"] for f in feats], pa.int32()),
                 ],
-                names=["doc_id", "byte_len", "sha256", "fake_width", "fake_height"],
+                names=[id_col, "byte_len", "sha256", "fake_width", "fake_height"],
             )
 
     from ffi_etl_spark.operators.util import spread
 
     return spread(df, id_col).select(id_col, payload_col).mapInArrow(
-        _extract, schema=FEATURE_SCHEMA
+        _extract, schema=_out_schema(df, id_col, FEATURE_COLS)
     )

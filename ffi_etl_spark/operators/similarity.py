@@ -78,13 +78,20 @@ def ann_sign_lsh_pairs(
         F.col(vec_col).alias("_v"),
         sign_bucket(F.col(vec_col), bits).alias("_bucket"),
     )
-    left = b.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bucket")
-    right = b.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bucket")
+    left = b.alias("l")
+    right = b.alias("r")
     return (
-        left.join(right, (left["_bucket"] == right["_bucket"]) & (left["id_a"] < right["id_b"]))
-        .withColumn("cosine_sim", cosine(F.col("_va"), F.col("_vb")))
+        left.join(
+            right,
+            (F.col("l._bucket") == F.col("r._bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            cosine(F.col("l._v"), F.col("r._v")).alias("cosine_sim"),
+        )
         .filter(F.col("cosine_sim") >= threshold)
-        .select("id_a", "id_b", "cosine_sim")
     )
 
 

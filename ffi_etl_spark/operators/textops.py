@@ -555,26 +555,45 @@ def token_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     with the corpus — the 100 TB shape, vs a per-row
     O(tokens × distinct) array fold that stalls on long documents.
 
+    NULL / whitespace-only / empty text yields ``n_tokens=0, entropy
+    0.0`` — the row is KEPT (a per-doc quality join must not lose
+    docs), and empty tokens are filtered like ``inverted_index`` does
+    (previously NULL text vanished via explode-of-null and empty text
+    counted the empty string as one token).
+
     Rows-only gate by design: ``ln`` is transcendental, and last-ulp
     differences between JVM ``Math.log`` and a C libm make a bit-exact
     SQL oracle unsound; the correctness check is the Counter-based
     Python differential in tests."""
-    toks = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_tok")
+    # explode_outer: a token-less doc survives as one (_tok=NULL) row
+    toks = F.explode_outer(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda t: t != "",
+        )
+    ).alias("_tok")
     per_token = (
         df.select(F.col(id_col), toks)
         .groupBy(id_col, "_tok")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
+    real = F.col("_tok").isNotNull()
     return (
         per_token.groupBy(id_col)
         .agg(
-            F.sum("_c").alias("_n"),
-            F.sum(F.col("_c") * F.log(F.col("_c"))).alias("_clogc"),
+            F.sum(F.when(real, F.col("_c")).otherwise(F.lit(0))).alias("_n"),
+            F.sum(
+                F.when(real, F.col("_c") * F.log(F.col("_c"))).otherwise(F.lit(0.0))
+            ).alias("_clogc"),
         )
         # -Σ (c/n)ln(c/n) = ln(n) - (Σ c·ln c)/n  — one pass, no second join
         .select(
             F.col(id_col),
             F.col("_n").cast("long").alias("n_tokens"),
-            (F.log(F.col("_n")) - F.col("_clogc") / F.col("_n")).alias("entropy_nats"),
+            F.when(
+                F.col("_n") > 0, F.log(F.col("_n")) - F.col("_clogc") / F.col("_n")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("entropy_nats"),
         )
     )

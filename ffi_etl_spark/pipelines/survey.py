@@ -14,6 +14,8 @@ Stage semantics cite the reference notebook lines they reproduce.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,6 +36,7 @@ from ffi_etl_spark.operators.extract import merge_online_offline, prefix_key
 from ffi_etl_spark.operators.rollup import rollup_all
 from ffi_etl_spark.operators.validity import split_valid, validity_cascade
 from ffi_etl_spark.pipeline import Pipeline
+from ffi_etl_spark.sources.writers import single_file_csv, single_file_json
 
 # utils.py:112-119 — demographic columns rolled up in gold
 DEMOGRAPHICS: list[tuple[str, str]] = [
@@ -206,5 +209,18 @@ def build_survey_pipeline(
                 t["census"], t["roll_up"], t["survey_silver"], "Survey Date Submitted"
             )
         }
+
+    @pipe.stage("write_to_volume", materialize=False)
+    def _export(spark: SparkSession, t: dict[str, DataFrame]):
+        # write_to_volume.py:7-16 — every gold table lands as one JSON
+        # file + one header CSV under the volume dir. The reference
+        # enumerates SHOW TABLES IN wiatt.gold filtered by city; here the
+        # gold layer is the pipeline's own table namespace, so the list
+        # is explicit (and session-global catalog state can't bleed in).
+        out = os.path.join(warehouse, "volume")
+        for name in ("roll_up", "census_merged_roll_up"):
+            single_file_json(t[name], os.path.join(out, f"{name}.json"))
+            single_file_csv(t[name], os.path.join(out, f"{name}.csv"))
+        return {}
 
     return pipe

@@ -812,6 +812,73 @@ def _salted_join_agg(spark, sf_dir):
     )
 
 
+def _skew_frames(spark, sf_dir):
+    """Zipf-ish join inputs for the skew demo: 90% of lineitem rows
+    collapse onto one hot key (every l_orderkey not divisible by 10 →
+    key 1), the dim side keeps one row per key. The dim is hinted
+    ``shuffle_hash`` so the join actually shuffles the skewed fact —
+    broadcast would bypass the skew entirely and prove nothing."""
+    hot = lambda c: F.when(F.col(c) % 10 != 0, F.lit(1)).otherwise(F.col(c))  # noqa: E731
+    li = table(spark, sf_dir, "lineitem").select(
+        hot("l_orderkey").alias("k"), F.col("l_quantity").cast("long").alias("qty")
+    )
+    d = (
+        table(spark, sf_dir, "orders")
+        .select(hot("o_orderkey").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .hint("shuffle_hash")
+    )
+    return li, d
+
+
+def skew_join_plain(spark, sf_dir):
+    """Unsalted twin of ``skew_salted_join`` — NOT a registered query;
+    bench.py times it beside the salted form so the skew lever carries
+    a measured number instead of a claim."""
+    li, d = _skew_frames(spark, sf_dir)
+    return li.join(d, "k").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("qty") * F.col("n_orders")).cast("long").alias("weighted_qty"),
+    )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+WITH f AS (
+  SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 1 ELSE l_orderkey END AS k,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+), d AS (
+  SELECT CASE WHEN o_orderkey % 10 <> 0 THEN 1 ELSE o_orderkey END AS k,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(f.qty * d.n_orders) AS BIGINT) AS weighted_qty
+FROM f JOIN d USING (k)
+""",
+)
+def _skew_salted_join(spark, sf_dir):
+    """Salted shuffle join under real key skew (90% of rows on one
+    key): fact rows draw a per-row salt over 16 buckets, the dim
+    replicates per salt, so the hot key runs as 16 reducer tasks
+    instead of one straggler. The oracle is the plain SQL join — the
+    salting must be result-invariant. AQE's skew splitter only fires
+    above spark.sql.adaptive.skewJoin thresholds (256 MB partitions);
+    at realistic per-partition sizes below that, and in stream-stream
+    joins where AQE can't re-plan, explicit salting is the lever
+    (operators/olap.py::salted_join)."""
+    from ffi_etl_spark.operators.olap import salted_join
+
+    li, d = _skew_frames(spark, sf_dir)
+    return salted_join(li, d, ["k"], n_salts=16).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("qty") * F.col("n_orders")).cast("long").alias("weighted_qty"),
+    )
+
+
 # --- data profiling: equi-width + equi-depth histograms -----------------------
 
 _HIST_WIDTH_ORACLE = """

@@ -748,12 +748,34 @@ def _quantiles_exact(spark, sf_dir):
     )
 
 
-@query("approx_distinct_users")  # HLL++ sketch: engine-specific, rows-only check
+@query(
+    "approx_distinct_users",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS INT) AS hll_within_band
+FROM events GROUP BY event_type
+""",
+)
 def _approx_distinct_users(spark, sf_dir):
+    """HLL++ sketch vs exact distinct, gated as an error-band
+    differential: the sketch value itself is engine-specific (DuckDB's
+    approx_count_distinct uses a different HLL), so the oracle-checked
+    output is the exact count plus a band flag asserting the Spark
+    sketch landed within 5% of truth (rsd=0.02 → ~2σ margin). The
+    sketch is deterministic for fixed data, so the flag is stable."""
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.02)
+                - F.count_distinct("user_id")
+            )
+            <= 0.05 * F.count_distinct("user_id")
+        )
+        .cast("int")
+        .alias("hll_within_band"),
     )
 
 

@@ -49,20 +49,36 @@ def read_csv_url(
     """S1/S2: published-CSV ingest over HTTP (the reference reads its
     survey extracts and config sheets straight from published
     Google-Sheets CSV URLs: extract_alchemer_data.py:8-9,
-    utils.py:43-46). A thin DRIVER-SIDE downloader by design: these
-    endpoints are single small documents, not data lakes — fetch once
-    to a local temp file, then hand off to the distributed ``read_csv``
-    path. Accepts any urllib-supported scheme (http/https/file)."""
-    import tempfile
+    utils.py:43-46). The fetch is driver-side by design — these
+    endpoints are single small documents, not data lakes — but the
+    bytes land in CLUSTER-VISIBLE storage (``spark.sql.warehouse.dir``,
+    written through the Hadoop FileSystem API so local / HDFS / S3A
+    warehouses all work) before the distributed ``read_csv``: a
+    driver-local temp file would be invisible to executors on any
+    multi-node cluster. The landed file is the ingest's bronze
+    artifact, addressed by content digest (re-fetching identical bytes
+    overwrites idempotently); it must outlive this call because the
+    returned DataFrame reads it lazily. Accepts any urllib-supported
+    scheme (http/https/file)."""
+    import hashlib
     import urllib.request
 
     with urllib.request.urlopen(url, timeout=timeout) as resp:
-        with tempfile.NamedTemporaryFile(
-            mode="wb", suffix=".csv", delete=False
-        ) as tmp:
-            tmp.write(resp.read())
-            local = tmp.name
-    return read_csv(spark, local, schema=schema, **options)
+        data = resp.read()
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    dest = f"{warehouse.rstrip('/')}/_url_ingest/{hashlib.sha1(data).hexdigest()}.csv"
+    # Hadoop FS write (Py4J): the one API that targets whatever
+    # filesystem the warehouse actually lives on.
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(dest)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+    return read_csv(spark, dest, schema=schema, **options)
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:

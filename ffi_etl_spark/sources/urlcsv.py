@@ -47,6 +47,15 @@ class UrlPartition(InputPartition):
 
 class UrlCsvReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
+        # all-strings is the connector's contract (module docstring);
+        # fail here with a clear message instead of letting executors
+        # emit Arrow batches whose types contradict the declared schema
+        bad = [f.name for f in schema.fields if not isinstance(f.dataType, StringType)]
+        if bad:
+            raise ValueError(
+                "urlcsv reads every column as string (typed casts belong to "
+                f"the query layer); non-string fields declared: {bad}"
+            )
         self.schema = schema
         urls = options.get("urls", "")
         self.urls = [u.strip() for u in urls.split(",") if u.strip()]

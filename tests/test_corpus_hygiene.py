@@ -191,6 +191,23 @@ def test_token_entropy_matches_counter(spark):
         assert abs(got[doc_id][1] - want) < 1e-9, (doc_id, got[doc_id], want)
 
 
+def test_token_entropy_keeps_tokenless_docs(spark):
+    """ADVICE r02: NULL / empty / whitespace-only text must NOT vanish
+    (a per-doc quality join loses rows) and must NOT count the empty
+    string as a token — they land as n_tokens=0, entropy 0.0."""
+    from ffi_etl_spark.operators.textops import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "a b")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.entropy_nats) for r in token_entropy(df).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for d in (1, 2, 3):
+        assert got[d] == (0, 0.0), (d, got[d])
+    assert got[4][0] == 2
+
+
 def test_reservoir_sample_is_deterministic_bottom_k(spark):
     """The kept set is exactly the k smallest md5 draws, independent of
     partitioning."""

@@ -132,6 +132,27 @@ def test_connected_components_chain_and_clique(spark):
     assert got == want
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    """ADVICE r02: exhausting max_iter before the star fixpoint must
+    fail loudly (the final star-join would silently emit wrong labels),
+    and stats must record convergence state."""
+    import pytest
+
+    from ffi_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    with pytest.raises(RuntimeError, match="star fixpoint"):
+        connected_components(edges, max_iter=1, stats=stats)
+    assert stats["converged"] is False
+
+    stats = {}
+    connected_components(edges, stats=stats).collect()
+    assert stats["converged"] is True
+
+
 def test_lsh_tuning_tracks_threshold():
     """Higher verify thresholds must push the tuner toward more rows
     per band (sharper S-curve), and the canonical threshold~ (1/b)^(1/r)

@@ -65,9 +65,10 @@ def test_read_csv_lenient_quarantines_bad_rows(spark, tmp_path):
 
 
 def test_read_csv_url_file_scheme(spark, tmp_path):
-    """S1 HTTP shim: fetch-to-tmp + distributed read, exercised via a
-    file:// URL (the sandbox has no network; the urllib handoff is
-    identical across schemes)."""
+    """S1 HTTP shim: driver fetch -> CLUSTER-VISIBLE landing (Hadoop FS
+    write into the warehouse dir, not a driver-local temp file) ->
+    distributed read. Exercised via a file:// URL (the sandbox has no
+    network; the urllib handoff is identical across schemes)."""
     from ffi_etl_spark.sources.readers import read_csv_url
 
     src = tmp_path / "sheet.csv"
@@ -76,6 +77,26 @@ def test_read_csv_url_file_scheme(spark, tmp_path):
     rows = {r["Response ID"]: r["Gender"] for r in df.collect()}
     assert rows == {"1": "Woman", "2": "Man"}
     assert [f.dataType.simpleString() for f in df.schema.fields] == ["string", "string"]
+    # the landed bronze artifact lives under the warehouse, not /tmp
+    src_file = df.inputFiles()[0]
+    assert "_url_ingest" in src_file and "/tmp" not in src_file.split("_url_ingest")[0]
+
+
+def test_urlcsv_rejects_non_string_schema(spark):
+    """The connector's all-strings contract fails fast with a clear
+    message instead of emitting Arrow batches that contradict the
+    declared schema at runtime."""
+    import pytest
+
+    from ffi_etl_spark.sources.urlcsv import UrlCsvReader
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("a", StringType()), StructField("b", IntegerType())]
+    )
+    with pytest.raises(ValueError, match="non-string fields.*'b'"):
+        UrlCsvReader(schema, {"urls": "file:///x.csv"})
 
 
 def test_urlcsv_datasource_distributed_fetch(spark, tmp_path):

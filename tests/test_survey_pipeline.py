@@ -110,12 +110,15 @@ def gold(spark, tmp_path_factory):
                    "Census %": "20.0%", "Display Order": None}),
         ]
     )
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
     pipe = build_survey_pipeline(
-        warehouse=str(tmp_path_factory.mktemp("warehouse")),
+        warehouse=warehouse,
         open_text_cols=["Anything else you want to tell us?", "not a real column"],
         cols_to_delete=["SessionID"],
     )
-    return pipe.run(spark, {"online": online, "offline": offline, "census": census})
+    tables = pipe.run(spark, {"online": online, "offline": offline, "census": census})
+    tables["__warehouse__"] = warehouse
+    return tables
 
 
 def test_bronze_merges_and_prefixes(gold):
@@ -202,6 +205,18 @@ def test_exports(gold, tmp_path):
     with open(out_csv) as f:
         header = f.readline().strip().split(",")
     assert header[0] == "Demographic"
+
+
+def test_write_to_volume_stage_exports_gold(gold):
+    """Stage 5 (write_to_volume.py:7-16): the pipeline's own run must
+    land each gold table as one JSON file + one header CSV under
+    {warehouse}/volume — no separate export call."""
+    import os
+
+    vol = os.path.join(gold["__warehouse__"], "volume")
+    for name in ("roll_up", "census_merged_roll_up"):
+        assert os.path.isfile(os.path.join(vol, f"{name}.json")), name
+        assert os.path.isfile(os.path.join(vol, f"{name}.csv")), name
 
 
 def test_nan_key_parity(spark):

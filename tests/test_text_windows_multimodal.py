@@ -158,3 +158,22 @@ def test_multimodal_arrow_matches_pandas(spark):
     a = sorted(tuple(r) for r in extract_features(docs).collect())
     b = sorted(tuple(r) for r in extract_features_arrow(docs).collect())
     assert a == b and len(a) > 0
+
+
+def test_multimodal_custom_id_col_keeps_name_and_type(spark):
+    """ADVICE r02: a non-default id_col must keep its name AND Spark
+    type in the output of both feature lanes (previously hardcoded to
+    'doc_id long')."""
+    from ffi_etl_spark.operators.multimodal import (
+        extract_features,
+        extract_features_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [("img-1", b"abc"), ("img-2", b"defg")], "asset_id string, payload binary"
+    )
+    for lane in (extract_features, extract_features_arrow):
+        out = lane(df, id_col="asset_id")
+        assert out.schema["asset_id"].dataType.simpleString() == "string"
+        got = {r.asset_id: r.byte_len for r in out.collect()}
+        assert got == {"img-1": 3, "img-2": 4}
