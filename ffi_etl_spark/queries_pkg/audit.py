@@ -322,3 +322,78 @@ def _source_ngram_overlap(spark, sf_dir):
     from ffi_etl_spark.operators.textops import source_ngram_overlap
 
     return source_ngram_overlap(table(spark, sf_dir, "documents"))
+
+
+# --- snapshot diff: what changed between two corpus versions ------------------
+
+_DIFF_V2 = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 89 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new doc ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 101 = 0
+"""
+
+
+@query(
+    "dataset_diff",
+    oracle=f"""
+WITH v2 AS ({_DIFF_V2}),
+h1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+h2 AS (SELECT doc_id, md5(text) AS h FROM v2),
+j AS (
+  SELECT COALESCE(h1.doc_id, h2.doc_id) AS doc_id,
+         CASE WHEN h1.doc_id IS NULL THEN 'added'
+              WHEN h2.doc_id IS NULL THEN 'removed'
+              WHEN h1.h <> h2.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM h1 FULL OUTER JOIN h2 ON h1.doc_id = h2.doc_id
+)
+SELECT status, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM j GROUP BY status
+""",
+)
+def _dataset_diff(spark, sf_dir):
+    """Snapshot-diff audit between two corpus versions: full-outer join
+    on the doc key comparing content hashes, classifying every doc as
+    added / removed / changed / unchanged — the validation report an
+    incremental ingest emits before promoting a new snapshot (v2 here
+    is a deterministic synthetic revision of the documents table:
+    ~1/97 deleted, ~1/89 edited, ~1/101 inserted under new ids).
+
+    Scale shape: both sides reduce to (key, hash) BEFORE the join —
+    the full-outer shuffles two narrow columns, never document bodies;
+    the status classification and count roll-up are codegen'd
+    expressions over the join output."""
+    d = table(spark, sf_dir, "documents")
+    v1 = d.select("doc_id", F.md5("text").alias("h1"))
+    v2_rows = d.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 89 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    v2_new = d.filter(F.col("doc_id") % 101 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias("text"),
+    )
+    v2 = v2_rows.unionByName(v2_new).select("doc_id", F.md5("text").alias("h2"))
+    joined = v1.join(v2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select("doc_id", status.alias("status"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )

@@ -215,6 +215,102 @@ def _reservoir_sample(spark, sf_dir):
     )
 
 
+# --- quality-aware canonical selection over normalized-dup groups -------------
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+WITH normed AS (
+  SELECT doc_id, n_chars,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_key
+  FROM documents
+), ranked AS (
+  SELECT content_key, doc_id, n_chars,
+         row_number() OVER (PARTITION BY content_key
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY content_key) AS n_variants
+  FROM normed
+)
+SELECT content_key, doc_id AS keep_id, n_chars AS keep_chars,
+       CAST(n_variants AS BIGINT) AS n_variants
+FROM ranked WHERE rn = 1
+""",
+)
+def _dedup_keep_best(spark, sf_dir):
+    """Quality-aware canonical selection: docs that collapse to the
+    same case/punctuation-normalized content form one group, and the
+    group keeps its RICHEST member (max raw chars, ties → min id)
+    instead of the min-id arbitrary pick ``dedup_exact`` makes. This is
+    the production dedup policy for a training corpus — near-identical
+    variants differ in formatting, and you keep the least-degraded one.
+
+    Plan shape: ONE hash aggregate (``max_by`` over a (n_chars,
+    -doc_id) struct), no window — the oracle uses row_number only
+    because SQL lacks max_by-with-tiebreak; at 100 TB the aggregate
+    form partial-aggregates map-side while a per-group window would
+    shuffle-sort every group's members."""
+    d = table(spark, sf_dir, "documents")
+    key = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")))
+    return (
+        d.select(key.alias("content_key"), "doc_id", "n_chars")
+        .groupBy("content_key")
+        .agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("_neg"))
+            ).alias("keep_id"),
+            F.max("n_chars").alias("keep_chars"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )
+
+
+# --- deterministic shard-local training order ---------------------------------
+
+@query(
+    "training_order",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard_id,
+         md5('seed1:' || CAST(doc_id AS VARCHAR)) AS draw
+  FROM documents
+)
+SELECT shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY draw, doc_id) AS BIGINT)
+         AS position,
+       doc_id
+FROM d
+""",
+)
+def _training_order(spark, sf_dir):
+    """Deterministic global shuffle for training-example order: every
+    doc draws a seeded md5 permutation key and is ranked WITHIN its
+    shard — the (shard_id, position) pair is a reproducible epoch
+    order, stable across runs/engines/partitionings (a ``rand()`` sort
+    is none of those). Changing the seed string re-shuffles every epoch.
+
+    Scale shape: the window partitions by shard, so the sort is
+    per-shard (a training export has thousands of shards → thousands
+    of parallel sorts) — never one global sort. The md5 draw reuses the
+    engine's portable-uniform idiom (module docstring)."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("shard_id").orderBy("draw", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            (_md5_key(F.col("doc_id")) % 8).alias("shard_id"),
+            F.md5(F.concat(F.lit("seed1:"), F.col("doc_id").cast("string"))).alias(
+                "draw"
+            ),
+        )
+        .select(
+            "shard_id",
+            F.row_number().over(w).cast("long").alias("position"),
+            "doc_id",
+        )
+    )
+
+
 # --- unigram-entropy quality signal ------------------------------------------
 
 @query("token_entropy", oracle=None)

@@ -97,3 +97,25 @@ def test_fk_audit_counts_planted_orphan(spark, sf_dir):
         }
     assert rows["orders.o_custkey->customer.c_custkey"] == 1
     assert rows["nation.n_regionkey->region.r_regionkey"] == 0
+
+
+def test_dataset_diff_classifies_synthetic_revision(spark, sf_dir):
+    """The diff statuses must match the synthetic v2's construction
+    rules exactly: %97 deleted, %89 edited (unless deleted), %101
+    inserted under shifted ids, everything else unchanged."""
+    from ffi_etl_spark.catalog import table as real_table
+
+    docs = real_table(spark, sf_dir, "documents")
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    want = {
+        "removed": sum(1 for i in ids if i % 97 == 0),
+        "changed": sum(1 for i in ids if i % 97 != 0 and i % 89 == 0),
+        "added": sum(1 for i in ids if i % 101 == 0),
+    }
+    want["unchanged"] = len(ids) - want["removed"] - want["changed"]
+    got = {r.status: r.n_docs for r in QUERIES["dataset_diff"](spark, sf_dir).collect()}
+    assert got == {k: v for k, v in want.items() if v > 0}
+    added_min = min((i for i in ids if i % 101 == 0), default=None)
+    if added_min is not None:
+        rows = {r.status: r for r in QUERIES["dataset_diff"](spark, sf_dir).collect()}
+        assert rows["added"].min_id == added_min + 1000000

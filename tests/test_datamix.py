@@ -58,3 +58,42 @@ def test_sorted_neighborhood_pairs_are_block_local(spark, sf_dir):
     for r in rows:
         assert r["doc_a"] != r["doc_b"]
         assert 0 <= r["dist"] <= 8
+
+
+def test_dedup_keep_best_keeps_richest_variant(spark):
+    """Formatting variants collapse to one group; the keeper is the doc
+    with the most raw chars (tie → min id), not the min id outright."""
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!", "en", "a", 13),     # normalized: 'hello world'
+            (2, "hello world", "en", "a", 11),
+            (3, "HELLO -- WORLD --", "en", "a", 17), # richest variant
+            (4, "something else", "en", "a", 14),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with mock.patch.object(datamix, "table", lambda *_a, **_k: docs):
+        rows = {r.keep_id: r for r in QUERIES["dedup_keep_best"](spark, "unused").collect()}
+    assert set(rows) == {3, 4}
+    assert rows[3].n_variants == 3 and rows[3].keep_chars == 17
+    assert rows[4].n_variants == 1
+
+
+def test_training_order_is_dense_and_partition_invariant(spark, sf_dir):
+    """Positions are exactly 1..n within each shard, and the order is
+    identical however the input is partitioned (determinism contract)."""
+    out = QUERIES["training_order"](spark, sf_dir).collect()
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard_id, []).append(r.position)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+
+    from ffi_etl_spark.queries_pkg.datamix import table as real_table
+
+    def repartitioned(spark_, sf, name):
+        return real_table(spark_, sf, name).repartition(13)
+
+    with mock.patch.object(datamix, "table", repartitioned):
+        out2 = QUERIES["training_order"](spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
