@@ -227,6 +227,95 @@ def dedup_minhash_lsh(
     return verified
 
 
+def dedup_minhash_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_perm: int = 12,
+    bands: int = 3,
+    threshold: float = 0.5,
+    fast: bool = False,
+    broadcast_verify: bool = True,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an existing corpus (plus
+    batch-internal pairs) — corpus×corpus pairs are never generated.
+
+    This is the daily-ingest shape of MinHash-LSH at 100 TB: the
+    standing corpus was already deduplicated, so re-pairing it against
+    itself every ingest is O(corpus²·collision) wasted work. Here the
+    band self-join is replaced by ``new_bands ⋈ all_bands``: the
+    candidate count scales with the BATCH's band collisions, and the
+    (far larger) corpus side participates only as join probe input.
+    Signatures still compute over corpus ∪ batch in one pass (in a
+    production deployment the corpus's signatures would be a persisted
+    table, making the incremental cost |batch| signatures + one join).
+
+    Output: (id_a, id_b, jaccard_sim, pair_type) with pair_type
+    'new_new' for batch-internal pairs, 'new_old' for batch-vs-corpus.
+    Ids must be disjoint across the two inputs."""
+    rows = num_perm // bands
+    union = corpus.select(id_col, text_col).unionByName(batch.select(id_col, text_col))
+    hashed = _shingle_sets(union, text_col, id_col, shingle_k, fast, num_perm)
+    hashed = _pin(hashed.withColumn("_bands", band_keys(F.col("_sig"), bands, rows)))
+
+    all_bands = hashed.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode("_bands").alias("_band_idx", "_band_key"),
+    )
+    # the batch id list rides the same broadcast-vs-shuffle switch as
+    # the verify table: broadcastable for a daily batch, shuffle-join
+    # fallback when the batch itself outgrows the driver
+    new_ids = batch.select(F.col(id_col).alias("_id")).distinct()
+    if broadcast_verify:
+        new_ids = F.broadcast(new_ids)
+    new_bands = all_bands.join(new_ids, "_id")
+
+    n, c = new_bands.alias("n"), all_bands.alias("c")
+    pairs = (
+        n.join(
+            c,
+            (F.col("n._band_idx") == F.col("c._band_idx"))
+            & (F.col("n._band_key") == F.col("c._band_key"))
+            & (F.col("n._id") != F.col("c._id")),
+        )
+        # new×new collisions arrive twice (once from each side) —
+        # canonicalize then distinct; new×old arrives exactly once
+        .select(
+            F.least(F.col("n._id"), F.col("c._id")).alias("id_a"),
+            F.greatest(F.col("n._id"), F.col("c._id")).alias("id_b"),
+        )
+        .distinct()
+    )
+
+    sets = hashed.select(F.col(id_col), F.col("_hashes"))
+    flags = new_ids.withColumn("_is_new", F.lit(True))
+    verified = (
+        _verify_join(pairs, sets, id_col, broadcast_verify)
+        .withColumn(
+            "jaccard_sim",
+            jaccard_with_sizes(F.col("_ha"), F.col("_hb"), F.col("_na"), F.col("_nb")),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+        .join(flags.withColumnsRenamed({"_id": "id_a", "_is_new": "_new_a"}), "id_a", "left")
+        .join(flags.withColumnsRenamed({"_id": "id_b", "_is_new": "_new_b"}), "id_b", "left")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard_sim",
+            F.when(
+                F.coalesce(F.col("_new_a"), F.lit(False))
+                & F.coalesce(F.col("_new_b"), F.lit(False)),
+                "new_new",
+            )
+            .otherwise("new_old")
+            .alias("pair_type"),
+        )
+    )
+    return verified
+
+
 def simhash_fingerprints(
     df: DataFrame,
     text_col: str = "text",

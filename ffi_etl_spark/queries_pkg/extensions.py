@@ -116,6 +116,32 @@ def _dedup_minhash(spark, sf_dir):
     return dedup_minhash_lsh(table(spark, sf_dir, "documents"))
 
 
+_INCREMENTAL_ORACLE = f"""
+WITH {_minhash_pairs_cte()}
+SELECT id_a, id_b, jaccard_sim,
+       CASE WHEN id_a % 10 = 0 AND id_b % 10 = 0 THEN 'new_new'
+            ELSE 'new_old' END AS pair_type
+FROM verified
+WHERE jaccard_sim >= 0.5 AND (id_a % 10 = 0 OR id_b % 10 = 0)
+"""
+
+
+@query("dedup_minhash_incremental", oracle=_INCREMENTAL_ORACLE)
+def _dedup_minhash_incremental(spark, sf_dir):
+    """Daily-ingest dedup: documents with doc_id % 10 == 0 play the
+    arriving batch, the rest the standing corpus. The engine generates
+    only new×(corpus ∪ new) band candidates (operators/dedup.py::
+    dedup_minhash_incremental — corpus×corpus never pairs); the oracle
+    runs the full pair pipeline and filters to ≥1-new-side pairs, which
+    is the same set because band collision is pairwise."""
+    from ffi_etl_spark.operators.dedup import dedup_minhash_incremental
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    return dedup_minhash_incremental(corpus, batch)
+
+
 _COMPONENTS_ORACLE = f"""
 WITH RECURSIVE pairs AS (
   SELECT id_a, id_b FROM ({_MINHASH_ORACLE})

@@ -114,6 +114,32 @@ def test_ann_brp_lsh_finds_close_pairs(spark):
     assert all(2 not in p for p in pairs)
 
 
+def test_incremental_dedup_never_pairs_corpus_with_itself(spark):
+    """The incremental tier's whole point: corpus-internal near-dups
+    (docs 1,2 below) must NOT appear as a pair — only batch-vs-corpus
+    and batch-internal pairs do, correctly typed."""
+    from ffi_etl_spark.operators.dedup import dedup_minhash_incremental
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base + "!"), (5, "совершенно другой текст без общих шинглов")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, base + "?"), (11, base + "? "), (12, "unrelated new content entirely")],
+        "doc_id long, text string",
+    )
+    rows = dedup_minhash_incremental(corpus, batch, threshold=0.5).collect()
+    pairs = {(r.id_a, r.id_b): r.pair_type for r in rows}
+    assert (1, 2) not in pairs  # corpus-internal near-dup excluded
+    assert pairs.get((10, 11)) == "new_new"
+    assert any(
+        t == "new_old" and {a, b} & {10, 11} and {a, b} & {1, 2}
+        for (a, b), t in pairs.items()
+    )
+    assert all({a, b} != {1, 2} for a, b in pairs)
+
+
 def test_connected_components_chain_and_clique(spark):
     """A 5-vertex chain (diameter forces several propagation rounds),
     a disjoint triangle, and an isolated pair must each collapse to
