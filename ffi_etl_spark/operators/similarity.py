@@ -128,6 +128,41 @@ def compute_centroids(
     )
 
 
+def compute_centroids_arrow(
+    corpus: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``applyInArrow`` twin of ``compute_centroids``: per-label
+    elementwise mean computed by numpy over the group's Arrow table —
+    the grouped-map lane where the aggregation logic is genuinely
+    array-shaped Python (a real pipeline would put PCA/whitening here).
+    Parity with the exploded-mean operator is locked by
+    ``test_centroids_arrow_matches_exploded_mean``.
+
+    Scale tradeoff, stated: ``applyInArrow`` hands EACH GROUP to one
+    worker as a single in-memory Table — right for many modest groups
+    (label-partitioned embedding sets), wrong for a group that is a
+    double-digit fraction of 100 TB. ``compute_centroids``'s
+    explode+aggregate form has no such per-group bound and stays the
+    default; this lane exists for the logic built-ins can't express."""
+    import numpy as np
+    import pyarrow as pa
+
+    def _mean(tbl: "pa.Table") -> "pa.Table":
+        vecs = np.asarray(tbl.column(vec_col).to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "centroid_id": pa.array([tbl.column(label_col)[0].as_py()], pa.int32()),
+                "centroid": pa.array([vecs.mean(axis=0).tolist()]),
+            }
+        )
+
+    return corpus.select(label_col, vec_col).groupBy(label_col).applyInArrow(
+        _mean, schema="centroid_id int, centroid array<double>"
+    )
+
+
 def pack_centroids(centroids: DataFrame) -> DataFrame:
     """Collapse the K centroid rows into ONE row holding an array of
     (centroid_id, centroid, cnorm) structs — the broadcastable model.

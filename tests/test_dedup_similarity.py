@@ -114,6 +114,30 @@ def test_ann_brp_lsh_finds_close_pairs(spark):
     assert all(2 not in p for p in pairs)
 
 
+def test_centroids_arrow_matches_exploded_mean(spark):
+    """The applyInArrow grouped-map lane must agree with the
+    explode+aggregate operator to float tolerance (summation order
+    differs between numpy and Spark's avg)."""
+    import math
+
+    from ffi_etl_spark.catalog import table
+    from ffi_etl_spark.operators.similarity import (
+        compute_centroids,
+        compute_centroids_arrow,
+    )
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    a = {r.centroid_id: r.centroid for r in compute_centroids(emb, dim=dim).collect()}
+    b = {r.centroid_id: r.centroid for r in compute_centroids_arrow(emb).collect()}
+    assert set(a) == set(b) and len(a) > 1
+    for cid in a:
+        assert all(
+            math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-12)
+            for x, y in zip(a[cid], b[cid])
+        ), cid
+
+
 def test_incremental_dedup_never_pairs_corpus_with_itself(spark):
     """The incremental tier's whole point: corpus-internal near-dups
     (docs 1,2 below) must NOT appear as a pair — only batch-vs-corpus

@@ -177,3 +177,27 @@ def test_multimodal_custom_id_col_keeps_name_and_type(spark):
         assert out.schema["asset_id"].dataType.simpleString() == "string"
         got = {r.asset_id: r.byte_len for r in out.collect()}
         assert got == {"img-1": 3, "img-2": 4}
+
+
+def test_chunk_udtf_matches_native(spark):
+    """The Python-UDTF chunker must be row-for-row identical to the
+    native chunk_documents operator over the real corpus (LATERAL
+    table-function lane vs codegen explode lane)."""
+    from ffi_etl_spark.catalog import table
+    from ffi_etl_spark.functions.udtfs import ChunkUdtf
+    from ffi_etl_spark.operators.textops import chunk_documents
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    native = chunk_documents(docs, chunk_tokens=16, stride=8)
+
+    spark.udtf.register("chunk_doc_udtf", ChunkUdtf)
+    docs.createOrReplaceTempView("_udtf_docs")
+    via_udtf = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+        FROM _udtf_docs d, LATERAL chunk_doc_udtf(d.text, 16, 8) c
+        """
+    )
+    a = sorted(map(tuple, native.collect()))
+    b = sorted(map(tuple, via_udtf.collect()))
+    assert len(a) > 500 and a == b
