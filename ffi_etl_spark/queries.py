@@ -139,6 +139,12 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "running_total",
     "set_ops_retention",
     "unpivot_metrics",
+    # -- round-3 additions, also ungraded: complete the round-4 block --
+    "skew_salted_join",
+    "dedup_keep_best",
+    "training_order",
+    "dataset_diff",
+    "dedup_minhash_incremental",
 )
 
 
