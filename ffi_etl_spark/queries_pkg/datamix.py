@@ -244,11 +244,13 @@ def _dedup_keep_best(spark, sf_dir):
     the production dedup policy for a training corpus — near-identical
     variants differ in formatting, and you keep the least-degraded one.
 
-    Plan shape: ONE hash aggregate (``max_by`` over a (n_chars,
-    -doc_id) struct), no window — the oracle uses row_number only
-    because SQL lacks max_by-with-tiebreak; at 100 TB the aggregate
-    form partial-aggregates map-side while a per-group window would
-    shuffle-sort every group's members."""
+    Plan shape: ONE aggregation (``max_by`` over a (n_chars, -doc_id)
+    struct), no window — the oracle uses row_number only because SQL
+    lacks max_by-with-tiebreak. max_by's pair buffer is not
+    hash-aggregable, so this compiles to partial+final SortAggregate:
+    still a single shuffle with map-side partials (each partition sorts
+    by group KEY, never materializing a group's members together),
+    which is the property a per-group window lacks."""
     d = table(spark, sf_dir, "documents")
     key = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")))
     return (
