@@ -145,6 +145,7 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "training_order",
     "dataset_diff",
     "dedup_minhash_incremental",
+    "mixture_temperature",
 )
 
 

@@ -118,6 +118,82 @@ def _mixture_balance(spark, sf_dir):
     )
 
 
+# --- temperature-flattened mixture sampling -----------------------------------
+
+@query(
+    "mixture_temperature",
+    oracle="""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source
+),
+mn AS (SELECT MIN(n_total) AS min_n FROM counts),
+kept AS (
+  SELECT d.source,
+         COUNT(*) FILTER (
+           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT * c.n_total
+           < mn.min_n * 4294967296
+         ) AS n_kept_uniform,
+         COUNT(*) FILTER (
+           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           < CAST(floor(sqrt(CAST(mn.min_n AS DOUBLE) / c.n_total) * 4294967296) AS BIGINT)
+         ) AS n_kept_temp
+  FROM documents d
+  JOIN counts c USING (source) CROSS JOIN mn
+  GROUP BY d.source
+)
+SELECT c.source, c.n_total,
+       COALESCE(k.n_kept_uniform, 0) AS n_kept_uniform,
+       COALESCE(k.n_kept_temp, 0) AS n_kept_temp
+FROM counts c LEFT JOIN kept k USING (source)
+ORDER BY c.source
+""",
+)
+def _mixture_temperature(spark, sf_dir):
+    """Temperature-flattened source mixing (α=0.5), beside the uniform
+    target for contrast: per-source keep probability is
+    ``(min_n/n_s)^0.5`` instead of ``min_n/n_s`` — big sources are
+    downsampled LESS than proportionally, the standard multilingual /
+    multi-corpus rebalancing knob (α=1 → uniform mixture, α=0 → natural
+    mixture).
+
+    Cross-engine determinism without rational arithmetic: sqrt and
+    division are IEEE-correctly-rounded in both engines and the 2^32
+    scale factor is a power of two (exact), so
+    ``floor(sqrt(min_n/n_s)·2^32)`` is the same int64 on both sides,
+    and the keep decision stays an integer comparison against the md5
+    draw. Same plan shape as ``mixture_balance``: K-row counts agg
+    broadcast back over the corpus, scan-side filters, no wide shuffle."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    min_n = counts.agg(F.min("n_total").alias("min_n"))
+    draw = _md5_key(F.col("doc_id"))
+    temp_threshold = F.floor(
+        F.sqrt(F.col("min_n").cast("double") / F.col("n_total"))
+        * F.lit(4294967296.0)
+    ).cast("long")
+    kept = (
+        d.join(F.broadcast(counts), "source")
+        .join(F.broadcast(min_n))
+        .groupBy("source")
+        .agg(
+            F.count_if(
+                draw * F.col("n_total") < F.col("min_n") * F.lit(4294967296)
+            ).alias("n_kept_uniform"),
+            F.count_if(draw < temp_threshold).alias("n_kept_temp"),
+        )
+    )
+    return (
+        counts.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.coalesce("n_kept_uniform", F.lit(0)).alias("n_kept_uniform"),
+            F.coalesce("n_kept_temp", F.lit(0)).alias("n_kept_temp"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- sorted-neighborhood dedup ------------------------------------------------
 
 @query(

@@ -97,3 +97,19 @@ def test_training_order_is_dense_and_partition_invariant(spark, sf_dir):
     with mock.patch.object(datamix, "table", repartitioned):
         out2 = QUERIES["training_order"](spark, sf_dir).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_mixture_temperature_flattens(spark, sf_dir):
+    """α=0.5 keeps at least as much of every source as the uniform
+    target (sqrt(p) ≥ p for p ≤ 1), keeps the smallest source whole,
+    and keeps a HIGHER fraction of small sources than of big ones."""
+    rows = {r.source: r for r in QUERIES["mixture_temperature"](spark, sf_dir).collect()}
+    min_n = min(r.n_total for r in rows.values())
+    for r in rows.values():
+        assert r.n_kept_temp >= r.n_kept_uniform, r.source
+        if r.n_total == min_n:
+            assert r.n_kept_temp == r.n_total == r.n_kept_uniform
+    big = max(rows.values(), key=lambda r: r.n_total)
+    small = min(rows.values(), key=lambda r: r.n_total)
+    if big.n_total > small.n_total:
+        assert big.n_kept_temp / big.n_total < 1.0
