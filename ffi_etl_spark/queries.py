@@ -146,6 +146,7 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "dataset_diff",
     "dedup_minhash_incremental",
     "mixture_temperature",
+    "training_export",
 )
 
 

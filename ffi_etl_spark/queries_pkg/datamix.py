@@ -194,6 +194,69 @@ def _mixture_temperature(spark, sf_dir):
     )
 
 
+# --- composed export: temperature sample -> shard -> manifest ----------------
+
+@query(
+    "training_export",
+    oracle="""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source
+),
+mn AS (SELECT MIN(n_total) AS min_n FROM counts),
+kept AS (
+  SELECT d.doc_id, d.n_chars
+  FROM documents d JOIN counts c USING (source) CROSS JOIN mn
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        < CAST(floor(sqrt(CAST(mn.min_n AS DOUBLE) / c.n_total) * 4294967296) AS BIGINT)
+),
+sharded AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard_id,
+         doc_id, n_chars
+  FROM kept
+)
+SELECT shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM sharded GROUP BY shard_id ORDER BY shard_id
+""",
+)
+def _training_export(spark, sf_dir):
+    """The datamix family's composed flagship: temperature-flattened
+    source sampling (α=0.5, the ``mixture_temperature`` keep rule) →
+    deterministic md5-mod-8 sharding → the per-shard manifest a
+    trainer validates before reading (docs, chars, id range). The real
+    export is the same plan ending in
+    ``write.partitionBy("shard_id")`` (examples/export_training_shards
+    .py runs exactly that); the gated query returns the manifest.
+
+    One corpus scan + a K-row broadcast counts table; the only shuffle
+    is the final 8-group manifest aggregate."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    min_n = counts.agg(F.min("n_total").alias("min_n"))
+    draw = _md5_key(F.col("doc_id"))
+    temp_threshold = F.floor(
+        F.sqrt(F.col("min_n").cast("double") / F.col("n_total"))
+        * F.lit(4294967296.0)
+    ).cast("long")
+    kept = (
+        d.join(F.broadcast(counts), "source")
+        .join(F.broadcast(min_n))
+        .where(draw < temp_threshold)
+    )
+    return (
+        kept.withColumn("shard_id", _md5_key(F.col("doc_id")) % 8)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 # --- sorted-neighborhood dedup ------------------------------------------------
 
 @query(

@@ -113,3 +113,26 @@ def test_mixture_temperature_flattens(spark, sf_dir):
     small = min(rows.values(), key=lambda r: r.n_total)
     if big.n_total > small.n_total:
         assert big.n_kept_temp / big.n_total < 1.0
+
+
+def test_export_training_shards_end_to_end(spark, tmp_path):
+    """The example exporter writes one partition dir per shard, the
+    manifest matches the written files, and the manifest equals the
+    training_export gated query's answer (same sample + shard rules)."""
+    import json
+    import os
+
+    from examples.export_training_shards import export_shards
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    rows = export_shards(spark, docs, str(tmp_path), n_shards=8)
+
+    gated = {r.shard_id: r for r in QUERIES["training_export"](spark, "/root/testdata/sf0.001").collect()}
+    assert {r["shard_id"]: (r["n_docs"], r["chars_total"]) for r in rows} == {
+        s: (g.n_docs, g.chars_total) for s, g in gated.items()
+    }
+    with open(os.path.join(tmp_path, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["n_shards"] == 8 and len(m["shards"]) == len(rows)
+    part_dirs = {d for d in os.listdir(tmp_path / "data") if d.startswith("shard_id=")}
+    assert part_dirs == {f"shard_id={r['shard_id']}" for r in rows}
