@@ -147,6 +147,8 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "dedup_minhash_incremental",
     "mixture_temperature",
     "training_export",
+    "heavy_hitters_sketch",
+    "ewma_smoothing",
 )
 
 

@@ -213,3 +213,56 @@ def _scd2_compress(spark, sf_dir):
         )
         .orderBy("user_id", "valid_from", "event_type")
     )
+
+
+# --- EWMA smoothing (alpha = 1/2, bit-exact cross-engine) ---------------------
+
+@query(
+    "ewma_smoothing",
+    oracle="""
+WITH ordered AS (
+  SELECT event_id, user_id, ts, value,
+         list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW
+         ) AS vals
+  FROM events
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+       list_reduce(vals, (acc, x) -> acc * 0.5 + x * 0.5) AS ewma
+FROM ordered
+""",
+)
+def _ewma_smoothing(spark, sf_dir):
+    """Per-user exponentially weighted moving average over the trailing
+    16 events — the monitoring/feature smoother a recursive
+    ``y = αx + (1-α)y`` defines, truncated to a bounded frame so it is
+    window-expressible.
+
+    Bit-exact across engines by construction: α = 1/2 makes every
+    multiply an exact power-of-two scaling, and the fold runs
+    LEFT-TO-RIGHT over the frame-ordered value list on BOTH engines
+    (Spark ``aggregate`` over a windowed collect_list; DuckDB
+    ``list_reduce`` over a windowed ``list``) — a plain windowed SUM
+    would let DuckDB's segment-tree aggregation reorder additions and
+    break the hash. Plan: one user-keyed shuffle feeding the window;
+    the fold is a codegen'd array expression, 16 elements max."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        ewma.alias("ewma"),
+    )

@@ -271,3 +271,59 @@ def _skew_probe(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("key"))
         .limit(10)
     )
+
+
+# --- heavy hitters: sketch candidates, then exact-count candidates only -------
+
+@query(
+    "heavy_hitters_sketch",
+    oracle="""
+WITH keyed AS (
+  SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 1 ELSE l_orderkey END AS key
+  FROM lineitem
+), stats AS (
+  SELECT COUNT(*) AS total FROM keyed
+), counts AS (
+  SELECT key, COUNT(*) AS n FROM keyed GROUP BY key
+)
+SELECT c.key, c.n,
+       CAST(FLOOR(c.n * 1000000 / s.total) AS BIGINT) AS share_ppm
+FROM counts c, stats s
+WHERE c.n * 4 > s.total
+ORDER BY c.key
+""",
+)
+def _heavy_hitters_sketch(spark, sf_dir):
+    """Items above 25% frequency on a skewed key (90% of lineitem rows
+    collapse onto key 1), found the way a 100 TB / high-cardinality key
+    space requires: pass 1 is ``stat.freqItems`` — a bounded-memory
+    Karp/Misra-Gries candidate sketch whose state never exceeds
+    1/support counters per partition, where a full groupBy would
+    materialize every distinct key; pass 2 exact-counts ONLY the
+    (≤ 1/support) candidates via a broadcast semi-join. The sketch may
+    over-admit (superset guarantee, partitioning-dependent) but never
+    misses, so the exact filter ``n·4 > total`` makes the result
+    deterministic — and the oracle can be plain exact SQL."""
+    hot = F.when(F.col("l_orderkey") % 10 != 0, F.lit(1)).otherwise(
+        F.col("l_orderkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(hot.alias("key"))
+    cands = li.stat.freqItems(["key"], 0.25).select(
+        F.explode("key_freqItems").alias("key")
+    )
+    stats = li.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        li.join(F.broadcast(cands), "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(stats))
+        .where(F.col("n") * 4 > F.col("total"))
+        .select(
+            "key",
+            "n",
+            F.floor(F.col("n") * 1000000 / F.col("total"))
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("key")
+    )
