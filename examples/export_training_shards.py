@@ -37,9 +37,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-
-def _md5_key(col):
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+# the keep rule and md5 draw live in the library so the example, the
+# gated queries, and their oracles can never silently diverge
+from ffi_etl_spark.queries_pkg.datamix import _md5_key, temperature_sample
 
 
 def export_shards(
@@ -51,18 +51,7 @@ def export_shards(
 ) -> list[dict]:
     """Sample → shard → order → partitioned write → manifest.
     Returns the manifest rows (one dict per shard)."""
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
-    min_n = counts.agg(F.min("n_total").alias("min_n"))
-    keep_threshold = F.floor(
-        F.sqrt(F.col("min_n").cast("double") / F.col("n_total"))
-        * F.lit(4294967296.0)
-    ).cast("long")
-    kept = (
-        docs.join(F.broadcast(counts), "source")
-        .join(F.broadcast(min_n))
-        .where(_md5_key(F.col("doc_id")) < keep_threshold)
-        .drop("n_total", "min_n")
-    )
+    kept = temperature_sample(docs)
     sharded = kept.withColumn("shard_id", _md5_key(F.col("doc_id")) % n_shards)
     w = Window.partitionBy("shard_id").orderBy("draw", "doc_id")
     ordered = (

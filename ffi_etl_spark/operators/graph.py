@@ -114,6 +114,24 @@ def connected_components(
             break
 
     converged = stable or prev_count == 0
+    if not converged:
+        # The loop's stability test compares consecutive edge sets, so a
+        # run whose LAST permitted round first produced the fixpoint exits
+        # with stable=False even though e is a valid star. Check the star
+        # structure directly before failing: (a) no vertex has two
+        # outgoing edges, (b) no edge target is itself a source (two-level
+        # forest). With the b < a orientation every tree root is then its
+        # component minimum, and contraction preserves connectivity, so
+        # these two properties make the final labeling correct.
+        multi_out = (
+            e.groupBy("a").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+        )
+        chained = e.alias("x").join(
+            e.alias("y"), F.col("x.b") == F.col("y.a"), "left_semi"
+        )
+        converged = (
+            multi_out.limit(1).count() == 0 and chained.limit(1).count() == 0
+        )
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged

@@ -226,7 +226,7 @@ WITH ordered AS (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN 15 PRECEDING AND CURRENT ROW
          ) AS vals
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
        list_reduce(vals, (acc, x) -> acc * 0.5 + x * 0.5) AS ewma
@@ -245,9 +245,12 @@ def _ewma_smoothing(spark, sf_dir):
     (Spark ``aggregate`` over a windowed collect_list; DuckDB
     ``list_reduce`` over a windowed ``list``) — a plain windowed SUM
     would let DuckDB's segment-tree aggregation reorder additions and
-    break the hash. Plan: one user-keyed shuffle feeding the window;
+    break the hash. NULL-valued events are excluded up front on BOTH
+    sides: Spark's collect_list silently drops NULLs while DuckDB's
+    list() keeps them, so an unfiltered NULL would poison the fold on
+    one engine only. Plan: one user-keyed shuffle feeding the window;
     the fold is a codegen'd array expression, 16 elements max."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -74,8 +74,8 @@ kept AS (
   SELECT d.source, COUNT(*) AS n_kept
   FROM documents d
   JOIN counts c USING (source) CROSS JOIN mn
-  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT * c.n_total
-        < mn.min_n * 4294967296
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT::HUGEINT
+        * c.n_total < mn.min_n::HUGEINT * 4294967296
   GROUP BY d.source
 )
 SELECT c.source, c.n_total, COALESCE(k.n_kept, 0) AS n_kept
@@ -89,7 +89,10 @@ def _mixture_balance(spark, sf_dir):
     md5 draw. The keep decision is the INTEGER comparison
     ``draw * n_source < min_n * 2^32`` — exactly the rational
     ``draw/2^32 < min_n/n_source`` with no float rounding to disagree
-    on (draw < 2^32 and counts < 2^31 keep the product inside int64).
+    on. Both products run in exact wide arithmetic (Spark DECIMAL(38),
+    DuckDB HUGEINT): draw < 2^32 but at 100 TB a per-source count can
+    exceed 2^31, and an int64 product would wrap silently under the
+    session's non-ANSI casts.
 
     Plan: one K-row counts agg, broadcast back over the corpus
     (`n_total` per row), scan-side filter. Two passes over documents,
@@ -101,8 +104,8 @@ def _mixture_balance(spark, sf_dir):
         d.join(F.broadcast(counts), "source")
         .join(F.broadcast(min_n))
         .where(
-            _md5_key(F.col("doc_id")) * F.col("n_total")
-            < F.col("min_n") * F.lit(4294967296)
+            _md5_key(F.col("doc_id")).cast("decimal(38,0)") * F.col("n_total")
+            < F.col("min_n").cast("decimal(38,0)") * F.lit(4294967296)
         )
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
@@ -130,8 +133,8 @@ mn AS (SELECT MIN(n_total) AS min_n FROM counts),
 kept AS (
   SELECT d.source,
          COUNT(*) FILTER (
-           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT * c.n_total
-           < mn.min_n * 4294967296
+           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT::HUGEINT
+           * c.n_total < mn.min_n::HUGEINT * 4294967296
          ) AS n_kept_uniform,
          COUNT(*) FILTER (
            ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
@@ -161,25 +164,24 @@ def _mixture_temperature(spark, sf_dir):
     scale factor is a power of two (exact), so
     ``floor(sqrt(min_n/n_s)·2^32)`` is the same int64 on both sides,
     and the keep decision stays an integer comparison against the md5
-    draw. Same plan shape as ``mixture_balance``: K-row counts agg
-    broadcast back over the corpus, scan-side filters, no wide shuffle."""
+    draw. The uniform branch's products run in exact wide arithmetic
+    (DECIMAL(38) / HUGEINT) — see ``mixture_balance``. Same plan shape
+    as ``mixture_balance``: K-row counts agg broadcast back over the
+    corpus, scan-side filters, no wide shuffle."""
     d = table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
     min_n = counts.agg(F.min("n_total").alias("min_n"))
     draw = _md5_key(F.col("doc_id"))
-    temp_threshold = F.floor(
-        F.sqrt(F.col("min_n").cast("double") / F.col("n_total"))
-        * F.lit(4294967296.0)
-    ).cast("long")
     kept = (
         d.join(F.broadcast(counts), "source")
         .join(F.broadcast(min_n))
         .groupBy("source")
         .agg(
             F.count_if(
-                draw * F.col("n_total") < F.col("min_n") * F.lit(4294967296)
+                draw.cast("decimal(38,0)") * F.col("n_total")
+                < F.col("min_n").cast("decimal(38,0)") * F.lit(4294967296)
             ).alias("n_kept_uniform"),
-            F.count_if(draw < temp_threshold).alias("n_kept_temp"),
+            F.count_if(draw < _temp_threshold()).alias("n_kept_temp"),
         )
     )
     return (
@@ -191,6 +193,33 @@ def _mixture_temperature(spark, sf_dir):
             F.coalesce("n_kept_temp", F.lit(0)).alias("n_kept_temp"),
         )
         .orderBy("source")
+    )
+
+
+def _temp_threshold():
+    """floor(sqrt(min_n/n_total)·2^32) — the α=0.5 keep threshold
+    expression (expects `min_n`/`n_total` columns in scope); IEEE
+    sqrt/div + power-of-two scale make it the same int64 cross-engine."""
+    return F.floor(
+        F.sqrt(F.col("min_n").cast("double") / F.col("n_total"))
+        * F.lit(4294967296.0)
+    ).cast("long")
+
+
+def temperature_sample(d):
+    """α=0.5 temperature-flattened keep-set of a documents frame — THE
+    keep rule, defined once and shared by the ``mixture_temperature`` /
+    ``training_export`` gates and ``examples/export_training_shards.py``
+    (three call sites, one rule: a change here cannot silently diverge
+    between the example, the gated query, and the oracle tests).
+    Returns the kept rows with the mixture bookkeeping columns dropped."""
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    min_n = counts.agg(F.min("n_total").alias("min_n"))
+    return (
+        d.join(F.broadcast(counts), "source")
+        .join(F.broadcast(min_n))
+        .where(_md5_key(F.col("doc_id")) < _temp_threshold())
+        .drop("n_total", "min_n")
     )
 
 
@@ -231,19 +260,7 @@ def _training_export(spark, sf_dir):
 
     One corpus scan + a K-row broadcast counts table; the only shuffle
     is the final 8-group manifest aggregate."""
-    d = table(spark, sf_dir, "documents")
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
-    min_n = counts.agg(F.min("n_total").alias("min_n"))
-    draw = _md5_key(F.col("doc_id"))
-    temp_threshold = F.floor(
-        F.sqrt(F.col("min_n").cast("double") / F.col("n_total"))
-        * F.lit(4294967296.0)
-    ).cast("long")
-    kept = (
-        d.join(F.broadcast(counts), "source")
-        .join(F.broadcast(min_n))
-        .where(draw < temp_threshold)
-    )
+    kept = temperature_sample(table(spark, sf_dir, "documents"))
     return (
         kept.withColumn("shard_id", _md5_key(F.col("doc_id")) % 8)
         .groupBy("shard_id")

@@ -304,10 +304,18 @@ def _heavy_hitters_sketch(spark, sf_dir):
     over-admit (superset guarantee, partitioning-dependent) but never
     misses, so the exact filter ``n·4 > total`` makes the result
     deterministic — and the oracle can be plain exact SQL."""
+    from pyspark import StorageLevel
+
     hot = F.when(F.col("l_orderkey") % 10 != 0, F.lit(1)).otherwise(
         F.col("l_orderkey")
     )
-    li = table(spark, sf_dir, "lineitem").select(hot.alias("key"))
+    # three consumers (sketch pass, candidate-count join, total agg) —
+    # persist the 1-column projection so the fact scans once
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(hot.alias("key"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cands = li.stat.freqItems(["key"], 0.25).select(
         F.explode("key_freqItems").alias("key")
     )

@@ -199,8 +199,25 @@ def test_connected_components_raises_on_non_convergence(spark):
     assert stats["converged"] is False
 
     stats = {}
-    connected_components(edges, stats=stats).collect()
+    got = {
+        (r.vertex, r.component)
+        for r in connected_components(edges, stats=stats).collect()
+    }
     assert stats["converged"] is True
+    assert got == {(v, 1) for v in range(1, 41)}
+
+    # boundary: stats["rounds"] includes the confirmation round, so a
+    # budget of rounds-1 produces the fixpoint on its LAST iteration
+    # with no spare round to re-confirm — the structural star check
+    # must accept it (pre-fix this raised despite a correct answer)
+    k = stats["rounds"] - 1
+    assert k >= 2
+    stats2: dict = {}
+    got2 = {
+        (r.vertex, r.component)
+        for r in connected_components(edges, max_iter=k, stats=stats2).collect()
+    }
+    assert stats2["converged"] is True and got2 == got
 
 
 def test_lsh_tuning_tracks_threshold():

@@ -187,7 +187,17 @@ def test_chunk_udtf_matches_native(spark):
     from ffi_etl_spark.functions.udtfs import ChunkUdtf
     from ffi_etl_spark.operators.textops import chunk_documents
 
-    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    # whitespace edges where Python and Java semantics diverge unless
+    # the UDTF mirrors Spark exactly: tab (Spark trim keeps, Python
+    # strip() would eat), NBSP (Python \s splits, Java \s does not),
+    # empty/NULL text, internal \n and \x0b
+    edges = spark.createDataFrame(
+        [(100001, "\tfoo bar"), (100002, "a b"), (100003, "  x  "),
+         (100004, ""), (100005, None), (100006, "a\nb\x0bc")],
+        "doc_id long, text string",
+    )
+    docs = corpus.unionByName(edges)
     native = chunk_documents(docs, chunk_tokens=16, stride=8)
 
     spark.udtf.register("chunk_doc_udtf", ChunkUdtf)
