@@ -149,6 +149,7 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "training_export",
     "heavy_hitters_sketch",
     "ewma_smoothing",
+    "quality_percentile_gate",
 )
 
 

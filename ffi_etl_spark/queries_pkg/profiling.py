@@ -335,3 +335,44 @@ def _heavy_hitters_sketch(spark, sf_dir):
         )
         .orderBy("key")
     )
+
+
+# --- global-percentile quality gate -------------------------------------------
+
+@query(
+    "quality_percentile_gate",
+    oracle="""
+WITH cut AS (SELECT quantile_cont(n_chars, 0.25) AS p25 FROM documents)
+SELECT d.source,
+       COUNT(*) AS n_kept,
+       MIN(d.n_chars) AS min_chars,
+       MAX(d.n_chars) AS max_chars
+FROM documents d, cut
+WHERE d.n_chars >= cut.p25
+GROUP BY d.source
+ORDER BY d.source
+""",
+)
+def _quality_percentile_gate(spark, sf_dir):
+    """'Keep the top 75% by quality signal' as a relative threshold:
+    the cutoff is the corpus's own exact 25th percentile (Spark
+    ``percentile`` ≙ DuckDB ``quantile_cont``, interpolation parity
+    established by ``quantiles_exact``), computed as a 1-row aggregate
+    and broadcast back over the scan — the percentile-gate pattern
+    every absolute-threshold filter (doc_quality_filter) can't express
+    when the score distribution drifts between crawls. At 100 TB swap
+    the exact percentile for ``approx_percentile`` (single-pass sketch)
+    — the plan shape (1-row broadcast + scan-side filter) is unchanged."""
+    d = table(spark, sf_dir, "documents")
+    cut = d.agg(F.percentile("n_chars", 0.25).alias("p25"))
+    return (
+        d.crossJoin(F.broadcast(cut))
+        .where(F.col("n_chars") >= F.col("p25"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
