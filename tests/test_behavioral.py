@@ -68,3 +68,25 @@ def test_scd2_spans_tile_without_gaps(spark, sf_dir):
         for a, b in zip(spans, spans[1:]):
             assert a["valid_to"] == b["valid_from"]  # spans tile exactly
             assert a["event_type"] != b["event_type"]  # compression: only changes
+
+
+def test_ewma_hand_checkable(spark):
+    """alpha=1/2 EWMA over a single user: y1=v1, y_t=(y_{t-1}+v_t)/2 —
+    crafted values give exact halves, checked literally."""
+    from datetime import datetime as dt
+
+    from pyspark.sql import Row
+
+    from ffi_etl_spark.queries_pkg import behavioral
+    import unittest.mock as mock
+
+    rows = [
+        Row(event_id=i, user_id=1, event_type="x",
+            ts=dt(2024, 1, 1, 0, i), value=v)
+        for i, v in enumerate([1.0, 2.0, 3.0, None], start=1)
+    ]
+    ev = spark.createDataFrame(rows)
+    with mock.patch.object(behavioral, "table", lambda *_a, **_k: ev):
+        got = {r.event_id: r.ewma for r in QUERIES["ewma_smoothing"](spark, "unused").collect()}
+    # NULL-valued event 4 is excluded entirely; 1 -> 1.0, 2 -> 1.5, 3 -> 2.25
+    assert got == {1: 1.0, 2: 1.5, 3: 2.25}

@@ -258,3 +258,35 @@ def test_ivf_nprobe_improves_recall(spark, sf_dir):
 
     r1, r2 = recall(1), recall(2)
     assert 0 < r1 <= r2  # probing more cells can only add candidates
+
+
+def test_incremental_dedup_equals_filtered_full(spark):
+    """Differential on the real corpus: the incremental tier's pair set
+    must equal the FULL minhash pair set filtered to pairs with at
+    least one batch-side doc (band collision is pairwise, so skipping
+    corpus×corpus candidates loses nothing else)."""
+    from ffi_etl_spark.catalog import table
+    from ffi_etl_spark.operators.dedup import (
+        dedup_minhash_incremental,
+        dedup_minhash_lsh,
+    )
+    from pyspark.sql import functions as F
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    full = {
+        (r.id_a, r.id_b): r.jaccard_sim for r in dedup_minhash_lsh(d).collect()
+    }
+    expected = {
+        p: j for p, j in full.items() if p[0] % 10 == 0 or p[1] % 10 == 0
+    }
+    inc = {
+        (r.id_a, r.id_b): (r.jaccard_sim, r.pair_type)
+        for r in dedup_minhash_incremental(
+            d.filter(F.col("doc_id") % 10 != 0),
+            d.filter(F.col("doc_id") % 10 == 0),
+        ).collect()
+    }
+    assert {p: v[0] for p, v in inc.items()} == expected
+    for (a, b), (_, t) in inc.items():
+        want = "new_new" if (a % 10 == 0 and b % 10 == 0) else "new_old"
+        assert t == want, (a, b, t)
