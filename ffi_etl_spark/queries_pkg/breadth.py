@@ -213,11 +213,11 @@ def _unpivot_metrics(spark, sf_dir):
     "stats_moments",
     oracle="""
 SELECT l_returnflag,
-       corr(l_quantity, l_extendedprice) AS qty_price_corr,
-       covar_samp(l_quantity, l_extendedprice) AS qty_price_covar,
-       stddev_samp(l_quantity) AS qty_stddev,
-       var_samp(l_extendedprice) AS price_var,
-       stddev_pop(l_discount) AS disc_stddev_pop
+       printf('%.6e', corr(l_quantity, l_extendedprice)) AS qty_price_corr,
+       printf('%.6e', covar_samp(l_quantity, l_extendedprice)) AS qty_price_covar,
+       printf('%.6e', stddev_samp(l_quantity)) AS qty_stddev,
+       printf('%.6e', var_samp(l_extendedprice)) AS price_var,
+       printf('%.6e', stddev_pop(l_discount)) AS disc_stddev_pop
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -227,17 +227,24 @@ def _stats_moments(spark, sf_dir):
     """Second-moment aggregate family in one hash aggregation — Spark's
     implementations are single-pass co-moment updates (Welford-style),
     so they distribute: partials merge associatively across partitions,
-    no second scan. The driver's 6-sig-fig float canon absorbs the
-    merge-order difference vs DuckDB's accumulation."""
+    no second scan.
+
+    CORRECTNESS_r03 lesson: the raw doubles hash-mismatched the oracle —
+    32-partition merge order vs DuckDB's single-threaded scan differ in
+    the low bits at ~1e8 magnitude, and the driver's float canon does
+    NOT absorb that. Per the established parity rule, both engines emit
+    fixed-precision SCIENTIFIC strings (%.6e = 7 significant figures —
+    relative rounding, since %.6f at 1e8 magnitude would still expose
+    the ~1e-12-relative accumulation difference as absolute 1e-4s)."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
-            F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
-            F.stddev_samp("l_quantity").alias("qty_stddev"),
-            F.var_samp("l_extendedprice").alias("price_var"),
-            F.stddev_pop("l_discount").alias("disc_stddev_pop"),
+            F.format_string("%.6e", F.corr("l_quantity", "l_extendedprice")).alias("qty_price_corr"),
+            F.format_string("%.6e", F.covar_samp("l_quantity", "l_extendedprice")).alias("qty_price_covar"),
+            F.format_string("%.6e", F.stddev_samp("l_quantity")).alias("qty_stddev"),
+            F.format_string("%.6e", F.var_samp("l_extendedprice")).alias("price_var"),
+            F.format_string("%.6e", F.stddev_pop("l_discount")).alias("disc_stddev_pop"),
         )
         .orderBy("l_returnflag")
     )
@@ -319,7 +326,7 @@ def _window_first_last_nth(spark, sf_dir):
     "grouped_list_agg",
     oracle="""
 SELECT c_mktsegment,
-       list_sort(list(DISTINCT c_nationkey)) AS nations,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
        string_agg(DISTINCT CAST(c_nationkey AS VARCHAR), ',' ORDER BY CAST(c_nationkey AS VARCHAR)) AS nation_csv
 FROM customer
 GROUP BY c_mktsegment
@@ -330,13 +337,17 @@ def _grouped_list_agg(spark, sf_dir):
     """Collection aggregates made deterministic: collect_set's arrival
     order is partition-dependent, so a sort must follow before the
     result is comparable/storable. array_sort + array_join happen
-    post-aggregation on K rows — cost-free at any scale."""
+    post-aggregation on K rows — cost-free at any scale.
+
+    Gated-output contract (CORRECTNESS_r03 lesson): no raw array<>
+    columns — the driver's pandas canonicalizer cannot sort ndarray
+    cells. The collected set stays internal; the OUTPUT is the joined
+    CSV string plus the set's cardinality."""
     c = table(spark, sf_dir, "customer")
-    nations = F.array_sort(F.collect_set("c_nationkey"))
     return (
         c.groupBy("c_mktsegment")
         .agg(
-            nations.alias("nations"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
             F.array_join(
                 F.array_sort(F.collect_set(F.col("c_nationkey").cast("string"))), ","
             ).alias("nation_csv"),
@@ -350,9 +361,11 @@ def _grouped_list_agg(spark, sf_dir):
     oracle="""
 SELECT vec_id,
        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2_norm,
-       list_transform(embedding::DOUBLE[],
-                      x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
-                                                     embedding::DOUBLE[]))) AS unit
+       array_to_string(
+         list_transform(embedding::DOUBLE[],
+                        x -> printf('%.6f', x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                                      embedding::DOUBLE[])))),
+         ',') AS unit_csv
 FROM embeddings
 ORDER BY l2_norm DESC, vec_id
 LIMIT 50
@@ -364,7 +377,15 @@ def _embedding_unit_norm(spark, sf_dir):
     order DuckDB's list_dot_product sums in, so values hash-match) and
     unit-vector normalization via transform over the stored float
     array. Fully narrow until the global top-k, which Spark executes as
-    TakeOrderedAndProject (per-partition heaps, no full sort)."""
+    TakeOrderedAndProject (per-partition heaps, no full sort).
+
+    Gated-output contract (CORRECTNESS_r03 lesson): the unit vector
+    leaves as a %.6f-per-element CSV string, never a raw array<double>
+    column — the driver canon cannot sort ndarray cells. The element
+    quotients are bit-equal across engines (bit-equal x and norm,
+    IEEE-correctly-rounded divide), so identical fixed-precision
+    strings; l2_norm itself stays a raw double because the sequential
+    fold is bit-equal by construction."""
     from ffi_etl_spark.functions.vectors import norm2
 
     emb = table(spark, sf_dir, "embeddings")
@@ -373,9 +394,15 @@ def _embedding_unit_norm(spark, sf_dir):
         .select(
             "vec_id",
             "l2_norm",
-            F.transform(
-                F.col("embedding"), lambda x: x.cast("double") / F.col("l2_norm")
-            ).alias("unit"),
+            F.array_join(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: F.format_string(
+                        "%.6f", x.cast("double") / F.col("l2_norm")
+                    ),
+                ),
+                ",",
+            ).alias("unit_csv"),
         )
         .orderBy(F.col("l2_norm").desc(), "vec_id")
         .limit(50)
@@ -509,11 +536,32 @@ def _approx_quantiles(spark, sf_dir):
     at 100 TB, where exact percentiles would shuffle the full column.
     Rows-only: DuckDB's approx_quantile uses a different sketch, so
     values are engine-specific by nature. The test surface pins row
-    count/schema; quantiles_exact is the accuracy oracle."""
+    count/schema; quantiles_exact is the accuracy oracle.
+
+    Gated-output contract (CORRECTNESS_r03 lesson): even rows-only
+    results pass through the driver canonicalizer, which dies on raw
+    array<> cells — so the per-group quantile array is EXPLODED to
+    (event_type, pct, approx_value) rows post-aggregation (K×3 rows,
+    free)."""
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
         F.count(F.lit(1)).alias("n"),
+    )
+    labels = F.array(F.lit("p50"), F.lit("p90"), F.lit("p99"))
+    return (
+        agg.select(
+            "event_type",
+            "n",
+            F.posexplode("approx_pcts").alias("pos", "approx_value"),
+        )
+        .select(
+            "event_type",
+            F.element_at(labels, F.col("pos") + 1).alias("pct"),
+            "approx_value",
+            "n",
+        )
+        .orderBy("event_type", "pct")
     )
 
 

@@ -143,6 +143,27 @@ def test_window_lead_lag_runs(spark):
     assert deltas and all(d >= 0 for d in deltas)
 
 
+def test_registry_no_nested_output_columns(spark):
+    """Driver-canon contract (CORRECTNESS_r03 lesson): the driver's
+    pandas canonicalizer sort_values()-es every output column and dies
+    with `unhashable type: numpy.ndarray` on array/map/struct cells —
+    for rows-only queries too (approx_quantiles r03). Lint EVERY
+    registered query's analyzed schema: nested types stay internal;
+    gated outputs are scalars (array_join/to_json/explode before
+    return). Would have caught all three r03 array reds at authoring
+    time."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    sf = "/root/testdata/sf0.001"
+    violations = []
+    for name, fn in entry_mod.queries().items():
+        schema = fn(spark, sf).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                violations.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not violations, violations
+
+
 def test_registry_priority_prefix(spark):
     """The driver grades a bounded prefix of the registry (round 1: first
     50). Lock the curated prefix so new registrations can't silently push

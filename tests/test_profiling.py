@@ -91,10 +91,11 @@ def test_approx_quantiles_within_relative_error(spark):
     import __spark_entry__ as entry_mod
 
     sf = "/root/testdata/sf0.01"
-    approx = {
-        r["event_type"]: list(r["approx_pcts"])
-        for r in entry_mod.queries()["approx_quantiles"](spark, sf).collect()
-    }
+    approx: dict[str, list] = {}
+    for r in entry_mod.queries()["approx_quantiles"](spark, sf).collect():
+        approx.setdefault(r["event_type"], []).append((r["pct"], r["approx_value"]))
+    # rows arrive ordered (event_type, pct) -> p50, p90, p99 per group
+    approx = {k: [x for _, x in sorted(v)] for k, v in approx.items()}
     exact = {
         r["event_type"]: [r["p50"], r["p90"], r["p99"]]
         for r in entry_mod.queries()["quantiles_exact"](spark, sf).collect()

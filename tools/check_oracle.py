@@ -5,11 +5,33 @@ DuckDB at the given sf dir, compares row count, column-name set, and an
 order-insensitive value hash (columns sorted by name, rows sorted,
 values stringified with float rounding).
 
+Faithfulness to the driver (round-4 rebuild — VERDICT r03 item 4):
+the driver canonicalizes through PANDAS (``df.sort_values`` over all
+columns), which hard-fails with ``TypeError: unhashable type:
+'numpy.ndarray'`` on any array-typed output cell. Round 3 shipped
+three queries this tool passed and the driver crashed on. This replica
+therefore:
+
+1. pulls BOTH sides into pandas (``sdf.toPandas()`` / ``rel.df()``) —
+   the same representation the driver sorts, so array/map/struct cells
+   raise here exactly as they do there (reported as FAIL);
+2. runs the driver's ``sort_values``-over-all-columns probe verbatim;
+3. hashes values at TWO float precisions: a loose 6-significant-figure
+   band (the historical assumption) and a strict full-round-trip band
+   (%.17g — bit-equality). The driver's real float canon is unknown;
+   r03 proved ``stats_moments``' 14th-sig-fig divergence was enough to
+   hash-mismatch there, so anything short of bit-equal floats is a
+   gamble. A query that passes loose but fails strict prints ``WARN``
+   — treat it as a probable driver red and emit fixed-precision
+   strings instead of raw accumulated floats.
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import hashlib
 import math
 import os
@@ -18,35 +40,74 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from ffi_etl_spark.catalog import TESTDATA_TABLES
 from ffi_etl_spark.session import get_session
 
 
-def canon(v):
-    if v is None:
+def canon_cell(v, fmt: str) -> str:
+    """Stringify one cell at the given float format ('%.6g' / '%.12g').
+
+    Raises TypeError on ndarray/list/dict cells — the same cell shapes
+    that kill the driver's pandas canonicalizer — so a gated query with
+    a nested output column fails HERE first.
+    """
+    if isinstance(v, (np.ndarray, list, dict)):
+        raise TypeError(f"nested cell in gated output: {type(v).__name__}")
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, bool):
-        return str(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.6g}"
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        # pandas cannot distinguish SQL NULL from NaN in float columns
+        # (both engines surface NULL as NaN through the frame path), so
+        # they canonicalize identically.
+        if math.isnan(f):
+            return "NULL"
+        return fmt % f
+    if isinstance(v, decimal.Decimal):
+        return fmt % float(v)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, pd.Timestamp):
+        return str(v.to_pydatetime())
+    if isinstance(v, datetime.datetime):
+        return str(v)
+    if isinstance(v, datetime.date):
+        # Spark DATE comes back as datetime.date; DuckDB date_trunc
+        # returns TIMESTAMP (midnight). The driver graded such pairs
+        # green (rolling_distinct_users r03), so midnight-normalize.
+        return f"{v} 00:00:00"
     return str(v)
 
 
-def table_hash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
+def frame_hash(df: pd.DataFrame, fmt: str) -> str:
+    cols = sorted(df.columns)
+    lines = sorted(
+        "\x1f".join(canon_cell(row[c], fmt) for c in cols)
+        for _, row in df.iterrows()
+    )
     h = hashlib.sha256()
     for ln in lines:
         h.update(ln.encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
+
+
+def driver_sort_probe(df: pd.DataFrame) -> None:
+    """The driver's canon step verbatim: sort rows by every column.
+
+    pandas lexsort factorizes object columns; an ndarray cell is
+    unhashable and raises TypeError — replicated here so it cannot
+    reach the driver un-flagged.
+    """
+    if len(df.columns):
+        df.sort_values(by=sorted(df.columns), kind="mergesort")
 
 
 def main():
@@ -63,53 +124,75 @@ def main():
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    failures = []
+    failures, warns = [], []
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            spdf = sdf.toPandas()
+            driver_sort_probe(spdf)
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: spark error: {e}")
+            print(f"FAIL  {name}: spark/canon error: {e}")
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
+            # rows-only queries still flow through the driver's
+            # canonicalizer for the row compare — the sort probe above
+            # already vetted the frame.
+            print(f"ROWS  {name}: {len(spdf)} rows (no oracle)")
             continue
         try:
-            rel = con.sql(oracles[name])
-            ocols = rel.columns
-            orows = rel.fetchall()
+            odf = con.sql(oracles[name]).df()
+            driver_sort_probe(odf)
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {e}")
+            print(f"FAIL  {name}: duckdb/canon error: {e}")
             continue
-        ok_count = len(srows) == len(orows)
-        ok_cols = sorted(scols) == sorted(ocols)
-        sh = table_hash(scols, [tuple(r) for r in srows])
-        oh = table_hash(ocols, orows)
-        ok_hash = sh == oh
-        if ok_count and ok_cols and ok_hash:
-            print(f"PASS  {name}: {len(srows)} rows")
+        ok_count = len(spdf) == len(odf)
+        ok_cols = sorted(spdf.columns) == sorted(odf.columns)
+        try:
+            loose = frame_hash(spdf, "%.6g") == frame_hash(odf, "%.6g")
+            strict = frame_hash(spdf, "%.17g") == frame_hash(odf, "%.17g")
+        except TypeError as e:
+            failures.append(name)
+            print(f"FAIL  {name}: canon error: {e}")
+            continue
+        if ok_count and ok_cols and loose and strict:
+            print(f"PASS  {name}: {len(spdf)} rows")
+        elif ok_count and ok_cols and loose:
+            warns.append(name)
+            print(
+                f"WARN  {name}: values agree at 6 sig figs but are NOT bit-equal "
+                "— raw accumulated floats in gated output; likely driver red "
+                "(stats_moments r03 failure mode). Emit fixed-precision "
+                "strings on both sides."
+            )
         else:
             failures.append(name)
             print(
-                f"FAIL  {name}: rows {len(srows)}/{len(orows)} cols_ok={ok_cols} "
-                f"hash {sh} vs {oh}"
+                f"FAIL  {name}: rows {len(spdf)}/{len(odf)} cols_ok={ok_cols} "
+                f"loose_hash_ok={loose}"
             )
             if not ok_cols:
-                print(f"      spark cols:  {sorted(scols)}")
-                print(f"      oracle cols: {sorted(ocols)}")
-            elif not ok_hash and len(srows) and len(srows) < 20:
-                order = sorted(range(len(scols)), key=lambda i: scols[i])
-                sset = sorted("|".join(canon(r[i]) for i in order) for r in [tuple(x) for x in srows])
-                oset = sorted("|".join(canon(r[i]) for i in order) for r in orows)
+                print(f"      spark cols:  {sorted(spdf.columns)}")
+                print(f"      oracle cols: {sorted(odf.columns)}")
+            elif not loose and len(spdf) and len(spdf) < 20:
+                cols = sorted(spdf.columns)
+                sset = sorted(
+                    "|".join(canon_cell(r[c], "%.6g") for c in cols)
+                    for _, r in spdf.iterrows()
+                )
+                oset = sorted(
+                    "|".join(canon_cell(r[c], "%.6g") for c in cols)
+                    for _, r in odf.iterrows()
+                )
                 for a, b in zip(sset, oset):
                     if a != b:
                         print(f"      spark:  {a}\n      oracle: {b}")
                         break
+    if warns:
+        print(f"\n{len(warns)} warnings: {warns}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
 
