@@ -1,0 +1,54 @@
+"""Embedding scalar quantization: float vectors -> per-dimension int8
+codes.
+
+The storage/bandwidth lever for vector search at scale: a 64-dim
+float32 embedding is 256 bytes; its uint8-coded form is 64 bytes plus a
+shared per-dimension (min, max) codebook. IVF/LSH tiers
+(operators/similarity.py) can scan 4x more candidates per byte of IO
+with distance error bounded by the per-dimension quantization step.
+
+Shape: one posexplode to (vec_id, dim, x) rows — a narrow generator —
+then ONE aggregation keyed on dim (output = n_dims rows, broadcast
+back) and one per-vector reassembly aggregation. Two shuffles total,
+both bounded: the dim agg shuffles n_dims*partitions partial rows, the
+reassembly shuffles n_rows*n_dims code rows once (at 100 TB, the
+reassembly is the dominant exchange — the codebook side is free).
+
+Determinism: codes use floor((x - mn) * 255 / (mx - mn)) — floor, not
+round, per the engine's cross-engine parity rule (half-tie semantics
+differ between engines; floor of bit-equal quotients never does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, n_dims, codes_csv): per-dimension min/max scaled uint8 codes,
+    emitted as a comma-joined string (gated-output contract: no raw
+    array columns)."""
+    ex = df.select(
+        F.col(id_col), F.posexplode(vec_col).alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    stats = ex.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    codes = ex.join(F.broadcast(stats), "dim").select(
+        F.col(id_col),
+        F.col("dim"),
+        F.floor(((F.col("x") - F.col("mn")) * F.lit(255.0)) / (F.col("mx") - F.col("mn")))
+        .cast("int")
+        .alias("code"),
+    )
+    return codes.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "code"))),
+                lambda s: s["code"].cast("string"),
+            ),
+            ",",
+        ).alias("codes_csv"),
+    )

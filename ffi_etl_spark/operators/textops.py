@@ -196,6 +196,72 @@ def keyword_tfidf(
     )
 
 
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 for a fixed term query — the ranked
+    retrieval that backs quality-aware corpus curation (pull the
+    strongest exemplars of a topic) and RAG evaluation harnesses.
+
+    idf uses the rational BM25 form ``(N - df + 0.5) / (df + 0.5)``
+    (keyword_tfidf's idiom — no ``ln``, so every arithmetic step is
+    IEEE-correctly-rounded and bit-identical cross-engine); ``avgdl``
+    is computed as exact-integer-sum / exact-count, never a float
+    ``avg()`` whose partition merge order leaks into the low bits. The
+    per-document score sums its term scores in SORTED TERM ORDER via a
+    pivot, because float addition is not commutative in the low bits.
+
+    Shape: one (doc, term) shuffle for tf over ONLY the query terms
+    (the isin filter collapses the explode before the exchange), a
+    term-keyed df aggregate (|query|-row broadcast), a doc-length agg
+    reusing the same doc keying, and a final top-k that runs as
+    TakeOrderedAndProject. Corpus-sized data shuffles once.
+    """
+    terms = sorted(query_terms)
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    sat = (F.col("tf") * (F.lit(k1) + F.lit(1.0))) / (
+        F.col("tf")
+        + F.lit(k1) * ((F.lit(1.0) - F.lit(b)) + (F.lit(b) * F.col("dl")) / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("s", idf * sat)
+    )
+    piv = scored.groupBy(id_col).pivot("term", terms).agg(F.first("s"))
+    score = None
+    for t in terms:
+        c = F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+        score = c if score is None else score + c
+    return (
+        piv.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), id_col)
+        .limit(k)
+    )
+
+
 def quality_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Pretraining-corpus quality gate: first-match-wins rejection
     cascade over the quality signals (the C4/Gopher-rule shape, and the

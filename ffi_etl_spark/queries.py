@@ -51,74 +51,31 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
     behavioral,
     datamix,
     audit,
+    round4,
 )
 
 # The driver's correctness gate grades a bounded prefix of the registry
 # (exactly the first 50 registered queries). Registration order is
-# therefore a grading decision. Rounds 1+2 banked green rows for 69
-# distinct queries (the full reference surface + every family
-# flagship); round 3 ROTATES the prefix per the round-2 verdict: 5
-# continuity canaries, then the queries that have never earned a
-# driver CORRECTNESS row, so coverage converges to "every registered
-# query has a driver row". The 20 never-graded queries that don't fit
-# this round's 50 lead the second tier for the round-4 rotation.
+# therefore a grading decision. Rounds 1-3 banked green rows for 108
+# distinct queries; round 4 ROTATES again per the round-3 verdict:
+# 5 continuity canaries, the 4 r03 reds (array outputs stringified,
+# stats_moments fixed-precision — re-grade), the 30 queries that have
+# never had a driver row (registry positions 50-79 last round), and
+# the 11 round-4 additions. After this round every registered query
+# has a driver CORRECTNESS row across rounds.
 PRIORITY_PREFIX: tuple[str, ...] = (
-    # -- canaries: already green r01+r02, kept for cross-round continuity --
+    # -- canaries: green every prior round, kept for continuity --
     "survey_pipeline",
     "census_merge",
     "dedup_minhash",
     "tpch_q1",
     "pretraining_corpus",
-    # -- r01 driver-red (no_oracle), since given a band oracle: re-grade --
-    "approx_distinct_users",
-    # -- never driver-graded (no row in r01/r02): rows-only tiers first --
-    "dedup_minhash_fast",
-    "dedup_simhash_fast",
-    "ann_brp_lsh",
-    "kmeans_clusters",
+    # -- r03 reds, fixed this round: re-grade --
     "approx_quantiles",
-    "token_entropy",
-    "pagerank_centrality",
-    # -- never driver-graded, full oracle checks --
-    "range_join_follows",
-    "cube_agg",
-    "rollup_agg",
-    "doc_quality_filter",
-    "concurrent_sessions",
-    "graph_triangles",
-    "json_extract_agg",
-    "token_topk",
     "stats_moments",
-    "window_first_last_nth",
     "grouped_list_agg",
     "embedding_unit_norm",
-    "props_map_explode",
-    "window_percent_rank",
-    "window_trailing_30d",
-    "pii_redact",
-    "repetition_filter",
-    "keyword_tfidf",
-    "salted_join_agg",
-    "histogram_equiwidth",
-    "histogram_equidepth",
-    "chunk_documents",
-    "term_collocations",
-    "variant_extract_agg",
-    "session_window_agg",
-    "recursive_org_depth",
-    "lateral_topk_orders",
-    "zscore_normalize",
-    "fuzzy_match_blocked",
-    "skew_probe",
-    "scd2_compress",
-    "dedup_sorted_neighborhood",
-    "reservoir_sample",
-    "rolling_distinct_users",
-    "dup_span_profile",
-    "inverted_index",
-    "source_ngram_overlap",
-    # -- second tier: the 20 still-ungraded queries lead, so round 4's
-    #    rotation is a pure prefix swap --
+    # -- never driver-graded: the 15 deferred TPC-H spines --
     "tpch_q2_min_cost",
     "tpch_q4_priority",
     "tpch_q7_volume",
@@ -134,12 +91,13 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "tpch_q20_promo_suppliers",
     "tpch_q21_waiting",
     "tpch_q22_idle_rich",
+    # -- never driver-graded: the 5 deferred round-2 spines --
     "deterministic_sample",
     "weighted_sample",
     "running_total",
     "set_ops_retention",
     "unpivot_metrics",
-    # -- round-3 additions, also ungraded: complete the round-4 block --
+    # -- never driver-graded: the 10 round-3 additions --
     "skew_salted_join",
     "dedup_keep_best",
     "training_order",
@@ -150,6 +108,18 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "heavy_hitters_sketch",
     "ewma_smoothing",
     "quality_percentile_gate",
+    # -- round-4 additions --
+    "bm25_rank",
+    "dedup_survivors",
+    "embedding_quantize_int8",
+    "first_touch_attribution",
+    "event_count_anomaly",
+    "winsorize_scale",
+    "gdpr_forget_audit",
+    "train_val_test_split",
+    "star_denormalize",
+    "mad_outliers",
+    "skyline_pareto",
 )
 
 

@@ -173,12 +173,15 @@ def test_registry_priority_prefix(spark):
     names = list(entry_mod.queries())
     expected = [n for n in PRIORITY_PREFIX if n in names]
     assert names[: len(expected)] == expected
-    # round-3 rotation: continuity canaries + the never-driver-graded set
-    # sit inside the first 50 (the r01/r02-green queries already banked
-    # their CORRECTNESS rows and rotate out)
+    assert len(expected) == 50  # the graded prefix is exactly full
+    # round-4 rotation: continuity canaries + the 4 r03 reds + the 30
+    # never-driver-graded queries + the 11 round-4 additions sit inside
+    # the first 50 (every earlier-green query already banked its row)
     for must in ("survey_pipeline", "census_merge", "dedup_minhash",
-                 "approx_distinct_users", "pagerank_centrality",
-                 "scd2_compress", "source_ngram_overlap"):
+                 "stats_moments", "grouped_list_agg", "embedding_unit_norm",
+                 "approx_quantiles", "tpch_q22_idle_rich",
+                 "dedup_minhash_incremental", "training_export",
+                 "bm25_rank", "dedup_survivors", "skyline_pareto"):
         assert names.index(must) < 50, must
 
 
