@@ -31,6 +31,7 @@ HEADLINE = [
     "union_rollup_multi",
     "rollup_demographic",
     "dedup_minhash",
+    "dedup_minhash_incremental",
     "dedup_simhash",
     "knn_bruteforce",
     "ann_ivf_topk",
@@ -88,9 +89,14 @@ def main() -> None:
     ).count()
     agg.unpersist()
 
+    # optional subset: `python bench.py dedup_minhash tpch_q1` while
+    # iterating on one line's plan
+    only = set(sys.argv[1:])
+    timed = [n for n in HEADLINE if not only or n in only]
+
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in timed:
         fn = qs.get(name)
         if fn is None:
             continue
@@ -107,18 +113,21 @@ def main() -> None:
 
     # skew lever, measured: the unsalted twin of skew_salted_join runs the
     # same shuffle join with the hot key serialized through one reducer
-    # task — stderr-only context for the salted line above
-    from ffi_etl_spark.queries_pkg.breadth import skew_join_plain
+    # task — stderr-only context for the salted line above. Only run it
+    # when the salted line itself was timed (a subset bench shouldn't
+    # pay ~5s for a comparison it can't print).
+    if "skew_salted_join" in timings:
+        from ffi_etl_spark.queries_pkg.breadth import skew_join_plain
 
-    t0 = time.perf_counter()
-    skew_join_plain(spark, sf_dir).count()
-    dt_plain = time.perf_counter() - t0
-    print(
-        f"# skew_join_plain (unsalted twin): {dt_plain:.3f}s vs salted "
-        f"{timings.get('skew_salted_join', float('nan')):.3f}s",
-        file=sys.stderr,
-    )
-    spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        skew_join_plain(spark, sf_dir).count()
+        dt_plain = time.perf_counter() - t0
+        print(
+            f"# skew_join_plain (unsalted twin): {dt_plain:.3f}s vs salted "
+            f"{timings['skew_salted_join']:.3f}s",
+            file=sys.stderr,
+        )
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

@@ -254,7 +254,22 @@ def dedup_minhash_incremental(
 
     Output: (id_a, id_b, jaccard_sim, pair_type) with pair_type
     'new_new' for batch-internal pairs, 'new_old' for batch-vs-corpus.
-    Ids must be disjoint across the two inputs."""
+    Ids must be disjoint across the two inputs — enforced with a cheap
+    semi-join probe (limit-1, so it short-circuits on the first hit)
+    because a violated precondition would not fail loudly: a duplicated
+    id would silently mislabel its pairs on both sides."""
+    overlap = (
+        corpus.select(id_col)
+        .join(batch.select(id_col), id_col, "left_semi")
+        .limit(1)
+        .count()
+    )
+    if overlap:
+        raise ValueError(
+            "dedup_minhash_incremental: corpus and batch share ids — the "
+            "two inputs must be disjoint (a shared id would be flagged "
+            "new on one side and old on the other)"
+        )
     rows = num_perm // bands
     union = corpus.select(id_col, text_col).unionByName(batch.select(id_col, text_col))
     hashed = _shingle_sets(union, text_col, id_col, shingle_k, fast, num_perm)

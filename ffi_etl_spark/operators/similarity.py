@@ -153,13 +153,19 @@ def compute_centroids_arrow(
         vecs = np.asarray(tbl.column(vec_col).to_pylist(), dtype=np.float64)
         return pa.table(
             {
-                "centroid_id": pa.array([tbl.column(label_col)[0].as_py()], pa.int32()),
+                # keep the label column's own Arrow type: a long or
+                # string label must survive, not be crushed to int32
+                "centroid_id": tbl.column(label_col).slice(0, 1),
                 "centroid": pa.array([vecs.mean(axis=0).tolist()]),
             }
         )
 
+    # the multimodal._out_schema rule: the group key keeps the input
+    # column's TYPE (an int32 hardcode would overflow long labels and
+    # reject string labels outright)
+    label_dt = dict(corpus.dtypes)[label_col]
     return corpus.select(label_col, vec_col).groupBy(label_col).applyInArrow(
-        _mean, schema="centroid_id int, centroid array<double>"
+        _mean, schema=f"centroid_id {label_dt}, centroid array<double>"
     )
 
 

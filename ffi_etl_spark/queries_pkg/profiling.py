@@ -310,12 +310,20 @@ def _heavy_hitters_sketch(spark, sf_dir):
         F.col("l_orderkey")
     )
     # three consumers (sketch pass, candidate-count join, total agg) —
-    # persist the 1-column projection so the fact scans once
+    # persist the 1-column projection so the fact scans once. The
+    # returned frame is lazy, so this call cannot unpersist its own
+    # cache; instead each invocation evicts the PREVIOUS one, bounding
+    # a long-lived session to one cached projection (bench.py's
+    # clearCache covers the last).
     li = (
         table(spark, sf_dir, "lineitem")
         .select(hot.alias("key"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    prev = getattr(_heavy_hitters_sketch, "_pinned", None)
+    if prev is not None:
+        prev.unpersist()
+    _heavy_hitters_sketch._pinned = li
     cands = li.stat.freqItems(["key"], 0.25).select(
         F.explode("key_freqItems").alias("key")
     )

@@ -66,18 +66,34 @@ def read_csv_url(
     with urllib.request.urlopen(url, timeout=timeout) as resp:
         data = resp.read()
 
+    import uuid
+
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    dest = f"{warehouse.rstrip('/')}/_url_ingest/{hashlib.sha1(data).hexdigest()}.csv"
+    digest = hashlib.sha1(data).hexdigest()
+    dest = f"{warehouse.rstrip('/')}/_url_ingest/{digest}.csv"
     # Hadoop FS write (Py4J): the one API that targets whatever
     # filesystem the warehouse actually lives on.
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(dest)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(jpath, True)
-    try:
-        out.write(bytearray(data))
-    finally:
-        out.close()
+    # Content-addressed landing must never truncate in place: a second
+    # session ingesting the same URL while another session's lazy
+    # DataFrame scans the landed file would expose a partial write.
+    # The name IS the content digest, so an existing destination
+    # already holds these exact bytes — skip. Otherwise write to a
+    # session-unique temp name and rename() in (atomic on HDFS and
+    # local FS; object stores make it a copy, still never a truncate).
+    if not fs.exists(jpath):
+        jtmp = jvm.org.apache.hadoop.fs.Path(f"{dest}._tmp_{uuid.uuid4().hex}")
+        out = fs.create(jtmp, True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+        if not fs.rename(jtmp, jpath):
+            # lost a race to a concurrent identical ingest: the winner's
+            # bytes are identical (same digest); drop the temp file.
+            fs.delete(jtmp, False)
     return read_csv(spark, dest, schema=schema, **options)
 
 
