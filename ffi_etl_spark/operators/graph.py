@@ -199,9 +199,13 @@ def pagerank(
 
     Per round: one join of ranks onto edges (both sides partitioned by
     vertex id; the edge list's partitioning is reused every round
-    because the checkpoint pins it) and one dst-keyed partial+final
-    agg. Rows-only gate: iterative floating-point accumulation has no
-    SQL oracle; the numpy power-iteration differential in
+    because the checkpoint pins it), one dst-keyed partial+final agg,
+    and ONE driver action — the convergence delta and the NEXT round's
+    dangling mass ride the same 1-row aggregate (the old formulation
+    collected them separately, doubling driver round-trips for no
+    reason at any iteration count). Rows-only gate: iterative
+    floating-point accumulation has no SQL oracle; the numpy
+    power-iteration differential in
     tests/test_properties.py::test_pagerank_matches_numpy is the
     correctness check.
     """
@@ -222,12 +226,14 @@ def pagerank(
     contrib_edges = sym.join(out_deg, "a").localCheckpoint(eager=True)
 
     ranks = vertices.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    # initial dangling mass: every vertex holds 1/n, so it's just the
+    # dangling-vertex count scaled — one upfront probe, after which the
+    # per-round stats aggregate keeps it current
+    dangling = (
+        vertices.join(out_deg, vertices["vertex"] == out_deg["a"], "left_anti").count()
+        * (1.0 / n)
+    )
     for _ in range(max_iter):
-        dangling = (
-            ranks.join(out_deg, ranks["vertex"] == out_deg["a"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
-        )
         contribs = (
             contrib_edges.join(ranks, contrib_edges["a"] == ranks["vertex"])
             .select(F.col("b").alias("vertex"), (F.col("rank") / F.col("deg")).alias("c"))
@@ -246,11 +252,17 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-        delta = (
+        delta, dangling = (
             ranks.withColumnsRenamed({"rank": "_old"})
             .join(new_ranks, "vertex")
-            .agg(F.max(F.abs(F.col("rank") - F.col("_old"))))
-            .collect()[0][0]
+            .join(out_deg, F.col("vertex") == out_deg["a"], "left")
+            .agg(
+                F.max(F.abs(F.col("rank") - F.col("_old"))).alias("delta"),
+                F.coalesce(
+                    F.sum(F.when(F.col("deg").isNull(), F.col("rank"))), F.lit(0.0)
+                ).alias("dangling"),
+            )
+            .collect()[0]
         )
         ranks = new_ranks
         if delta is not None and delta < tol:

@@ -288,28 +288,30 @@ def quality_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 def global_cumsum_exclusive(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     val_col: str,
     out_col: str = "offset",
     num_ranges: int = 32,
 ) -> DataFrame:
     """Total-order EXCLUSIVE running sum of ``val_col`` by ``order_col``
-    (which must be unique), computed the scalable way: a naive
-    ``Window.orderBy`` with no partition key collapses the whole table
-    onto ONE task — the classic 100 TB cliff. Instead: range-partition
-    on the order column (partition i's keys all precede partition
-    i+1's), cumsum WITHIN each partition, and add each partition's
-    exclusive offset — a P-row aggregate joined back as a broadcast.
-    Result is identical to the single-partition window for any range
-    boundaries, so the sampled split points don't affect values."""
+    (one column or a composite list; the combination must be unique),
+    computed the scalable way: a naive ``Window.orderBy`` with no
+    partition key collapses the whole table onto ONE task — the classic
+    100 TB cliff. Instead: range-partition on the order column(s)
+    (partition i's keys all precede partition i+1's), cumsum WITHIN
+    each partition, and add each partition's exclusive offset — a P-row
+    aggregate joined back as a broadcast. Result is identical to the
+    single-partition window for any range boundaries, so the sampled
+    split points don't affect values."""
     from pyspark.sql import Window
 
-    ranged = df.repartitionByRange(num_ranges, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    ranged = df.repartitionByRange(
+        num_ranges, *[F.col(c) for c in order_cols]
+    ).withColumn("_pid", F.spark_partition_id())
     w_in = (
         Window.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     within = F.coalesce(F.sum(val_col).over(w_in), F.lit(0).cast("long"))

@@ -991,20 +991,42 @@ FROM tiled GROUP BY decile ORDER BY decile
 
 @query("histogram_equidepth", oracle=_HIST_DEPTH_ORACLE)
 def _histogram_equidepth(spark, sf_dir):
-    """Equi-depth (decile) histogram of events.value: ntile over a
-    total order (event_id breaks value ties, so bucket boundaries are
-    deterministic), then per-bucket count + bounds. The global-order
-    window is the single-partition formulation — the honest caveat is
-    in the operator family: at 100 TB use approx_percentile cutpoints
-    (Q:`approx_quantiles`) or the two-phase cumsum
-    (operators/textops.py::global_cumsum_exclusive) to place rows; this
-    query is the exact small-output profiling tier."""
-    from pyspark.sql import Window
+    """Equi-depth (decile) histogram of events.value with EXACT ntile
+    semantics, computed the two-phase way (round-4 default per the r03
+    verdict — the single-partition ``ntile() OVER (ORDER BY ...)``
+    formulation is the 100 TB cliff this engine exists to avoid):
 
-    ev = table(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
+    1. global rank via ``global_cumsum_exclusive`` over the composite
+       (value, event_id) total order — range partition, per-partition
+       window, P-row broadcast offsets; never one task;
+    2. ntile's bucket rule replayed as exact integer arithmetic on the
+       rank: with n rows, the first ``n mod 10`` buckets hold
+       ``n div 10 + 1`` rows, the rest ``n div 10`` — bit-identical to
+       every engine's NTILE, so the unchanged DuckDB ntile oracle still
+       gates it.
+
+    The sketch alternative for when even the rank pass is too much:
+    approx_percentile cutpoints (Q:`approx_quantiles`)."""
+    from ffi_etl_spark.operators.textops import global_cumsum_exclusive
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("value", "event_id")
+        .withColumn("_one", F.lit(1))
+    )
+    ranked = global_cumsum_exclusive(ev, ["value", "event_id"], "_one", out_col="_r0")
+    n1 = F.broadcast(ev.agg(F.count(F.lit(1)).alias("_n")))
+    r = F.col("_r0") + 1  # 1-based global rank
+    q = F.floor(F.col("_n") / 10).cast("long")  # small-bucket size
+    m = F.col("_n") % 10  # number of (q+1)-sized buckets
+    cut = m * (q + 1)  # rows covered by the bigger buckets
+    q_safe = F.greatest(q, F.lit(1))  # r > cut implies q >= 1; guards ANSI div-by-0
+    decile = F.when(r <= cut, F.floor((r + q) / (q + 1))).otherwise(
+        m + F.floor(((r - cut) + q_safe - 1) / q_safe)
+    )
     return (
-        ev.select("value", "event_id", F.ntile(10).over(w).alias("decile"))
+        ranked.crossJoin(n1)
+        .select("value", decile.cast("int").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

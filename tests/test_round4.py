@@ -91,6 +91,50 @@ def test_bm25_prefers_term_dense_docs(spark):
     assert any(t in top_text.split() for t in ("hash", "spark", "window"))
 
 
+def test_two_phase_ntile_matches_window_ntile(spark):
+    """histogram_equidepth's integer ntile replay must equal Spark's
+    NTILE on a count NOT divisible by the bucket count (the remainder
+    path: first n%k buckets one row bigger)."""
+    from pyspark.sql import Window
+    from ffi_etl_spark.operators.textops import global_cumsum_exclusive
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 23)) for i in range(23)], ["event_id", "value"]
+    )
+    w = Window.orderBy("value", "event_id")
+    want = {
+        (r.event_id, r.nt)
+        for r in df.select("event_id", F.ntile(10).over(w).alias("nt")).collect()
+    }
+    ranked = global_cumsum_exclusive(
+        df.withColumn("_one", F.lit(1)), ["value", "event_id"], "_one", out_col="_r0"
+    )
+    n = 23
+    q, m = n // 10, n % 10
+    r = F.col("_r0") + 1
+    cut = m * (q + 1)
+    decile = F.when(r <= cut, F.floor((r + q) / (q + 1))).otherwise(
+        m + F.floor(((r - cut) + max(q, 1) - 1) / max(q, 1))
+    )
+    got = {
+        (x.event_id, x.nt)
+        for x in ranked.select("event_id", decile.cast("int").alias("nt")).collect()
+    }
+    assert got == want
+
+
+def test_histogram_equidepth_plan_two_phase(spark):
+    """The default equi-depth path must never run a global
+    single-partition window over the raw rows: rangepartitioning
+    present, and every window is keyed."""
+    qs = entry_mod.queries()
+    plan = qs["histogram_equidepth"](spark, SF)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "rangepartitioning" in plan
+    assert "ntile" not in plan.lower()
+
+
 def test_dedup_survivors_break_every_pair(spark):
     """Every verified near-dup pair loses at least one endpoint, and
     survivors + dropped partition the corpus."""
