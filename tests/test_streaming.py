@@ -329,3 +329,82 @@ def test_continuous_aggregate_drops_data_older_than_watermark(spark, tmp_path):
     second = drain()
     assert second[(datetime(2024, 1, 1, 10, 0), "a")] == 1  # NOT revised to 2
     assert second[(datetime(2024, 1, 1, 19, 0), "a")] == 1  # accepted
+
+
+def test_stream_dedup_ingest_builds_neardup_free_corpus(spark, tmp_path):
+    """Continuous corpus construction (streaming/ingest.py): two
+    drained micro-batches; batch-internal near-dup clusters collapse to
+    their min id, batch-vs-corpus dups die, and the final corpus has NO
+    near-dup pair at the threshold. The pairs audit records both kinds."""
+    import json
+
+    from ffi_etl_spark.operators.dedup import dedup_minhash_lsh
+    from ffi_etl_spark.streaming.ingest import stream_dedup_ingest
+
+    base = (
+        "key agg row scan slow fast table value part hash value table part "
+        "a row fast merge batch part value fast spark a a the line sort "
+        "table window table table key join shuffle plan stage codegen "
+        "broadcast exchange partition skew salt bucket probe build side "
+    ) * 3
+    uniq1 = "completely different content about rivers mountains weather " * 12
+    uniq2 = "unrelated musical notation and chord progressions harmony " * 12
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    corpus_path = str(tmp_path / "corpus")
+    pairs_path = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        with open(in_dir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(in_dir)
+        )
+        q = (
+            stream_dedup_ingest(stream, corpus_path, pairs_path, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: 3 and 4 are near-dups of each other (keep 3); 1, 2 unique
+    land(
+        "b1.json",
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": uniq1},
+            {"doc_id": 3, "text": uniq2},
+            {"doc_id": 4, "text": uniq2 + "tiny tail change"},
+        ],
+    )
+    drain()
+    got1 = {r.doc_id for r in spark.read.parquet(corpus_path).collect()}
+    assert got1 == {1, 2, 3}
+
+    # batch 2: 5 near-dups corpus doc 1 (dies), 6 unique (survives),
+    # 7 near-dups 6 within the batch (dies — 6 is canonical)
+    extra = "entirely novel astronomy telescopes and planetary orbits data " * 12
+    land(
+        "b2.json",
+        [
+            {"doc_id": 5, "text": base + "small suffix drift"},
+            {"doc_id": 6, "text": extra},
+            {"doc_id": 7, "text": extra + "minor trailing edit"},
+        ],
+    )
+    drain()
+    corpus = spark.read.parquet(corpus_path)
+    assert {r.doc_id for r in corpus.collect()} == {1, 2, 3, 6}
+
+    # the invariant the operator exists for: the corpus is near-dup free
+    assert dedup_minhash_lsh(corpus).count() == 0
+
+    pairs = spark.read.parquet(pairs_path)
+    kinds = {(r.pair_type) for r in pairs.collect()}
+    assert "new_new" in kinds  # 3~4 and 6~7
+    assert "new_old" in kinds  # 5~1
