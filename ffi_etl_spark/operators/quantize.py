@@ -25,6 +25,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def achlioptas_signs(in_dim: int, out_dim: int, seed: str = "jl") -> list[list[float]]:
+    """±1 projection matrix from md5 parity — the Achlioptas (2001)
+    database-friendly Johnson-Lindenstrauss construction, made
+    deterministic and engine-portable: sign(j, i) is the parity of
+    md5(f"{seed}_{j}_{i}"), so ANY engine regenerates the identical
+    matrix from the seed string alone (no RNG state to ship)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}_{j}_{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "jl",
+) -> DataFrame:
+    """JL random projection: (id, y0..y{out_dim-1}) — each output dim is
+    the sequential-fold dot product of the vector with a ±1 sign row
+    (functions/vectors.py::dot, bit-equal to DuckDB's list order), so
+    the projection is reproducible across engines and partitionings.
+
+    Fully narrow — no shuffle at all: the matrix is out_dim literal
+    arrays folded per row inside the scan stage. The 4x-16x
+    dimensionality cut feeds the ANN tiers (sign-LSH/IVF recall is
+    near-preserved at out_dim ~ O(log n / eps^2) per the JL lemma)."""
+    from ffi_etl_spark.functions.vectors import dot
+
+    signs = achlioptas_signs(in_dim, out_dim, seed)
+    cols = [
+        dot(
+            F.col(vec_col), F.array(*[F.lit(s) for s in signs[j]])
+        ).alias(f"y{j}")
+        for j in range(out_dim)
+    ]
+    return df.select(F.col(id_col), *cols)
+
+
 def quantize_embeddings_int8(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -262,6 +262,57 @@ def bm25_rank(
     )
 
 
+def lm_transition_anomaly(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_threshold: float = 0.01,
+) -> DataFrame:
+    """Bigram-LM fluency signal (the KenLM-quality-filter shape without
+    the external LM): train conditional MLE transition probabilities
+    p(b|a) = c(a,b)/c(a,·) on the corpus itself, then profile each
+    document by its LEAST likely transition and its count of rare
+    transitions — documents whose token sequences the corpus LM finds
+    improbable (boilerplate splices, shuffled text, wrong-language
+    spans) surface with low min_prob / high n_rare.
+
+    Determinism: the per-doc statistics are MIN and a threshold COUNT
+    over ratios of exact integers — no float is ever summed in
+    partition-dependent order, so outputs are bit-reproducible (the
+    classic per-doc log-likelihood SUM would not be; that form is
+    noted, not gated).
+
+    Shape: bigrams come from a narrow arrays_zip of the token array
+    against its own tail (no self-join, no window); c(a,b) and c(a,·)
+    are token-keyed aggregates — vocab-sized outputs joined back with a
+    broadcast hint that should be DROPPED at web-scale vocab (AQE picks
+    the shuffle join); the doc profile is one doc-keyed aggregate."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    bigrams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("t1"),
+                F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("t2"),
+            )
+        ).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.t1").alias("t1"), F.col("bg.t2").alias("t2"))
+    c_ab = bigrams.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_a = bigrams.groupBy("t1").agg(F.count(F.lit(1)).alias("c_a"))
+    prob = F.col("c_ab").cast("double") / F.col("c_a")
+    return (
+        bigrams.join(F.broadcast(c_ab), ["t1", "t2"])
+        .join(F.broadcast(c_a), "t1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(prob < rare_threshold, 1).otherwise(0)).alias("n_rare"),
+            F.min(prob).alias("min_prob"),
+        )
+    )
+
+
 def quality_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Pretraining-corpus quality gate: first-match-wins rejection
     cascade over the quality signals (the C4/Gopher-rule shape, and the

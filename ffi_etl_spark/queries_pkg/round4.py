@@ -571,6 +571,213 @@ def _mad_outliers(spark, sf_dir):
 # Pareto skyline
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Count-min sketch frequency estimates
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket_sql(expr: str, row: int, width: int = 256) -> str:
+    return (
+        f"(('0x' || substr(md5('cms{row}_' || CAST({expr} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {width})::INT"
+    )
+
+
+def _cms_oracle(depth: int = 4, width: int = 256) -> str:
+    slot_rows = "\n  UNION ALL\n".join(
+        f"  SELECT user_id, {i} AS row, {_cms_bucket_sql('user_id', i, width)} AS bucket FROM events"
+        for i in range(depth)
+    )
+    probe_rows = "\n  UNION ALL\n".join(
+        f"  SELECT user_id, {i} AS row, {_cms_bucket_sql('user_id', i, width)} AS bucket"
+        f" FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20)"
+        for i in range(depth)
+    )
+    return f"""
+WITH slots AS (
+{slot_rows}
+), sketch AS (
+  SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS n FROM slots GROUP BY row, bucket
+), probe_slots AS (
+{probe_rows}
+), est AS (
+  SELECT p.user_id, MIN(COALESCE(s.n, 0)) AS cms_est
+  FROM probe_slots p LEFT JOIN sketch s USING (row, bucket)
+  GROUP BY p.user_id
+), exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n FROM events
+  WHERE user_id < 20 GROUP BY user_id
+)
+SELECT e.user_id, e.exact_n, est.cms_est,
+       CAST(est.cms_est >= e.exact_n AS BOOLEAN) AS never_undercounts
+FROM exact e JOIN est USING (user_id)
+ORDER BY user_id
+"""
+
+
+@query("countmin_frequency", oracle=_cms_oracle())
+def _countmin_frequency(spark, sf_dir):
+    """Count-min sketch (operators/sketches.py) built over the event
+    stream, probed for the sub-20 user ids against exact counts. All
+    counters are md5-bucketed integers, so sketch AND estimates are
+    bit-reproducible cross-engine; the output pins the sketch's
+    one-sided guarantee (est >= true) as a boolean column."""
+    from ffi_etl_spark.operators.sketches import countmin_build, countmin_estimate
+
+    ev = table(spark, sf_dir, "events")
+    sketch = countmin_build(ev, "user_id")
+    probes = ev.filter(F.col("user_id") < 20).select("user_id").distinct()
+    est = countmin_estimate(sketch, probes, "user_id")
+    exact = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_n")).alias("never_undercounts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JL random projection
+# ---------------------------------------------------------------------------
+
+
+def _projection_oracle(in_dim: int = 64, out_dim: int = 8) -> str:
+    from ffi_etl_spark.operators.quantize import achlioptas_signs
+
+    signs = achlioptas_signs(in_dim, out_dim)
+    cols = ",\n       ".join(
+        "list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(f"{s:.1f}" for s in signs[j])
+        + f"]::DOUBLE[]) AS y{j}"
+        for j in range(out_dim)
+    )
+    return f"""
+SELECT vec_id,
+       {cols}
+FROM embeddings
+ORDER BY vec_id
+LIMIT 200
+"""
+
+
+@query("random_projection", oracle=_projection_oracle())
+def _random_projection(spark, sf_dir):
+    """64->8 Johnson-Lindenstrauss projection with the md5-seeded ±1
+    Achlioptas matrix (operators/quantize.py::random_project): fully
+    narrow (no shuffle — out_dim literal-array folds inside the scan
+    stage), bit-equal to the oracle because each output dim is the
+    SEQUENTIAL dot fold both engines share."""
+    from ffi_etl_spark.operators.quantize import random_project
+
+    emb = table(spark, sf_dir, "embeddings")
+    return random_project(emb, in_dim=64, out_dim=8).orderBy("vec_id").limit(200)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM transition anomaly profile
+# ---------------------------------------------------------------------------
+
+_LM_ORACLE = r"""
+WITH toked AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(toks[1:len(toks)-1]) AS t1,
+         unnest(toks[2:len(toks)]) AS t2
+  FROM toked WHERE len(toks) >= 2
+), c_ab AS (
+  SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY t1, t2
+), c_a AS (
+  SELECT t1, CAST(COUNT(*) AS BIGINT) AS c_a FROM bg GROUP BY t1
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN CAST(ab.c_ab AS DOUBLE) / a.c_a < 0.01 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rare,
+       MIN(CAST(ab.c_ab AS DOUBLE) / a.c_a) AS min_prob
+FROM bg b
+JOIN c_ab ab USING (t1, t2)
+JOIN c_a a USING (t1)
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@query("lm_transition_anomaly", oracle=_LM_ORACLE)
+def _lm_transition_anomaly(spark, sf_dir):
+    """Corpus-trained bigram-LM fluency profile
+    (operators/textops.py::lm_transition_anomaly): per-doc least-likely
+    transition + rare-transition count — MIN/threshold-COUNT over exact
+    integer ratios, never an order-dependent float sum."""
+    from ffi_etl_spark.operators.textops import lm_transition_anomaly
+
+    docs = table(spark, sf_dir, "documents")
+    return lm_transition_anomaly(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster profile
+# ---------------------------------------------------------------------------
+
+_CLUSTER_PROFILE_ORACLE = f"""
+WITH RECURSIVE {_minhash_pairs_cte()}, edges AS (
+  SELECT id_a AS a, id_b AS b FROM verified WHERE jaccard_sim >= 0.5
+  UNION ALL
+  SELECT id_b, id_a FROM verified WHERE jaccard_sim >= 0.5
+), reach(v, m) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.v
+), comp AS (
+  SELECT v, MIN(m) AS component FROM reach GROUP BY v
+), sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+@query("dedup_cluster_profile", oracle=_CLUSTER_PROFILE_ORACLE)
+def _dedup_cluster_profile(spark, sf_dir):
+    """Duplication-structure report: the near-dup cluster size
+    histogram (how much of the corpus is 2-way mirrors vs deep
+    template families) — the number a curation team reads before
+    choosing dedup aggressiveness. Pairs -> components -> two K-row
+    aggregates; everything after the pair stage is free."""
+    from ffi_etl_spark.operators.dedup import dedup_minhash_lsh
+    from ffi_etl_spark.operators.graph import connected_components
+
+    pairs = dedup_minhash_lsh(table(spark, sf_dir, "documents"))
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline
+# ---------------------------------------------------------------------------
+
+
 _SKYLINE_ORACLE = """
 SELECT p.p_partkey, p.p_size, p.p_retailprice
 FROM part p

@@ -149,3 +149,75 @@ def test_dedup_survivors_break_every_pair(spark):
     assert pairs  # testdata has known near-dup templates
     for p in pairs:
         assert not (p.id_a in survivors and p.id_b in survivors), (p.id_a, p.id_b)
+
+
+def test_countmin_never_undercounts_all_users(spark):
+    """CMS one-sided guarantee over the FULL key set (not just the
+    gated sub-20 probe): est >= exact for every user."""
+    from ffi_etl_spark.catalog import table
+    from ffi_etl_spark.operators.sketches import countmin_build, countmin_estimate
+
+    ev = table(spark, SF01, "events")
+    sketch = countmin_build(ev, "user_id")
+    probes = ev.select("user_id").distinct()
+    est = {r.user_id: r.cms_est for r in countmin_estimate(sketch, probes, "user_id").collect()}
+    exact = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    # width 256 >> 150 distinct users: most estimates should be exact
+    exact_hits = sum(1 for k in exact if est[k] == exact[k])
+    assert exact_hits / len(exact) > 0.5
+
+
+def test_random_projection_preserves_relative_distances(spark):
+    """JL sanity: the 64->8 projection keeps near pairs nearer than far
+    pairs on average (rank correlation over a small sample), and the
+    seeded matrix is deterministic."""
+    import math
+
+    from ffi_etl_spark.catalog import table
+    from ffi_etl_spark.operators.quantize import achlioptas_signs, random_project
+
+    assert achlioptas_signs(8, 2) == achlioptas_signs(8, 2)
+    # i.i.d. embeddings have strongly concentrated pairwise distances,
+    # the worst case for rank preservation — 16 output dims keeps the
+    # JL distortion small enough for a clearly positive correlation
+    emb = table(spark, SF01, "embeddings").limit(40)
+    orig = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    proj = {
+        r.vec_id: [r[f"y{j}"] for j in range(16)]
+        for r in random_project(emb, in_dim=64, out_dim=16).collect()
+    }
+
+    def d(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ids = sorted(orig)[:20]
+    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+    do = [d(orig[a], orig[b]) for a, b in pairs]
+    dp = [d(proj[a], proj[b]) for a, b in pairs]
+    # Spearman-ish: correlation of ranks must be clearly positive
+    rank_o = {p: i for i, p in enumerate(sorted(range(len(do)), key=do.__getitem__))}
+    rank_p = {p: i for i, p in enumerate(sorted(range(len(dp)), key=dp.__getitem__))}
+    n = len(pairs)
+    d2 = sum((rank_o[i] - rank_p[i]) ** 2 for i in range(n))
+    spearman = 1 - 6 * d2 / (n * (n * n - 1))
+    assert spearman > 0.3, spearman
+
+
+def test_lm_anomaly_flags_improbable_transition(spark):
+    """A doc splicing a one-off bigram into otherwise-repetitive text
+    must score a lower min_prob than the purely repetitive doc."""
+    from ffi_etl_spark.operators.textops import lm_transition_anomaly
+
+    common = ("alpha beta " * 50).strip()
+    spliced = common + " alpha zeta " + common
+    df = spark.createDataFrame(
+        [(1, common), (2, spliced), (3, common)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in lm_transition_anomaly(df).collect()}
+    assert out[2].min_prob < out[1].min_prob
+    assert out[2].n_rare >= 0 and out[1].n_bigrams > 0
