@@ -268,3 +268,71 @@ def pagerank(
         if delta is not None and delta < tol:
             break
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the undirected (src, dst) graph — the third graph
+    operator beside ``connected_components`` (which merges everything
+    reachable) and ``pagerank`` (which ranks within): LP splits a
+    connected near-dup graph into densely-linked template FAMILIES,
+    the granularity at which a curation team samples representatives.
+
+    Determinism (vanilla LP is run-order-dependent): updates are
+    synchronous, the new label is the most frequent neighbor label with
+    ties broken toward the SMALLEST label, and iteration stops at the
+    fixpoint or ``max_iter`` (synchronous LP can 2-cycle on bipartite
+    structures; the cap is the standard remedy). Same loop discipline
+    as the other iterative operators: localCheckpoint per round, ONE
+    1-row driver action (changed-label count) per round.
+
+    Per round: one join of labels onto the symmetrized edges (vertex
+    keyed), one (vertex, label) count aggregate, one per-vertex
+    arg-max window — all shuffles share the vertex key. Returns
+    ``(vertex, community)``.
+    """
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("vertex"))
+        .distinct()
+        .withColumn("label", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("a").orderBy(F.col("cnt").desc(), F.col("label"))
+    for _ in range(max_iter):
+        nbr_labels = sym.join(
+            labels, sym["b"] == labels["vertex"]
+        ).select("a", "label")
+        counted = nbr_labels.groupBy("a", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        new_labels = (
+            counted.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("a").alias("vertex"), "label")
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.withColumnsRenamed({"label": "_old"})
+            .join(new_labels, "vertex")
+            .filter(F.col("label") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumnsRenamed({"label": "community"})

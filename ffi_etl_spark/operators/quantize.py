@@ -73,23 +73,32 @@ def random_project(
     return df.select(F.col(id_col), *cols)
 
 
-def quantize_embeddings_int8(
+def quantize_codes_long(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
-    """(id, n_dims, codes_csv): per-dimension min/max scaled uint8 codes,
-    emitted as a comma-joined string (gated-output contract: no raw
-    array columns)."""
+    """(id, dim, code) long-format uint8 codes — the internal form the
+    code-space operators (kNN over codes) consume directly, skipping
+    the reassembly shuffle entirely."""
     ex = df.select(
         F.col(id_col), F.posexplode(vec_col).alias("dim", "x")
     ).withColumn("x", F.col("x").cast("double"))
     stats = ex.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-    codes = ex.join(F.broadcast(stats), "dim").select(
+    return ex.join(F.broadcast(stats), "dim").select(
         F.col(id_col),
         F.col("dim"),
         F.floor(((F.col("x") - F.col("mn")) * F.lit(255.0)) / (F.col("mx") - F.col("mn")))
         .cast("int")
         .alias("code"),
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, n_dims, codes_csv): per-dimension min/max scaled uint8 codes,
+    emitted as a comma-joined string (gated-output contract: no raw
+    array columns)."""
+    codes = quantize_codes_long(df, vec_col, id_col)
     return codes.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_dims"),
         F.array_join(
@@ -99,4 +108,46 @@ def quantize_embeddings_int8(
             ),
             ",",
         ).alias("codes_csv"),
+    )
+
+
+def knn_int8_codes(
+    df: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-``k`` nearest neighbors per probe in QUANTIZED code space:
+    squared L2 over the uint8 codes — pure integer arithmetic, so
+    distances, ties, and therefore the whole ranking are bit-exact on
+    any engine (unlike float-space kNN, where last-ulp differences can
+    flip rank boundaries). This is the payoff query for
+    ``quantize_embeddings_int8``: the scan reads 1/4 the bytes and the
+    distance kernel is integer multiply-add.
+
+    Shape: the probe side (|probes| x n_dims code rows) broadcasts into
+    a dim-keyed join against the long-format corpus codes, one
+    (probe, candidate) aggregate sums the squared deltas, and the
+    per-probe top-k runs as a WindowGroupLimit. The corpus shuffles
+    once, on the candidate key.
+    """
+    from pyspark.sql import Window
+
+    codes = quantize_codes_long(df, vec_col, id_col)
+    probes = codes.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("pid"), F.col("dim"), F.col("code").alias("pcode")
+    )
+    delta = F.col("code") - F.col("pcode")
+    dists = (
+        codes.join(F.broadcast(probes), "dim")
+        .filter(F.col(id_col) != F.col("pid"))
+        .groupBy("pid", id_col)
+        .agg(F.sum(delta * delta).alias("d2"))
+    )
+    w = Window.partitionBy("pid").orderBy("d2", id_col)
+    return (
+        dists.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .orderBy("pid", "rk")
     )

@@ -774,6 +774,84 @@ def _dedup_cluster_profile(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# kNN in quantized code space
+# ---------------------------------------------------------------------------
+
+_KNN_CODES_ORACLE = """
+WITH ex AS (
+  SELECT vec_id,
+         unnest(embedding::DOUBLE[]) AS x,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings
+), stats AS (
+  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim
+), codes AS (
+  SELECT vec_id, dim,
+         CAST(floor(((x - mn) * 255.0) / (mx - mn)) AS INT) AS code
+  FROM ex JOIN stats USING (dim)
+), probes AS (
+  SELECT vec_id AS pid, dim, code AS pcode FROM codes WHERE vec_id IN (0, 1, 2)
+), dists AS (
+  SELECT p.pid, c.vec_id,
+         CAST(SUM((c.code - p.pcode) * (c.code - p.pcode)) AS BIGINT) AS d2
+  FROM codes c JOIN probes p USING (dim)
+  WHERE c.vec_id != p.pid
+  GROUP BY p.pid, c.vec_id
+), ranked AS (
+  SELECT pid, vec_id, d2,
+         row_number() OVER (PARTITION BY pid ORDER BY d2, vec_id) AS rk
+  FROM dists
+)
+SELECT pid, vec_id, d2, rk FROM ranked WHERE rk <= 10 ORDER BY pid, rk
+"""
+
+
+@query("knn_int8_codes", oracle=_KNN_CODES_ORACLE)
+def _knn_int8_codes(spark, sf_dir):
+    """Top-10 neighbors per probe in QUANTIZED code space
+    (operators/quantize.py::knn_int8_codes) — the payoff for
+    embedding_quantize_int8: quarter-width scans and an all-integer
+    distance kernel whose ranking is bit-exact on any engine (float
+    kNN's last-ulp rank boundaries need the tie-break discipline;
+    integer kNN simply can't drift)."""
+    from ffi_etl_spark.operators.quantize import knn_int8_codes
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = knn_int8_codes(emb, probe_ids=[0, 1, 2], k=10)
+    return out.select(
+        "pid", F.col("vec_id"), F.col("d2").cast("long").alias("d2"), "rk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (rows-only: iterative)
+# ---------------------------------------------------------------------------
+
+
+@query("label_propagation_communities")  # iterative fixpoint: no SQL oracle
+def _label_propagation_communities(spark, sf_dir):
+    """Template families within the near-dup graph: synchronous label
+    propagation over the MinHash pair graph
+    (operators/graph.py::label_propagation). Rows-only by design — the
+    fixpoint of an iterative algorithm is not SQL-expressible; the
+    crafted two-cliques test locks semantics. Output: one row per
+    community with its size and canonical (min) member."""
+    from ffi_etl_spark.operators.dedup import dedup_minhash_lsh
+    from ffi_etl_spark.operators.graph import label_propagation
+
+    pairs = dedup_minhash_lsh(table(spark, sf_dir, "documents"))
+    comm = label_propagation(pairs)
+    return (
+        comm.groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vertex").alias("canonical_doc"),
+        )
+        .orderBy("community")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pareto skyline
 # ---------------------------------------------------------------------------
 

@@ -221,3 +221,50 @@ def test_lm_anomaly_flags_improbable_transition(spark):
     out = {r.doc_id: r for r in lm_transition_anomaly(df).collect()}
     assert out[2].min_prob < out[1].min_prob
     assert out[2].n_rare >= 0 and out[1].n_bigrams > 0
+
+
+def test_label_propagation_two_cliques(spark):
+    """Crafted semantics lock: two triangles joined by one bridge edge
+    resolve to exactly two communities split at the bridge — LP's
+    density granularity vs connected_components (which would merge all
+    six vertices into one)."""
+    from ffi_etl_spark.operators.graph import connected_components, label_propagation
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    comm = {r.vertex: r.community for r in label_propagation(df).collect()}
+    assert len(set(comm.values())) == 2
+    assert comm[1] == comm[2] == comm[3]
+    assert comm[4] == comm[5] == comm[6]
+    assert comm[3] != comm[4]
+    # same graph, components: ONE cluster
+    comp = {r.component for r in connected_components(df).collect()}
+    assert comp == {1}
+
+
+def test_knn_int8_recall_vs_float(spark):
+    """The quantized-code kNN must agree with exact float-space kNN for
+    most of the top-10 (256 levels/dim is a fine grid): recall >= 0.7
+    per probe."""
+    import math
+
+    from ffi_etl_spark.catalog import table
+    from ffi_etl_spark.operators.quantize import knn_int8_codes
+
+    emb = table(spark, SF01, "embeddings")
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    got: dict[int, set] = {}
+    for r in knn_int8_codes(emb, probe_ids=[0, 1, 2], k=10).collect():
+        got.setdefault(r.pid, set()).add(r.vec_id)
+    for pid in (0, 1, 2):
+        p = vecs[pid]
+        exact = sorted(
+            (
+                (sum((x - y) ** 2 for x, y in zip(p, v)), vid)
+                for vid, v in vecs.items()
+                if vid != pid
+            )
+        )[:10]
+        exact_ids = {vid for _, vid in exact}
+        recall = len(got[pid] & exact_ids) / 10
+        assert recall >= 0.7, (pid, recall)
