@@ -271,3 +271,87 @@ def test_pagerank_matches_numpy(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for v in verts:
         assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=25
+    )
+)
+@settings(**_SETTINGS)
+def test_skyline_equals_bruteforce_on_random_points(spark, pts):
+    """For ANY point set (duplicates included), the two-phase window
+    skyline equals the O(n²) dominance definition."""
+    from ffi_etl_spark.operators.skyline import skyline_2d
+
+    rows = [(i, c, g) for i, (c, g) in enumerate(pts)]
+    df = spark.createDataFrame(rows, ["id", "cost", "gain"])
+    got = {r.id for r in skyline_2d(df, "cost", "gain").collect()}
+    expect = {
+        i
+        for i, c, g in rows
+        if not any(
+            (c2 <= c and g2 >= g) and (c2 < c or g2 > g)
+            for j, c2, g2 in rows
+            if j != i
+        )
+    }
+    assert got == expect
+
+
+@given(
+    keys=st.lists(st.integers(0, 40), min_size=1, max_size=60),
+)
+@settings(**_SETTINGS)
+def test_countmin_never_undercounts_random_multisets(spark, keys):
+    """CMS one-sided error bound holds for ANY key multiset."""
+    from collections import Counter
+
+    from ffi_etl_spark.operators.sketches import countmin_build, countmin_estimate
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    sketch = countmin_build(df, "k", depth=3, width=16)
+    probes = df.distinct()
+    est = {
+        r.k: r.cms_est
+        for r in countmin_estimate(sketch, probes, "k", depth=3, width=16).collect()
+    }
+    exact = Counter(keys)
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)
+
+
+@given(n=st.integers(1, 40), k=st.integers(1, 12))
+@settings(**_SETTINGS)
+def test_ntile_replay_matches_spark_for_any_n_k(spark, n, k):
+    """The integer NTILE replay used by histogram_equidepth matches
+    Spark's ntile for ANY row count and bucket count (both remainder
+    regimes: n < k and n >= k)."""
+    from pyspark.sql import Window
+
+    from ffi_etl_spark.operators.textops import global_cumsum_exclusive
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11) for i in range(n)], ["rid", "v"]
+    )
+    w = Window.orderBy("v", "rid")
+    want = {
+        (r.rid, r.nt)
+        for r in df.select("rid", F.ntile(k).over(w).alias("nt")).collect()
+    }
+    ranked = global_cumsum_exclusive(
+        df.withColumn("_one", F.lit(1)), ["v", "rid"], "_one", out_col="_r0"
+    )
+    q, m = n // k, n % k
+    r = F.col("_r0") + 1
+    cut = m * (q + 1)
+    qs = max(q, 1)
+    bucket = F.when(r <= cut, F.floor((r + q) / (q + 1))).otherwise(
+        m + F.floor(((r - cut) + qs - 1) / qs)
+    )
+    got = {
+        (x.rid, x.nt)
+        for x in ranked.select("rid", bucket.cast("int").alias("nt")).collect()
+    }
+    assert got == want
