@@ -83,12 +83,16 @@ def quantize_codes_long(
         F.col(id_col), F.posexplode(vec_col).alias("dim", "x")
     ).withColumn("x", F.col("x").cast("double"))
     stats = ex.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    # constant dimension (mx == mn) carries no information: code 0, not
+    # a 0/0 NULL that would silently desynchronize codes_csv from
+    # n_dims (array_join drops null elements) and NaN-crash the oracle
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.floor(
+            ((F.col("x") - F.col("mn")) * F.lit(255.0)) / (F.col("mx") - F.col("mn"))
+        ).cast("int")
+    )
     return ex.join(F.broadcast(stats), "dim").select(
-        F.col(id_col),
-        F.col("dim"),
-        F.floor(((F.col("x") - F.col("mn")) * F.lit(255.0)) / (F.col("mx") - F.col("mn")))
-        .cast("int")
-        .alias("code"),
+        F.col(id_col), F.col("dim"), code.alias("code")
     )
 
 

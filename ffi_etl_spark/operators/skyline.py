@@ -8,21 +8,23 @@ for their size class (minimize price, maximize size).
 
 Scale design — NOT the naive O(n²) dominance self-join:
 
-1. **Local prune** (phase 1): the skyline of a union is a subset of the
-   union of per-subset skylines, for ANY partitioning of the rows. So
-   each input partition first drops its locally-dominated rows with a
-   per-partition sort + running-max — a narrow window keyed on
-   ``spark_partition_id()``, no data movement beyond the window's
-   intra-partition sort. On uniformly distributed criteria the local
-   skyline of an m-row partition has ~O(log m) expected rows, so this
-   pass deletes almost everything.
-2. **Global pass** (phase 2): the surviving rows (tiny: union of local
-   skylines) run the same sort + running-max once more in a single
-   task. For 2-D skylines the running-max formulation is exact: sort by
-   the minimized criterion ascending; a row is non-dominated iff its
-   maximized criterion exceeds the running max of every strictly-better
-   row, with the tie band (equal minimized value) checked against the
-   inclusive running max.
+1. **Bucketed prune** (phase 1): the skyline of a union is a subset of
+   the union of per-subset skylines, for ANY disjoint split of the
+   rows. Rows are bucketed by a deterministic row hash (uniform over
+   the reducers — unlike hashing ``spark_partition_id()``, whose P
+   distinct values collide unevenly) and each bucket drops its
+   locally-dominated rows with a sort + running-max window. Cost: ONE
+   hash exchange of the table — the same volume as any shuffle-based
+   operator, and the only full-data movement in the plan. On
+   uniformly distributed criteria a bucket of m rows keeps ~O(log m)
+   expected rows, so this pass deletes almost everything.
+2. **Global pass** (phase 2): the surviving rows (the tiny union of
+   bucket skylines) run the same sort + running-max once more in a
+   single task. For 2-D skylines the running-max formulation is exact:
+   sort by the minimized criterion ascending; a row is non-dominated
+   iff its maximized criterion exceeds the running max of every
+   strictly-better row, with the tie band (equal minimized value)
+   checked against the inclusive running max.
 
 The single-partition step in phase 2 touches only the pruned survivor
 set — the same shape as the engine's two-phase global cumsum
@@ -33,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+SKYLINE_BUCKETS = 256
 
 
 def _prune(df: DataFrame, part_cols: list, min_col: str, max_col: str) -> DataFrame:
@@ -65,11 +69,19 @@ def skyline_2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
     """Rows not dominated under (minimize ``minimize``, maximize
     ``maximize``). ``minimize`` must be integral (the tie-exact RANGE
     window frame requires it — quantize prices to cents first).
+
+    The bucket key hashes the two criteria (deterministic per row, so
+    retries re-derive the same split; uniform across SKYLINE_BUCKETS
+    reducers). Correctness does not depend on the bucketing — any
+    disjoint split works — only balance does.
     """
+    bucket = F.pmod(
+        F.xxhash64(F.col(minimize), F.col(maximize)), F.lit(SKYLINE_BUCKETS)
+    )
     local = _prune(
-        df.withColumn("_pid", F.spark_partition_id()), ["_pid"], minimize, maximize
-    ).drop("_pid")
-    # survivors are the union of local skylines — tiny; one global pass
+        df.withColumn("_bkt", bucket), ["_bkt"], minimize, maximize
+    ).drop("_bkt")
+    # survivors are the union of bucket skylines — tiny; one global pass
     return _prune(local.withColumn("_g", F.lit(0)), ["_g"], minimize, maximize).drop(
         "_g"
     )

@@ -223,7 +223,14 @@ def bm25_rank(
     reusing the same doc keying, and a final top-k that runs as
     TakeOrderedAndProject. Corpus-sized data shuffles once.
     """
-    terms = sorted(query_terms)
+    # normalize to match the lowercased token stream, dedup (a repeated
+    # term would emit two identical pivot columns -> ambiguous-reference
+    # AnalysisException), and keep the pivot key column collision-free
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("bm25_rank: query_terms must be non-empty")
+    if id_col in terms:
+        raise ValueError(f"bm25_rank: query term {id_col!r} collides with id_col")
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),

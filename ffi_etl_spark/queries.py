@@ -61,8 +61,12 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
 # 5 continuity canaries, the 4 r03 reds (array outputs stringified,
 # stats_moments fixed-precision — re-grade), the 30 queries that have
 # never had a driver row (registry positions 50-79 last round), and
-# the 11 round-4 additions. After this round every registered query
-# has a driver CORRECTNESS row across rounds.
+# the first 11 round-4 additions. If r04 grades these green, every
+# query registered THROUGH ROUND 3 has a driver row across rounds;
+# the 6 later round-4 registrations (countmin_frequency,
+# random_projection, lm_transition_anomaly, dedup_cluster_profile,
+# knn_int8_codes, label_propagation_communities) sit past the cap and
+# lead the round-5 rotation.
 PRIORITY_PREFIX: tuple[str, ...] = (
     # -- canaries: green every prior round, kept for continuity --
     "survey_pipeline",

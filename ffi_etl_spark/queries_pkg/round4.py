@@ -138,7 +138,8 @@ WITH ex AS (
   SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim
 ), codes AS (
   SELECT vec_id, dim,
-         CAST(floor(((x - mn) * 255.0) / (mx - mn)) AS INT) AS code
+         CASE WHEN mx = mn THEN 0
+              ELSE CAST(floor(((x - mn) * 255.0) / (mx - mn)) AS INT) END AS code
   FROM ex JOIN stats USING (dim)
 )
 SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
@@ -239,7 +240,8 @@ WITH daily AS (
   FROM daily d JOIN stats s USING (event_type)
 )
 SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
-       printf('%.6f', dev) AS dev_s, printf('%.6e', z) AS z_s
+       printf('%.6f', dev) AS dev_s,
+       CASE WHEN z IS NULL THEN NULL ELSE printf('%.6e', z) END AS z_s
 FROM dev WHERE rk <= 3 ORDER BY event_type, day
 """
 
@@ -263,6 +265,7 @@ def _event_count_anomaly(spark, sf_dir):
         F.stddev_samp("n").alias("sigma"),
     )
     dev = F.abs(F.col("n") - F.col("mu"))
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
     w = Window.partitionBy("event_type").orderBy(dev.desc(), F.col("day"))
     return (
         daily.join(F.broadcast(stats), "event_type")
@@ -273,9 +276,11 @@ def _event_count_anomaly(spark, sf_dir):
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             "n",
             F.format_string("%.6f", dev).alias("dev_s"),
-            F.format_string(
-                "%.6e", (F.col("n") - F.col("mu")) / F.col("sigma")
-            ).alias("z_s"),
+            # z is NULL for a single-day type (stddev_samp NULL) or a
+            # constant-count type (sigma 0 -> non-ANSI divide NULL);
+            # unguarded format_string would print the STRING 'null'
+            # where the oracle has SQL NULL
+            F.when(z.isNotNull(), F.format_string("%.6e", z)).alias("z_s"),
         )
         .orderBy("event_type", "day")
     )
@@ -293,8 +298,10 @@ WITH cuts AS (
   FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type, e.value,
-       printf('%.6f',
-              (least(greatest(e.value, c.p05), c.p95) - c.p05) / (c.p95 - c.p05))
+       CASE WHEN c.p95 = c.p05 THEN NULL
+            ELSE printf('%.6f',
+                        (least(greatest(e.value, c.p05), c.p95) - c.p05)
+                          / (c.p95 - c.p05)) END
          AS scaled_s
 FROM events e JOIN cuts c USING (event_type)
 WHERE e.event_id % 101 = 0
@@ -318,17 +325,19 @@ def _winsorize_scale(spark, sf_dir):
         F.percentile("value", 0.95).alias("p95"),
     )
     clamped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    # degenerate band (p95 == p05, e.g. a constant-valued type) yields
+    # NULL on BOTH engines — unguarded, Spark's format_string(NULL)
+    # prints the string 'null' while DuckDB printf yields SQL NULL
+    scaled = F.when(
+        F.col("p95") != F.col("p05"),
+        F.format_string(
+            "%.6f", (clamped - F.col("p05")) / (F.col("p95") - F.col("p05"))
+        ),
+    )
     return (
         ev.filter(F.col("event_id") % 101 == 0)
         .join(F.broadcast(cuts), "event_type")
-        .select(
-            "event_id",
-            "event_type",
-            "value",
-            F.format_string(
-                "%.6f", (clamped - F.col("p05")) / (F.col("p95") - F.col("p05"))
-            ).alias("scaled_s"),
-        )
+        .select("event_id", "event_type", "value", scaled.alias("scaled_s"))
         .orderBy("event_id")
     )
 
@@ -787,7 +796,8 @@ WITH ex AS (
   SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim
 ), codes AS (
   SELECT vec_id, dim,
-         CAST(floor(((x - mn) * 255.0) / (mx - mn)) AS INT) AS code
+         CASE WHEN mx = mn THEN 0
+              ELSE CAST(floor(((x - mn) * 255.0) / (mx - mn)) AS INT) END AS code
   FROM ex JOIN stats USING (dim)
 ), probes AS (
   SELECT vec_id AS pid, dim, code AS pcode FROM codes WHERE vec_id IN (0, 1, 2)

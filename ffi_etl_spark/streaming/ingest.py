@@ -93,23 +93,40 @@ def stream_dedup_ingest(
     every detected pair. Returns the DataStreamWriter (caller picks the
     trigger; ``availableNow`` drains a backlog exactly once).
 
-    Exactly-once posture: foreachBatch can re-run a batch after a
-    failure, and plain parquet appends are not idempotent — a replayed
-    batch would re-append its survivors. Real deployments point
-    ``corpus_path`` at a transactional table format and MERGE by
-    ``id_col``; the tests cover the single-run semantics this container
-    can express.
+    Exactly-once posture: foreachBatch is at-least-once — a batch can
+    replay after a failure that landed its survivors but not its
+    checkpoint. Replays are made corpus-idempotent by anti-joining the
+    batch against ids ALREADY in the corpus before deduping (a replayed
+    survivor is skipped; a replayed non-survivor re-dies against the
+    same corpus), which also keeps the incremental tier's disjointness
+    precondition satisfied instead of poisoning the stream with its
+    ValueError. The PAIRS audit can still carry duplicate rows from a
+    replay (append-only log semantics — dedupe on read by
+    (batch_id, id_a, id_b)); a transactional table format would MERGE
+    both sinks by key instead.
     """
+    from pyspark.errors import AnalysisException
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if not batch_df.take(1):
             return
-        batch = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        batch = batch_df.dropDuplicates([id_col])
         try:
             corpus = spark.read.parquet(corpus_path)
-        except Exception:
+        except AnalysisException:
+            # first batch: the corpus does not exist yet. Any OTHER read
+            # failure (corrupt footer, permissions, transient FS error)
+            # must fail the batch — treating it as "no corpus" would
+            # silently re-ingest near-dups of everything already landed.
             corpus = None
+        if corpus is not None:
+            batch = batch.join(
+                corpus.select(id_col), id_col, "left_anti"
+            )
+        batch = batch.localCheckpoint(eager=True)
+        if not batch.take(1):
+            return
         survivors, pairs = _batch_survivors(
             corpus, batch, text_col, id_col, **lsh_kwargs
         )

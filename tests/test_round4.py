@@ -268,3 +268,28 @@ def test_knn_int8_recall_vs_float(spark):
         exact_ids = {vid for _, vid in exact}
         recall = len(got[pid] & exact_ids) / 10
         assert recall >= 0.7, (pid, recall)
+
+
+def test_check_oracle_canon_preserves_integers():
+    """frame_hash must not let pandas upcast int columns to float in
+    all-numeric frames (iterrows would): two frames differing by 1 in a
+    big integer must hash differently at EVERY precision band."""
+    import importlib.util
+    import os
+
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "check_oracle.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    a = pd.DataFrame({"n": [6000123], "x": [1.5]})
+    b = pd.DataFrame({"n": [6000124], "x": [1.5]})
+    assert mod.frame_hash(a, "%.6g") != mod.frame_hash(b, "%.6g")
+    # and ints beyond float53 stay exact
+    big = 2**60
+    c = pd.DataFrame({"n": [big], "x": [0.0]})
+    d = pd.DataFrame({"n": [big + 1], "x": [0.0]})
+    assert mod.frame_hash(c, "%.6g") != mod.frame_hash(d, "%.6g")

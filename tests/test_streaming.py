@@ -408,3 +408,39 @@ def test_stream_dedup_ingest_builds_neardup_free_corpus(spark, tmp_path):
     kinds = {(r.pair_type) for r in pairs.collect()}
     assert "new_new" in kinds  # 3~4 and 6~7
     assert "new_old" in kinds  # 5~1
+
+
+def test_stream_dedup_ingest_replay_is_corpus_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-draining the SAME input with a
+    fresh checkpoint (a full replay) must not re-append survivors or
+    poison the stream via the incremental tier's disjointness guard."""
+    import json
+
+    from ffi_etl_spark.streaming.ingest import stream_dedup_ingest
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    corpus_path = str(tmp_path / "corpus")
+    pairs_path = str(tmp_path / "pairs")
+    with open(in_dir / "b1.json", "w") as f:
+        for i, txt in enumerate(
+            ["alpha beta gamma delta " * 30, "totally different words here " * 30]
+        ):
+            f.write(json.dumps({"doc_id": i, "text": txt}) + "\n")
+
+    def drain(ckpt):
+        stream = spark.readStream.schema("doc_id long, text string").json(str(in_dir))
+        q = (
+            stream_dedup_ingest(stream, corpus_path, pairs_path, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain(str(tmp_path / "ckpt1"))
+    first = sorted(r.doc_id for r in spark.read.parquet(corpus_path).collect())
+    assert first == [0, 1]
+    # replay: fresh checkpoint, same files — corpus must not change
+    drain(str(tmp_path / "ckpt2"))
+    again = sorted(r.doc_id for r in spark.read.parquet(corpus_path).collect())
+    assert again == [0, 1]

@@ -86,11 +86,19 @@ def canon_cell(v, fmt: str) -> str:
     return str(v)
 
 
-def frame_hash(df: pd.DataFrame, fmt: str) -> str:
+def frame_rows(df: pd.DataFrame) -> list[tuple]:
+    """Row tuples WITHOUT dtype coercion: iterrows() would upcast int64
+    columns to float64 in all-numeric frames, silently pushing integer
+    mismatches through the float-rounding canon. Per-column .tolist()
+    preserves each column's Python type."""
     cols = sorted(df.columns)
+    series = [df[c].tolist() for c in cols]
+    return list(zip(*series)) if cols else []
+
+
+def frame_hash(df: pd.DataFrame, fmt: str) -> str:
     lines = sorted(
-        "\x1f".join(canon_cell(row[c], fmt) for c in cols)
-        for _, row in df.iterrows()
+        "\x1f".join(canon_cell(v, fmt) for v in row) for row in frame_rows(df)
     )
     h = hashlib.sha256()
     for ln in lines:
@@ -178,14 +186,13 @@ def main():
                 print(f"      spark cols:  {sorted(spdf.columns)}")
                 print(f"      oracle cols: {sorted(odf.columns)}")
             elif not loose and len(spdf) and len(spdf) < 20:
-                cols = sorted(spdf.columns)
                 sset = sorted(
-                    "|".join(canon_cell(r[c], "%.6g") for c in cols)
-                    for _, r in spdf.iterrows()
+                    "|".join(canon_cell(v, "%.6g") for v in row)
+                    for row in frame_rows(spdf)
                 )
                 oset = sorted(
-                    "|".join(canon_cell(r[c], "%.6g") for c in cols)
-                    for _, r in odf.iterrows()
+                    "|".join(canon_cell(v, "%.6g") for v in row)
+                    for row in frame_rows(odf)
                 )
                 for a, b in zip(sset, oset):
                     if a != b:
