@@ -293,3 +293,38 @@ def test_check_oracle_canon_preserves_integers():
     c = pd.DataFrame({"n": [big], "x": [0.0]})
     d = pd.DataFrame({"n": [big + 1], "x": [0.0]})
     assert mod.frame_hash(c, "%.6g") != mod.frame_hash(d, "%.6g")
+
+
+def test_incremental_dedup_stored_signatures_parity(spark, tmp_path):
+    """The production path (precomputed minhash_signature_table) must
+    return bit-identical pairs to the raw-documents path, and reject
+    ambiguous/double corpus arguments."""
+    import pytest
+
+    from ffi_etl_spark.catalog import table
+    from ffi_etl_spark.operators.dedup import (
+        dedup_minhash_incremental,
+        minhash_signature_table,
+    )
+
+    d = table(spark, SF01, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    raw = sorted(
+        (r.id_a, r.id_b, r.jaccard_sim, r.pair_type)
+        for r in dedup_minhash_incremental(corpus, batch).collect()
+    )
+    path = str(tmp_path / "sigs")
+    minhash_signature_table(corpus).write.parquet(path)
+    sigs = spark.read.parquet(path)
+    via = sorted(
+        (r.id_a, r.id_b, r.jaccard_sim, r.pair_type)
+        for r in dedup_minhash_incremental(
+            None, batch, corpus_hashed=sigs
+        ).collect()
+    )
+    assert raw == via and raw
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup_minhash_incremental(corpus, batch, corpus_hashed=sigs)
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup_minhash_incremental(None, batch)
