@@ -15,9 +15,14 @@ already landed):
                canonical (min-id) member via connected components
   4. land    — survivors append to the corpus parquet; every detected
                pair appends to an audit log with its batch id
-  5. replay-safe — a re-delivered batch anti-joins ids already landed,
-               so at-least-once delivery cannot re-append survivors or
-               trip the incremental tier's disjointness guard
+  5. state    — survivors' MinHash signatures append to a state table
+               (operators/dedup.py::minhash_signature_table), so the
+               NEXT batch probes stored state instead of re-hashing
+               the corpus — per-batch cost is |batch| signatures
+  6. replay-safe — a re-delivered batch anti-joins ids already landed
+               (at-least-once delivery cannot re-append survivors or
+               trip the disjointness guard), and the state table
+               self-heals from the corpus if an append was lost
 
 Run (drains whatever is in the inbox, then exits):
 
@@ -50,6 +55,9 @@ def main() -> None:
     ap.add_argument("--corpus", default="./corpus_out")
     ap.add_argument("--pairs", default="./pairs_audit")
     ap.add_argument("--checkpoint", default="./ingest_ckpt")
+    ap.add_argument("--sigs", default="./sigs_state",
+                    help="MinHash state table: batches probe stored "
+                         "signatures instead of re-hashing the corpus")
     args = ap.parse_args()
 
     from ffi_etl_spark.session import get_session
@@ -60,7 +68,8 @@ def main() -> None:
 
     docs = spark.readStream.schema("doc_id long, text string").json(args.inbox)
     query = (
-        stream_dedup_ingest(docs, args.corpus, args.pairs, args.checkpoint)
+        stream_dedup_ingest(docs, args.corpus, args.pairs, args.checkpoint,
+                            sigs_path=args.sigs)
         .trigger(availableNow=True)  # drain the backlog once, then exit
         .start()
     )

@@ -9,6 +9,13 @@ clusters collapse to their canonical member, and only the survivors
 append to the corpus. Cost per batch scales with the batch's band
 collisions, never with corpus².
 
+With ``sigs_path`` set, the ingest also MAINTAINS the corpus's MinHash
+state (operators/dedup.py::minhash_signature_table): each batch checks
+against the stored signatures instead of re-scanning and re-hashing the
+corpus text, and appends its survivors' signatures for the next batch —
+per-batch cost becomes |batch| signatures + the probe join, the true
+incremental posture.
+
 Composition, not new machinery: incremental LSH (dedup family) +
 connected components (graph family) + anti join, wired into Structured
 Streaming through ``foreachBatch`` — the sink pattern every other
@@ -27,9 +34,12 @@ def _batch_survivors(
     batch: DataFrame,
     text_col: str,
     id_col: str,
+    corpus_hashed: DataFrame | None = None,
     **lsh_kwargs,
 ) -> tuple[DataFrame, DataFrame]:
-    """(survivors, pairs) for one micro-batch against the corpus.
+    """(survivors, pairs) for one micro-batch against the corpus —
+    given either as raw documents (``corpus``) or as a stored signature
+    table (``corpus_hashed``); None for both means a first batch.
 
     Drop rule: a batch doc dies if it near-dups ANY corpus doc
     (``new_old`` pair — the corpus copy is canonical by arrival order),
@@ -45,13 +55,18 @@ def _batch_survivors(
     )
     from ffi_etl_spark.operators.graph import connected_components
 
-    if corpus is None:
+    if corpus is None and corpus_hashed is None:
         pairs = dedup_minhash_lsh(batch, text_col, id_col, **lsh_kwargs).withColumn(
             "pair_type", F.lit("new_new")
         )
     else:
         pairs = dedup_minhash_incremental(
-            corpus, batch, text_col, id_col, **lsh_kwargs
+            corpus,
+            batch,
+            text_col,
+            id_col,
+            corpus_hashed=corpus_hashed,
+            **lsh_kwargs,
         )
     pairs = pairs.localCheckpoint(eager=True)  # pairs feed 3 consumers + audit
 
@@ -86,6 +101,7 @@ def stream_dedup_ingest(
     checkpoint: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sigs_path: str | None = None,
     **lsh_kwargs,
 ):
     """foreachBatch sink: maintain ``corpus_path`` as a near-dup-free
@@ -93,47 +109,102 @@ def stream_dedup_ingest(
     every detected pair. Returns the DataStreamWriter (caller picks the
     trigger; ``availableNow`` drains a backlog exactly once).
 
+    ``sigs_path``: where to maintain the corpus MinHash state. When
+    set, each batch probes the STORED signatures (no corpus text
+    rescan, no corpus signature recompute) and appends its survivors'
+    signatures — the ``minhash_signature_table`` production loop. When
+    None, each batch recomputes corpus signatures from the corpus
+    parquet (simpler, fine for small corpora). Both paths return
+    bit-identical pairs (locked by the operator's parity test).
+
     Exactly-once posture: foreachBatch is at-least-once — a batch can
-    replay after a failure that landed its survivors but not its
-    checkpoint. Replays are made corpus-idempotent by anti-joining the
-    batch against ids ALREADY in the corpus before deduping (a replayed
-    survivor is skipped; a replayed non-survivor re-dies against the
-    same corpus), which also keeps the incremental tier's disjointness
-    precondition satisfied instead of poisoning the stream with its
-    ValueError. The PAIRS audit can still carry duplicate rows from a
-    replay (append-only log semantics — dedupe on read by
+    replay after a failure that landed some sinks but not the
+    checkpoint. The CORPUS is the primary artifact and is replay-
+    idempotent: the batch anti-joins ids already landed there before
+    deduping (a replayed survivor is skipped; a replayed non-survivor
+    re-dies against the same corpus), which also keeps the incremental
+    tier's disjointness precondition satisfied instead of poisoning the
+    stream with its ValueError. The SIGNATURE table self-heals: every
+    batch first reconciles it against the corpus (signatures are
+    recomputed and appended for any corpus doc missing from the state —
+    exactly what a crash between the corpus and signature appends
+    leaves behind), so a replay repairs rather than compounds. The
+    PAIRS audit can still carry duplicate rows from a replay
+    (append-only log semantics — dedupe on read by
     (batch_id, id_a, id_b)); a transactional table format would MERGE
-    both sinks by key instead.
+    all three sinks by key instead.
     """
     from pyspark.errors import AnalysisException
+
+    from ffi_etl_spark.operators.dedup import minhash_signature_table
+
+    sig_kwargs = {
+        k: v
+        for k, v in lsh_kwargs.items()
+        if k in ("shingle_k", "num_perm", "bands", "fast")
+    }
+
+    def _read_or_none(spark, path):
+        # first batch: the table does not exist yet. Any OTHER read
+        # failure (corrupt footer, permissions, transient FS error)
+        # must fail the batch — treating it as "no corpus" would
+        # silently re-ingest near-dups of everything already landed.
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            return None
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if not batch_df.take(1):
             return
         batch = batch_df.dropDuplicates([id_col])
-        try:
-            corpus = spark.read.parquet(corpus_path)
-        except AnalysisException:
-            # first batch: the corpus does not exist yet. Any OTHER read
-            # failure (corrupt footer, permissions, transient FS error)
-            # must fail the batch — treating it as "no corpus" would
-            # silently re-ingest near-dups of everything already landed.
-            corpus = None
+        corpus = _read_or_none(spark, corpus_path)
         if corpus is not None:
-            batch = batch.join(
-                corpus.select(id_col), id_col, "left_anti"
-            )
+            batch = batch.join(corpus.select(id_col), id_col, "left_anti")
         batch = batch.localCheckpoint(eager=True)
+
+        corpus_hashed = None
+        if sigs_path is not None and corpus is not None:
+            # reconcile BEFORE the empty-batch return: a replayed batch
+            # whose corpus rows landed but whose signature append was
+            # lost arrives here with an empty batch, and this is where
+            # its missing state gets repaired
+            corpus_hashed = _read_or_none(spark, sigs_path)
+            missing = (
+                corpus.join(corpus_hashed.select(id_col), id_col, "left_anti")
+                if corpus_hashed is not None
+                else corpus
+            )
+            if missing.take(1):
+                minhash_signature_table(
+                    missing, text_col, id_col, **sig_kwargs
+                ).write.mode("append").parquet(sigs_path)
+                corpus_hashed = spark.read.parquet(sigs_path)
+
         if not batch.take(1):
             return
+        if sigs_path is not None:
+            corpus_for_dedup = None if corpus_hashed is not None else corpus
+        else:
+            corpus_for_dedup = corpus
         survivors, pairs = _batch_survivors(
-            corpus, batch, text_col, id_col, **lsh_kwargs
+            corpus_for_dedup,
+            batch,
+            text_col,
+            id_col,
+            corpus_hashed=corpus_hashed,
+            **lsh_kwargs,
         )
+        survivors = survivors.localCheckpoint(eager=True)  # feeds 2-3 sinks
         pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             pairs_path
         )
         survivors.write.mode("append").parquet(corpus_path)
+        if sigs_path is not None:
+            minhash_signature_table(
+                survivors, text_col, id_col, **sig_kwargs
+            ).write.mode("append").parquet(sigs_path)
 
     return docs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint

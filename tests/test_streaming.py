@@ -444,3 +444,74 @@ def test_stream_dedup_ingest_replay_is_corpus_idempotent(spark, tmp_path):
     drain(str(tmp_path / "ckpt2"))
     again = sorted(r.doc_id for r in spark.read.parquet(corpus_path).collect())
     assert again == [0, 1]
+
+
+def test_stream_dedup_ingest_with_signature_state(spark, tmp_path):
+    """sigs_path mode: same corpus outcome as the recompute mode on the
+    two-batch scenario, the signature state stays 1:1 with the corpus,
+    and a wiped signature table self-heals via the reconcile step."""
+    import json
+
+    from ffi_etl_spark.streaming.ingest import stream_dedup_ingest
+
+    base = (
+        "key agg row scan slow fast table value part hash value table part "
+        "a row fast merge batch part value fast spark a a the line sort "
+    ) * 4
+    uniq = "completely different content about rivers mountains weather " * 12
+    extra = "entirely novel astronomy telescopes and planetary orbits data " * 12
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    corpus_path = str(tmp_path / "corpus")
+    pairs_path = str(tmp_path / "pairs")
+    sigs_path = str(tmp_path / "sigs")
+
+    def land(name, rows):
+        with open(in_dir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def drain(ckpt):
+        stream = spark.readStream.schema("doc_id long, text string").json(str(in_dir))
+        q = (
+            stream_dedup_ingest(
+                stream, corpus_path, pairs_path, ckpt, sigs_path=sigs_path
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land("b1.json", [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": uniq},
+        {"doc_id": 3, "text": uniq + "tiny tail change"},  # dies vs 2 (new_new)
+    ])
+    drain(str(tmp_path / "c1"))
+    assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {1, 2}
+    sig_ids = {r.doc_id for r in spark.read.parquet(sigs_path).select("doc_id").collect()}
+    assert sig_ids == {1, 2}  # state tracks the corpus exactly
+
+    land("b2.json", [
+        {"doc_id": 5, "text": base + "small suffix drift"},  # dies vs corpus 1
+        {"doc_id": 6, "text": extra},                        # survives
+    ])
+    drain(str(tmp_path / "c2"))
+    assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {1, 2, 6}
+    sig_ids = {r.doc_id for r in spark.read.parquet(sigs_path).select("doc_id").collect()}
+    assert sig_ids == {1, 2, 6}
+
+    # crash simulation: signature state lost after corpus rows landed —
+    # the next drain's reconcile must rebuild it before deduping
+    import shutil
+
+    shutil.rmtree(sigs_path)
+    land("b3.json", [
+        {"doc_id": 7, "text": extra + "minor trailing edit"},  # dies vs 6
+        {"doc_id": 8, "text": "fresh topic entirely about oceanic currents " * 12},
+    ])
+    drain(str(tmp_path / "c3"))
+    assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {1, 2, 6, 8}
+    sig_ids = {r.doc_id for r in spark.read.parquet(sigs_path).select("doc_id").collect()}
+    assert sig_ids == {1, 2, 6, 8}  # healed + extended
