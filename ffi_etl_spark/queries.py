@@ -52,6 +52,7 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
     datamix,
     audit,
     round4,
+    analytics,
 )
 
 # The driver's correctness gate grades a bounded prefix of the registry
