@@ -101,14 +101,24 @@ def size_bound_filter(threshold: float):
     """Exact-result-preserving length prefilter for the verify stage
     (the size condition from the set-similarity-join literature, e.g.
     PPJoin's length filter): J(A,B) = |A∩B| / |A∪B| <= min/max, so any
-    pair with ``min(|A|,|B|) < t * max(|A|,|B|)`` cannot reach the
+    pair with ``min(|A|,|B|)/max(|A|,|B|) < t`` cannot reach the
     threshold and its (expensive, set-width) intersection is skipped.
     Placed BETWEEN _verify_join and the jaccard projection, it drops
     rows before the intersect evaluates (~14% of candidates on this
     corpus's narrow size distribution; far more on real corpora, where
-    document lengths are heavy-tailed)."""
-    return F.least(F.col("_na"), F.col("_nb")) >= F.lit(threshold) * F.greatest(
-        F.col("_na"), F.col("_nb")
+    document lengths are heavy-tailed).
+
+    Stated as the DIVISION ``min/max >= t``, never the multiplication
+    ``min >= t*max``: correctly-rounded division is monotone over the
+    real ordering J <= min/max, so ``J_fp >= t`` implies
+    ``(min/max)_fp >= t`` and no threshold-boundary pair can be
+    dropped — whereas ``t*max`` can round UP past an integer min (e.g.
+    t=0.55, sizes 55/100: 0.55*100 = 55.000000000000007 > 55 would
+    drop an exact J = 0.55 pair)."""
+    return (
+        F.least(F.col("_na"), F.col("_nb")).cast("double")
+        / F.greatest(F.col("_na"), F.col("_nb"))
+        >= F.lit(threshold)
     )
 
 
@@ -277,6 +287,7 @@ def dedup_minhash_incremental(
     fast: bool = False,
     broadcast_verify: bool = True,
     corpus_hashed: DataFrame | None = None,
+    batch_hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an existing corpus (plus
     batch-internal pairs) — corpus×corpus pairs are never generated.
@@ -332,6 +343,11 @@ def dedup_minhash_incremental(
             "two inputs must be disjoint (a shared id would be flagged "
             "new on one side and old on the other)"
         )
+    if batch_hashed is not None and corpus_hashed is None:
+        raise ValueError(
+            "dedup_minhash_incremental: batch_hashed requires corpus_hashed "
+            "(both sides must share one signature parameterization)"
+        )
     rows = num_perm // bands
     if corpus is not None:
         union = corpus.select(id_col, text_col).unionByName(
@@ -342,12 +358,16 @@ def dedup_minhash_incremental(
     else:
         # pin ONLY the freshly computed batch signatures: the corpus
         # side is a stored table whose re-read per consumer is cheaper
-        # than caching corpus-scale state for one batch's run
-        batch_hashed = _pin(
-            minhash_signature_table(
-                batch, text_col, id_col, shingle_k, num_perm, bands, fast
+        # than caching corpus-scale state for one batch's run. A caller
+        # that already holds the batch signatures (the streaming ingest
+        # reuses them for its state append) passes batch_hashed and the
+        # shingle pass runs ONCE per batch, not twice.
+        if batch_hashed is None:
+            batch_hashed = _pin(
+                minhash_signature_table(
+                    batch, text_col, id_col, shingle_k, num_perm, bands, fast
+                )
             )
-        )
         hashed = corpus_hashed.select(id_col, "_hashes", "_sig", "_bands").unionByName(
             batch_hashed.select(id_col, "_hashes", "_sig", "_bands")
         )

@@ -171,7 +171,9 @@ WITH toks AS (
 ), maxid AS (
   SELECT MAX(doc_id) AS mx FROM documents
 ), bucketed AS (
-  SELECT CAST((f.first_doc * 10) / (m.mx + 1) AS INT) AS bucket
+  -- floor, never CAST: DuckDB CAST(1.5 AS INT) rounds half-up while
+  -- Spark's int cast truncates — the repo's floor() rule applies
+  SELECT CAST(floor((f.first_doc * 10) / (m.mx + 1)) AS INT) AS bucket
   FROM firstocc f CROSS JOIN maxid m
 ), counts AS (
   SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_terms
@@ -206,7 +208,7 @@ def _vocab_growth(spark, sf_dir):
     counts = (
         firstocc.crossJoin(mx)
         .select(
-            ((F.col("first_doc") * 10) / (F.col("mx") + 1))
+            F.floor((F.col("first_doc") * 10) / (F.col("mx") + 1))
             .cast("int")
             .alias("bucket")
         )

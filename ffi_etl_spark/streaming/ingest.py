@@ -35,6 +35,7 @@ def _batch_survivors(
     text_col: str,
     id_col: str,
     corpus_hashed: DataFrame | None = None,
+    batch_hashed: DataFrame | None = None,
     **lsh_kwargs,
 ) -> tuple[DataFrame, DataFrame]:
     """(survivors, pairs) for one micro-batch against the corpus —
@@ -66,6 +67,7 @@ def _batch_survivors(
             text_col,
             id_col,
             corpus_hashed=corpus_hashed,
+            batch_hashed=batch_hashed,
             **lsh_kwargs,
         )
     pairs = pairs.localCheckpoint(eager=True)  # pairs feed 3 consumers + audit
@@ -169,14 +171,18 @@ def stream_dedup_ingest(
             # reconcile BEFORE the empty-batch return: a replayed batch
             # whose corpus rows landed but whose signature append was
             # lost arrives here with an empty batch, and this is where
-            # its missing state gets repaired
+            # its missing state gets repaired. The trigger is a pair of
+            # parquet COUNTs (footer metadata, no data scan) — the
+            # id-level anti-join only runs when the counts disagree, so
+            # a healthy steady-state batch never pays a corpus scan.
             corpus_hashed = _read_or_none(spark, sigs_path)
-            missing = (
-                corpus.join(corpus_hashed.select(id_col), id_col, "left_anti")
-                if corpus_hashed is not None
-                else corpus
-            )
-            if missing.take(1):
+            n_sigs = corpus_hashed.count() if corpus_hashed is not None else 0
+            if corpus.count() != n_sigs:
+                missing = (
+                    corpus.join(corpus_hashed.select(id_col), id_col, "left_anti")
+                    if corpus_hashed is not None
+                    else corpus
+                )
                 minhash_signature_table(
                     missing, text_col, id_col, **sig_kwargs
                 ).write.mode("append").parquet(sigs_path)
@@ -184,8 +190,16 @@ def stream_dedup_ingest(
 
         if not batch.take(1):
             return
-        if sigs_path is not None:
-            corpus_for_dedup = None if corpus_hashed is not None else corpus
+        batch_hashed = None
+        if sigs_path is not None and corpus_hashed is not None:
+            corpus_for_dedup = None
+            # one shingle+signature pass per batch: these rows feed the
+            # incremental dedup AND the state append below
+            from ffi_etl_spark.operators.dedup import _pin
+
+            batch_hashed = _pin(
+                minhash_signature_table(batch, text_col, id_col, **sig_kwargs)
+            )
         else:
             corpus_for_dedup = corpus
         survivors, pairs = _batch_survivors(
@@ -194,6 +208,7 @@ def stream_dedup_ingest(
             text_col,
             id_col,
             corpus_hashed=corpus_hashed,
+            batch_hashed=batch_hashed,
             **lsh_kwargs,
         )
         survivors = survivors.localCheckpoint(eager=True)  # feeds 2-3 sinks
@@ -202,9 +217,15 @@ def stream_dedup_ingest(
         )
         survivors.write.mode("append").parquet(corpus_path)
         if sigs_path is not None:
-            minhash_signature_table(
-                survivors, text_col, id_col, **sig_kwargs
-            ).write.mode("append").parquet(sigs_path)
+            if batch_hashed is not None:
+                new_state = batch_hashed.join(
+                    survivors.select(id_col), id_col, "left_semi"
+                )
+            else:
+                new_state = minhash_signature_table(
+                    survivors, text_col, id_col, **sig_kwargs
+                )
+            new_state.write.mode("append").parquet(sigs_path)
 
     return docs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint
