@@ -551,3 +551,45 @@ def dedup_ngram_jaccard(
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
+
+
+def dedup_containment(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_perm: int = 12,
+    bands: int = 3,
+    threshold: float = 0.9,
+    fast: bool = False,
+    broadcast_verify: bool = True,
+) -> DataFrame:
+    """Containment near-dups: pairs where the SMALLER document's
+    shingle set is mostly inside the larger's —
+    ``|A∩B| / min(|A|,|B|) >= threshold`` — the duplication Jaccard
+    structurally misses (a paragraph pasted into a long page has tiny
+    Jaccard but containment ~1). This is the sub-document dedup signal
+    beside ``dup_span_profile``'s span-level one.
+
+    Candidates come from the SAME MinHash band join as the Jaccard
+    tier, with its recall caveat stated honestly: MinHash collides by
+    JACCARD, so containment pairs with very lopsided sizes (tiny A in
+    huge B → low Jaccard) may not band-collide; full asymmetric
+    containment search needs a prefix-filtered inverted index
+    (textops.py::inverted_index is the building block). For
+    comparable-size pairs — template families, partial rewrites — the
+    band join recalls them and the exact containment verify here is
+    precise. No size prefilter: lopsidedness is the point."""
+    rows = num_perm // bands
+    hashed = _shingle_sets(df, text_col, id_col, shingle_k, fast, num_perm)
+    hashed = _pin(hashed.withColumn("_bands", band_keys(F.col("_sig"), bands, rows)))
+    pairs = _candidate_pairs(hashed, id_col)
+    sets = hashed.select(F.col(id_col), F.col("_hashes"))
+    inter = F.size(F.array_intersect(F.col("_ha"), F.col("_hb")))
+    containment = inter.cast("double") / F.least(F.col("_na"), F.col("_nb"))
+    return (
+        _verify_join(pairs, sets, id_col, broadcast_verify)
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

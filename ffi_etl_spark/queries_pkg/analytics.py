@@ -379,3 +379,119 @@ def _power_users_pareto(spark, sf_dir):
             .alias("share_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (sub-document duplication)
+# ---------------------------------------------------------------------------
+
+
+def _containment_oracle() -> str:
+    from ffi_etl_spark.queries_pkg.extensions import _minhash_pairs_cte
+
+    return f"""
+WITH {_minhash_pairs_cte()}, cont AS (
+  SELECT p.id_a, p.id_b,
+         len(list_intersect(ha.hashes, hb.hashes))::DOUBLE
+           / least(len(ha.hashes), len(hb.hashes))::DOUBLE AS containment
+  FROM pairs p
+  JOIN hashed ha ON ha.doc_id = p.id_a
+  JOIN hashed hb ON hb.doc_id = p.id_b
+)
+SELECT id_a, id_b, containment FROM cont WHERE containment >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_containment", oracle=_containment_oracle())
+def _dedup_containment(spark, sf_dir):
+    """Containment tier (operators/dedup.py::dedup_containment): pairs
+    where the smaller doc's shingles sit ≥90% inside the larger's —
+    the paste/subset duplication Jaccard structurally under-scores.
+    Same banded candidates, exact containment verify; the lopsided-size
+    recall caveat is in the operator docstring."""
+    from ffi_etl_spark.operators.dedup import dedup_containment
+
+    return dedup_containment(table(spark, sf_dir, "documents")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+GROUP BY c_mktsegment, c_nationkey
+HAVING COUNT(*) < 10
+ORDER BY c_mktsegment, c_nationkey
+""",
+)
+def _k_anonymity_audit(spark, sf_dir):
+    """Privacy-release audit beside gdpr_forget_audit: quasi-identifier
+    groups (segment × nationality) smaller than k=10 — the rows a
+    k-anonymous data release must suppress or generalize. One hash
+    aggregate over the QI columns; output is bounded by the QI
+    cardinality, never the table."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < 10)
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top user journey prefixes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_user_paths",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+  FROM events
+), heads AS (
+  SELECT user_id,
+         MAX(CASE WHEN rk = 1 THEN event_type END) AS e1,
+         MAX(CASE WHEN rk = 2 THEN event_type END) AS e2,
+         MAX(CASE WHEN rk = 3 THEN event_type END) AS e3
+  FROM ranked WHERE rk <= 3 GROUP BY user_id
+)
+SELECT concat_ws('>', e1, e2, e3) AS path,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM heads GROUP BY concat_ws('>', e1, e2, e3)
+ORDER BY n_users DESC, path LIMIT 20
+""",
+)
+def _top_user_paths(spark, sf_dir):
+    """Most common opening journeys (first three events per user) —
+    the onboarding-funnel cousin of markov_transitions (which scores
+    single steps; this ranks whole prefixes). One user-keyed window
+    cut to rk<=3 (WindowGroupLimit), a user-keyed pivot-by-CASE, and a
+    path-keyed count; top-20 via TakeOrderedAndProject. concat_ws
+    skips NULLs identically on both engines for sub-3-event users."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    heads = ranked.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("rk") == i, F.col("event_type"))).alias(f"e{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+    return (
+        heads.select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )

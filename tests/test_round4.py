@@ -328,3 +328,18 @@ def test_incremental_dedup_stored_signatures_parity(spark, tmp_path):
         dedup_minhash_incremental(corpus, batch, corpus_hashed=sigs)
     with pytest.raises(ValueError, match="exactly one"):
         dedup_minhash_incremental(None, batch)
+
+
+def test_containment_catches_subset_docs(spark):
+    """A doc whose shingles sit inside a longer doc must surface with
+    containment ~1 even though Jaccard is well below 1."""
+    from ffi_etl_spark.operators.dedup import dedup_containment, dedup_minhash_lsh
+
+    a = "the quick brown fox jumps over the lazy dog near the river bank " * 4
+    b = a + "and then wanders far beyond the quiet meadow fence line today"
+    c = "completely unrelated text about orbital mechanics and thrust " * 5
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    pairs = {(r.id_a, r.id_b): r.containment for r in dedup_containment(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.95
+    jac = {(r.id_a, r.id_b): r.jaccard_sim for r in dedup_minhash_lsh(df).collect()}
+    assert jac.get((1, 2), 0) < 0.95  # jaccard under-scores the subset pair
