@@ -580,9 +580,11 @@ def dedup_containment(
     comparable-size pairs — template families, partial rewrites — the
     band join recalls them and the exact containment verify here is
     precise. No size prefilter: lopsidedness is the point."""
-    rows = num_perm // bands
-    hashed = _shingle_sets(df, text_col, id_col, shingle_k, fast, num_perm)
-    hashed = _pin(hashed.withColumn("_bands", band_keys(F.col("_sig"), bands, rows)))
+    hashed = _pin(
+        minhash_signature_table(
+            df, text_col, id_col, shingle_k, num_perm, bands, fast
+        )
+    )
     pairs = _candidate_pairs(hashed, id_col)
     sets = hashed.select(F.col(id_col), F.col("_hashes"))
     inter = F.size(F.array_intersect(F.col("_ha"), F.col("_hb")))
