@@ -828,7 +828,7 @@ def _pack_sequences(spark, sf_dir):
     oracle="""
 SELECT o.o_orderpriority,
        COUNT(*) AS n_items,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,8))) AS DOUBLE) AS gross
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
@@ -839,8 +839,10 @@ def _salted_join_agg(spark, sf_dir):
     (operators/olap.py::salted_join): lineitem rows fan out over 8
     salts, orders replicate per salt, and the differential proves the
     salted result multiset identical to the plain SQL join. Money sums
-    ride DECIMAL(27,8) on both sides (addition-order-proof), double
-    only at the edge."""
+    ride DECIMAL(18,2) on both sides (addition-order-proof; scale 2
+    matches the 2-decimal data and keeps the sum's integer significand
+    under 2^53, where DuckDB's decimal->double starts double-rounding
+    while Java's stays correctly rounded), double only at the edge."""
     from ffi_etl_spark.operators.olap import salted_join
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
@@ -852,7 +854,7 @@ def _salted_join_agg(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_extendedprice").cast("decimal(27,8)"))
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
             .cast("double")
             .alias("gross"),
         )

@@ -124,12 +124,13 @@ def _spark_fmt_minmax(col, kind, which):
     oracle="""
 WITH s AS (
   SELECT event_type,
-         AVG(value) AS mu,
+         CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*) AS mu,
          STDDEV_SAMP(value) AS sigma
   FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type,
-       (e.value - s.mu) / s.sigma AS z
+       CASE WHEN s.sigma IS NULL OR s.sigma = 0 THEN NULL
+            ELSE printf('%.6e', (e.value - s.mu) / s.sigma) END AS z
 FROM events e JOIN s USING (event_type)
 WHERE e.event_id % 97 = 0
 ORDER BY e.event_id
@@ -143,21 +144,31 @@ def _zscore_normalize(spark, sf_dir):
 
     The ``event_id % 97`` filter picks the checked subset by a
     *deterministic integer* predicate, so gate membership can never
-    flip on float noise; the z values themselves go through the
-    driver's 6-sig-fig canon (same contract as ``stats_moments``).
-    """
+    flip on float noise. Parity hardening (round 4): mu is an
+    exact-decimal sum over count (a float avg()'s merge order leaks
+    into the low bits — measured divergent at sf0.1), and z leaves as
+    a %.6e string because sigma is Welford-accumulated on both engines
+    (the stats_moments rule; the old raw-double z relied on the
+    driver's unknown float canon)."""
     ev = table(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"),
+        (
+            F.sum(F.col("value").cast("decimal(24,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
         F.stddev_samp("value").alias("sigma"),
     )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
         ev.join(F.broadcast(stats), "event_type")
         .where(F.col("event_id") % 97 == 0)
         .select(
             "event_id",
             "event_type",
-            ((F.col("value") - F.col("mu")) / F.col("sigma")).alias("z"),
+            F.when(
+                F.col("sigma").isNotNull() & (F.col("sigma") != 0),
+                F.format_string("%.6e", z),
+            ).alias("z"),
         )
         .orderBy("event_id")
     )

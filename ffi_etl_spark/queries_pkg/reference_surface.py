@@ -563,8 +563,14 @@ def _census_merge(spark, sf_dir):
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,8))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,8))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4))))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))
+                     * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(6,4))))
+                 AS DECIMAL(28,6))
+            AS DOUBLE) AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
        CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
@@ -575,17 +581,33 @@ ORDER BY l_returnflag, l_linestatus
 """,
 )
 def _tpch_q1(spark, sf_dir):
+    # disc_price/charge run in DECIMAL end-to-end: the earlier
+    # double-expression-then-cast-to-decimal(27,8) form hit a per-row
+    # half-tie in the 8th decimal at sf0.1, where Spark's HALF_UP and
+    # DuckDB's cast rounding disagree. All-decimal products are exact
+    # (precisions sized to never overflow-round). The charge SUM is
+    # additionally re-scaled to 6 decimals before the double cast:
+    # discount/tax are 2-decimal data so the scale-10 sum's last four
+    # digits are ZERO (the re-scale never rounds), and at scale 6 the
+    # decimal's integer significand stays under 2^53 through sf0.1 —
+    # DuckDB's decimal->double is a scaled integer division that
+    # double-rounds above 2^53, where Java's BigDecimal conversion is
+    # correctly rounded (measured divergence in the last bit).
     li = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    one = F.lit(1).cast("decimal(5,4)")
+    price_dec = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_dec = F.col("l_discount").cast("decimal(6,4)")
+    tax_dec = F.col("l_tax").cast("decimal(6,4)")
+    disc_price = price_dec * (one - disc_dec)
+    charge = disc_price * (one + tax_dec)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price.cast("decimal(27,8)")).cast("double").alias("sum_disc_price"),
-            F.sum(charge.cast("decimal(27,8)")).cast("double").alias("sum_charge"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(28,6)").cast("double").alias("sum_charge"),
             (
                 F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
                 / F.count(F.lit(1))

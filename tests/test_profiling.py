@@ -42,8 +42,9 @@ def test_zscore_normalize_stats_and_plan(spark, sf_dir):
     assert rows, "deterministic event_id % 97 subset should be non-empty"
     ids = [r["event_id"] for r in rows]
     assert ids == sorted(ids) and all(i % 97 == 0 for i in ids)
-    zs = [r["z"] for r in rows]
-    assert all(z == z and abs(z) < 50 for z in zs)  # finite, sane scale
+    # z is a %.6e string since the round-4 parity hardening
+    zs = [float(r["z"]) for r in rows if r["z"] is not None]
+    assert zs and all(z == z and abs(z) < 50 for z in zs)  # finite, sane scale
 
 
 def test_fuzzy_match_blocked_semantics(spark, sf_dir):
