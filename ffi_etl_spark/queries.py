@@ -53,6 +53,7 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
     audit,
     round4,
     analytics,
+    round4b,
 )
 
 # The driver's correctness gate grades a bounded prefix of the registry

@@ -1,0 +1,379 @@
+"""Round-4b additions: token-accounted mixing, batch-padding audit,
+daily autocorrelation, and CCNet-style per-language quality tiers.
+
+Training-data budgeting is specified in TOKENS, not documents — the
+first two queries re-express the datamix family's deterministic
+md5-draw sampling and sharding in token units. The other two are the
+corpus-health analytics a platform team runs weekly: is the event
+volume seasonally stable (autocorrelation), and how does each
+language's corpus split into head/middle/tail quality tiers (the
+CCNet bucketing that decides what is kept, resampled, or dropped).
+
+Parity rules as everywhere (see datamix.py / analytics.py): sampling
+decisions are integer comparisons on md5 draws in exact wide
+arithmetic; floats derived from exact integer sums leave as
+fixed-precision strings; percentile cutoffs use the bit-equal
+F.percentile / quantile_cont pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ffi_etl_spark.catalog import table
+from ffi_etl_spark.functions.textstats import ENGLISH_STOPWORDS, ws_token_count
+from ffi_etl_spark.queries import query
+from ffi_etl_spark.queries_pkg.datamix import _md5_key
+
+_WS_TOK_SQL = r"CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)"
+_DRAW_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture: sampling decisions weighted by tokens, not docs
+# ---------------------------------------------------------------------------
+
+@query(
+    "token_budget_mixture",
+    oracle=rf"""
+WITH toks AS (
+  SELECT source, doc_id, {_WS_TOK_SQL} AS n_tok FROM documents
+),
+counts AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_total
+  FROM toks GROUP BY source
+),
+mn AS (SELECT MIN(tok_total) AS min_tok FROM counts),
+kept AS (
+  SELECT t.source,
+         COUNT(*) FILTER (
+           {_DRAW_SQL}::HUGEINT * c.tok_total < mn.min_tok::HUGEINT * 4294967296
+         ) AS docs_kept,
+         CAST(COALESCE(SUM(t.n_tok) FILTER (
+           {_DRAW_SQL}::HUGEINT * c.tok_total < mn.min_tok::HUGEINT * 4294967296
+         ), 0) AS BIGINT) AS tokens_kept
+  FROM toks t JOIN counts c USING (source) CROSS JOIN mn
+  GROUP BY t.source
+)
+SELECT c.source, c.n_docs, c.tok_total, k.docs_kept, k.tokens_kept
+FROM counts c JOIN kept k USING (source)
+ORDER BY c.source
+""",
+)
+def _token_budget_mixture(spark, sf_dir):
+    """Token-budget mixture accounting: training mixtures are specified
+    in tokens, so the uniform-target downsample here keeps each doc
+    with probability ``min_source_tokens / source_tokens`` — every
+    source contributes the same EXPECTED token budget, regardless of
+    how its documents are sized. The keep decision is the exact
+    integer comparison ``draw * tok_total < min_tok * 2^32`` in wide
+    arithmetic (Spark DECIMAL(38), DuckDB HUGEINT — a per-source token
+    total at 100 TB far exceeds 2^31, so an int64 product would wrap).
+
+    Plan: one token-count scan feeding a K-row per-source totals agg,
+    broadcast back over the corpus, one counting agg — two scans of
+    documents, zero wide shuffles of the corpus (the `mixture_balance`
+    shape, re-weighted by tokens).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", "doc_id", ws_token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    counts = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("tok_total")
+    )
+    mn = counts.agg(F.min("tok_total").alias("min_tok"))
+    keep = (
+        _md5_key(F.col("doc_id")).cast("decimal(38,0)") * F.col("tok_total")
+        < F.col("min_tok").cast("decimal(38,0)") * F.lit(4294967296)
+    )
+    kept = (
+        toks.join(F.broadcast(counts.select("source", "tok_total")), "source")
+        .join(F.broadcast(mn))
+        .groupBy("source")
+        .agg(
+            F.count_if(keep).alias("docs_kept"),
+            F.sum(F.when(keep, F.col("n_tok")).otherwise(F.lit(0))).alias(
+                "tokens_kept"
+            ),
+        )
+    )
+    return (
+        counts.join(kept, "source")
+        .select("source", "n_docs", "tok_total", "docs_kept", "tokens_kept")
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# padding-efficiency audit: random vs length-sorted batch formation
+# ---------------------------------------------------------------------------
+
+_PAD_SHARDS = 8   # scale with the cluster: one window per (shard) reducer
+_PAD_BATCH = 32   # sequences per training batch
+
+
+@query(
+    "padding_efficiency",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, {_WS_TOK_SQL} AS n_tok, {_DRAW_SQL} AS draw FROM documents
+),
+base AS (SELECT *, draw % {_PAD_SHARDS} AS shard FROM toks),
+ra AS (
+  SELECT shard, n_tok,
+         (row_number() OVER (PARTITION BY shard ORDER BY draw, doc_id) - 1)
+           // {_PAD_BATCH} AS batch
+  FROM base
+),
+rb AS (
+  SELECT shard, n_tok,
+         (row_number() OVER (PARTITION BY shard ORDER BY n_tok, doc_id) - 1)
+           // {_PAD_BATCH} AS batch
+  FROM base
+),
+ba AS (
+  SELECT shard, batch, CAST(SUM(n_tok) AS BIGINT) AS real_t,
+         CAST(MAX(n_tok) * COUNT(*) AS BIGINT) AS pad_t
+  FROM ra GROUP BY shard, batch
+),
+bb AS (
+  SELECT shard, batch, CAST(SUM(n_tok) AS BIGINT) AS real_t,
+         CAST(MAX(n_tok) * COUNT(*) AS BIGINT) AS pad_t
+  FROM rb GROUP BY shard, batch
+)
+SELECT 'length_sorted' AS strategy, COUNT(*) AS n_batches,
+       CAST(SUM(real_t) AS BIGINT) AS tokens_real,
+       CAST(SUM(pad_t) AS BIGINT) AS tokens_padded
+FROM bb
+UNION ALL
+SELECT 'random', COUNT(*), CAST(SUM(real_t) AS BIGINT), CAST(SUM(pad_t) AS BIGINT)
+FROM ba
+ORDER BY strategy
+""",
+)
+def _padding_efficiency(spark, sf_dir):
+    """Batch-padding audit: when sequences are padded to the longest
+    member of each fixed-size training batch, random batch formation
+    wastes far more compute than length-sorted formation. Both
+    strategies are simulated deterministically — shard by md5 draw,
+    order within shard (by draw = random; by token count = sorted),
+    chunk into batches of {batch}, pad each batch to its max — and the
+    audit reports total real vs padded tokens per strategy (2 rows;
+    the saved fraction is the reader's division).
+
+    Plan: windows are partitioned by shard, never global — thousands
+    of parallel per-shard sorts at cluster scale ({shards} here; the
+    constant scales with the cluster like `training_order`). All
+    arithmetic is integer; sums are exact on both engines.
+    """
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        ws_token_count(F.col("text")).cast("long").alias("n_tok"),
+        _md5_key(F.col("doc_id")).alias("draw"),
+    ).withColumn("shard", F.col("draw") % _PAD_SHARDS)
+
+    def batched(order_cols):
+        w = Window.partitionBy("shard").orderBy(*order_cols)
+        return (
+            base.withColumn("rn", F.row_number().over(w))
+            .withColumn("batch", F.expr(f"(rn - 1) div {_PAD_BATCH}"))
+            .groupBy("shard", "batch")
+            .agg(
+                F.sum("n_tok").alias("real_t"),
+                (F.max("n_tok") * F.count(F.lit(1))).alias("pad_t"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_batches"),
+                F.sum("real_t").alias("tokens_real"),
+                F.sum("pad_t").alias("tokens_padded"),
+            )
+        )
+
+    rand = batched(["draw", "doc_id"]).select(
+        F.lit("random").alias("strategy"), "n_batches", "tokens_real", "tokens_padded"
+    )
+    srt = batched(["n_tok", "doc_id"]).select(
+        F.lit("length_sorted").alias("strategy"),
+        "n_batches",
+        "tokens_real",
+        "tokens_padded",
+    )
+    return srt.unionByName(rand).orderBy("strategy")
+
+
+_padding_efficiency.__doc__ = _padding_efficiency.__doc__.format(
+    batch=_PAD_BATCH, shards=_PAD_SHARDS
+)
+
+
+# ---------------------------------------------------------------------------
+# daily autocorrelation of event volume (lag-1 / lag-7)
+# ---------------------------------------------------------------------------
+
+def _autocorr_sql(lag: int) -> str:
+    return f"""
+SELECT {lag} AS lag, COUNT(*) AS n_pairs,
+       printf('%.6e',
+         CAST(COUNT(*)::HUGEINT * CAST(SUM(x * y) AS HUGEINT)
+              - CAST(SUM(x) AS HUGEINT) * CAST(SUM(y) AS HUGEINT) AS DOUBLE)
+         / (sqrt(CAST(COUNT(*)::HUGEINT * CAST(SUM(x * x) AS HUGEINT)
+                      - CAST(SUM(x) AS HUGEINT) * CAST(SUM(x) AS HUGEINT) AS DOUBLE))
+            * sqrt(CAST(COUNT(*)::HUGEINT * CAST(SUM(y * y) AS HUGEINT)
+                        - CAST(SUM(y) AS HUGEINT) * CAST(SUM(y) AS HUGEINT) AS DOUBLE)))
+       ) AS autocorr
+FROM pairs{lag}
+"""
+
+
+@query(
+    "daily_autocorr",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt FROM events GROUP BY day
+),
+pairs1 AS (
+  SELECT a.cnt AS x, b.cnt AS y FROM daily a JOIN daily b ON b.day = a.day + 1
+),
+pairs7 AS (
+  SELECT a.cnt AS x, b.cnt AS y FROM daily a JOIN daily b ON b.day = a.day + 7
+)
+{_autocorr_sql(1)}
+UNION ALL
+{_autocorr_sql(7)}
+ORDER BY lag
+""",
+)
+def _daily_autocorr(spark, sf_dir):
+    """Lag-1 / lag-7 autocorrelation of the daily event-count series —
+    the seasonality probe a platform team runs before trusting any
+    day-over-day anomaly rule (`event_count_anomaly`): a high lag-7
+    value says the series has weekly structure and anomaly baselines
+    must be weekday-matched.
+
+    Cross-engine determinism: the Pearson terms are assembled from
+    EXACT integer sums (counts are integers, so Σx, Σxy, Σx² are exact
+    in DECIMAL(38)/HUGEINT — no partition-order float accumulation,
+    unlike the raw `corr()` aggregate that failed r03), converted to
+    double only at the edge, and shipped as %.6e fixed-precision
+    strings per the stats_moments rule. The variance product is NOT
+    computed in integers (at 100 TB it would overflow even DECIMAL(38));
+    each variance converts to double before its own sqrt.
+
+    Plan: one events scan → K-row daily agg; the lag joins and the
+    moment aggs run on the tiny post-aggregate frame (broadcast).
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    def one(lag: int):
+        a, b = daily.alias("a"), daily.alias("b")
+        pairs = a.join(
+            F.broadcast(b), F.col("b.day") == F.date_add(F.col("a.day"), lag)
+        ).select(F.col("a.cnt").alias("x"), F.col("b.cnt").alias("y"))
+        d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+        agg = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        num = d38(F.col("n")) * d38(F.col("sxy")) - d38(F.col("sx")) * d38(F.col("sy"))
+        varx = d38(F.col("n")) * d38(F.col("sxx")) - d38(F.col("sx")) * d38(F.col("sx"))
+        vary = d38(F.col("n")) * d38(F.col("syy")) - d38(F.col("sy")) * d38(F.col("sy"))
+        return agg.select(
+            F.lit(lag).alias("lag"),
+            F.col("n").alias("n_pairs"),
+            F.format_string(
+                "%.6e",
+                num.cast("double")
+                / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))),
+            ).alias("autocorr"),
+        )
+
+    return one(1).unionByName(one(7)).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style head/middle/tail quality tiers per language
+# ---------------------------------------------------------------------------
+
+_STOP_PAT = r"\b(" + "|".join(ENGLISH_STOPWORDS) + r")\b"
+
+
+@query(
+    "ccnet_quality_tiers",
+    oracle=rf"""
+WITH scored AS (
+  SELECT lang, n_chars,
+         len(regexp_extract_all(lower(text), '{_STOP_PAT}', 0))::DOUBLE
+           / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS score
+  FROM documents
+),
+cuts AS (
+  SELECT lang, quantile_cont(score, 1.0/3) AS p33, quantile_cont(score, 2.0/3) AS p67
+  FROM scored GROUP BY lang
+)
+SELECT s.lang,
+       CASE WHEN s.score >= c.p67 THEN 'head'
+            WHEN s.score >= c.p33 THEN 'middle'
+            ELSE 'tail' END AS tier,
+       COUNT(*) AS n_docs,
+       CAST(SUM(s.n_chars) AS BIGINT) AS chars_total
+FROM scored s JOIN cuts c USING (lang)
+GROUP BY s.lang, tier
+ORDER BY s.lang, tier
+""",
+)
+def _ccnet_quality_tiers(spark, sf_dir):
+    """CCNet-style quality bucketing: per language, split the corpus
+    into head / middle / tail tiers at the tertiles of a fluency
+    score, so downstream mixing can up-sample head and drop tail
+    (the standard web-corpus curation shape; CCNet does it on LM
+    perplexity — the score here is the engine's stopword-density
+    fluency proxy, the same raw ratio `text_stats` reports).
+
+    Cross-engine determinism: the score is one integer/integer IEEE
+    division (bit-equal both engines); the tertile cutoffs use the
+    established bit-equal interpolated-percentile pair (F.percentile ≡
+    quantile_cont, the winsorize/MAD idiom), so the `score >= cutoff`
+    tier decisions agree exactly — no float ever leaves the query (the
+    output is counts and exact char sums).
+
+    Plan: score computed in the scan stage (regexp codegen, no
+    shuffle), one K-row per-language percentile agg broadcast back,
+    one counting agg — the `zscore_normalize` broadcast-stats shape.
+    """
+    d = table(spark, sf_dir, "documents")
+    score = (
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_STOP_PAT), 0))
+        .cast("double")
+        / F.greatest(ws_token_count(F.col("text")), F.lit(1))
+    )
+    scored = d.select("lang", "n_chars", score.alias("score"))
+    cuts = scored.groupBy("lang").agg(
+        F.percentile("score", F.lit(1.0 / 3)).alias("p33"),
+        F.percentile("score", F.lit(2.0 / 3)).alias("p67"),
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .select(
+            "lang",
+            "n_chars",
+            F.when(F.col("score") >= F.col("p67"), "head")
+            .when(F.col("score") >= F.col("p33"), "middle")
+            .otherwise("tail")
+            .alias("tier"),
+        )
+        .groupBy("lang", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars_total")
+        )
+        .orderBy("lang", "tier")
+    )
