@@ -55,6 +55,25 @@ def get_session(app_name: str = "ffi_etl_spark", master: str | None = None) -> S
     return spark
 
 
+#: Runtime bloom-filter join pruning (a scale lever, not a default):
+#: when a selective filter sits on the build side of a SHUFFLE join,
+#: Catalyst injects a bloom_filter_agg subquery on the build side and a
+#: might_contain pre-filter on the probe side's SCAN — at 100 TB this
+#: drops most probe rows before the exchange, the same effect DPP has
+#: for partition columns but on arbitrary join keys. Off by default in
+#: this engine because the local bench's joins are broadcast (the
+#: filter never fires); flip these on for fact-fact shuffle joins.
+#: ``applicationSideScanSizeThreshold`` exists so tiny probes skip the
+#: overhead — production keeps it at Spark's 10GB default; tests set 0
+#: to force injection at test scale. Guarded by
+#: test_skew.py::test_runtime_bloom_filter_prunes_probe_side.
+BLOOM_JOIN_CONFS: dict[str, str] = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+}
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply engine confs to an externally-created session (driver harness)."""
     for k, v in ENGINE_CONFS.items():

@@ -147,6 +147,35 @@ def stream_dedup_within_watermark(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch of the stream
+    against a STATIC dimension (the canonical "decorate events with the
+    user/customer record" shape). Stateless — Spark re-plans the static
+    side per micro-batch, so a dimension refreshed in place (overwrite
+    of the backing table) is picked up on the next batch without
+    restarting the query.
+
+    Scale posture: the dim side is explicitly ``broadcast`` — a
+    stream-static join must never shuffle the unbounded side per batch.
+    For dimensions too large for broadcast, pre-bucket the dim on the
+    join key and land the stream partitioned the same way (the
+    bucketed-join recipe in test_bucketing.py); left join keeps
+    orphaned events (FK audit of those is `fk_integrity_audit`).
+    """
+    cols = dim_cols or [c for c in dim.columns if c != dim_key]
+    slim = dim.select(dim_key, *cols)
+    return events.join(
+        F.broadcast(slim), events[stream_key] == slim[dim_key], how
+    ).drop(dim_key)
+
+
 def continuous_aggregate(
     rolled: DataFrame,
     target_path: str,

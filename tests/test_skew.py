@@ -80,3 +80,49 @@ def test_salted_join_left_keeps_unmatched(spark):
     got = salted_join(big, dim, ["k"], n_salts=4, how="left")
     assert got.count() == 100  # unmatched rows appear exactly once
     assert got.filter(F.col("name").isNull()).count() == 80
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """The third skew/scale lever beside AQE-skew and salting: with
+    BLOOM_JOIN_CONFS on, a selective build-side filter on a SHUFFLE
+    join injects a bloom_filter_agg subquery and a might_contain
+    pre-filter on the probe scan — and the result is identical to the
+    unfiltered plan's."""
+    from ffi_etl_spark.catalog import table
+    from ffi_etl_spark.session import BLOOM_JOIN_CONFS
+
+    sf = "/root/testdata/sf0.001"
+    confs = dict(BLOOM_JOIN_CONFS)
+    confs["spark.sql.autoBroadcastJoinThreshold"] = "-1"  # force shuffle join
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = table(spark, sf, "lineitem")
+        o = table(spark, sf, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        got = {(r.o_orderpriority, r.n) for r in j.collect()}
+    finally:
+        for k, v in old.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    want = {
+        (r.o_orderpriority, r.n)
+        for r in table(spark, sf, "lineitem")
+        .join(
+            table(spark, sf, "orders").where(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) == 1

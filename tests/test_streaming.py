@@ -515,3 +515,35 @@ def test_stream_dedup_ingest_with_signature_state(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {1, 2, 6, 8}
     sig_ids = {r.doc_id for r in spark.read.parquet(sigs_path).select("doc_id").collect()}
     assert sig_ids == {1, 2, 6, 8}  # healed + extended
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, events_dir):
+    """Stream-static decoration: every micro-batch row carries the
+    static customer attributes; equals the batch join, keeps orphans."""
+    from pyspark.sql import functions as F
+
+    from ffi_etl_spark.streaming.events import stream_static_enrich
+
+    dim = table(spark, sf_dir, "customer")
+    cols = ["c_mktsegment", "c_nationkey"]
+    stream = run_to_memory(
+        stream_static_enrich(
+            stream_events(spark, events_dir), dim, dim_cols=cols
+        ),
+        output_mode="append",
+    )
+    batch = (
+        table(spark, sf_dir, "events")
+        .join(
+            F.broadcast(dim.select("c_custkey", *cols)),
+            F.col("user_id") == F.col("c_custkey"),
+            "left",
+        )
+        .drop("c_custkey")
+    )
+    key = lambda r: (r.event_id, r.c_mktsegment, r.c_nationkey)  # noqa: E731
+    s = sorted(key(r) for r in stream.collect())
+    b = sorted(key(r) for r in batch.collect())
+    assert s == b and len(s) == table(spark, sf_dir, "events").count()
+    # the dimension actually decorated rows (all users resolve)
+    assert all(r[1] is not None for r in s)
