@@ -377,3 +377,196 @@ def _ccnet_quality_tiers(spark, sf_dir):
         )
         .orderBy("lang", "tier")
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer-vocab coverage audit (OOV rate per source)
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 1000
+
+
+@query(
+    "vocab_coverage",
+    oracle=rf"""
+WITH terms AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term
+  ) ORDER BY cnt DESC, term LIMIT {_VOCAB_K}
+)
+SELECT t.source,
+       COUNT(*) AS total_tokens,
+       COUNT(*) FILTER (v.term IS NULL) AS oov_tokens
+FROM terms t LEFT JOIN vocab v USING (term)
+GROUP BY t.source
+ORDER BY t.source
+""",
+)
+def _vocab_coverage(spark, sf_dir):
+    """Tokenizer-fit audit: build a vocabulary from the corpus's top-K
+    terms and report each source's out-of-vocabulary token mass — the
+    cheap proxy for "how badly will a fixed tokenizer fragment this
+    source" that decides whether a source needs tokenizer retraining
+    or gets down-weighted. Vocabulary selection is deterministic
+    (count desc, term asc — rank-K ties resolved identically on both
+    engines).
+
+    Plan: ONE term explode feeds both passes; the vocab is a top-K
+    TakeOrderedAndProject over the term-count agg (never a global
+    sort) and broadcasts back into the per-source membership count —
+    the corpus shuffles once (term agg), counts are exact integers.
+    """
+    d = table(spark, sf_dir, "documents")
+    terms = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "term")
+        .limit(_VOCAB_K)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        terms.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.count_if(F.col("in_vocab").isNull()).alias("oov_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM behavioral features with deterministic quintiles
+# ---------------------------------------------------------------------------
+
+@query(
+    "rfm_features",
+    oracle="""
+WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS ref_day FROM events),
+per_user AS (
+  SELECT user_id,
+         date_diff('day', MAX(CAST(ts AS DATE)), (SELECT ref_day FROM ref))
+           AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM events GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency, monetary,
+       ntile(5) OVER (ORDER BY recency_days, user_id) AS r_q,
+       ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+       ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_q
+FROM per_user
+ORDER BY user_id
+""",
+)
+def _rfm_features(spark, sf_dir):
+    """RFM feature extraction — the classic behavioral feature triple
+    (recency / frequency / monetary) plus deterministic quintile
+    scores, the feature-store export shape for churn/value models.
+
+    Cross-engine determinism: recency is integer date math against a
+    1-row broadcast max-date (the census A4 idiom); monetary sums
+    DECIMAL(18,2) exactly before the single cast to double; every
+    ntile ORDER BY carries user_id so the quintile assignment is a
+    total order both engines replay identically.
+
+    Plan: one user-keyed agg (events' natural key), then K-row
+    windows over the POST-aggregate user frame. At 100 TB of USERS
+    the three global ntiles swap to the two-phase global-rank replay
+    (`histogram_equidepth`); at 100 TB of events over bounded users
+    this plan is already right."""
+    e = table(spark, sf_dir, "events")
+    ref = e.agg(F.max(F.to_date("ts")).alias("ref_day"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .join(F.broadcast(ref))
+        .select(
+            "user_id",
+            F.datediff(F.col("ref_day"), F.col("last_day")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    w = lambda *cols: Window.orderBy(*cols)  # noqa: E731
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(w("recency_days", "user_id")).alias("r_q"),
+        F.ntile(5).over(w(F.col("frequency").desc(), "user_id")).alias("f_q"),
+        F.ntile(5).over(w(F.col("monetary").desc(), "user_id")).alias("m_q"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# language-confusion matrix: declared lang vs detected lang
+# ---------------------------------------------------------------------------
+
+def _marker_sql(pat: str) -> str:
+    return f"len(regexp_extract_all(lower(text), '{pat}', 0))"
+
+
+_M = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "es": r"\b(el|la|de|que|los)\b",
+    "de": r"\b(der|die|und|das|ist)\b",
+    "fr": r"\b(le|la|les|des|est)\b",
+}
+
+
+@query(
+    "lang_confusion",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang,
+         {_marker_sql(_M['en'])} AS s_en, {_marker_sql(_M['es'])} AS s_es,
+         {_marker_sql(_M['de'])} AS s_de, {_marker_sql(_M['fr'])} AS s_fr
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+            WHEN s_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred,
+       COUNT(*) AS n_docs
+FROM scored
+GROUP BY lang, lang_pred
+ORDER BY lang, lang_pred
+""",
+)
+def _lang_confusion(spark, sf_dir):
+    """Language-metadata QA: the confusion matrix between each doc's
+    DECLARED language tag and the engine's marker-based detector
+    (`lang_id`) — off-diagonal mass is either mislabeled metadata or
+    detector weakness, and either way it is the first corpus-QA table
+    a multilingual pretraining run looks at.
+
+    Plan: detection is scan-stage regexp codegen (zero shuffle), one
+    counting agg on (lang, lang_pred); output bounded by the language
+    cross-product. Counts are exact integers."""
+    from ffi_etl_spark.functions.textstats import lang_id
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )

@@ -106,3 +106,74 @@ def test_ccnet_tiers_partition_each_language(spark):
         # interpolated tertiles: no tier can exceed ~2/3 of the corpus
         # unless the score distribution is degenerate at the cutpoint
         assert max(by_lang[lang].values()) <= n
+
+
+def test_vocab_coverage_accounting(spark):
+    """OOV + in-vocab must account for every whitespace token in the
+    corpus, and a 1000-term vocab over a 20-source synthetic corpus
+    must cover the bulk of token mass."""
+    from pyspark.sql import functions as F
+
+    from ffi_etl_spark.catalog import table
+    from ffi_etl_spark.functions.textstats import ws_token_count
+
+    out = _rows(spark, "vocab_coverage")
+    total = sum(r.total_tokens for r in out)
+    corpus_total = (
+        table(spark, SF, "documents")
+        .agg(F.sum(ws_token_count(F.col("text")).cast("long")))
+        .collect()[0][0]
+    )
+    assert total == corpus_total
+    oov = sum(r.oov_tokens for r in out)
+    assert 0 <= oov < total / 2  # the top-1000 vocab covers most mass
+    for r in out:
+        assert 0 <= r.oov_tokens <= r.total_tokens
+
+
+def test_rfm_quintiles_are_balanced_and_exact(spark):
+    from pyspark.sql import functions as F
+
+    from ffi_etl_spark.catalog import table
+
+    out = _rows(spark, "rfm_features")
+    n = len(out)
+    assert n == table(spark, SF, "events").select("user_id").distinct().count()
+    for col in ("r_q", "f_q", "m_q"):
+        sizes = {}
+        for r in out:
+            sizes[r[col]] = sizes.get(r[col], 0) + 1
+        assert set(sizes) == {1, 2, 3, 4, 5}
+        assert max(sizes.values()) - min(sizes.values()) <= 1  # ntile contract
+    # monetary matches an independent exact-decimal sum
+    want = {
+        r.user_id: float(r.m)
+        for r in table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("m"))
+        .collect()
+    }
+    for r in out:
+        assert r.monetary == want[r.user_id]
+        assert r.recency_days >= 0 and r.frequency > 0
+
+
+def test_lang_confusion_is_consistent_with_lang_id(spark):
+    """The confusion matrix must be exactly the (lang, lang_pred)
+    contingency of the lang_id query joined back to declared tags."""
+    from pyspark.sql import functions as F
+
+    from ffi_etl_spark.catalog import table
+
+    out = {(r.lang, r.lang_pred): r.n_docs for r in _rows(spark, "lang_confusion")}
+    docs = table(spark, SF, "documents").select("doc_id", "lang")
+    pred = entry_mod.queries()["lang_id"](spark, SF)
+    want = {
+        (r.lang, r.lang_pred): r.n
+        for r in docs.join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out == want
+    assert sum(out.values()) == docs.count()
