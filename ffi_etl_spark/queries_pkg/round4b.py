@@ -22,7 +22,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ffi_etl_spark.catalog import table
-from ffi_etl_spark.functions.textstats import ENGLISH_STOPWORDS, ws_token_count
+from ffi_etl_spark.functions.textstats import (
+    ENGLISH_STOPWORDS,
+    LANG_MARKERS,
+    stopword_ratio,
+    ws_token_count,
+)
 from ffi_etl_spark.queries import query
 from ffi_etl_spark.queries_pkg.datamix import _md5_key
 
@@ -214,17 +219,27 @@ _padding_efficiency.__doc__ = _padding_efficiency.__doc__.format(
 # ---------------------------------------------------------------------------
 
 def _autocorr_sql(lag: int) -> str:
+    # products are widened to HUGEINT BEFORE summation (the Spark twin
+    # widens to DECIMAL(38) the same way — int64 sums of int64 products
+    # would wrap at ~1e8 events/day); degenerate series (zero variance
+    # at this lag) emit NULL on both engines instead of printf'ing a
+    # NaN whose spelling differs between Java and DuckDB.
     return f"""
-SELECT {lag} AS lag, COUNT(*) AS n_pairs,
-       printf('%.6e',
-         CAST(COUNT(*)::HUGEINT * CAST(SUM(x * y) AS HUGEINT)
-              - CAST(SUM(x) AS HUGEINT) * CAST(SUM(y) AS HUGEINT) AS DOUBLE)
-         / (sqrt(CAST(COUNT(*)::HUGEINT * CAST(SUM(x * x) AS HUGEINT)
-                      - CAST(SUM(x) AS HUGEINT) * CAST(SUM(x) AS HUGEINT) AS DOUBLE))
-            * sqrt(CAST(COUNT(*)::HUGEINT * CAST(SUM(y * y) AS HUGEINT)
-                        - CAST(SUM(y) AS HUGEINT) * CAST(SUM(y) AS HUGEINT) AS DOUBLE)))
-       ) AS autocorr
-FROM pairs{lag}
+SELECT {lag} AS lag, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         printf('%.6e',
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+       END AS autocorr
+FROM (
+  SELECT COUNT(*)::HUGEINT AS n,
+         COALESCE(SUM(x::HUGEINT), 0) AS sx, COALESCE(SUM(y::HUGEINT), 0) AS sy,
+         COALESCE(SUM(x::HUGEINT * y), 0) AS sxy,
+         COALESCE(SUM(x::HUGEINT * x), 0) AS sxx,
+         COALESCE(SUM(y::HUGEINT * y), 0) AS syy
+  FROM pairs{lag}
+)
 """
 
 
@@ -275,14 +290,19 @@ def _daily_autocorr(spark, sf_dir):
         pairs = a.join(
             F.broadcast(b), F.col("b.day") == F.date_add(F.col("a.day"), lag)
         ).select(F.col("a.cnt").alias("x"), F.col("b.cnt").alias("y"))
+        # widen BEFORE the products/sums: int64 sums of int64 products
+        # wrap at ~1e8 events/day; decimal(19) factors keep every
+        # product and sum inside decimal(38) exactly like the oracle's
+        # HUGEINT lane
+        d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
         d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
         agg = pairs.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.coalesce(F.sum(d19(F.col("x"))), F.lit(0)).alias("sx"),
+            F.coalesce(F.sum(d19(F.col("y"))), F.lit(0)).alias("sy"),
+            F.coalesce(F.sum(d19(F.col("x")) * d19(F.col("y"))), F.lit(0)).alias("sxy"),
+            F.coalesce(F.sum(d19(F.col("x")) * d19(F.col("x"))), F.lit(0)).alias("sxx"),
+            F.coalesce(F.sum(d19(F.col("y")) * d19(F.col("y"))), F.lit(0)).alias("syy"),
         )
         num = d38(F.col("n")) * d38(F.col("sxy")) - d38(F.col("sx")) * d38(F.col("sy"))
         varx = d38(F.col("n")) * d38(F.col("sxx")) - d38(F.col("sx")) * d38(F.col("sx"))
@@ -290,10 +310,13 @@ def _daily_autocorr(spark, sf_dir):
         return agg.select(
             F.lit(lag).alias("lag"),
             F.col("n").alias("n_pairs"),
-            F.format_string(
-                "%.6e",
-                num.cast("double")
-                / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))),
+            F.when(
+                (varx > 0) & (vary > 0),
+                F.format_string(
+                    "%.6e",
+                    num.cast("double")
+                    / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))),
+                ),
             ).alias("autocorr"),
         )
 
@@ -351,12 +374,9 @@ def _ccnet_quality_tiers(spark, sf_dir):
     one counting agg — the `zscore_normalize` broadcast-stats shape.
     """
     d = table(spark, sf_dir, "documents")
-    score = (
-        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_STOP_PAT), 0))
-        .cast("double")
-        / F.greatest(ws_token_count(F.col("text")), F.lit(1))
+    scored = d.select(
+        "lang", "n_chars", stopword_ratio(F.col("text")).alias("score")
     )
-    scored = d.select("lang", "n_chars", score.alias("score"))
     cuts = scored.groupBy("lang").agg(
         F.percentile("score", F.lit(1.0 / 3)).alias("p33"),
         F.percentile("score", F.lit(2.0 / 3)).alias("p67"),
@@ -522,11 +542,10 @@ def _marker_sql(pat: str) -> str:
     return f"len(regexp_extract_all(lower(text), '{pat}', 0))"
 
 
+# oracle patterns derive from the SAME marker table the Spark-side
+# lang_id uses — editing LANG_MARKERS cannot silently diverge the gate
 _M = {
-    "en": r"\b(the|and|of|to|is)\b",
-    "es": r"\b(el|la|de|que|los)\b",
-    "de": r"\b(der|die|und|das|ist)\b",
-    "fr": r"\b(le|la|les|des|est)\b",
+    lang: r"\b(" + "|".join(words) + r")\b" for lang, words in LANG_MARKERS.items()
 }
 
 

@@ -169,11 +169,13 @@ def stream_static_enrich(
     bucketed-join recipe in test_bucketing.py); left join keeps
     orphaned events (FK audit of those is `fk_integrity_audit`).
     """
-    cols = dim_cols or [c for c in dim.columns if c != dim_key]
+    cols = (
+        dim_cols if dim_cols is not None else [c for c in dim.columns if c != dim_key]
+    )
     slim = dim.select(dim_key, *cols)
     return events.join(
         F.broadcast(slim), events[stream_key] == slim[dim_key], how
-    ).drop(dim_key)
+    ).drop(slim[dim_key])
 
 
 def continuous_aggregate(

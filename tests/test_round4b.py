@@ -177,3 +177,22 @@ def test_lang_confusion_is_consistent_with_lang_id(spark):
     }
     assert out == want
     assert sum(out.values()) == docs.count()
+
+
+def test_daily_autocorr_degenerate_series_is_null(spark, tmp_path):
+    """A constant daily series has zero variance at every lag: the
+    autocorr must be NULL (not an engine-spelled NaN string)."""
+    from datetime import datetime
+
+    d = str(tmp_path / "const_events")
+    rows = [
+        (day * 10 + i, datetime(2024, 1, 1 + day, 12, 0, 0), 1, "view", 1.0, "{}")
+        for day in range(10)
+        for i in range(3)  # exactly 3 events every day
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(d + "/events.parquet")
+    out = {r.lag: r for r in entry_mod.queries()["daily_autocorr"](spark, d).collect()}
+    assert out[1].n_pairs == 9 and out[7].n_pairs == 3
+    assert out[1].autocorr is None and out[7].autocorr is None
