@@ -589,3 +589,68 @@ def _lang_confusion(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "lang_pred")
     )
+
+
+# ---------------------------------------------------------------------------
+# declarative constraint audit (Deequ/dbt-test shape) over lineitem
+# ---------------------------------------------------------------------------
+
+@query(
+    "constraint_audit",
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS n_checked FROM lineitem)
+SELECT r.rule, n.n_checked, r.n_violations FROM n CROSS JOIN (
+  SELECT 'discount_cap' AS rule, COUNT(*) FILTER (NOT (l_discount <= 0.08)) AS n_violations
+  FROM lineitem
+  UNION ALL
+  SELECT 'extendedprice_unique',
+         COUNT(l_extendedprice) - COUNT(DISTINCT l_extendedprice)
+  FROM lineitem
+  UNION ALL
+  SELECT 'linenumber_not_null', COUNT(*) FILTER (l_linenumber IS NULL)
+  FROM lineitem
+  UNION ALL
+  SELECT 'linestatus_format', COUNT(*) FILTER (
+    l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^[OF]$'))
+  FROM lineitem
+  UNION ALL
+  SELECT 'orderkey_fk', COUNT(*) FILTER (
+    l_orderkey IS NOT NULL AND l_orderkey NOT IN (
+      SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL))
+  FROM lineitem
+  UNION ALL
+  SELECT 'quantity_range', COUNT(*) FILTER (
+    l_quantity IS NOT NULL AND l_quantity NOT BETWEEN 1 AND 49)
+  FROM lineitem
+  UNION ALL
+  SELECT 'returnflag_accepted', COUNT(*) FILTER (
+    l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N', 'R'))
+  FROM lineitem
+) r
+ORDER BY r.rule
+""",
+)
+def _constraint_audit(spark, sf_dir):
+    """Declarative data-quality suite over lineitem — the Deequ/dbt-test
+    shape: seven expectations (uniqueness, null, referential, accepted
+    values, range, regex, arbitrary predicate) compiled by
+    `operators/constraints.py::check_constraints` into ONE aggregation
+    over ONE scan (the fk parent key set broadcast-joins onto the same
+    pass) — never one job per rule. The mixed result (discount_cap,
+    quantity_range, and extendedprice_unique genuinely fire on TPC-H
+    data; the rest are clean) is what a pipeline gate consumes."""
+    from ffi_etl_spark.operators.constraints import Rule, check_constraints
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    rules = [
+        Rule("discount_cap", "predicate", expr="l_discount <= 0.08"),
+        Rule("extendedprice_unique", "unique", col="l_extendedprice"),
+        Rule("linenumber_not_null", "not_null", col="l_linenumber"),
+        Rule("linestatus_format", "regex", col="l_linestatus", pattern="^[OF]$"),
+        Rule("orderkey_fk", "fk", col="l_orderkey", parent=o, parent_key="o_orderkey"),
+        Rule("quantity_range", "range", col="l_quantity", lo=1, hi=49),
+        Rule("returnflag_accepted", "in_set", col="l_returnflag",
+             values=("A", "N", "R")),
+    ]
+    return check_constraints(li, rules)

@@ -196,3 +196,55 @@ def test_daily_autocorr_degenerate_series_is_null(spark, tmp_path):
     out = {r.lag: r for r in entry_mod.queries()["daily_autocorr"](spark, d).collect()}
     assert out[1].n_pairs == 9 and out[7].n_pairs == 3
     assert out[1].autocorr is None and out[7].autocorr is None
+
+
+def test_check_constraints_counts_planted_violations(spark):
+    from ffi_etl_spark.operators.constraints import Rule, check_constraints
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    df = spark.createDataFrame(
+        [
+            # id, fkey, status, score, code
+            (1, 1, "ok", 10, "A1"),
+            (1, 2, "ok", 20, "B2"),        # dup id
+            (2, None, "ok", 30, "C3"),     # null fkey: not a FK violation
+            (3, 9, "bad", -5, "zz"),       # fk orphan + bad status + range + regex
+            (None, 1, "ok", 200, "D4"),    # null id (not counted by unique) + range
+        ],
+        "id long, fkey long, status string, score long, code string",
+    )
+    rules = [
+        Rule("fk", "fk", col="fkey", parent=parent, parent_key="pk"),
+        Rule("id_unique", "unique", col="id"),
+        Rule("range_0_100", "range", col="score", lo=0, hi=100),
+        Rule("regex_code", "regex", col="code", pattern="^[A-Z][0-9]$"),
+        Rule("status_ok", "in_set", col="status", values=("ok",)),
+        Rule("score_not_null", "not_null", col="score"),
+        Rule("positive", "predicate", expr="score > 0"),
+    ]
+    out = {r.rule: (r.n_checked, r.n_violations) for r in
+           check_constraints(df, rules).collect()}
+    assert out == {
+        "fk": (5, 1),
+        "id_unique": (5, 1),
+        "range_0_100": (5, 2),
+        "regex_code": (5, 1),
+        "status_ok": (5, 1),
+        "score_not_null": (5, 0),
+        "positive": (5, 1),
+    }
+
+
+def test_constraint_audit_is_single_scan(spark):
+    """The suite contract: one pass over the audited table — lineitem
+    appears ONCE in the plan (orders contributes the broadcast key
+    set), and no join besides the broadcast fk probes."""
+    q = entry_mod.queries()["constraint_audit"](spark, SF)
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # formatted mode prints each scan node twice (tree + details):
+    # 4 occurrences == 2 actual scans — lineitem once + orders keys once
+    assert plan.count("Scan parquet") == 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

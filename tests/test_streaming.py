@@ -547,3 +547,25 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, events_dir):
     assert s == b and len(s) == table(spark, sf_dir, "events").count()
     # the dimension actually decorated rows (all users resolve)
     assert all(r[1] is not None for r in s)
+
+
+def test_stream_tumbling_distinct_matches_batch(spark, sf_dir, events_dir):
+    """HLL++ register merges are commutative: the streaming windowed
+    approx-distinct equals the batch aggregate exactly."""
+    from pyspark.sql import functions as F
+
+    from ffi_etl_spark.streaming.events import stream_tumbling_distinct
+
+    stream = run_to_memory(
+        stream_tumbling_distinct(stream_events(spark, events_dir), "1 hour"),
+        output_mode="complete",
+    )
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .select(F.col("w.start").alias("window_start"), "approx_users")
+    )
+    s = {(r.window_start, r.approx_users) for r in stream.collect()}
+    b = {(r.window_start, r.approx_users) for r in batch.collect()}
+    assert s == b and len(s) > 0
