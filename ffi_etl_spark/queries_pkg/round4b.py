@@ -654,3 +654,97 @@ def _constraint_audit(spark, sf_dir):
              values=("A", "N", "R")),
     ]
     return check_constraints(li, rules)
+
+
+# ---------------------------------------------------------------------------
+# train/val/test split leakage audit (cross-split n-gram contamination)
+# ---------------------------------------------------------------------------
+
+@query(
+    "split_leakage_audit",
+    oracle=r"""
+WITH toked AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 8
+              THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 8
+              THEN 'val' ELSE 'test' END AS split,
+         string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), grams AS (
+  SELECT DISTINCT split, doc_id,
+         unnest([
+           ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT
+           for i in generate_series(1, greatest(len(toks) - 7, 1))
+         ]) AS g
+  FROM toked
+), train_g AS (
+  SELECT DISTINCT g FROM grams WHERE split = 'train'
+), per_doc AS (
+  SELECT e.split, e.doc_id, COUNT(*) AS n_g, COUNT(t.g) AS n_shared
+  FROM grams e LEFT JOIN train_g t USING (g)
+  WHERE e.split <> 'train'
+  GROUP BY e.split, e.doc_id
+)
+SELECT split, COUNT(*) AS n_docs,
+       COUNT(*) FILTER (n_shared > 0) AS n_leaky_docs,
+       CAST(SUM(n_g) AS BIGINT) AS n_grams,
+       CAST(SUM(n_shared) AS BIGINT) AS n_shared_grams
+FROM per_doc GROUP BY split ORDER BY split
+""",
+)
+def _split_leakage_audit(spark, sf_dir):
+    """Own-split contamination check: after the md5-mod 8/1/1
+    train/val/test assignment (`train_val_test_split`'s exact rule),
+    count val/test documents sharing any token 8-gram with the TRAIN
+    split — the eval-integrity audit that `decontaminate` (external
+    benchmarks) doesn't cover: a val doc whose spans sit in train
+    inflates eval scores even if both copies survived dedup.
+
+    Plan: one explode → distinct (split, doc, gram-hash); the train
+    gram set is gram-keyed and the leak probe is a co-partitioned
+    LEFT join on the same key (AQE reuses the partitioning — no
+    broadcast of a corpus-sized gram set); two bounded aggs after.
+    Counts are exact integers; the gram hash is the shared 60-bit md5
+    (`dup_span_profile`'s parity idiom)."""
+    from ffi_etl_spark.functions.hashing import md5_int60, word_ngrams
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = _md5_key(F.col("doc_id")) % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    grams = (
+        docs.select(
+            split.alias("split"),
+            "doc_id",
+            F.explode(word_ngrams(F.col("text"), 8)).alias("gram"),
+        )
+        .select("split", "doc_id", md5_int60(F.col("gram")).alias("g"))
+        .distinct()
+    )
+    train_g = (
+        grams.where(F.col("split") == "train")
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    per_doc = (
+        grams.where(F.col("split") != "train")
+        .join(train_g, "g", "left")
+        .groupBy("split", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.count(F.col("hit")).alias("n_shared"),
+        )
+    )
+    return (
+        per_doc.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("n_shared") > 0).alias("n_leaky_docs"),
+            F.sum("n_g").alias("n_grams"),
+            F.sum("n_shared").alias("n_shared_grams"),
+        )
+        .orderBy("split")
+    )

@@ -248,3 +248,30 @@ def test_constraint_audit_is_single_scan(spark):
     assert plan.count("Scan parquet") == 4
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_split_leakage_flags_planted_cross_split_copy(spark, tmp_path):
+    """Plant a val doc that copies a train doc's text (>=8 shared
+    tokens) and a val doc of unique text: exactly one leaky val doc."""
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10
+
+    train_ids = [i for i in range(200) if bucket(i) < 8]
+    val_ids = [i for i in range(200) if bucket(i) == 8]
+    assert len(train_ids) >= 1 and len(val_ids) >= 2
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(train_ids[0], shared, "en", "s", len(shared))]
+    rows.append((val_ids[0], shared + " extra tail words here", "en", "s", 10))
+    uniq = "one unique sentence that appears nowhere else in this corpus"
+    rows.append((val_ids[1], uniq, "en", "s", len(uniq)))
+    d = str(tmp_path / "leak")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = {r.split: r for r in
+           entry_mod.queries()["split_leakage_audit"](spark, d).collect()}
+    assert out["val"].n_docs == 2
+    assert out["val"].n_leaky_docs == 1
+    assert out["val"].n_shared_grams >= 3  # the 10-token overlap spans 3 8-grams
