@@ -471,15 +471,42 @@ def _training_order(spark, sf_dir):
 
 # --- unigram-entropy quality signal ------------------------------------------
 
-@query("token_entropy", oracle=None)
+@query(
+    "token_entropy",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+), per AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+), ent AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, SUM(c * ln(c)) AS clogc
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(e.n, 0) AS n_tokens,
+       printf('%.6e', CASE WHEN COALESCE(e.n, 0) > 0
+                           THEN ln(e.n) - e.clogc / e.n ELSE 0.0 END)
+         AS entropy_nats
+FROM documents d LEFT JOIN ent e USING (doc_id)
+""",
+)
 def _token_entropy(spark, sf_dir):
     """Per-doc unigram Shannon entropy (operators/textops.py::
-    token_entropy) with a stable rounding for display; rows-only by
-    design (transcendental ln has no bit-exact SQL oracle — the gate is
-    the Counter differential in test_corpus_hygiene.py)."""
+    token_entropy). Upgraded from rows-only to a FULL oracle in round 4
+    (the approx_distinct_users precedent): per the stats_moments rule,
+    the transcendental/partition-order-accumulated float leaves as a
+    %.6e fixed-precision string on both engines — last-ulp ln() and
+    summation-order differences sit ~1e-14 relative, eight orders
+    below the 7-significant-digit band. The independent gate remains
+    the Counter differential in test_corpus_hygiene.py."""
     from ffi_etl_spark.operators.textops import token_entropy
 
     d = table(spark, sf_dir, "documents")
     return token_entropy(d).select(
-        "doc_id", "n_tokens", F.round("entropy_nats", 6).alias("entropy_nats")
+        "doc_id",
+        "n_tokens",
+        F.format_string("%.6e", F.col("entropy_nats")).alias("entropy_nats"),
     )
