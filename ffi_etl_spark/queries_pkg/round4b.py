@@ -748,3 +748,106 @@ def _split_leakage_audit(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# one-pass exact-integer feature correlation matrix
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _cents_sql(c: str) -> str:
+    return f"CAST(round({c} * 100) AS BIGINT)"
+
+
+def _corr_pair_sql(x: str, y: str) -> str:
+    vx = f"(n * s_{x}{x} - s_{x} * s_{x})"
+    vy = f"(n * s_{y}{y} - s_{y} * s_{y})"
+    return f"""
+  SELECT '{_CORR_COLS[ord(x) - ord('a')]}' AS col_x,
+         '{_CORR_COLS[ord(y) - ord('a')]}' AS col_y,
+         CAST(n AS BIGINT) AS n_rows,
+         CASE WHEN {vx} > 0 AND {vy} > 0 THEN
+           printf('%.6e', CAST(n * s_{x}{y} - s_{x} * s_{y} AS DOUBLE)
+                          / (sqrt(CAST({vx} AS DOUBLE)) * sqrt(CAST({vy} AS DOUBLE))))
+         END AS corr
+  FROM sums"""
+
+
+@query(
+    "corr_matrix",
+    oracle=f"""
+WITH cents AS (
+  SELECT {_cents_sql('l_quantity')} AS a, {_cents_sql('l_extendedprice')} AS b,
+         {_cents_sql('l_discount')} AS c, {_cents_sql('l_tax')} AS d
+  FROM lineitem
+), sums AS (
+  SELECT COUNT(*)::HUGEINT AS n,
+         SUM(a::HUGEINT) AS s_a, SUM(b::HUGEINT) AS s_b,
+         SUM(c::HUGEINT) AS s_c, SUM(d::HUGEINT) AS s_d,
+         SUM(a::HUGEINT * a) AS s_aa, SUM(b::HUGEINT * b) AS s_bb,
+         SUM(c::HUGEINT * c) AS s_cc, SUM(d::HUGEINT * d) AS s_dd,
+         SUM(a::HUGEINT * b) AS s_ab, SUM(a::HUGEINT * c) AS s_ac,
+         SUM(a::HUGEINT * d) AS s_ad, SUM(b::HUGEINT * c) AS s_bc,
+         SUM(b::HUGEINT * d) AS s_bd, SUM(c::HUGEINT * d) AS s_cd
+  FROM cents
+)
+{" UNION ALL ".join(_corr_pair_sql(x, y) for x, y in ("ab", "ac", "ad", "bc", "bd", "cd"))}
+ORDER BY col_x, col_y
+""",
+)
+def _corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over lineitem's four numeric
+    columns in ONE scan + ONE reduce — the feature-correlation audit a
+    feature store runs before model training. Where `stats_moments`
+    exercises the built-in corr/covar aggregates, this computes all
+    C(4,2) pairs from EXACT integer sums: values are re-encoded as
+    integer cents (`round(x*100)` — exact for these 2-decimal columns,
+    and correlation is scale-invariant), every moment is an int64/
+    decimal(38) sum with no partition-order float accumulation, and
+    the only float math is the final guarded divide — shipped %.6e per
+    the stats_moments rule, NULL for zero-variance columns.
+
+    Plan: one scan, one 15-column partial+final agg (1 row), 6 output
+    rows exploded from it. At 100 TB the cents products still fit
+    decimal(38) (~1e7-cent values² × 1e12 rows ≈ 1e26)."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = {
+        k: F.round(F.col(c) * 100).cast("long")
+        for k, c in zip("abcd", _CORR_COLS)
+    }
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    d19 = lambda k: F.col(k).cast("decimal(19,0)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for k in "abcd":
+        aggs.append(F.sum(d38(F.col(k))).alias(f"s_{k}"))
+    for x, y in ("aa", "bb", "cc", "dd", "ab", "ac", "ad", "bc", "bd", "cd"):
+        aggs.append(F.sum(d19(x) * d19(y)).alias(f"s_{x}{y}"))
+    sums = li.select(*[v.alias(k) for k, v in cents.items()]).agg(*aggs)
+
+    def pair(x, y):
+        n = d38(F.col("n"))
+        vx = n * d38(F.col(f"s_{x}{x}")) - d38(F.col(f"s_{x}")) * d38(F.col(f"s_{x}"))
+        vy = n * d38(F.col(f"s_{y}{y}")) - d38(F.col(f"s_{y}")) * d38(F.col(f"s_{y}"))
+        num = n * d38(F.col(f"s_{x}{y}")) - d38(F.col(f"s_{x}")) * d38(F.col(f"s_{y}"))
+        return F.struct(
+            F.lit(_CORR_COLS[ord(x) - ord("a")]).alias("col_x"),
+            F.lit(_CORR_COLS[ord(y) - ord("a")]).alias("col_y"),
+            F.col("n").alias("n_rows"),
+            F.when(
+                (vx > 0) & (vy > 0),
+                F.format_string(
+                    "%.6e",
+                    num.cast("double")
+                    / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                ),
+            ).alias("corr"),
+        )
+
+    pairs = [pair(x, y) for x, y in ("ab", "ac", "ad", "bc", "bd", "cd")]
+    return (
+        sums.select(F.explode(F.array(*pairs)).alias("r"))
+        .select("r.col_x", "r.col_y", "r.n_rows", "r.corr")
+        .orderBy("col_x", "col_y")
+    )

@@ -275,3 +275,24 @@ def test_split_leakage_flags_planted_cross_split_copy(spark, tmp_path):
     assert out["val"].n_docs == 2
     assert out["val"].n_leaky_docs == 1
     assert out["val"].n_shared_grams >= 3  # the 10-token overlap spans 3 8-grams
+
+
+def test_corr_matrix_matches_numpy(spark):
+    """Differential: the exact-integer-cents Pearson equals numpy's
+    corrcoef over the same columns; diagonal-free, 6 pairs, |r|<=1."""
+    import numpy as np
+
+    from ffi_etl_spark.catalog import table
+
+    cols = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    pdf = table(spark, SF, "lineitem").select(*cols).toPandas()
+    want = np.corrcoef(np.round(pdf.to_numpy() * 100).T)
+    idx = {c: i for i, c in enumerate(cols)}
+    out = _rows(spark, "corr_matrix")
+    assert len(out) == 6
+    for r in out:
+        got = float(r.corr)
+        assert abs(got) <= 1.0
+        assert math.isclose(
+            got, float(want[idx[r.col_x], idx[r.col_y]]), rel_tol=1e-5, abs_tol=1e-6
+        ), (r.col_x, r.col_y)
