@@ -355,3 +355,79 @@ def test_ntile_replay_matches_spark_for_any_n_k(spark, n, k):
         for x in ranked.select("rid", bucket.cast("int").alias("nt")).collect()
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 5)),   # id (dups + nulls)
+            st.one_of(st.none(), st.integers(0, 8)),   # fkey (orphans + nulls)
+            st.integers(-20, 120),                     # score
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_check_constraints_matches_bruteforce(spark, rows):
+    """Property: every rule kind's violation count equals a plain-Python
+    evaluation of the same rule over the same rows."""
+    from ffi_etl_spark.operators.constraints import Rule, check_constraints
+
+    parent_keys = {1, 2, 3, 4}
+    parent = spark.createDataFrame([(k,) for k in sorted(parent_keys)], "pk long")
+    df = spark.createDataFrame(rows, "id long, fkey long, score long")
+    rules = [
+        Rule("fk", "fk", col="fkey", parent=parent, parent_key="pk"),
+        Rule("id_not_null", "not_null", col="id"),
+        Rule("id_unique", "unique", col="id"),
+        Rule("score_range", "range", col="score", lo=0, hi=100),
+        Rule("score_pos", "predicate", expr="score > 0"),
+    ]
+    got = {r.rule: (r.n_checked, r.n_violations) for r in
+           check_constraints(df, rules).collect()}
+    ids = [i for i, _, _ in rows if i is not None]
+    want = {
+        "fk": sum(1 for _, f, _ in rows if f is not None and f not in parent_keys),
+        "id_not_null": sum(1 for i, _, _ in rows if i is None),
+        "id_unique": len(ids) - len(set(ids)),
+        "score_range": sum(1 for _, _, s in rows if not 0 <= s <= 100),
+        "score_pos": sum(1 for _, _, s in rows if not s > 0),
+    }
+    assert {k: v[1] for k, v in got.items()} == want
+    assert all(v[0] == len(rows) for v in got.values())
+
+
+@given(
+    toks=st.lists(st.integers(1, 40), min_size=1, max_size=60),
+    batch=st.sampled_from([4, 8]),
+)
+@settings(**_SETTINGS)
+def test_padding_batch_accounting_matches_simulation(spark, toks, batch):
+    """Property: the windowed batch/pad arithmetic used by
+    padding_efficiency equals a direct Python simulation for the
+    length-sorted strategy on one shard."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n_tok long"
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("n_tok", "doc_id")
+    got = (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("batch", F.expr(f"(rn - 1) div {batch}"))
+        .groupBy("batch")
+        .agg(
+            F.sum("n_tok").alias("real_t"),
+            (F.max("n_tok") * F.count(F.lit(1))).alias("pad_t"),
+        )
+        .agg(F.sum("real_t").alias("real"), F.sum("pad_t").alias("pad"))
+        .collect()[0]
+    )
+    order = sorted(range(len(toks)), key=lambda i: (toks[i], i))
+    pad = real = 0
+    for b in range(0, len(order), batch):
+        chunk = [toks[i] for i in order[b : b + batch]]
+        real += sum(chunk)
+        pad += max(chunk) * len(chunk)
+    assert (got.real, got.pad) == (real, pad)
