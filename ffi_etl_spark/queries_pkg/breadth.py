@@ -529,40 +529,72 @@ def _window_percent_rank(spark, sf_dir):
 
 # --- approximate quantiles (sketch tier beside quantiles_exact) ---------------
 
-@query("approx_quantiles")  # GK/KLL-style sketch: engine-specific, rows-only
+@query(
+    "approx_quantiles",
+    oracle="""
+WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
+SELECT event_type, t.pct, n, CAST(1 AS INT) AS within_band
+FROM c CROSS JOIN (VALUES ('p50'), ('p90'), ('p99')) AS t(pct)
+ORDER BY event_type, t.pct
+""",
+)
 def _approx_quantiles(spark, sf_dir):
     """approx_percentile with bounded error beside the exact
     percentile family (quantiles_exact) — the sketch that actually runs
     at 100 TB, where exact percentiles would shuffle the full column.
-    Rows-only: DuckDB's approx_quantile uses a different sketch, so
-    values are engine-specific by nature. The test surface pins row
-    count/schema; quantiles_exact is the accuracy oracle.
 
-    Gated-output contract (CORRECTNESS_r03 lesson): even rows-only
-    results pass through the driver canonicalizer, which dies on raw
-    array<> cells — so the per-group quantile array is EXPLODED to
-    (event_type, pct, approx_value) rows post-aggregation (K×3 rows,
-    free)."""
+    Upgraded rows-only → FULL oracle in round 4 via the
+    `approx_distinct_users` error-band pattern: the sketch VALUE is
+    engine-specific (DuckDB's approx_quantile is a different sketch),
+    so the gated output is the exact group count plus a flag asserting
+    the Spark sketch's RANK GUARANTEE held — percentile_approx(…,
+    10000) promises rank error ≤ n/10000, and the flag checks the
+    returned value's true rank interval [count(<v), count(≤v)]
+    (interval form makes the check tie-robust) intersects the target
+    rank ± 2n/10000 + 1. All-integer comparison in basis points (no
+    float threshold), deterministic for fixed data. The driver-canon
+    lesson from r03 stands: the quantile array never leaves the plan
+    — it is exploded before output.
+
+    Plan: one agg for the sketches (K rows broadcast back), one
+    counting agg for the rank check — two scans, no wide shuffle."""
     ev = table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
-        F.count(F.lit(1)).alias("n"),
     )
     labels = F.array(F.lit("p50"), F.lit("p90"), F.lit("p99"))
-    return (
-        agg.select(
-            "event_type",
-            "n",
-            F.posexplode("approx_pcts").alias("pos", "approx_value"),
-        )
-        .select(
-            "event_type",
-            F.element_at(labels, F.col("pos") + 1).alias("pct"),
-            "approx_value",
-            "n",
-        )
-        .orderBy("event_type", "pct")
+    bps = F.array(F.lit(5000), F.lit(9000), F.lit(9900))
+    quants = agg.select(
+        "event_type",
+        F.posexplode("approx_pcts").alias("pos", "approx_value"),
+    ).select(
+        "event_type",
+        F.element_at(labels, F.col("pos") + 1).alias("pct"),
+        F.element_at(bps, F.col("pos") + 1).alias("pbp"),
+        "approx_value",
     )
+    checked = (
+        ev.join(F.broadcast(quants), "event_type")
+        .groupBy("event_type", "pct", "pbp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("value") < F.col("approx_value")).alias("cnt_lt"),
+            F.count_if(F.col("value") <= F.col("approx_value")).alias("cnt_le"),
+        )
+    )
+    band = 2 * F.col("n") + 10000  # (2e-4·n + 1) in basis-point scale
+    target = F.col("pbp") * F.col("n")
+    return checked.select(
+        "event_type",
+        "pct",
+        "n",
+        (
+            (F.col("cnt_lt") * 10000 <= target + band)
+            & (F.col("cnt_le") * 10000 >= target - band)
+        )
+        .cast("int")
+        .alias("within_band"),
+    ).orderBy("event_type", "pct")
 
 
 # --- time-RANGE frame: trailing 30-day window ---------------------------------
