@@ -39,6 +39,9 @@ HEADLINE = [
     "sessionize",
     "multimodal_frames",
     "skew_salted_join",
+    # round-4b: the heaviest new operator (token-8-gram cross-split
+    # probe join) — tracked so its cost has a recorded floor
+    "split_leakage_audit",
 ]
 
 
