@@ -851,3 +851,97 @@ def _corr_matrix(spark, sf_dir):
         .select("r.col_x", "r.col_y", "r.n_rows", "r.corr")
         .orderBy("col_x", "col_y")
     )
+
+
+# ---------------------------------------------------------------------------
+# curriculum mixture schedule: anneal alpha from natural to uniform
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_SQL_THRESH = {
+    # alpha = 0: keep everything (threshold 2^32 > any draw)
+    0: "4294967296",
+    # alpha = 1/4: sqrt(sqrt(r)) — two correctly-rounded sqrts, engine-equal
+    1: "CAST(floor(sqrt(sqrt(CAST(mn.min_n AS DOUBLE) / c.n_total)) * 4294967296) AS BIGINT)",
+    # alpha = 1/2: the mixture_temperature rule
+    2: "CAST(floor(sqrt(CAST(mn.min_n AS DOUBLE) / c.n_total) * 4294967296) AS BIGINT)",
+    # alpha = 1: uniform target
+    3: "CAST(floor((CAST(mn.min_n AS DOUBLE) / c.n_total) * 4294967296) AS BIGINT)",
+}
+
+_ALPHA_LABEL = {0: "0", 1: "1/4", 2: "1/2", 3: "1"}
+
+
+@query(
+    "mixture_curriculum",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source
+),
+mn AS (SELECT MIN(n_total) AS min_n FROM counts),
+kept AS (
+  SELECT d.source,
+{",".join(
+  f'''         COUNT(*) FILTER (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           < {t}) AS k{e}''' for e, t in _CURRICULUM_SQL_THRESH.items())}
+  FROM documents d JOIN counts c USING (source) CROSS JOIN mn
+  GROUP BY d.source
+)
+{" UNION ALL ".join(
+  f'''SELECT {e} AS epoch, '{_ALPHA_LABEL[e]}' AS alpha, c.source, c.n_total,
+       COALESCE(k.k{e}, 0) AS n_kept
+FROM counts c LEFT JOIN kept k USING (source)''' for e in range(4))}
+ORDER BY epoch, source
+""",
+)
+def _mixture_curriculum(spark, sf_dir):
+    """Curriculum mixing schedule: anneal the mixture temperature
+    across four training epochs — α = 0 (natural mixture), 1/4, 1/2,
+    1 (uniform) — so early epochs see the data distribution and late
+    epochs see balanced sources (the standard multilingual curriculum
+    knob). Output is the per-(epoch, source) sampling plan a trainer's
+    data loader executes with the same md5 draw.
+
+    Cross-engine determinism: α is restricted to {{0, 1/4, 1/2, 1}} ON
+    PURPOSE — those powers compute as compositions of IEEE
+    correctly-rounded sqrt/divide (`sqrt(sqrt(r))`, `sqrt(r)`, `r`),
+    so `floor(r^α·2^32)` is the same int64 on both engines, where an
+    arbitrary `pow(x, 1/3)` is NOT correctly rounded across libms and
+    could flip a draw at the threshold boundary (the
+    mixture_temperature rule, extended to a schedule).
+
+    Plan: K-row counts broadcast back over one corpus scan; the four
+    epoch counters are count_ifs in ONE aggregate (the corpus is NOT
+    exploded 4x), then 4·K output rows."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    mn = counts.agg(F.min("n_total").alias("min_n"))
+    r = F.col("min_n").cast("double") / F.col("n_total")
+    thresholds = {
+        0: F.lit(4294967296),
+        1: F.floor(F.sqrt(F.sqrt(r)) * F.lit(4294967296.0)).cast("long"),
+        2: F.floor(F.sqrt(r) * F.lit(4294967296.0)).cast("long"),
+        3: F.floor(r * F.lit(4294967296.0)).cast("long"),
+    }
+    draw = _md5_key(F.col("doc_id"))
+    kept = (
+        d.join(F.broadcast(counts), "source")
+        .join(F.broadcast(mn))
+        .groupBy("source")
+        .agg(*[F.count_if(draw < t).alias(f"k{e}") for e, t in thresholds.items()])
+    )
+    rows = [
+        F.struct(
+            F.lit(e).alias("epoch"),
+            F.lit(_ALPHA_LABEL[e]).alias("alpha"),
+            F.col("source").alias("source"),
+            F.col("n_total").alias("n_total"),
+            F.coalesce(F.col(f"k{e}"), F.lit(0)).alias("n_kept"),
+        )
+        for e in range(4)
+    ]
+    return (
+        counts.join(kept, "source", "left")
+        .select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.epoch", "r.alpha", "r.source", "r.n_total", "r.n_kept")
+        .orderBy("epoch", "source")
+    )

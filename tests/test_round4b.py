@@ -296,3 +296,24 @@ def test_corr_matrix_matches_numpy(spark):
         assert math.isclose(
             got, float(want[idx[r.col_x], idx[r.col_y]]), rel_tol=1e-5, abs_tol=1e-6
         ), (r.col_x, r.col_y)
+
+
+def test_mixture_curriculum_monotone_anneal(spark):
+    """Keep counts shrink monotonically as alpha rises (0 -> 1/4 ->
+    1/2 -> 1): each later epoch's threshold is <= the previous for
+    every source, and epoch 0 keeps everything."""
+    out = _rows(spark, "mixture_curriculum")
+    by_source: dict[str, dict[int, tuple[int, int]]] = {}
+    for r in out:
+        by_source.setdefault(r.source, {})[r.epoch] = (r.n_total, r.n_kept)
+    assert by_source
+    for source, epochs in by_source.items():
+        assert set(epochs) == {0, 1, 2, 3}
+        n_total = epochs[0][0]
+        assert epochs[0][1] == n_total  # alpha=0 keeps the natural mixture
+        kept = [epochs[e][1] for e in range(4)]
+        assert kept == sorted(kept, reverse=True), (source, kept)
+    # the min source survives (near-)fully even at alpha=1
+    min_source = min(by_source, key=lambda s: by_source[s][0][0])
+    n, k = by_source[min_source][3]
+    assert k >= n - 1  # floor() may shave one draw at threshold 2^32
