@@ -31,10 +31,16 @@ class Rule:
     - ``not_null``: ``col`` must not be NULL
     - ``in_set``: non-null ``col`` must be one of ``values``
     - ``range``: non-null ``col`` must satisfy ``lo <= col <= hi``
-    - ``regex``: non-null ``col`` must fully match ``pattern``
+    - ``regex``: non-null ``col`` must FULLY match ``pattern`` (the
+      pattern is anchored as ``^(?:pattern)$`` — a contains-match
+      would silently under-count violations)
     - ``unique``: no two rows share a non-null ``col`` value
     - ``fk``: non-null ``col`` must exist in ``parent``'s ``parent_key``
-    - ``predicate``: rows must satisfy the given boolean ``expr`` string
+    - ``predicate``: rows must satisfy the given boolean ``expr``
+      string; a row where the expr evaluates to NULL is counted as a
+      VIOLATION (an expectation the engine could not confirm fails
+      loudly, mirroring the explicit isNotNull policy of the other
+      kinds)
     """
 
     name: str
@@ -58,11 +64,11 @@ def _violation(rule: Rule, probe_col: str | None) -> Column:
     elif rule.kind == "range":
         bad = c.isNotNull() & ~c.between(rule.lo, rule.hi)
     elif rule.kind == "regex":
-        bad = c.isNotNull() & ~c.rlike(rule.pattern)
+        bad = c.isNotNull() & ~c.rlike(f"^(?:{rule.pattern})$")
     elif rule.kind == "fk":
         bad = c.isNotNull() & F.col(probe_col).isNull()
     elif rule.kind == "predicate":
-        bad = ~F.expr(rule.expr)
+        bad = ~F.coalesce(F.expr(rule.expr), F.lit(False))
     else:
         raise ValueError(f"unknown rule kind: {rule.kind!r}")
     return F.count_if(bad)

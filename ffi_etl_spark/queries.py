@@ -65,10 +65,11 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
 # never had a driver row (registry positions 50-79 last round), and
 # the first 11 round-4 additions. If r04 grades these green, every
 # query registered THROUGH ROUND 3 has a driver row across rounds;
-# the 6 later round-4 registrations (countmin_frequency,
-# random_projection, lm_transition_anomaly, dedup_cluster_profile,
-# knn_int8_codes, label_propagation_communities) sit past the cap and
-# lead the round-5 rotation.
+# the later round-4 registrations sit past the cap and lead the
+# round-5 rotation — TODO.md keeps the authoritative list (27
+# ungraded at end of round 4, all local-gate green at sf0.01 AND
+# sf0.1), plus token_entropy whose gate was upgraded rows-only → full
+# oracle after its last grading.
 PRIORITY_PREFIX: tuple[str, ...] = (
     # -- canaries: green every prior round, kept for continuity --
     "survey_pipeline",

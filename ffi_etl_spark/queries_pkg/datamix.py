@@ -488,6 +488,7 @@ WITH toks AS (
 SELECT d.doc_id,
        COALESCE(e.n, 0) AS n_tokens,
        printf('%.6e', CASE WHEN COALESCE(e.n, 0) > 0
+                             AND abs(ln(e.n) - e.clogc / e.n) >= 1e-12
                            THEN ln(e.n) - e.clogc / e.n ELSE 0.0 END)
          AS entropy_nats
 FROM documents d LEFT JOIN ent e USING (doc_id)
@@ -501,12 +502,22 @@ def _token_entropy(spark, sf_dir):
     %.6e fixed-precision string on both engines — last-ulp ln() and
     summation-order differences sit ~1e-14 relative, eight orders
     below the 7-significant-digit band. The independent gate remains
-    the Counter differential in test_corpus_hygiene.py."""
+    the Counter differential in test_corpus_hygiene.py.
+
+    Near-zero clamp (review find): a single-distinct-token doc's
+    entropy is the cancellation residue ``ln(n) − n·ln(n)/n`` — a
+    ±1-ulp value whose BIT PATTERN is engine-libm-dependent, and %.6e
+    of 2.2e-16 vs 0.0 is a hard mismatch. |entropy| < 1e-12 (far above
+    ulp noise, far below any real entropy) snaps to +0.0 on both
+    engines before formatting."""
     from ffi_etl_spark.operators.textops import token_entropy
 
     d = table(spark, sf_dir, "documents")
+    e = F.col("entropy_nats")
     return token_entropy(d).select(
         "doc_id",
         "n_tokens",
-        F.format_string("%.6e", F.col("entropy_nats")).alias("entropy_nats"),
+        F.format_string(
+            "%.6e", F.when(F.abs(e) < 1e-12, F.lit(0.0)).otherwise(e)
+        ).alias("entropy_nats"),
     )

@@ -600,7 +600,8 @@ def _lang_confusion(spark, sf_dir):
     oracle="""
 WITH n AS (SELECT COUNT(*) AS n_checked FROM lineitem)
 SELECT r.rule, n.n_checked, r.n_violations FROM n CROSS JOIN (
-  SELECT 'discount_cap' AS rule, COUNT(*) FILTER (NOT (l_discount <= 0.08)) AS n_violations
+  SELECT 'discount_cap' AS rule,
+         COUNT(*) FILTER (NOT coalesce(l_discount <= 0.08, FALSE)) AS n_violations
   FROM lineitem
   UNION ALL
   SELECT 'extendedprice_unique',
@@ -669,7 +670,7 @@ WITH toked AS (
               THEN 'train'
               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 8
               THEN 'val' ELSE 'test' END AS split,
-         string_split_regex(trim(text), '\s+') AS toks
+         string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
   FROM documents
 ), grams AS (
   SELECT DISTINCT split, doc_id,
@@ -718,7 +719,12 @@ def _split_leakage_audit(spark, sf_dir):
         docs.select(
             split.alias("split"),
             "doc_id",
-            F.explode(word_ngrams(F.col("text"), 8)).alias("gram"),
+            # coalesce keeps a NULL-text doc as one ""-gram row on BOTH
+            # engines (word_ngrams over raw NULL would yield "" here
+            # while the SQL side's md5(NULL) never joins — review find)
+            F.explode(
+                word_ngrams(F.coalesce(F.col("text"), F.lit("")), 8)
+            ).alias("gram"),
         )
         .select("split", "doc_id", md5_int60(F.col("gram")).alias("g"))
         .distinct()

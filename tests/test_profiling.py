@@ -85,18 +85,24 @@ def test_approx_distinct_within_hll_error_band(spark):
 
 
 def test_approx_quantiles_within_relative_error(spark):
-    """approx_percentile rows-only tier: each sketch quantile must sit
-    within the sketch's rank-error band of the exact percentile values
-    (accuracy=10000 -> 1/10000 rank error; assert against a loose 1%
-    value band on this distribution)."""
+    """Value-accuracy differential for the quantile sketch: each
+    percentile_approx value (the same expression the gated query
+    sketches with) must sit within a loose 1% value band of the exact
+    percentiles, AND the gated query's rank-guarantee flags must all
+    be 1 (the error-band oracle contract, since r4)."""
     import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from ffi_etl_spark.catalog import table
 
     sf = "/root/testdata/sf0.01"
-    approx: dict[str, list] = {}
-    for r in entry_mod.queries()["approx_quantiles"](spark, sf).collect():
-        approx.setdefault(r["event_type"], []).append((r["pct"], r["approx_value"]))
-    # rows arrive ordered (event_type, pct) -> p50, p90, p99 per group
-    approx = {k: [x for _, x in sorted(v)] for k, v in approx.items()}
+    approx = {
+        r["event_type"]: list(r["v"])
+        for r in table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("v"))
+        .collect()
+    }
     exact = {
         r["event_type"]: [r["p50"], r["p90"], r["p99"]]
         for r in entry_mod.queries()["quantiles_exact"](spark, sf).collect()
@@ -107,3 +113,6 @@ def test_approx_quantiles_within_relative_error(spark):
         for a, b in zip(v, exact[k]):
             denom = max(abs(b), 1.0)
             assert abs(a - b) / denom < 0.01, (k, a, b)
+    gated = entry_mod.queries()["approx_quantiles"](spark, sf).collect()
+    assert len(gated) == 3 * len(exact)
+    assert all(r["within_band"] == 1 for r in gated)

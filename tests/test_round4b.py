@@ -210,6 +210,8 @@ def test_check_constraints_counts_planted_violations(spark):
             (2, None, "ok", 30, "C3"),     # null fkey: not a FK violation
             (3, 9, "bad", -5, "zz"),       # fk orphan + bad status + range + regex
             (None, 1, "ok", 200, "D4"),    # null id (not counted by unique) + range
+            (4, 1, "ok", 50, "xxA1xx"),    # CONTAINS a match: full-match must flag
+            (5, 2, "ok", None, "E5"),      # null score: not-null + predicate(NULL)
         ],
         "id long, fkey long, status string, score long, code string",
     )
@@ -217,21 +219,23 @@ def test_check_constraints_counts_planted_violations(spark):
         Rule("fk", "fk", col="fkey", parent=parent, parent_key="pk"),
         Rule("id_unique", "unique", col="id"),
         Rule("range_0_100", "range", col="score", lo=0, hi=100),
-        Rule("regex_code", "regex", col="code", pattern="^[A-Z][0-9]$"),
+        # deliberately UNanchored: the regex kind's contract is full match
+        Rule("regex_code", "regex", col="code", pattern="[A-Z][0-9]"),
         Rule("status_ok", "in_set", col="status", values=("ok",)),
         Rule("score_not_null", "not_null", col="score"),
+        # NULL-evaluating predicate counts as a violation (explicit policy)
         Rule("positive", "predicate", expr="score > 0"),
     ]
     out = {r.rule: (r.n_checked, r.n_violations) for r in
            check_constraints(df, rules).collect()}
     assert out == {
-        "fk": (5, 1),
-        "id_unique": (5, 1),
-        "range_0_100": (5, 2),
-        "regex_code": (5, 1),
-        "status_ok": (5, 1),
-        "score_not_null": (5, 0),
-        "positive": (5, 1),
+        "fk": (7, 1),
+        "id_unique": (7, 1),
+        "range_0_100": (7, 2),
+        "regex_code": (7, 2),
+        "status_ok": (7, 1),
+        "score_not_null": (7, 1),
+        "positive": (7, 2),
     }
 
 
