@@ -425,3 +425,54 @@ def kmeans_cluster_profile(assigned: DataFrame, id_col: str = "vec_id") -> DataF
         )
         .orderBy("centroid_id")
     )
+
+
+def dedup_semantic(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    min_sim: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): k-means-cluster the embeddings, then compare
+    pairs ONLY within each cluster and flag cosine similarity
+    ≥ ``min_sim`` — semantic near-duplicates that character/token tiers
+    (MinHash, SimHash) cannot see because the texts differ while the
+    meaning doesn't.
+
+    Candidate bound: clustering cuts all-pairs n² to ~n²/k (uniform
+    clusters); k scales with the corpus so per-cluster membership — and
+    therefore the within-cluster join — stays bounded. A skewed
+    mega-cluster degrades toward all-pairs: raise k, or pre-split hot
+    clusters with the sign-LSH tier (`ann_sign_lsh_pairs`), which is
+    this operator's bucketed cousin with random-hyperplane buckets
+    instead of learned ones. Exact duplicates are ALWAYS caught:
+    identical vectors produce identical deterministic assignments
+    (argmax with lowest-id tie-break), so they land in the same
+    cluster by construction.
+
+    Iterative k-means makes the gate rows-only (the kmeans numpy
+    differential + the subset/recall tests carry correctness); the
+    pair verify itself is the bit-deterministic in-order cosine fold
+    from functions/vectors.py."""
+    assigned = kmeans_lloyd(corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    a = assigned.select(
+        "centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        "centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("_va"), F.col("_vb")) >= min_sim)
+        .select(
+            "centroid_id",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+    )

@@ -951,3 +951,29 @@ def _mixture_curriculum(spark, sf_dir):
         .select("r.epoch", "r.alpha", "r.source", "r.n_total", "r.n_kept")
         .orderBy("epoch", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic near-duplicates
+# ---------------------------------------------------------------------------
+
+@query("dedup_semantic")  # rows-only: k-means is iterative (numpy-differential gated)
+def _dedup_semantic(spark, sf_dir):
+    """operators/similarity.py::dedup_semantic over embeddings — the
+    SemDeDup tier beside the LSH-bucketed `dedup_embedding`: learned
+    (k-means) buckets instead of random hyperplanes, pairs compared
+    only within a cluster (min_sim matches the dedup_embedding tier's
+    0.15 floor — this synthetic corpus has no high-cosine pairs).
+    Rows-only by design (iterative k-means);
+    correctness is carried by test_round4b.py's subset/recall
+    differentials and the kmeans numpy stepwise differential."""
+    from ffi_etl_spark.operators.similarity import dedup_semantic
+
+    emb = table(spark, sf_dir, "embeddings")
+    # k scales with the corpus so per-cluster membership (and the
+    # within-cluster pair count ~ n^2/k) stays bounded at ~500 members
+    # — one scalar count() action, the documented SemDeDup knob
+    k = max(8, emb.count() // 500)
+    return dedup_semantic(emb, k=k, n_iter=3, min_sim=0.15).orderBy(
+        "id_a", "id_b"
+    )

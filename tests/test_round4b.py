@@ -321,3 +321,39 @@ def test_mixture_curriculum_monotone_anneal(spark):
     min_source = min(by_source, key=lambda s: by_source[s][0][0])
     n, k = by_source[min_source][3]
     assert k >= n - 1  # floor() may shave one draw at threshold 2^32
+
+
+def test_dedup_semantic_subset_and_exact_recall(spark):
+    """Differentials for the SemDeDup tier: (1) every reported pair
+    really has cosine >= 1-eps (subset of the brute-force pair set);
+    (2) planted EXACT duplicate vectors are always caught (identical
+    vectors share a deterministic cluster assignment)."""
+    import itertools
+
+    import numpy as np
+
+    from ffi_etl_spark.catalog import table
+    from ffi_etl_spark.operators.similarity import dedup_semantic
+
+    base = table(spark, SF, "embeddings").limit(40).collect()
+    rows = [(r.vec_id, list(r.embedding)) for r in base]
+    # plant an exact duplicate pair far outside the real id range
+    rows.append((100001, rows[0][1]))
+    rows.append((100002, rows[0][1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in dedup_semantic(df, k=4, n_iter=2, min_sim=0.85).collect()
+    }
+    vecs = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+    def cos(x, y):
+        return float(np.dot(x, y) / (np.linalg.norm(x) * np.linalg.norm(y)))
+    brute = {
+        (i, j)
+        for i, j in itertools.combinations(sorted(vecs), 2)
+        if cos(vecs[i], vecs[j]) >= 0.85
+    }
+    assert set(got) <= brute                      # no false pairs
+    assert (100001, 100002) in got                # exact dups always caught
+    assert abs(got[(100001, 100002)] - 1.0) < 1e-6
+    assert (rows[0][0], 100001) in got            # original pairs with its copies
