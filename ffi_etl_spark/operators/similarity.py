@@ -459,20 +459,39 @@ def dedup_semantic(
     pair verify itself is the bit-deterministic in-order cosine fold
     from functions/vectors.py."""
     assigned = kmeans_lloyd(corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    if "vec_norm" not in assigned.columns:  # n_iter=0: init-only assignment
+        assigned = assigned.withColumn("vec_norm", norm2(F.col(vec_col)))
     a = assigned.select(
-        "centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+        "centroid_id",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("vec_norm").alias("_na"),
     )
     b = assigned.select(
-        "centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+        "centroid_id",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("vec_norm").alias("_nb"),
     )
     return (
         a.join(b, "centroid_id")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine(F.col("_va"), F.col("_vb")) >= min_sim)
+        # zero vectors have no direction: drop them BEFORE the cosine —
+        # Spark orders NaN above every number, so a NaN similarity
+        # would otherwise pass any >= filter (review find)
+        .where((F.col("_na") > 0) & (F.col("_nb") > 0))
+        # the assignment already carries vec_norm: ONE dot fold per
+        # pair via cosine_prenorm (the knn/ivf idiom), computed once
+        # as a column shared by the filter and the output
+        .withColumn(
+            "cosine_sim",
+            cosine_prenorm(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
+        )
+        .where(F.col("cosine_sim") >= min_sim)
         .select(
             "centroid_id",
             "id_a",
             "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+            F.round("cosine_sim", 6).alias("cosine_sim"),
         )
     )

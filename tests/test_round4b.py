@@ -342,7 +342,7 @@ def test_dedup_semantic_subset_and_exact_recall(spark):
     rows.append((100002, rows[0][1]))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {
-        (r.id_a, r.id_b): r.cos_sim
+        (r.id_a, r.id_b): r.cosine_sim
         for r in dedup_semantic(df, k=4, n_iter=2, min_sim=0.85).collect()
     }
     vecs = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
