@@ -15,6 +15,7 @@ deterministic and DuckDB-comparable bit-for-bit.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -461,6 +462,12 @@ def dedup_semantic(
     assigned = kmeans_lloyd(corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     if "vec_norm" not in assigned.columns:  # n_iter=0: init-only assignment
         assigned = assigned.withColumn("vec_norm", norm2(F.col(vec_col)))
+    # pin the assignment: it feeds BOTH sides of the within-cluster
+    # self-join, and its lineage embeds every k-means round — without
+    # persist the whole iteration re-executes per side (plan audit
+    # showed 17 corpus scans unpinned; the dedup-family _pin idiom,
+    # reclaimed by catalog.clearCache like the signature tables)
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     a = assigned.select(
         "centroid_id",
         F.col(id_col).alias("id_a"),
