@@ -977,3 +977,93 @@ def _dedup_semantic(spark, sf_dir):
     return dedup_semantic(emb, k=k, n_iter=3, min_sim=0.15).orderBy(
         "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-trained bigram-LM document fluency (perplexity-filter shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_lm_fluency",
+    oracle=r"""
+WITH toked AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest([
+           array_to_string(toks[i:i+1], ' ')
+           for i in generate_series(1, greatest(len(toks) - 1, 1))
+         ]) AS gram
+  FROM toked
+), cb AS (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY gram
+), cpre AS (
+  SELECT split_part(gram, ' ', 1) AS pfx, CAST(SUM(c) AS BIGINT) AS cp
+  FROM cb GROUP BY pfx
+), per AS (
+  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+         SUM(ln(cb.c) - ln(cpre.cp)) AS s
+  FROM bg b JOIN cb USING (gram)
+  JOIN cpre ON split_part(b.gram, ' ', 1) = cpre.pfx
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams, printf('%.6e', s / n_bigrams) AS avg_logp
+FROM per
+""",
+)
+def _doc_lm_fluency(spark, sf_dir):
+    """Corpus-trained bigram language-model fluency per document — the
+    shape of a KenLM/CCNet perplexity filter with the corpus itself as
+    the LM: score = mean log p(token | previous token) where p(b|a) =
+    c(a b) / c(a ·) from whole-corpus bigram counts. Low (very
+    negative) scores mark incoherent token sequences; scores near 0
+    mark fully templated text — both tails are what a quality gate
+    samples for review. Complements `lm_transition_anomaly` (the same
+    idea over event streams) and the `ccnet_quality_tiers` bucketing
+    (which can consume this score instead of the stopword proxy).
+
+    Parity: the score is a partition-order-accumulated transcendental
+    sum → leaves as a %.6e string per the stats_moments rule (each
+    ln-difference term carries ≤2 ulp absolute error; the band has
+    eight orders of headroom). Deterministic-probability bigrams
+    (c == c_prefix) contribute exactly 0.0 on both engines — same ln
+    argument, so the difference cancels bit-exactly.
+
+    Plan: one bigram explode → gram-keyed count agg; the prefix agg
+    reduces the COUNTS table (distinct grams), not the corpus; the
+    probability join back is gram-keyed and co-partitioned with the
+    count agg; one doc-keyed agg out. Two shuffles of gram-sized data,
+    zero corpus broadcasts."""
+    from ffi_etl_spark.functions.hashing import word_ngrams
+
+    d = table(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            word_ngrams(F.lower(F.coalesce(F.col("text"), F.lit(""))), 2)
+        ).alias("gram"),
+    )
+    cb = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    cpre = (
+        cb.withColumn("pfx", F.split(F.col("gram"), " ").getItem(0))
+        .groupBy("pfx")
+        .agg(F.sum("c").alias("cp"))
+    )
+    return (
+        bg.join(cb, "gram")
+        .withColumn("pfx", F.split(F.col("gram"), " ").getItem(0))
+        .join(cpre, "pfx")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.log(F.col("c")) - F.log(F.col("cp"))).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.format_string("%.6e", F.col("s") / F.col("n_bigrams")).alias(
+                "avg_logp"
+            ),
+        )
+    )

@@ -357,3 +357,37 @@ def test_dedup_semantic_subset_and_exact_recall(spark):
     assert (100001, 100002) in got                # exact dups always caught
     assert abs(got[(100001, 100002)] - 1.0) < 1e-6
     assert (rows[0][0], 100001) in got            # original pairs with its copies
+
+
+def test_doc_lm_fluency_matches_python_lm(spark):
+    """Differential: the Spark bigram-LM score equals a plain-Python
+    LM trained on the same corpus (counts + mean log prob)."""
+    from collections import Counter
+
+    from ffi_etl_spark.catalog import table
+
+    docs = [(r.doc_id, (r.text or "").lower().strip())
+            for r in table(spark, SF, "documents").collect()]
+
+    def bigrams(text):
+        toks = [t for t in __import__("re").split(r"\s+", text)]
+        if len(toks) < 2:
+            return [" ".join(toks)]  # word_ngrams pads to one pseudo-gram
+        return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    cb = Counter()
+    for _, t in docs:
+        cb.update(bigrams(t))
+    cp = Counter()
+    for g, c in cb.items():
+        cp[g.split(" ")[0]] += c
+    got = {r.doc_id: (r.n_bigrams, float(r.avg_logp))
+           for r in _rows(spark, "doc_lm_fluency")}
+    assert set(got) == {i for i, _ in docs}
+    for doc_id, text in docs[:100]:
+        bgs = bigrams(text)
+        want = sum(math.log(cb[g]) - math.log(cp[g.split(" ")[0]]) for g in bgs) / len(bgs)
+        n, score = got[doc_id]
+        assert n == len(bgs)
+        assert math.isclose(score, want, rel_tol=1e-5, abs_tol=1e-9), (doc_id, score, want)
+        assert score <= 0.0
