@@ -1067,3 +1067,113 @@ def _doc_lm_fluency(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (beside k_anonymity_audit)
+# ---------------------------------------------------------------------------
+
+@query(
+    "l_diversity_audit",
+    oracle="""
+WITH joined AS (
+  SELECT c.c_mktsegment, c.c_nationkey, o.o_orderpriority
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_sensitive,
+       CAST(COUNT(DISTINCT o_orderpriority) >= 3 AS INT) AS l_diverse
+FROM joined
+GROUP BY c_mktsegment, c_nationkey
+ORDER BY c_mktsegment, c_nationkey
+""",
+)
+def _l_diversity_audit(spark, sf_dir):
+    """l-diversity audit, the companion gate to `k_anonymity_audit`:
+    a QI group can be large enough for k-anonymity and still leak —
+    if every member shares one sensitive value, group membership
+    reveals it. Here: (segment × nationality) groups whose orders
+    carry fewer than l=3 distinct priorities (the sensitive
+    attribute) are flagged ``l_diverse = 0`` — the homogeneous groups
+    an l-diverse release must generalize. Output is the full per-group
+    diversity report (the suppression list is its l_diverse=0 filter;
+    on this synthetic data every group carries all 5 priorities, so
+    the report form keeps the gate non-degenerate).
+
+    Plan: one fact join (customer side broadcastable), one QI-keyed
+    aggregate with a distinct count; output bounded by QI
+    cardinality. Counts are exact integers."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment", "c_nationkey")),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("o_orderpriority").alias("n_sensitive"),
+        )
+        .withColumn("l_diverse", (F.col("n_sensitive") >= 3).cast("int"))
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shuffle-free join-cardinality + skew probe (plan before you join)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_cardinality_probe",
+    oracle="""
+WITH a AS (
+  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS na
+  FROM lineitem GROUP BY k
+), b AS (
+  SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS nb
+  FROM orders GROUP BY k
+), prod AS (
+  SELECT a.k, na * nb AS pairs FROM a JOIN b USING (k)
+)
+SELECT CAST(SUM(pairs) AS BIGINT) AS est_join_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_join_keys,
+       CAST(MAX(pairs) AS BIGINT) AS max_key_pairs,
+       CAST((SELECT COUNT(*) FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey) AS BIGINT) AS actual_join_rows
+FROM prod
+""",
+)
+def _join_cardinality_probe(spark, sf_dir):
+    """Plan-before-you-join sizing: the EXACT cardinality of an
+    equi-join is Σ_k count_a(k)·count_b(k) — computable from two
+    per-key COUNT aggregates WITHOUT materializing the join. At 100 TB
+    this is how a pipeline decides broadcast vs shuffle vs salt BEFORE
+    paying for the join: `est_join_rows` sizes the output,
+    `max_key_pairs` is the skew bomb (one key's share of the work —
+    feed it to `salted_join` when it dwarfs the mean). The query also
+    runs the real join once (test-scale only) to pin est == actual as
+    a live identity; production drops the actual column.
+
+    Plan: two per-key count aggs (map-side combined), a key join of
+    the COUNT TABLES (key-cardinality-sized, not row-sized), one-row
+    output. The verification join is the only row-sized work."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    a = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("na"))
+    b = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("nb"))
+    prod = a.join(b, "k").select("k", (F.col("na") * F.col("nb")).alias("pairs"))
+    actual = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .agg(F.count(F.lit(1)).alias("actual_join_rows"))
+    )
+    return (
+        prod.agg(
+            F.sum("pairs").alias("est_join_rows"),
+            F.count(F.lit(1)).alias("n_join_keys"),
+            F.max("pairs").alias("max_key_pairs"),
+        )
+        .join(F.broadcast(actual))
+        .select("est_join_rows", "n_join_keys", "max_key_pairs", "actual_join_rows")
+    )

@@ -391,3 +391,38 @@ def test_doc_lm_fluency_matches_python_lm(spark):
         assert n == len(bgs)
         assert math.isclose(score, want, rel_tol=1e-5, abs_tol=1e-9), (doc_id, score, want)
         assert score <= 0.0
+
+
+def test_l_diversity_flags_homogeneous_group(spark, tmp_path):
+    """Plant a homogeneous QI group (every order shares one priority):
+    it must report l_diverse=0 while a mixed group reports 1."""
+    d = str(tmp_path / "ldiv")
+    cust = [(1, "n1", 10, "A"), (2, "n2", 10, "B"), (3, "n3", 20, "B")]
+    spark.createDataFrame(
+        [(i, n, nk, seg, "addr", "ph", 0.0, "c") for i, n, nk, seg in cust],
+        "c_custkey long, c_name string, c_nationkey long, c_mktsegment string,"
+        "c_address string, c_phone string, c_acctbal double, c_comment string",
+    ).write.mode("overwrite").parquet(d + "/customer.parquet")
+    orders = [(i, 1, "1-URGENT") for i in range(5)]           # homogeneous
+    orders += [(10 + i, 2, p) for i, p in enumerate(["1-URGENT", "2-HIGH", "3-MEDIUM"])]
+    orders += [(20 + i, 3, p) for i, p in enumerate(["1-URGENT", "2-HIGH"])]
+    spark.createDataFrame(
+        [(oid, ck, "O", 1.0, "2024-01-01", p, "clerk", 0, "c") for oid, ck, p in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double,"
+        "o_orderdate string, o_orderpriority string, o_clerk string,"
+        "o_shippriority long, o_comment string",
+    ).write.mode("overwrite").parquet(d + "/orders.parquet")
+    out = {(r.c_mktsegment, r.c_nationkey): (r.n_sensitive, r.l_diverse)
+           for r in entry_mod.queries()["l_diversity_audit"](spark, d).collect()}
+    assert out[("A", 10)] == (1, 0)   # homogeneous: flagged
+    assert out[("B", 10)] == (3, 1)   # diverse
+    assert out[("B", 20)] == (2, 0)   # below l=3
+
+
+def test_join_cardinality_probe_identity(spark):
+    """The per-key product sum must equal the materialized join size,
+    and max_key_pairs bounds every key's contribution."""
+    r = _rows(spark, "join_cardinality_probe")[0]
+    assert r.est_join_rows == r.actual_join_rows > 0
+    assert 0 < r.max_key_pairs <= r.est_join_rows
+    assert r.n_join_keys > 0
