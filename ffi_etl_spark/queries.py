@@ -54,6 +54,7 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
     round4,
     analytics,
     round4b,
+    round4c,
 )
 
 # The driver's correctness gate grades a bounded prefix of the registry

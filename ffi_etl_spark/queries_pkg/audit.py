@@ -207,25 +207,82 @@ def _fk_integrity_audit(spark, sf_dir):
 
 # --- near-dup graph centrality ------------------------------------------------
 
-@query("pagerank_centrality", oracle=None)
+
+def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank as a DuckDB CTE chain over the
+    MinHash pair graph — upgrading the former rows-only gate to a full
+    differential oracle. Legal because (a) the iteration count is
+    pinned (engine called with ``tol=0.0`` so it never early-exits),
+    (b) the symmetrized pair graph has no dangling vertices (every
+    vertex has out-degree ≥ 1, so the engine's dangling term is
+    exactly +0.0 every round), and (c) the output leaves as %.6e
+    fixed-precision strings on both engines (partition-order float
+    accumulation rule, TODO.md). The arithmetic mirrors
+    operators/graph.py::pagerank term by term: rank' =
+    (1.0-d)/n + d * COALESCE(sum(rank/deg), 0.0)."""
+    from ffi_etl_spark.queries_pkg.extensions import _minhash_pairs_cte
+
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(f"""r{k} AS (
+  SELECT d.a AS vertex,
+         (1.0 - {damping}) / nv.n + {damping} * COALESCE(s.c, 0.0) AS pr
+  FROM deg d CROSS JOIN nv
+  LEFT JOIN (
+    SELECT e.b AS v, SUM(r.pr / dg.deg) AS c
+    FROM edges e
+    JOIN r{k - 1} r ON r.vertex = e.a
+    JOIN deg dg ON dg.a = e.a
+    GROUP BY e.b
+  ) s ON s.v = d.a
+)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_minhash_pairs_cte()}, pr_pairs AS (
+  SELECT id_a, id_b FROM verified WHERE jaccard_sim >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pr_pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pr_pairs
+), deg AS (
+  SELECT a, COUNT(*) AS deg FROM edges GROUP BY a
+), nv AS (
+  SELECT COUNT(*) AS n FROM deg
+), r0 AS (
+  SELECT a AS vertex, 1.0 / n AS pr FROM deg CROSS JOIN nv
+),
+{chain}
+SELECT vertex, printf('%.6e', pr) AS rank_s FROM r{n_iter} ORDER BY vertex
+"""
+
+
+@query("pagerank_centrality", oracle=_pagerank_oracle())
 def _pagerank_centrality(spark, sf_dir):
     """PageRank over the MinHash near-dup pair graph (undirected):
     high-rank documents sit in dense mirror/template clusters — the
-    triage order for manual review of a dedup run. Rows-only gate by
-    design (iterative floating-point accumulation has no SQL oracle);
-    the correctness check is the dense-numpy power-iteration
-    differential in test_properties.py::test_pagerank_matches_numpy.
-    Ranks are rounded for display; rank mass sums to 1."""
+    triage order for manual review of a dedup run.
+
+    Upgraded from rows-only to a FULL oracle: with the iteration count
+    pinned (``tol=0.0`` — exactly 10 power-iteration rounds, no
+    data-dependent early exit) the computation is a finite arithmetic
+    circuit, expressible as 10 unrolled SQL stages. The symmetrized
+    pair graph has no dangling vertices, so the engine's dangling term
+    is +0.0 every round and drops out of the parity argument. Ranks
+    leave as %.6e strings both sides (merge-order float drift ~1e-13
+    relative sits far below the 7th significant figure). The
+    dense-numpy differential in
+    test_properties.py::test_pagerank_matches_numpy still covers the
+    dangling/convergence paths the oracle pins away."""
     from pyspark.sql import functions as F
 
     from ffi_etl_spark.operators.dedup import dedup_minhash_lsh
     from ffi_etl_spark.operators.graph import pagerank
 
     pairs = dedup_minhash_lsh(table(spark, sf_dir, "documents"))
-    ranks = pagerank(pairs, undirected=True, max_iter=10)
-    return ranks.select("vertex", F.round("rank", 8).alias("rank")).orderBy(
-        F.col("rank").desc(), F.col("vertex")
-    )
+    ranks = pagerank(pairs, undirected=True, max_iter=10, tol=0.0)
+    return ranks.select(
+        "vertex", F.format_string("%.6e", F.col("rank")).alias("rank_s")
+    ).orderBy("vertex")
 
 
 # --- cross-document duplicated-span profile ----------------------------------

@@ -834,18 +834,67 @@ def _knn_int8_codes(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Label-propagation communities (rows-only: iterative)
+# Label-propagation communities (full oracle: unrolled synchronous rounds)
 # ---------------------------------------------------------------------------
 
 
-@query("label_propagation_communities")  # iterative fixpoint: no SQL oracle
+def _label_propagation_oracle(n_iter: int = 10) -> str:
+    """Unrolled synchronous label propagation as a DuckDB CTE chain —
+    upgrading the former rows-only gate to a full oracle. Legal
+    because the update is PURE INTEGER arithmetic with a deterministic
+    tie-break (most-frequent neighbor label, ties to the smallest
+    label), and the engine's early exit fires only at a true fixpoint:
+    once labels stop changing, further synchronous rounds are no-ops,
+    so "stop at fixpoint or 10 rounds" ≡ "run exactly 10 rounds".
+    Mirrors operators/graph.py::label_propagation round for round."""
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(f"""l{k} AS (
+  SELECT a AS vertex, label FROM (
+    SELECT e.a, l.label,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.a ORDER BY COUNT(*) DESC, l.label
+           ) AS rk
+    FROM edges e JOIN l{k - 1} l ON l.vertex = e.b
+    GROUP BY e.a, l.label
+  ) WHERE rk = 1
+)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_minhash_pairs_cte()}, lp_pairs AS (
+  SELECT id_a, id_b FROM verified WHERE jaccard_sim >= 0.5
+), edges AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT id_a AS a, id_b AS b FROM lp_pairs
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM lp_pairs
+  ) WHERE a != b
+), l0 AS (
+  SELECT DISTINCT a AS vertex, a AS label FROM edges
+),
+{chain}
+SELECT label AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(vertex) AS canonical_doc
+FROM l{n_iter}
+GROUP BY label
+ORDER BY community
+"""
+
+
+@query("label_propagation_communities", oracle=_label_propagation_oracle())
 def _label_propagation_communities(spark, sf_dir):
     """Template families within the near-dup graph: synchronous label
     propagation over the MinHash pair graph
-    (operators/graph.py::label_propagation). Rows-only by design — the
-    fixpoint of an iterative algorithm is not SQL-expressible; the
-    crafted two-cliques test locks semantics. Output: one row per
-    community with its size and canonical (min) member."""
+    (operators/graph.py::label_propagation).
+
+    Upgraded from rows-only to a FULL oracle: the LP update is pure
+    integer arithmetic with a deterministic tie-break, and the
+    engine's fixpoint early-exit is parity-neutral (post-fixpoint
+    synchronous rounds are no-ops), so 10 unrolled SQL rounds compute
+    the identical labeling. The crafted two-cliques test still locks
+    the operator-level semantics. Output: one row per community with
+    its size and canonical (min) member."""
     from ffi_etl_spark.operators.dedup import dedup_minhash_lsh
     from ffi_etl_spark.operators.graph import label_propagation
 

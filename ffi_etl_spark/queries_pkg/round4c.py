@@ -1,0 +1,147 @@
+"""Round-4c additions: incremental aggregate maintenance (IVM) and a
+deterministic differential-privacy release.
+
+``incremental_agg_maintenance`` is the nightly-refresh shape: the
+historical base arrives PRE-REDUCED (one row per group) and only the
+delta batch is aggregated from facts, then the two merge with
+operators/ivm.py::merge_grouped_partials — O(groups), not O(history).
+The oracle recomputes the same answer from the full fact table, which
+is exactly the rescans-everything plan the operator exists to avoid.
+
+``dp_noised_release`` completes the privacy-audit family
+(k_anonymity_audit, l_diversity_audit): an ε-DP Laplace count release
+whose noise draw is DETERMINISTIC — uniform u derived from the md5 of
+the group key (the same keyed-hash idiom as the datamix samplers), then
+the standard inverse-CDF transform noise = -b·sign(u-½)·ln(1-2|u-½|).
+ln() is transcendental, so per the house parity rule the noised values
+leave as %.6e strings on both engines (Java Math.log and DuckDB libm
+log agree far beyond 7 significant figures); no float ever feeds a
+row-membership or LIMIT decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ffi_etl_spark.catalog import table
+from ffi_etl_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance: base aggregate + delta batch, no rescan
+# ---------------------------------------------------------------------------
+
+_IVM_CUTOFF = "2024-01-24 00:00:00"
+
+_IVM_ORACLE = f"""
+SELECT user_id,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       MIN(value) AS value_min,
+       MAX(value) AS value_max
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
+@query("incremental_agg_maintenance", oracle=_IVM_ORACLE)
+def _incremental_agg_maintenance(spark, sf_dir):
+    """Maintain a (user_id, event_type) aggregate across a batch
+    boundary WITHOUT rescanning history: events before the cutoff play
+    the stored base aggregate (pre-reduced), events after play the
+    arriving delta; operators/ivm.py::merge_grouped_partials combines
+    them per group (count/sum merge as sums, min/max as least/
+    greatest). The oracle is the full recomputation — identical answer,
+    O(history) cost. Sums are exact integer cents (FLOOR(value*100)),
+    so the merge is bit-stable under any partition order; min/max are
+    order-independent raw doubles."""
+    from ffi_etl_spark.operators.ivm import merge_grouped_partials
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("value_cents"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+    ]
+    keys = ["user_id", "event_type"]
+    cutoff = F.lit(_IVM_CUTOFF).cast("timestamp")
+    base = ev.filter(F.col("ts") < cutoff).groupBy(*keys).agg(*aggs)
+    delta = ev.filter(F.col("ts") >= cutoff).groupBy(*keys).agg(*aggs)
+    merged = merge_grouped_partials(
+        base,
+        delta,
+        keys,
+        {
+            "n_events": "sum",
+            "value_cents": "sum",
+            "value_min": "min",
+            "value_max": "max",
+        },
+    )
+    return merged.orderBy("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# deterministic ε-DP Laplace count release
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 1.0
+
+# 52-bit md5-derived uniform in the OPEN interval (0,1): v in [0, 2^52-1],
+# u = (v+1)/(2^52+1) — never 0, never 1, so |u-1/2| < 1/2 and the ln()
+# argument 1-2|u-1/2| stays strictly positive.
+_DP_U_SQL = (
+    "(('0x' || substr(md5(event_type), 1, 13))::BIGINT + 1) / 4503599627370497.0"
+)
+
+_DP_ORACLE = f"""
+WITH counts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+), noised AS (
+  SELECT event_type, n, {_DP_U_SQL} AS u FROM counts
+)
+SELECT event_type,
+       printf('%.6e', 1.0 / {_DP_EPS}) AS laplace_scale_s,
+       printf('%.6e',
+              n - (1.0 / {_DP_EPS})
+                * CASE WHEN u - 0.5 < 0.0 THEN -1.0
+                       WHEN u - 0.5 > 0.0 THEN 1.0
+                       ELSE 0.0 END
+                * ln(1.0 - 2.0 * abs(u - 0.5))) AS released_s
+FROM noised
+ORDER BY event_type
+"""
+
+
+@query("dp_noised_release", oracle=_DP_ORACLE)
+def _dp_noised_release(spark, sf_dir):
+    """ε=1 differentially-private per-event-type count release with a
+    deterministic Laplace draw: u = keyed-md5 uniform in (0,1),
+    noise = -(1/ε)·sign(u-½)·ln(1-2|u-½|) (inverse-CDF sampling). The
+    raw count never leaves; the noised value exits as a %.6e string on
+    both engines (transcendental-ln parity rule). Completes the
+    privacy-audit trio beside k_anonymity_audit / l_diversity_audit."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("event_type")), 1, 13), 16, 10).cast("long")
+        + F.lit(1)
+    ) / F.lit(4503599627370497.0)
+    centered = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / _DP_EPS)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return (
+        counts.select(
+            "event_type",
+            F.format_string("%.6e", F.lit(1.0 / _DP_EPS)).alias("laplace_scale_s"),
+            F.format_string("%.6e", F.col("n") + noise).alias("released_s"),
+        )
+        .orderBy("event_type")
+    )
