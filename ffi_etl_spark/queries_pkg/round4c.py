@@ -145,3 +145,99 @@ def _dp_noised_release(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order locality profile: the data-layout lever, driver-graded
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 12  # 2 cols x 12 bits = 24-bit Morton code
+
+
+def _zvalue_sql(cols: list[str], bits: int) -> str:
+    """The same Morton interleave sources/layout.py::zvalue builds with
+    shiftleft/shiftright/bitwiseAND, as DuckDB bit arithmetic — bit b of
+    column i lands at position b*len(cols)+i. Pure integer ops, so the
+    differential is bit-exact."""
+    n = len(cols)
+    terms = [
+        f"((({c} >> {b}) & 1) << {b * n + i})"
+        for b in range(bits)
+        for i, c in enumerate(cols)
+    ]
+    return " | ".join(terms)
+
+
+def _scaled_sql(col: str, mn: str, mx: str, bits: int) -> str:
+    """Mirror of sources/layout.py::_scaled: ((c-min)/span)*top under
+    IEEE doubles is per-row scalar arithmetic (no accumulation), so the
+    two engines agree bit-for-bit and the FLOOR grid cell is safe."""
+    top = float((1 << bits) - 1)
+    return (
+        f"CASE WHEN CAST({mx} - {mn} AS DOUBLE) > 0 THEN "
+        f"CAST(FLOOR(CAST({col} - {mn} AS DOUBLE) / CAST({mx} - {mn} AS DOUBLE) * {top}) AS BIGINT) "
+        f"ELSE 0 END"
+    )
+
+
+_ZORDER_ORACLE = f"""
+WITH mm AS (
+  SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+         MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+  FROM lineitem
+), scaled AS (
+  SELECT {_scaled_sql("l_partkey", "pmin", "pmax", _Z_BITS)} AS zp,
+         {_scaled_sql("l_suppkey", "smin", "smax", _Z_BITS)} AS zs,
+         l_partkey, l_suppkey
+  FROM lineitem CROSS JOIN mm
+), zed AS (
+  SELECT ({_zvalue_sql(["zp", "zs"], _Z_BITS)}) >> 20 AS z_bucket,
+         l_partkey, l_suppkey
+  FROM scaled
+)
+SELECT z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(l_partkey) AS partkey_lo, MAX(l_partkey) AS partkey_hi,
+       MIN(l_suppkey) AS suppkey_lo, MAX(l_suppkey) AS suppkey_hi
+FROM zed
+GROUP BY z_bucket
+ORDER BY z_bucket
+"""
+
+
+@query("zorder_locality", oracle=_ZORDER_ORACLE)
+def _zorder_locality(spark, sf_dir):
+    """Driver-graded differential for the Z-order layout lever
+    (sources/layout.py::zorder_write): compute the 24-bit Morton code
+    of (l_partkey, l_suppkey), coarsen to 16 z-range buckets (the
+    file-boundary proxy — zorder_write range-partitions on exactly this
+    code), and report each bucket's bounding box in BOTH clustered
+    columns. Tight per-bucket min/max boxes are the data-skipping
+    property that makes a predicate on EITHER column prune files at
+    100 TB. Min/max normalization is a 1-row broadcast aggregate; the
+    interleave is pure codegen bit arithmetic; the oracle replays the
+    identical integer circuit in SQL."""
+    from ffi_etl_spark.sources.layout import _scaled, zvalue
+
+    li = table(spark, sf_dir, "lineitem")
+    mm = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    )
+    scaled = li.select("l_partkey", "l_suppkey").crossJoin(F.broadcast(mm))
+    zp = _scaled(F.col("l_partkey"), F.col("pmin"), F.col("pmax"), _Z_BITS)
+    zs = _scaled(F.col("l_suppkey"), F.col("smin"), F.col("smax"), _Z_BITS)
+    zed = scaled.withColumn("z_bucket", F.shiftright(zvalue([zp, zs], _Z_BITS), 20))
+    return (
+        zed.groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("partkey_lo"),
+            F.max("l_partkey").alias("partkey_hi"),
+            F.min("l_suppkey").alias("suppkey_lo"),
+            F.max("l_suppkey").alias("suppkey_hi"),
+        )
+        .orderBy("z_bucket")
+    )

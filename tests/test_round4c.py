@@ -1,12 +1,21 @@
-"""Round-4c: incremental aggregate maintenance + deterministic DP release."""
+"""Round-4c: incremental aggregate maintenance, deterministic DP release,
+Z-order locality."""
 
 from __future__ import annotations
 
 import math
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from ffi_etl_spark.operators.ivm import merge_grouped_partials
+
+_HSETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
 
 
 def _agg(df, keys):
@@ -40,6 +49,37 @@ def test_merge_partials_equals_full_recompute(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
 
 
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    cut=st.integers(min_value=0, max_value=25),
+)
+@settings(**_HSETTINGS)
+def test_merge_partials_property(spark, rows, cut):
+    """For ANY split point of ANY row multiset, merging the two halves'
+    aggregates equals aggregating the whole — the mergeability law the
+    operator rests on (integer sums: exact under every split)."""
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in rows], "k string, value double"
+    )
+    base_rows = rows[:cut] or []
+    delta_rows = rows[cut:] or []
+    mk = lambda rs: spark.createDataFrame(
+        [(k, float(v)) for k, v in rs], "k string, value double"
+    )
+    merged = merge_grouped_partials(
+        _agg(mk(base_rows), ["k"]), _agg(mk(delta_rows), ["k"]), ["k"], _SPEC
+    )
+    direct = _agg(df, ["k"])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
 def test_merge_partials_rejects_unknown_rule(spark):
     df = spark.createDataFrame([("a", 1.0)], "k string, value double")
     a = _agg(df, ["k"])
@@ -49,6 +89,29 @@ def test_merge_partials_rejects_unknown_rule(spark):
         assert "avg" in str(e)
     else:
         raise AssertionError("expected ValueError for non-mergeable rule")
+
+
+def test_zorder_buckets_bound_both_columns(spark, sf_dir):
+    """The locality property the layout lever exists for: coarsening the
+    Morton code to 16 buckets fixes the top TWO bits of EACH clustered
+    column, so every bucket's bounding box spans at most ~1/4 of the
+    global range in BOTH l_partkey and l_suppkey (±1 grid cell of
+    rounding) — i.e. a predicate on either column prunes buckets."""
+    from ffi_etl_spark.queries import QUERIES
+
+    rows = QUERIES["zorder_locality"](spark, sf_dir).collect()
+    assert len(rows) > 1
+    glo = {
+        "p": (min(r["partkey_lo"] for r in rows), max(r["partkey_hi"] for r in rows)),
+        "s": (min(r["suppkey_lo"] for r in rows), max(r["suppkey_hi"] for r in rows)),
+    }
+    for r in rows:
+        for dim, lo, hi in (
+            ("p", r["partkey_lo"], r["partkey_hi"]),
+            ("s", r["suppkey_lo"], r["suppkey_hi"]),
+        ):
+            gspan = glo[dim][1] - glo[dim][0]
+            assert (hi - lo) <= gspan / 4 + max(2, gspan * 0.01)
 
 
 def test_dp_release_is_deterministic_and_noised(spark, sf_dir):
