@@ -35,12 +35,22 @@ upgrade path for that pattern.
 from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+def _merge_sum(b, d):
+    # SUM of an all-NULL group is NULL in Spark's own partial-agg merge
+    # AND in a full recompute — propagate it, don't invent a 0.
+    return F.when(b.isNull() & d.isNull(), F.lit(None)).otherwise(
+        F.coalesce(b, F.lit(0)) + F.coalesce(d, F.lit(0))
+    )
+
+
 _MERGE_FNS = {
-    "sum": lambda b, d: F.coalesce(b, F.lit(0)) + F.coalesce(d, F.lit(0)),
+    "sum": _merge_sum,
     "min": lambda b, d: F.least(b, d),  # least/greatest skip NULLs in Spark
     "max": lambda b, d: F.greatest(b, d),
 }
@@ -56,17 +66,31 @@ def merge_grouped_partials(
 
     ``spec``: {aggregate_column: "sum" | "min" | "max"}. Groups present
     on only one side pass through; groups present on both merge per
-    rule. NULL aggregate values are treated as absent (identity of the
-    merge), matching how Spark's own partial aggregation merges
-    map-side results.
+    rule. The join is NULL-SAFE on the keys (a NULL-keyed group on both
+    sides is ONE group, as GROUP BY treats it), and an all-NULL sum
+    merges to NULL, not 0 — both so that the defining identity
+    agg(base ∪ delta) == merge(agg(base), agg(delta)) holds verbatim,
+    NULLs included.
     """
     unknown = [how for how in spec.values() if how not in _MERGE_FNS]
     if unknown:
         raise ValueError(f"unknown merge rule(s): {unknown}; use sum|min|max")
-    b = base.select(*keys, *[F.col(c).alias(f"_b_{c}") for c in spec])
-    d = delta.select(*keys, *[F.col(c).alias(f"_d_{c}") for c in spec])
-    merged = b.join(d, on=list(keys), how="full_outer")
-    out_cols = [F.col(k) for k in keys]
+    b = base.select(
+        *[F.col(k).alias(f"_bk_{k}") for k in keys],
+        *[F.col(c).alias(f"_b_{c}") for c in spec],
+    )
+    d = delta.select(
+        *[F.col(k).alias(f"_dk_{k}") for k in keys],
+        *[F.col(c).alias(f"_d_{c}") for c in spec],
+    )
+    cond = reduce(
+        lambda x, y: x & y,
+        [F.col(f"_bk_{k}").eqNullSafe(F.col(f"_dk_{k}")) for k in keys],
+    )
+    merged = b.join(d, cond, "full_outer")
+    out_cols = [
+        F.coalesce(F.col(f"_bk_{k}"), F.col(f"_dk_{k}")).alias(k) for k in keys
+    ]
     for c, how in spec.items():
         out_cols.append(
             _MERGE_FNS[how](F.col(f"_b_{c}"), F.col(f"_d_{c}")).alias(c)

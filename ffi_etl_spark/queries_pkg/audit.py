@@ -208,7 +208,11 @@ def _fk_integrity_audit(spark, sf_dir):
 # --- near-dup graph centrality ------------------------------------------------
 
 
-def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
+# One constant ties the engine call and the oracle unroll together.
+_PR_ROUNDS = 10
+
+
+def _pagerank_oracle(n_iter: int = _PR_ROUNDS, damping: float = 0.85) -> str:
     """Unrolled fixed-iteration PageRank as a DuckDB CTE chain over the
     MinHash pair graph — upgrading the former rows-only gate to a full
     differential oracle. Legal because (a) the iteration count is
@@ -279,7 +283,7 @@ def _pagerank_centrality(spark, sf_dir):
     from ffi_etl_spark.operators.graph import pagerank
 
     pairs = dedup_minhash_lsh(table(spark, sf_dir, "documents"))
-    ranks = pagerank(pairs, undirected=True, max_iter=10, tol=0.0)
+    ranks = pagerank(pairs, undirected=True, max_iter=_PR_ROUNDS, tol=0.0)
     return ranks.select(
         "vertex", F.format_string("%.6e", F.col("rank")).alias("rank_s")
     ).orderBy("vertex")

@@ -838,7 +838,12 @@ def _knn_int8_codes(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _label_propagation_oracle(n_iter: int = 10) -> str:
+# One constant ties the engine call and the oracle unroll together —
+# a drifting operator default can't silently desynchronize them.
+_LP_ROUNDS = 10
+
+
+def _label_propagation_oracle(n_iter: int = _LP_ROUNDS) -> str:
     """Unrolled synchronous label propagation as a DuckDB CTE chain —
     upgrading the former rows-only gate to a full oracle. Legal
     because the update is PURE INTEGER arithmetic with a deterministic
@@ -899,7 +904,7 @@ def _label_propagation_communities(spark, sf_dir):
     from ffi_etl_spark.operators.graph import label_propagation
 
     pairs = dedup_minhash_lsh(table(spark, sf_dir, "documents"))
-    comm = label_propagation(pairs)
+    comm = label_propagation(pairs, max_iter=_LP_ROUNDS)
     return (
         comm.groupBy("community")
         .agg(

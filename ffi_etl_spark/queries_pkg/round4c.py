@@ -68,7 +68,12 @@ def _incremental_agg_maintenance(spark, sf_dir):
     ]
     keys = ["user_id", "event_type"]
     cutoff = F.lit(_IVM_CUTOFF).cast("timestamp")
-    base = ev.filter(F.col("ts") < cutoff).groupBy(*keys).agg(*aggs)
+    # NULL-ts rows must land in exactly one half (the oracle aggregates
+    # ALL rows); route them to the base side rather than letting the
+    # NULL comparison drop them from both.
+    base = ev.filter(
+        (F.col("ts") < cutoff) | F.col("ts").isNull()
+    ).groupBy(*keys).agg(*aggs)
     delta = ev.filter(F.col("ts") >= cutoff).groupBy(*keys).agg(*aggs)
     merged = merge_grouped_partials(
         base,

@@ -80,6 +80,38 @@ def test_merge_partials_property(spark, rows, cut):
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
 
 
+def test_merge_partials_null_keys_and_null_sums(spark):
+    """The identity holds NULLs included: a NULL-keyed group on both
+    sides merges into ONE group (null-safe join), and an all-NULL sum
+    merges to NULL (not 0), exactly as the full recompute yields."""
+    rows = [
+        (None, 1.0),
+        (None, 2.0),
+        ("a", None),   # value NULL on the only side it appears
+        ("b", None),
+        ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, value double")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    agg = lambda d: d.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("cents"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    base = spark.createDataFrame(rows[:2], "k string, value double")   # NULL key, b absent
+    delta = spark.createDataFrame(rows[2:], "k string, value double")  # a, b all-NULL values
+
+    # split the NULL-key group ACROSS the boundary too
+    base2 = spark.createDataFrame([rows[0], rows[3]], "k string, value double")
+    delta2 = spark.createDataFrame([rows[1], rows[2], rows[4]], "k string, value double")
+
+    direct = sorted(map(tuple, agg(df).collect()), key=str)
+    for b, d in ((base, delta), (base2, delta2)):
+        merged = merge_grouped_partials(agg(b), agg(d), ["k"], _SPEC)
+        assert sorted(map(tuple, merged.collect()), key=str) == direct
+
+
 def test_merge_partials_rejects_unknown_rule(spark):
     df = spark.createDataFrame([("a", 1.0)], "k string, value double")
     a = _agg(df, ["k"])
