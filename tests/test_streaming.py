@@ -569,3 +569,83 @@ def test_stream_tumbling_distinct_matches_batch(spark, sf_dir, events_dir):
     s = {(r.window_start, r.approx_users) for r in stream.collect()}
     b = {(r.window_start, r.approx_users) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def _profile_agg(df):
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return df.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("value_cents"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+    )
+
+
+_PROFILE_SPEC = {
+    "n_events": "sum",
+    "value_cents": "sum",
+    "value_min": "min",
+    "value_max": "max",
+}
+_PROFILE_KEYS = ["user_id", "event_type"]
+
+
+def test_stream_profile_merge_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming IVM: two arrival tranches merged via per-batch partial
+    aggregates converge to the direct aggregate of all facts — history
+    is never rescanned, only merged."""
+    from ffi_etl_spark.streaming.events import stream_events
+    from ffi_etl_spark.streaming.profile import stream_profile_merge
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "profile")
+    ckpt = str(tmp_path / "ckpt")
+    ev = table(spark, sf_dir, "events")
+    split_ts = ev.selectExpr("percentile_approx(ts, 0.5) p").collect()[0]["p"]
+    ev.filter(F.col("ts") <= F.lit(split_ts)).write.mode("append").parquet(src)
+    stream_profile_merge(
+        stream_events(spark, src), target, ckpt, _PROFILE_KEYS, _profile_agg, _PROFILE_SPEC
+    )
+    assert spark.read.parquet(target).count() > 0
+
+    ev.filter(F.col("ts") > F.lit(split_ts)).write.mode("append").parquet(src)
+    stream_profile_merge(
+        stream_events(spark, src), target, ckpt, _PROFILE_KEYS, _profile_agg, _PROFILE_SPEC
+    )
+
+    key = lambda r: (r.user_id, r.event_type)  # noqa: E731
+    direct = {key(r): (r.n_events, r.value_cents, r.value_min, r.value_max) for r in _profile_agg(ev).collect()}
+    got = {
+        key(r): (r.n_events, r.value_cents, r.value_min, r.value_max)
+        for r in spark.read.parquet(target).drop("_merged_through_batch").collect()
+    }
+    assert got == direct
+    # one row per group, ledger column present and monotone
+    t = spark.read.parquet(target)
+    assert t.count() == len(direct)
+    assert t.select(F.max("_merged_through_batch")).collect()[0][0] >= 1
+
+
+def test_stream_profile_merge_replay_is_skipped(spark, sf_dir, tmp_path):
+    """The ledger makes the non-idempotent merge exactly-once: replaying
+    an already-merged batch id is a no-op (sums do NOT double)."""
+    from ffi_etl_spark.streaming.profile import merge_batch_into_profile
+
+    target = str(tmp_path / "profile")
+    ev = table(spark, sf_dir, "events").limit(200)
+    assert merge_batch_into_profile(ev, 0, target, _PROFILE_KEYS, _profile_agg, _PROFILE_SPEC)
+    first = sorted(map(tuple, spark.read.parquet(target).collect()))
+    # crash-after-landing replay: same batch id arrives again
+    assert not merge_batch_into_profile(ev, 0, target, _PROFILE_KEYS, _profile_agg, _PROFILE_SPEC)
+    assert sorted(map(tuple, spark.read.parquet(target).collect())) == first
+    # the NEXT batch id does merge
+    assert merge_batch_into_profile(ev, 1, target, _PROFILE_KEYS, _profile_agg, _PROFILE_SPEC)
+    doubled = {
+        (r.user_id, r.event_type): r.n_events
+        for r in spark.read.parquet(target).collect()
+    }
+    base = {
+        (r.user_id, r.event_type): r.n_events
+        for r in _profile_agg(ev).collect()
+    }
+    assert doubled == {k: 2 * v for k, v in base.items()}
