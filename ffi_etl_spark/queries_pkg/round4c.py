@@ -153,6 +153,93 @@ def _dp_noised_release(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# association rules: market-basket lift over per-user event types
+# ---------------------------------------------------------------------------
+
+_BASKET_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), nu AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM items
+), supp AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type FROM items GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS ante, b.event_type AS cons,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM items a JOIN items b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.ante, p.cons, p.n_both,
+       sa.n_type AS n_ante, sb.n_type AS n_cons, nu.n_users,
+       CAST(p.n_both * nu.n_users AS DOUBLE)
+         / CAST(sa.n_type * sb.n_type AS DOUBLE) AS lift,
+       CAST(p.n_both AS DOUBLE) / CAST(sa.n_type AS DOUBLE) AS confidence
+FROM pairs p
+JOIN supp sa ON sa.event_type = p.ante
+JOIN supp sb ON sb.event_type = p.cons
+CROSS JOIN nu
+ORDER BY ante, cons
+"""
+
+
+@query("market_basket_lift", oracle=_BASKET_ORACLE)
+def _market_basket_lift(spark, sf_dir):
+    """Association rules over per-user event-type baskets: for every
+    unordered type pair, exact support counts plus lift
+    (co·N / (s_a·s_b)) and confidence — the users-who-did-X-also-did-Y
+    analytics family (Apriori's scoring layer; the itemset lattice is
+    unnecessary at this vocabulary size because all C(types,2) pairs
+    fit trivially). Scale shape: baskets are DISTINCT (user, type)
+    rows, so the self-join is user-keyed and co-partitioned with
+    per-user fanout bounded by the type vocabulary — never row×row;
+    supports and the user total are K-row/1-row broadcast joins. Lift
+    and confidence are single divisions of exact integers (bit-equal
+    cross-engine, no accumulation-order float)."""
+    ev = table(spark, sf_dir, "events")
+    items = ev.select("user_id", "event_type").distinct()
+    nu = items.agg(F.countDistinct("user_id").alias("n_users"))
+    supp = items.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ante"),
+            F.col("b.event_type").alias("cons"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = supp.select(F.col("event_type").alias("ante"), F.col("n_type").alias("n_ante"))
+    sb = supp.select(F.col("event_type").alias("cons"), F.col("n_type").alias("n_cons"))
+    return (
+        pairs.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sb), "cons")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "ante",
+            "cons",
+            "n_both",
+            "n_ante",
+            "n_cons",
+            "n_users",
+            (
+                (F.col("n_both") * F.col("n_users")).cast("double")
+                / (F.col("n_ante") * F.col("n_cons")).cast("double")
+            ).alias("lift"),
+            (
+                F.col("n_both").cast("double") / F.col("n_ante").cast("double")
+            ).alias("confidence"),
+        )
+        .orderBy("ante", "cons")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Z-order locality profile: the data-layout lever, driver-graded
 # ---------------------------------------------------------------------------
 

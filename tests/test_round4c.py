@@ -123,6 +123,36 @@ def test_merge_partials_rejects_unknown_rule(spark):
         raise AssertionError("expected ValueError for non-mergeable rule")
 
 
+def test_market_basket_lift_crafted(spark, sf_dir, tmp_path):
+    """Hand-checked lift/confidence on a 4-user basket set: A and B
+    co-occur in 2 of 4 users (s_A=3, s_B=2) → lift = 2·4/(3·2) = 4/3,
+    confidence(A→B) = 2/3; repeated events in one basket count ONCE."""
+    import shutil
+
+    from ffi_etl_spark.queries import QUERIES
+
+    rows = [
+        (1, "A"), (1, "A"), (1, "B"),  # duplicate (1, A) must collapse
+        (2, "A"), (2, "B"),
+        (3, "A"),
+        (4, "C"),
+    ]
+    d = str(tmp_path / "sf")
+    ev = spark.createDataFrame(
+        [(i, u, et) for i, (u, et) in enumerate(rows)],
+        "event_id long, user_id long, event_type string",
+    ).withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp")) \
+     .withColumn("value", F.lit(1.0)).withColumn("props", F.lit("{}"))
+    ev.write.parquet(f"{d}/events.parquet")
+    out = {(r.ante, r.cons): r for r in QUERIES["market_basket_lift"](spark, d).collect()}
+    ab = out[("A", "B")]
+    assert (ab.n_both, ab.n_ante, ab.n_cons, ab.n_users) == (2, 3, 2, 4)
+    assert abs(ab.lift - 8.0 / 6.0) < 1e-12
+    assert abs(ab.confidence - 2.0 / 3.0) < 1e-12
+    assert ("A", "C") not in out and ("B", "C") not in out  # never co-occur
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_zorder_buckets_bound_both_columns(spark, sf_dir):
     """The locality property the layout lever exists for: coarsening the
     Morton code to 16 buckets fixes the top TWO bits of EACH clustered
