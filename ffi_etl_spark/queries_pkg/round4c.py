@@ -153,6 +153,91 @@ def _dp_noised_release(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# local clustering coefficient: how clique-like each near-dup family is
+# ---------------------------------------------------------------------------
+
+
+def _clustering_oracle() -> str:
+    from ffi_etl_spark.queries_pkg.extensions import _minhash_pairs_cte
+
+    return f"""
+WITH {_minhash_pairs_cte()}, cc_pairs AS (
+  SELECT id_a, id_b FROM verified WHERE jaccard_sim >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM cc_pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM cc_pairs
+), deg AS (
+  SELECT a AS vertex, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY a
+), tri AS (
+  SELECT e1.id_a AS v1, e1.id_b AS v2, e2.id_b AS v3
+  FROM cc_pairs e1
+  JOIN cc_pairs e2 ON e1.id_b = e2.id_a
+  JOIN cc_pairs e3 ON e1.id_a = e3.id_a AND e2.id_b = e3.id_b
+), tcount AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT v1 AS v FROM tri
+    UNION ALL SELECT v2 FROM tri
+    UNION ALL SELECT v3 FROM tri
+  ) GROUP BY v
+)
+SELECT d.vertex, d.degree,
+       COALESCE(t.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+                   / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+            ELSE NULL END AS clustering_coeff
+FROM deg d LEFT JOIN tcount t ON t.v = d.vertex
+ORDER BY vertex
+"""
+
+
+@query("clustering_coefficient", oracle=_clustering_oracle())
+def _clustering_coefficient(spark, sf_dir):
+    """Per-vertex local clustering coefficient of the MinHash near-dup
+    graph — 2·T(v)/(deg·(deg−1)) — completing the graph family
+    (components, PageRank, label propagation, triangles): a
+    coefficient near 1 marks a clique-like mirror/template family
+    (dedup the whole group), near 0 a hub stitching unrelated docs
+    (inspect before collapsing). Triangles come from the oriented
+    3-way join (operators/graph.py::triangle_enum — degree-orientation
+    bounds wedge work), each credited to its 3 corners by a 3-way
+    union, degrees from the symmetrized edge list; the coefficient is
+    a single division of exact integers (bit-equal cross-engine),
+    NULL at degree < 2 where it is undefined."""
+    from ffi_etl_spark.operators.dedup import dedup_minhash_lsh
+    from ffi_etl_spark.operators.graph import triangle_enum
+
+    pairs = dedup_minhash_lsh(table(spark, sf_dir, "documents")).select("id_a", "id_b")
+    edges = pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
+    deg = edges.groupBy(F.col("id_a").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    tri = triangle_enum(pairs)
+    tcount = (
+        tri.select(F.col("v1").alias("v"))
+        .unionAll(tri.select(F.col("v2").alias("v")))
+        .unionAll(tri.select(F.col("v3").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(tcount, deg["vertex"] == tcount["v"], "left")
+        .select(
+            "vertex",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                (2 * F.coalesce(F.col("n_triangles"), F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("vertex")
+    )
+
+
+# ---------------------------------------------------------------------------
 # association rules: market-basket lift over per-user event types
 # ---------------------------------------------------------------------------
 

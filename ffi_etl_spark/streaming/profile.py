@@ -49,10 +49,13 @@ def merge_batch_into_profile(
     from ffi_etl_spark.operators.ivm import merge_grouped_partials
 
     spark = batch_df.sparkSession
-    try:
-        target = spark.read.parquet(target_path)
-    except AnalysisException:
-        target = None
+    if not os.path.exists(target_path):
+        target = None  # quiet first-batch path (local FS)
+    else:
+        try:
+            target = spark.read.parquet(target_path)
+        except AnalysisException:
+            target = None
 
     if target is not None:
         merged_through = target.agg(F.max(_LEDGER_COL)).collect()[0][0]
