@@ -42,6 +42,8 @@ HEADLINE = [
     # round-4b: the heaviest new operator (token-8-gram cross-split
     # probe join) — tracked so its cost has a recorded floor
     "split_leakage_audit",
+    # round-4c: the IVM flagship — merge-of-partials maintenance shape
+    "incremental_agg_maintenance",
 ]
 
 

@@ -72,9 +72,9 @@ def main() -> int:
 
     spark = get_session("maintain-user-profiles")
     ev = table(spark, args.sf_dir, "events")
-    cuts = [r["c"] for r in ev.selectExpr(
-        "percentile_approx(ts, 0.33) c"
-    ).collect()] + [r["c"] for r in ev.selectExpr("percentile_approx(ts, 0.66) c").collect()]
+    cuts = list(
+        ev.selectExpr("percentile_approx(ts, array(0.33, 0.66)) c").collect()[0]["c"]
+    )
     tranches = [
         ev.filter(F.col("ts") <= F.lit(cuts[0])),
         ev.filter((F.col("ts") > F.lit(cuts[0])) & (F.col("ts") <= F.lit(cuts[1]))),

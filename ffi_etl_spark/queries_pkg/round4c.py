@@ -208,7 +208,15 @@ def _clustering_coefficient(spark, sf_dir):
     from ffi_etl_spark.operators.dedup import dedup_minhash_lsh
     from ffi_etl_spark.operators.graph import triangle_enum
 
-    pairs = dedup_minhash_lsh(table(spark, sf_dir, "documents")).select("id_a", "id_b")
+    # The pair list fans out 5x (edges/deg + the 3-way triangle join);
+    # materialize it once so the LSH band self-join + verify pipeline
+    # doesn't re-execute per reference (same discipline as graph.py's
+    # localCheckpoint loops and dedup.py's _pin).
+    pairs = (
+        dedup_minhash_lsh(table(spark, sf_dir, "documents"))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
     deg = edges.groupBy(F.col("id_a").alias("vertex")).agg(
         F.count(F.lit(1)).alias("degree")

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _LEDGER_COL = "_merged_through_batch"
+_LEDGER_APP_COL = "_ledger_app_id"
 
 
 def merge_batch_into_profile(
@@ -36,30 +37,60 @@ def merge_batch_into_profile(
     keys: Sequence[str],
     agg_builder: Callable[[DataFrame], DataFrame],
     spec: Mapping[str, str],
+    app_id: str | None = None,
 ) -> bool:
     """Merge one microbatch's partial aggregate into the profile table
     at ``target_path``. Returns False (no-op) when the table's ledger
     shows ``batch_id`` was already merged — the replay guard. Exposed
-    as a plain function so the replay contract is directly testable."""
+    as a plain function so the replay contract is directly testable.
+
+    ``app_id`` scopes the ledger to ONE stream incarnation (Delta's
+    ``txnAppId`` role; ``stream_profile_merge`` derives it from the
+    checkpoint path). Batch ids restart at 0 under a fresh checkpoint
+    while the source replays EVERYTHING, so merging a new-app batch
+    into an old-app table double-counts all history — that state is
+    unresolvable here and raises instead of guessing.
+
+    Crash safety of the commit: write to a new dir, shunt the current
+    table aside, move the new one in, then drop the old — with startup
+    recovery for the two torn states (aside-but-not-replaced restores
+    the old table; replaced-but-not-dropped clears the leftover), so
+    no crash point loses the accumulated profile."""
     import os
     import shutil
-
-    from pyspark.errors import AnalysisException
 
     from ffi_etl_spark.operators.ivm import merge_grouped_partials
 
     spark = batch_df.sparkSession
+    new_dir = target_path + ".__ivm_new__"
+    old_dir = target_path + ".__ivm_old__"
+
+    # startup recovery for a torn previous commit
+    if not os.path.exists(target_path) and os.path.exists(old_dir):
+        os.rename(old_dir, target_path)  # crashed between aside and replace
+    elif os.path.exists(target_path) and os.path.exists(old_dir):
+        shutil.rmtree(old_dir)  # crashed between replace and cleanup
+
     if not os.path.exists(target_path):
-        target = None  # quiet first-batch path (local FS)
+        target = None  # genuine first batch; any read error below raises
     else:
-        try:
-            target = spark.read.parquet(target_path)
-        except AnalysisException:
-            target = None
+        # an existing-but-unreadable table must FAIL, not masquerade as
+        # "no table" — silently replacing it would discard all history
+        target = spark.read.parquet(target_path)
 
     if target is not None:
-        merged_through = target.agg(F.max(_LEDGER_COL)).collect()[0][0]
-        if merged_through is not None and batch_id <= merged_through:
+        row = target.agg(
+            F.max(_LEDGER_COL).alias("through"),
+            F.max(_LEDGER_APP_COL).alias("app"),
+        ).collect()[0]
+        if app_id is not None and row["app"] is not None and row["app"] != app_id:
+            raise ValueError(
+                f"profile table at {target_path} belongs to stream app "
+                f"{row['app']!r}, not {app_id!r} — a fresh checkpoint replays "
+                "the whole source, so merging would double-count history. "
+                "Either reuse the original checkpoint or remove the table."
+            )
+        if row["through"] is not None and batch_id <= row["through"]:
             return False
 
     part = agg_builder(batch_df)
@@ -67,14 +98,18 @@ def merge_batch_into_profile(
         merged = part
     else:
         merged = merge_grouped_partials(
-            target.drop(_LEDGER_COL), part, keys, spec
+            target.drop(_LEDGER_COL, _LEDGER_APP_COL), part, keys, spec
         )
-    out = merged.withColumn(_LEDGER_COL, F.lit(batch_id).cast("long"))
-    tmp = target_path + ".__ivm__"
-    out.write.mode("overwrite").parquet(tmp)
+    out = merged.withColumn(_LEDGER_COL, F.lit(batch_id).cast("long")).withColumn(
+        _LEDGER_APP_COL, F.lit(app_id).cast("string")
+    )
+    out.write.mode("overwrite").parquet(new_dir)
     if os.path.exists(target_path):
-        shutil.rmtree(target_path)
-    shutil.move(tmp, target_path)
+        os.rename(target_path, old_dir)
+        os.rename(new_dir, target_path)
+        shutil.rmtree(old_dir)
+    else:
+        os.rename(new_dir, target_path)
     return True
 
 
@@ -88,11 +123,15 @@ def stream_profile_merge(
 ):
     """Maintain a grouped profile table from a stream via per-batch
     partial-aggregate merges (availableNow trigger: drain the backlog
-    once and stop — the nightly-ingest cadence)."""
+    once and stop — the nightly-ingest cadence). The ledger app id is
+    the checkpoint path: same checkpoint = same batch-id sequence =
+    same ledger scope; a fresh checkpoint against an existing table
+    fails loudly instead of double-counting."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         merge_batch_into_profile(
-            batch_df, batch_id, target_path, keys, agg_builder, spec
+            batch_df, batch_id, target_path, keys, agg_builder, spec,
+            app_id=checkpoint,
         )
 
     q = (

@@ -123,12 +123,10 @@ def test_merge_partials_rejects_unknown_rule(spark):
         raise AssertionError("expected ValueError for non-mergeable rule")
 
 
-def test_market_basket_lift_crafted(spark, sf_dir, tmp_path):
+def test_market_basket_lift_crafted(spark, tmp_path):
     """Hand-checked lift/confidence on a 4-user basket set: A and B
     co-occur in 2 of 4 users (s_A=3, s_B=2) → lift = 2·4/(3·2) = 4/3,
     confidence(A→B) = 2/3; repeated events in one basket count ONCE."""
-    import shutil
-
     from ffi_etl_spark.queries import QUERIES
 
     rows = [
@@ -150,7 +148,6 @@ def test_market_basket_lift_crafted(spark, sf_dir, tmp_path):
     assert abs(ab.lift - 8.0 / 6.0) < 1e-12
     assert abs(ab.confidence - 2.0 / 3.0) < 1e-12
     assert ("A", "C") not in out and ("B", "C") not in out  # never co-occur
-    shutil.rmtree(d, ignore_errors=True)
 
 
 def test_zorder_buckets_bound_both_columns(spark, sf_dir):

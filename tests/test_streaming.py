@@ -649,3 +649,65 @@ def test_stream_profile_merge_replay_is_skipped(spark, sf_dir, tmp_path):
         for r in _profile_agg(ev).collect()
     }
     assert doubled == {k: 2 * v for k, v in base.items()}
+
+
+def test_stream_profile_merge_fresh_checkpoint_fails_loudly(spark, sf_dir, tmp_path):
+    """A fresh checkpoint restarts batch ids at 0 while the source
+    replays everything — merging into an existing table would
+    double-count all history, so the app-scoped ledger raises."""
+    import pytest as _pytest
+
+    from ffi_etl_spark.streaming.profile import merge_batch_into_profile
+
+    target = str(tmp_path / "profile")
+    ev = table(spark, sf_dir, "events").limit(50)
+    assert merge_batch_into_profile(
+        ev, 0, target, _PROFILE_KEYS, _profile_agg, _PROFILE_SPEC, app_id="ckpt-A"
+    )
+    with _pytest.raises(ValueError, match="double-count"):
+        merge_batch_into_profile(
+            ev, 0, target, _PROFILE_KEYS, _profile_agg, _PROFILE_SPEC, app_id="ckpt-B"
+        )
+    # the original app keeps working (replay skipped, next id merges)
+    assert not merge_batch_into_profile(
+        ev, 0, target, _PROFILE_KEYS, _profile_agg, _PROFILE_SPEC, app_id="ckpt-A"
+    )
+    assert merge_batch_into_profile(
+        ev, 1, target, _PROFILE_KEYS, _profile_agg, _PROFILE_SPEC, app_id="ckpt-A"
+    )
+
+
+def test_stream_profile_merge_recovers_torn_commit(spark, sf_dir, tmp_path):
+    """Both torn-commit states are recovered on the next call: (a)
+    table shunted aside but new not moved in → old table restored and
+    the batch re-merges; (b) new moved in but old not dropped → old
+    cleared, replay skipped via ledger."""
+    import os
+    import shutil
+
+    from ffi_etl_spark.streaming.profile import merge_batch_into_profile
+
+    target = str(tmp_path / "profile")
+    ev = table(spark, sf_dir, "events").limit(50)
+    merge_batch_into_profile(ev, 0, target, _PROFILE_KEYS, _profile_agg, _PROFILE_SPEC)
+    good = sorted(map(tuple, spark.read.parquet(target).collect()))
+
+    # (a) crash between aside-rename and replace: target missing, old present
+    os.rename(target, target + ".__ivm_old__")
+    assert merge_batch_into_profile(
+        ev, 1, target, _PROFILE_KEYS, _profile_agg, _PROFILE_SPEC
+    )
+    assert not os.path.exists(target + ".__ivm_old__")
+    after = {
+        (r.user_id, r.event_type): r.n_events for r in spark.read.parquet(target).collect()
+    }
+    base = {(r.user_id, r.event_type): r.n_events for r in _profile_agg(ev).collect()}
+    assert after == {k: 2 * v for k, v in base.items()}  # batch 0 + batch 1, no loss
+
+    # (b) crash between replace and cleanup: both target and old present
+    shutil.copytree(target, target + ".__ivm_old__")
+    assert not merge_batch_into_profile(  # batch 1 replay: ledger skips it
+        ev, 1, target, _PROFILE_KEYS, _profile_agg, _PROFILE_SPEC
+    )
+    assert not os.path.exists(target + ".__ivm_old__")
+    assert good is not None
