@@ -1,5 +1,7 @@
-"""Round-4c additions: incremental aggregate maintenance (IVM) and a
-deterministic differential-privacy release.
+"""Round-4c additions: incremental aggregate maintenance (IVM), a
+deterministic differential-privacy release, per-vertex clustering
+coefficients, market-basket association rules, and the Z-order
+locality differential.
 
 ``incremental_agg_maintenance`` is the nightly-refresh shape: the
 historical base arrives PRE-REDUCED (one row per group) and only the
