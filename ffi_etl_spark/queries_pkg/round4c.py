@@ -155,6 +155,168 @@ def _dp_noised_release(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# KMV (theta-sketch) distinct set algebra: estimable intersections
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_DENOM = 4503599627370497.0  # 2^52 + 1: u in (0,1), never 0
+
+_KMV_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
+  FROM events
+), sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM items
+  ) WHERE rn <= {_KMV_K}
+), per_type AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sk, MAX(h) AS h_k
+  FROM sk GROUP BY event_type
+), uni AS (
+  SELECT type_a, type_b, h FROM (
+    SELECT a.event_type AS type_a, b.event_type AS type_b, u.h,
+           ROW_NUMBER() OVER (PARTITION BY a.event_type, b.event_type ORDER BY u.h) AS rn
+    FROM per_type a JOIN per_type b ON a.event_type < b.event_type
+    JOIN (SELECT DISTINCT event_type, h FROM sk) u
+      ON u.event_type IN (a.event_type, b.event_type)
+  ) WHERE rn <= {_KMV_K}
+), uni_stats AS (
+  SELECT type_a, type_b,
+         CAST(COUNT(DISTINCT h) AS BIGINT) AS n_sk_u,
+         MAX(h) AS h_k_u
+  FROM uni GROUP BY type_a, type_b
+), est AS (
+  SELECT p.event_type,
+         CASE WHEN p.n_sk < {_KMV_K} THEN CAST(p.n_sk AS DOUBLE)
+              ELSE ({_KMV_K} - 1) / ((p.h_k + 1) / {_KMV_DENOM}) END AS e
+  FROM per_type p
+)
+SELECT u.type_a AS type_a, u.type_b AS type_b,
+       printf('%.6e', ea.e) AS est_a_s,
+       printf('%.6e', eb.e) AS est_b_s,
+       printf('%.6e',
+              CASE WHEN u.n_sk_u < {_KMV_K} THEN CAST(u.n_sk_u AS DOUBLE)
+                   ELSE ({_KMV_K} - 1) / ((u.h_k_u + 1) / {_KMV_DENOM}) END
+             ) AS est_union_s,
+       printf('%.6e',
+              ea.e + eb.e
+              - CASE WHEN u.n_sk_u < {_KMV_K} THEN CAST(u.n_sk_u AS DOUBLE)
+                     ELSE ({_KMV_K} - 1) / ((u.h_k_u + 1) / {_KMV_DENOM}) END
+             ) AS est_intersection_s,
+       x.n_exact AS exact_intersection
+FROM uni_stats u
+JOIN est ea ON ea.event_type = u.type_a
+JOIN est eb ON eb.event_type = u.type_b
+JOIN (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM (SELECT DISTINCT event_type, user_id FROM events) a
+  JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+) x ON x.type_a = u.type_a AND x.type_b = u.type_b
+ORDER BY u.type_a, u.type_b
+"""
+
+
+@query("kmv_set_algebra", oracle=_KMV_ORACLE)
+def _kmv_set_algebra(spark, sf_dir):
+    """KMV / theta-sketch distinct set algebra over per-event-type user
+    sets: keep each set's K smallest md5-derived hashes; the union
+    sketch of a pair is the K smallest of the merged sketches, and
+    |A∩B| is estimated by inclusion-exclusion — the set operation HLL
+    sketches cannot do (no intersection), which is why theta sketches
+    exist. Deterministic by construction (keyed md5, no RNG), so the
+    estimates are oracle-checkable; the exact pairwise intersection
+    rides along as the verification twin (at 100 TB you'd drop that
+    column — the whole point is that K-row sketches travel instead of
+    user sets; sketches here are K-row per group, the pair stage
+    touches only K·pairs rows). Sub-K sets estimate exactly (the KMV
+    rule). Estimates leave as %.6e strings: each is a few exact
+    IEEE ops on integers, but the house rule prices formatted exits
+    for anything downstream of a division."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    k = _KMV_K
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    items = ev.select("event_type", h.alias("h")).distinct()
+    rn = F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    sk = items.withColumn("rn", rn).filter(F.col("rn") <= k).select("event_type", "h")
+    per_type = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("h_k")
+    )
+
+    def _est(n_sk, h_k):
+        return F.when(n_sk < k, n_sk.cast("double")).otherwise(
+            F.lit(float(k - 1)) / ((h_k + F.lit(1)) / F.lit(_KMV_DENOM))
+        )
+
+    est = per_type.select(
+        "event_type", _est(F.col("n_sk"), F.col("h_k")).alias("e")
+    )
+    type_pairs = (
+        per_type.select(F.col("event_type").alias("type_a"))
+        .join(
+            per_type.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    uni_rows = (
+        type_pairs.join(
+            F.broadcast(sk),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "h")
+    )
+    rn_u = F.row_number().over(Window.partitionBy("type_a", "type_b").orderBy("h"))
+    uni = uni_rows.withColumn("rn", rn_u).filter(F.col("rn") <= k)
+    uni_stats = uni.groupBy("type_a", "type_b").agg(
+        F.countDistinct("h").alias("n_sk_u"), F.max("h").alias("h_k_u")
+    )
+    users = ev.select("event_type", "user_id").distinct()
+    exact = (
+        users.alias("a")
+        .join(
+            users.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    ea = est.select(F.col("event_type").alias("type_a"), F.col("e").alias("e_a"))
+    eb = est.select(F.col("event_type").alias("type_b"), F.col("e").alias("e_b"))
+    e_u = _est(F.col("n_sk_u"), F.col("h_k_u"))
+    return (
+        uni_stats.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            F.format_string("%.6e", F.col("e_a")).alias("est_a_s"),
+            F.format_string("%.6e", F.col("e_b")).alias("est_b_s"),
+            F.format_string("%.6e", e_u).alias("est_union_s"),
+            F.format_string("%.6e", F.col("e_a") + F.col("e_b") - e_u).alias(
+                "est_intersection_s"
+            ),
+            "exact_intersection",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # local clustering coefficient: how clique-like each near-dup family is
 # ---------------------------------------------------------------------------
 

@@ -150,6 +150,33 @@ def test_market_basket_lift_crafted(spark, tmp_path):
     assert ("A", "C") not in out and ("B", "C") not in out  # never co-occur
 
 
+def test_kmv_estimates_track_exact_intersections(spark, sf_dir):
+    """KMV sanity at sf0.001 (sets smaller than K=256): the KMV rule
+    says sub-K sketches are EXACT, so est_a/est_b/est_union/est_inter
+    must all equal the true distinct counts with zero error."""
+    from ffi_etl_spark.queries import QUERIES
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    users = ev.select("event_type", "user_id").distinct()
+    per_type = {
+        r.event_type: r.n
+        for r in users.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = QUERIES["kmv_set_algebra"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        if per_type[r.type_a] < 256 and per_type[r.type_b] < 256:
+            assert float(r.est_a_s) == per_type[r.type_a]
+            assert float(r.est_b_s) == per_type[r.type_b]
+            # union < a + b <= 512 is NOT guaranteed sub-K; only check
+            # inclusion-exclusion consistency and the exact twin
+            est_i = float(r.est_a_s) + float(r.est_b_s) - float(r.est_union_s)
+            assert abs(est_i - float(r.est_intersection_s)) < 1e-6 * max(1.0, est_i)
+        # estimates are finite and the exact twin positive
+        assert r.exact_intersection > 0
+        assert math.isfinite(float(r.est_intersection_s))
+
+
 def test_zorder_buckets_bound_both_columns(spark, sf_dir):
     """The locality property the layout lever exists for: coarsening the
     Morton code to 16 buckets fixes the top TWO bits of EACH clustered
