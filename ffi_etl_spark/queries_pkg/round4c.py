@@ -246,8 +246,21 @@ def _kmv_set_algebra(spark, sf_dir):
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
     ).cast("long")
     items = ev.select("event_type", h.alias("h")).distinct()
+    # two-phase exact top-k-smallest: a single per-type window would
+    # funnel every distinct hash of a type through ONE task (the
+    # 100 TB cliff); instead take each shard's k smallest (the global
+    # k smallest are necessarily among them), then rank the ≤ 64k
+    # survivors — identical result, shard-parallel sort
+    rn1 = F.row_number().over(
+        Window.partitionBy("event_type", "salt").orderBy("h")
+    )
+    cand = (
+        items.withColumn("salt", F.col("h") % 64)
+        .withColumn("rn1", rn1)
+        .filter(F.col("rn1") <= k)
+    )
     rn = F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
-    sk = items.withColumn("rn", rn).filter(F.col("rn") <= k).select("event_type", "h")
+    sk = cand.withColumn("rn", rn).filter(F.col("rn") <= k).select("event_type", "h")
     per_type = sk.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("h_k")
     )
