@@ -155,6 +155,115 @@ def _dp_noised_release(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# rendezvous (HRW) resharding: elastic shard topology, minimal movement
+# ---------------------------------------------------------------------------
+
+_HRW_S = 16  # shards before; after = S+1
+
+_HRW_W = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 13))::BIGINT"
+)
+
+_HRW_ORACLE = f"""
+WITH weights AS (
+  SELECT doc_id, s, {_HRW_W} AS w
+  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, {_HRW_S})) AS s)
+), a_new AS (
+  SELECT doc_id, s AS shard_after FROM (
+    SELECT doc_id, s,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, s) AS rn
+    FROM weights
+  ) WHERE rn = 1
+), a_old AS (
+  SELECT doc_id, s AS shard_before FROM (
+    SELECT doc_id, s,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, s) AS rn
+    FROM weights WHERE s < {_HRW_S}
+  ) WHERE rn = 1
+), assigned AS (
+  SELECT o.doc_id, o.shard_before, n.shard_after
+  FROM a_old o JOIN a_new n ON n.doc_id = o.doc_id
+)
+SELECT shard_before AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_before,
+       CAST(SUM(CASE WHEN shard_after = shard_before THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed,
+       CAST(SUM(CASE WHEN shard_after != shard_before THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+       CAST(SUM(CASE WHEN shard_after != shard_before AND shard_after != {_HRW_S}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_elsewhere
+FROM assigned
+GROUP BY shard_before
+ORDER BY shard
+"""
+
+
+@query("rendezvous_resharding", oracle=_HRW_ORACLE)
+def _rendezvous_resharding(spark, sf_dir):
+    """Elastic resharding via rendezvous (highest-random-weight)
+    hashing: each doc lands on the shard maximizing a keyed md5 weight.
+    Growing the topology from S to S+1 shards moves ONLY the docs whose
+    new-shard weight wins — in expectation n/(S+1) of them, and every
+    move targets the NEW shard (``n_moved_elsewhere`` must be 0; the
+    gate pins that invariant as data). mod-S sharding would relocate
+    (S-1)/S of a 100 TB corpus on the same topology change; HRW is how
+    the shard map grows without a full reshuffle. Per-doc argmax is a
+    17-row window partitioned by doc (explicit (w DESC, s) tie-break —
+    no engine-defined max_by tie), so the plan is one narrow explode +
+    one doc-keyed window — no shuffle wider than the doc key."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    from pyspark.sql import Window
+
+    shards = F.explode(
+        F.sequence(F.lit(0), F.lit(_HRW_S))
+    ).alias("s")
+    weights = d.select("doc_id", shards).withColumn(
+        "w",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("s").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    rn_all = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("s"))
+    )
+    a_new = (
+        weights.withColumn("rn", rn_all)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("s").alias("shard_after"))
+    )
+    a_old = (
+        weights.filter(F.col("s") < _HRW_S)
+        .withColumn("rn", rn_all)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("s").alias("shard_before"))
+    )
+    moved = F.col("shard_after") != F.col("shard_before")
+    return (
+        a_old.join(a_new, "doc_id")
+        .groupBy(F.col("shard_before").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(F.when(~moved, 1).otherwise(0)).alias("n_stayed"),
+            F.sum(F.when(moved, 1).otherwise(0)).alias("n_moved"),
+            F.sum(
+                F.when(moved & (F.col("shard_after") != _HRW_S), 1).otherwise(0)
+            ).alias("n_moved_elsewhere"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
 # KMV (theta-sketch) distinct set algebra: estimable intersections
 # ---------------------------------------------------------------------------
 

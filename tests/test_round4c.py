@@ -150,6 +150,23 @@ def test_market_basket_lift_crafted(spark, tmp_path):
     assert ("A", "C") not in out and ("B", "C") not in out  # never co-occur
 
 
+def test_rendezvous_moves_only_to_new_shard(spark, sf_dir):
+    """The HRW elasticity invariant: growing 16 → 17 shards moves docs
+    ONLY onto the new shard (n_moved_elsewhere == 0 on every row), and
+    the moved fraction is near 1/17 (binomial band), nowhere near the
+    15/16 a mod-N reshard would relocate."""
+    from ffi_etl_spark.queries import QUERIES
+
+    rows = QUERIES["rendezvous_resharding"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.n_moved_elsewhere == 0 for r in rows)
+    total = sum(r.n_before for r in rows)
+    moved = sum(r.n_moved for r in rows)
+    frac = moved / total
+    assert 0.0 < frac < 0.25  # expectation 1/17 ≈ 0.059; generous band
+    assert all(r.n_stayed + r.n_moved == r.n_before for r in rows)
+
+
 def test_kmv_estimates_track_exact_intersections(spark, sf_dir):
     """KMV sanity at sf0.001 (sets smaller than K=256): the KMV rule
     says sub-K sketches are EXACT, so est_a/est_b/est_union/est_inter
