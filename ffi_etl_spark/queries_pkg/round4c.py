@@ -205,12 +205,13 @@ def _rendezvous_resharding(spark, sf_dir):
     move targets the NEW shard (``n_moved_elsewhere`` must be 0; the
     gate pins that invariant as data). mod-S sharding would relocate
     (S-1)/S of a 100 TB corpus on the same topology change; HRW is how
-    the shard map grows without a full reshuffle. Per-doc argmax is a
-    17-row window partitioned by doc (explicit (w DESC, s) tie-break —
-    no engine-defined max_by tie), so the plan is one narrow explode +
-    one doc-keyed window — no shuffle wider than the doc key."""
+    the shard map grows without a full reshuffle. Both per-doc argmaxes
+    (all 17 shards; the 16 old shards) ride ONE doc-keyed aggregation
+    over the narrow explode — lexicographic max over struct(w, -s)
+    gives the explicit (w DESC, s ASC) tie-break with no engine-defined
+    max_by ambiguity, and map-side partial aggregation reduces the
+    17x fanout before the only shuffle."""
     d = table(spark, sf_dir, "documents").select("doc_id")
-    from pyspark.sql import Window
 
     shards = F.explode(
         F.sequence(F.lit(0), F.lit(_HRW_S))
@@ -233,24 +234,18 @@ def _rendezvous_resharding(spark, sf_dir):
             10,
         ).cast("long"),
     )
-    rn_all = F.row_number().over(
-        Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("s"))
-    )
-    a_new = (
-        weights.withColumn("rn", rn_all)
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("s").alias("shard_after"))
-    )
-    a_old = (
-        weights.filter(F.col("s") < _HRW_S)
-        .withColumn("rn", rn_all)
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("s").alias("shard_before"))
+    # both argmaxes in ONE doc-keyed aggregation (two windows + a
+    # self-join would shuffle the 17n-row frame three times): the
+    # (w DESC, s ASC) tie-break becomes lexicographic max over
+    # struct(w, -s) — max skips the NULLs the s<S filter leaves
+    pick = F.struct(F.col("w").alias("w"), (-F.col("s")).alias("ns"))
+    assigned = weights.groupBy("doc_id").agg(
+        (-F.max(pick)["ns"]).alias("shard_after"),
+        (-F.max(F.when(F.col("s") < _HRW_S, pick))["ns"]).alias("shard_before"),
     )
     moved = F.col("shard_after") != F.col("shard_before")
     return (
-        a_old.join(a_new, "doc_id")
-        .groupBy(F.col("shard_before").alias("shard"))
+        assigned.groupBy(F.col("shard_before").alias("shard"))
         .agg(
             F.count(F.lit(1)).alias("n_before"),
             F.sum(F.when(~moved, 1).otherwise(0)).alias("n_stayed"),
@@ -285,16 +280,22 @@ WITH items AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sk, MAX(h) AS h_k
   FROM sk GROUP BY event_type
 ), uni AS (
+  -- the union sketch ranks the DISTINCT merged hash set: a hash held
+  -- by both input sketches is one union element, so it must occupy
+  -- ONE slot before the K cutoff (ranking the multiset would burn two
+  -- slots per shared hash and wreck the estimate on overlapping sets)
   SELECT type_a, type_b, h FROM (
-    SELECT a.event_type AS type_a, b.event_type AS type_b, u.h,
-           ROW_NUMBER() OVER (PARTITION BY a.event_type, b.event_type ORDER BY u.h) AS rn
-    FROM per_type a JOIN per_type b ON a.event_type < b.event_type
-    JOIN (SELECT DISTINCT event_type, h FROM sk) u
-      ON u.event_type IN (a.event_type, b.event_type)
+    SELECT type_a, type_b, h,
+           ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+    FROM (
+      SELECT DISTINCT a.event_type AS type_a, b.event_type AS type_b, u.h
+      FROM per_type a JOIN per_type b ON a.event_type < b.event_type
+      JOIN sk u ON u.event_type IN (a.event_type, b.event_type)
+    )
   ) WHERE rn <= {_KMV_K}
 ), uni_stats AS (
   SELECT type_a, type_b,
-         CAST(COUNT(DISTINCT h) AS BIGINT) AS n_sk_u,
+         CAST(COUNT(*) AS BIGINT) AS n_sk_u,
          MAX(h) AS h_k_u
   FROM uni GROUP BY type_a, type_b
 ), est AS (
@@ -389,6 +390,8 @@ def _kmv_set_algebra(spark, sf_dir):
             F.col("type_a") < F.col("type_b"),
         )
     )
+    # DISTINCT before the K cutoff: a hash present in both sketches is
+    # one union element and must occupy one slot (see oracle comment)
     uni_rows = (
         type_pairs.join(
             F.broadcast(sk),
@@ -396,11 +399,12 @@ def _kmv_set_algebra(spark, sf_dir):
             | (F.col("event_type") == F.col("type_b")),
         )
         .select("type_a", "type_b", "h")
+        .distinct()
     )
     rn_u = F.row_number().over(Window.partitionBy("type_a", "type_b").orderBy("h"))
     uni = uni_rows.withColumn("rn", rn_u).filter(F.col("rn") <= k)
     uni_stats = uni.groupBy("type_a", "type_b").agg(
-        F.countDistinct("h").alias("n_sk_u"), F.max("h").alias("h_k_u")
+        F.count(F.lit(1)).alias("n_sk_u"), F.max("h").alias("h_k_u")
     )
     users = ev.select("event_type", "user_id").distinct()
     exact = (

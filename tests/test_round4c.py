@@ -167,10 +167,11 @@ def test_rendezvous_moves_only_to_new_shard(spark, sf_dir):
     assert all(r.n_stayed + r.n_moved == r.n_before for r in rows)
 
 
-def test_kmv_estimates_track_exact_intersections(spark, sf_dir):
-    """KMV sanity at sf0.001 (sets smaller than K=256): the KMV rule
-    says sub-K sketches are EXACT, so est_a/est_b/est_union/est_inter
-    must all equal the true distinct counts with zero error."""
+def test_kmv_sub_k_sets_are_exact(spark, sf_dir):
+    """The KMV rule: sub-K sketches ARE the set. At sf0.001 every
+    per-type user set AND every pairwise union is < K=256 distinct, so
+    est_a/est_b/est_union are exact and inclusion-exclusion makes
+    est_intersection equal the exact twin with zero error."""
     from ffi_etl_spark.queries import QUERIES
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -182,16 +183,36 @@ def test_kmv_estimates_track_exact_intersections(spark, sf_dir):
     rows = QUERIES["kmv_set_algebra"](spark, sf_dir).collect()
     assert len(rows) > 0
     for r in rows:
-        if per_type[r.type_a] < 256 and per_type[r.type_b] < 256:
-            assert float(r.est_a_s) == per_type[r.type_a]
-            assert float(r.est_b_s) == per_type[r.type_b]
-            # union < a + b <= 512 is NOT guaranteed sub-K; only check
-            # inclusion-exclusion consistency and the exact twin
-            est_i = float(r.est_a_s) + float(r.est_b_s) - float(r.est_union_s)
-            assert abs(est_i - float(r.est_intersection_s)) < 1e-6 * max(1.0, est_i)
-        # estimates are finite and the exact twin positive
-        assert r.exact_intersection > 0
-        assert math.isfinite(float(r.est_intersection_s))
+        assert per_type[r.type_a] + per_type[r.type_b] < 256  # precondition
+        assert float(r.est_a_s) == per_type[r.type_a]
+        assert float(r.est_b_s) == per_type[r.type_b]
+        union_exact = per_type[r.type_a] + per_type[r.type_b] - r.exact_intersection
+        assert float(r.est_union_s) == union_exact
+        assert float(r.est_intersection_s) == r.exact_intersection
+
+
+def test_kmv_estimator_branch_accuracy(spark, tmp_path):
+    """Above K the estimates are approximate but must TRACK the truth:
+    1000 users split into X=[0,800) and Y=[400,1000) (exact ∩ = 400,
+    ∪ = 1000). KMV at K=256 has σ ≈ 1/√K ≈ 6%; assert generous bands
+    — this is the test that catches multiset-vs-set union-sketch bugs,
+    which parity gates cannot (both engines would share them)."""
+    from ffi_etl_spark.queries import QUERIES
+
+    rows = [(u, "X") for u in range(800)] + [(u, "Y") for u in range(400, 1000)]
+    d = str(tmp_path / "sf")
+    ev = spark.createDataFrame(
+        [(i, u, et) for i, (u, et) in enumerate(rows)],
+        "event_id long, user_id long, event_type string",
+    ).withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp")) \
+     .withColumn("value", F.lit(1.0)).withColumn("props", F.lit("{}"))
+    ev.write.parquet(f"{d}/events.parquet")
+    r = QUERIES["kmv_set_algebra"](spark, d).collect()[0]
+    assert (r.type_a, r.type_b) == ("X", "Y") and r.exact_intersection == 400
+    assert abs(float(r.est_a_s) - 800) < 0.2 * 800
+    assert abs(float(r.est_b_s) - 600) < 0.2 * 600
+    assert abs(float(r.est_union_s) - 1000) < 0.2 * 1000
+    assert abs(float(r.est_intersection_s) - 400) < 0.35 * 400
 
 
 def test_zorder_buckets_bound_both_columns(spark, sf_dir):
