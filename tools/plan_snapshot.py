@@ -48,6 +48,8 @@ SNAPSHOT = [
     ("zorder_locality", "1-row min/max broadcast, Morton interleave inside codegen, one bucket-keyed agg — no extra shuffle beyond the final 16-group reduce"),
     ("market_basket_lift", "user-keyed co-partitioned basket self-join (vocabulary-bounded fanout), K-row broadcast supports + 1-row broadcast user total"),
     ("clustering_coefficient", "oriented 3-way triangle join on the pair list, 3-corner union credit, left join onto the degree agg — no wedge materialization beyond candidates"),
+    ("kmv_set_algebra", "two-phase shard-local top-k sketch build (no per-set single-task sort), K-row sketches through the pair stage, broadcast per-type estimates"),
+    ("rendezvous_resharding", "narrow 17x explode + ONE doc-keyed aggregate carrying both argmaxes (struct max with explicit tie-break), map-side partial combine before the only shuffle"),
 ]
 
 
