@@ -1,0 +1,188 @@
+"""SQLancer-style differential fuzzer: seeded random queries, two engines.
+
+Handwritten oracles only cover the queries someone thought to write.
+This fuzzer generates random-but-reproducible SQL from a BIT-SAFE
+grammar, runs the SAME string on Spark SQL (over the registered temp
+views) and DuckDB (over the same parquet), and compares through the
+exact canonicalizer the driver gate uses (tools/check_oracle.py) —
+strict %.17g hashing included.
+
+Bit-safe grammar, by the house parity rules:
+- integer and string columns only (no raw DOUBLE columns, no
+  timestamps — float sums are partition-order-dependent and NTZ
+  formatting differs);
+- aggregates: COUNT(*), COUNT(DISTINCT int), MIN/MAX of int or
+  string, CAST(SUM(int) AS BIGINT) (DuckDB's HUGEINT rule);
+- predicates: integer comparisons against sampled literals, string
+  =/!=/IN against values actually present, AND/OR combinations;
+- GROUP BY only low-cardinality columns, or plain DISTINCT / global
+  aggregates.
+
+Every engine-vs-engine mismatch under this grammar is a REAL bug in
+one engine's query path (or in the harness), never float noise.
+
+Usage: python tools/fuzz_differential.py [sf_dir] [n_cases] [seed0]
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (table, int cols, low-card group cols, string cols)
+TABLES = {
+    "lineitem": {
+        "ints": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "groups": ["l_returnflag", "l_linestatus", "l_linenumber"],
+        "strs": ["l_returnflag", "l_linestatus"],
+    },
+    "orders": {
+        "ints": ["o_orderkey", "o_custkey"],
+        "groups": ["o_orderstatus", "o_orderpriority"],
+        "strs": ["o_orderstatus", "o_orderpriority"],
+    },
+    "customer": {
+        "ints": ["c_custkey", "c_nationkey"],
+        "groups": ["c_mktsegment", "c_nationkey"],
+        "strs": ["c_mktsegment", "c_name"],
+    },
+    "part": {
+        "ints": ["p_partkey", "p_size"],
+        "groups": ["p_brand", "p_size"],
+        "strs": ["p_brand", "p_type"],
+    },
+    "supplier": {
+        "ints": ["s_suppkey", "s_nationkey"],
+        "groups": ["s_nationkey"],
+        "strs": ["s_name"],
+    },
+}
+
+_STR_POOL = {
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["O", "F"],
+    "o_orderstatus": ["O", "F", "P"],
+    "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+    "c_mktsegment": ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"],
+    "c_name": ["Customer#000000001"],
+    "p_brand": ["Brand#11", "Brand#23", "Brand#34", "Brand#45", "Brand#55"],
+    "p_type": ["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"],
+    "s_name": ["Supplier#000000001"],
+}
+
+_INT_LITS = [0, 1, 2, 3, 5, 10, 100, 1000, 5000]
+_CMP = ["<", "<=", "=", ">", ">=", "!="]
+
+
+def gen_query(rng: random.Random) -> str:
+    tname = rng.choice(sorted(TABLES))
+    t = TABLES[tname]
+
+    preds = []
+    for _ in range(rng.randint(0, 2)):
+        if rng.random() < 0.6:
+            c = rng.choice(t["ints"])
+            preds.append(f"{c} {rng.choice(_CMP)} {rng.choice(_INT_LITS)}")
+        else:
+            c = rng.choice(t["strs"])
+            pool = _STR_POOL[c]
+            if rng.random() < 0.5 and len(pool) > 1:
+                vals = ", ".join(f"'{v}'" for v in rng.sample(pool, rng.randint(1, min(3, len(pool)))))
+                preds.append(f"{c} IN ({vals})")
+            else:
+                op = rng.choice(["=", "!="])
+                preds.append(f"{c} {op} '{rng.choice(pool)}'")
+    where = ""
+    if preds:
+        glue = f" {rng.choice(['AND', 'OR'])} "
+        where = " WHERE " + glue.join(preds)
+
+    shape = rng.random()
+    if shape < 0.25:
+        # DISTINCT projection of low-cardinality columns
+        cols = rng.sample(t["groups"], rng.randint(1, min(2, len(t["groups"]))))
+        sel = ", ".join(cols)
+        return f"SELECT DISTINCT {sel} FROM {tname}{where} ORDER BY {sel}"
+
+    gcols = (
+        rng.sample(t["groups"], rng.randint(1, min(2, len(t["groups"]))))
+        if shape < 0.75
+        else []
+    )
+    aggs = []
+    n_aggs = rng.randint(1, 3)
+    for i in range(n_aggs):
+        kind = rng.randint(0, 4)
+        if kind == 0:
+            aggs.append(f"CAST(COUNT(*) AS BIGINT) AS agg{i}")
+        elif kind == 1:
+            aggs.append(f"CAST(COUNT(DISTINCT {rng.choice(t['ints'])}) AS BIGINT) AS agg{i}")
+        elif kind == 2:
+            aggs.append(f"MIN({rng.choice(t['ints'] + t['strs'])}) AS agg{i}")
+        elif kind == 3:
+            aggs.append(f"MAX({rng.choice(t['ints'] + t['strs'])}) AS agg{i}")
+        else:
+            aggs.append(f"CAST(SUM({rng.choice(t['ints'])}) AS BIGINT) AS agg{i}")
+    sel = ", ".join((gcols if gcols else []) + aggs)
+    group = f" GROUP BY {', '.join(gcols)}" if gcols else ""
+    order = f" ORDER BY {', '.join(gcols)}" if gcols else ""
+    return f"SELECT {sel} FROM {tname}{where}{group}{order}"
+
+
+def run_case(spark, con, sql: str):
+    """Returns (ok, detail) comparing Spark vs DuckDB for one query."""
+    from tools.check_oracle import driver_sort_probe, frame_hash
+
+    spdf = spark.sql(sql).toPandas()
+    odf = con.sql(sql).df()
+    driver_sort_probe(spdf)
+    driver_sort_probe(odf)
+    if len(spdf) != len(odf):
+        return False, f"rows {len(spdf)} vs {len(odf)}"
+    if sorted(spdf.columns) != sorted(odf.columns):
+        return False, f"cols {sorted(spdf.columns)} vs {sorted(odf.columns)}"
+    if frame_hash(spdf, "%.17g") != frame_hash(odf, "%.17g"):
+        return False, "strict value-hash mismatch"
+    return True, f"{len(spdf)} rows"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    n_cases = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    seed0 = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+
+    import duckdb
+
+    from ffi_etl_spark.catalog import load_tables
+    from ffi_etl_spark.session import get_session
+
+    spark = get_session("fuzz-differential")
+    load_tables(spark, sf_dir, tuple(TABLES), register=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+
+    bad = 0
+    for seed in range(seed0, seed0 + n_cases):
+        sql = gen_query(random.Random(seed))
+        try:
+            ok, detail = run_case(spark, con, sql)
+        except Exception as e:  # noqa: BLE001 — a crash on either engine is a finding
+            ok, detail = False, f"{type(e).__name__}: {e}"
+        status = "PASS" if ok else "FAIL"
+        if not ok:
+            bad += 1
+            print(f"{status} seed={seed}: {detail}\n      {sql}")
+        else:
+            print(f"{status} seed={seed}: {detail}")
+    print(f"{bad}/{n_cases} mismatches")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
