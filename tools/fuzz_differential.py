@@ -76,10 +76,35 @@ _STR_POOL = {
 _INT_LITS = [0, 1, 2, 3, 5, 10, 100, 1000, 5000]
 _CMP = ["<", "<=", "=", ">", ">=", "!="]
 
+# FK equi-join pairs: (left table, right table, join condition)
+_JOINS = [
+    ("lineitem", "orders", "l_orderkey = o_orderkey"),
+    ("lineitem", "part", "l_partkey = p_partkey"),
+    ("lineitem", "supplier", "l_suppkey = s_suppkey"),
+    ("orders", "customer", "o_custkey = c_custkey"),
+]
+
+
+def _merged(a: dict, b: dict) -> dict:
+    return {k: a[k] + b[k] for k in ("ints", "groups", "strs")}
+
 
 def gen_query(rng: random.Random) -> str:
-    tname = rng.choice(sorted(TABLES))
-    t = TABLES[tname]
+    if rng.random() < 0.3:
+        lt, rt, cond = rng.choice(_JOINS)
+        how = rng.choice(["JOIN", "LEFT JOIN"])
+        frm = f"{lt} {how} {rt} ON {cond}"
+        t = _merged(TABLES[lt], TABLES[rt])
+        # under LEFT JOIN keep WHERE/GROUP columns on the left side: a
+        # right-side WHERE predicate silently reduces the query to an
+        # inner join, and the point of generating LEFT JOIN is to keep
+        # exercising the unmatched-row path
+        if how == "LEFT JOIN":
+            t = dict(TABLES[lt])
+    else:
+        tname = rng.choice(sorted(TABLES))
+        frm = tname
+        t = TABLES[tname]
 
     preds = []
     for _ in range(rng.randint(0, 2)):
@@ -105,7 +130,7 @@ def gen_query(rng: random.Random) -> str:
         # DISTINCT projection of low-cardinality columns
         cols = rng.sample(t["groups"], rng.randint(1, min(2, len(t["groups"]))))
         sel = ", ".join(cols)
-        return f"SELECT DISTINCT {sel} FROM {tname}{where} ORDER BY {sel}"
+        return f"SELECT DISTINCT {sel} FROM {frm}{where} ORDER BY {sel}"
 
     gcols = (
         rng.sample(t["groups"], rng.randint(1, min(2, len(t["groups"]))))
@@ -129,7 +154,7 @@ def gen_query(rng: random.Random) -> str:
     sel = ", ".join((gcols if gcols else []) + aggs)
     group = f" GROUP BY {', '.join(gcols)}" if gcols else ""
     order = f" ORDER BY {', '.join(gcols)}" if gcols else ""
-    return f"SELECT {sel} FROM {tname}{where}{group}{order}"
+    return f"SELECT {sel} FROM {frm}{where}{group}{order}"
 
 
 def run_case(spark, con, sql: str):
