@@ -14,9 +14,11 @@ Bit-safe grammar, by the house parity rules:
 - aggregates: COUNT(*), COUNT(DISTINCT int), MIN/MAX of int or
   string, CAST(SUM(int) AS BIGINT) (DuckDB's HUGEINT rule);
 - predicates: integer comparisons against sampled literals, string
-  =/!=/IN against values actually present, AND/OR combinations;
+  =/!=/IN against values actually present, AND/OR combinations, and
+  IN (SELECT fk ...) semi-join subqueries on integer keys;
 - GROUP BY only low-cardinality columns, or plain DISTINCT / global
-  aggregates.
+  aggregates; optional HAVING on an exact COUNT(*);
+- FK equi-joins and LEFT JOINs from a fixed key map.
 
 Every engine-vs-engine mismatch under this grammar is a REAL bug in
 one engine's query path (or in the harness), never float noise.
@@ -84,6 +86,14 @@ _JOINS = [
     ("orders", "customer", "o_custkey = c_custkey"),
 ]
 
+# semi-join productions: local key column -> (other table, its key)
+_SEMI = {
+    "l_orderkey": ("orders", "o_orderkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "o_custkey": ("customer", "c_custkey"),
+}
+
 
 def _merged(a: dict, b: dict) -> dict:
     return {k: a[k] + b[k] for k in ("ints", "groups", "strs")}
@@ -108,7 +118,17 @@ def gen_query(rng: random.Random) -> str:
 
     preds = []
     for _ in range(rng.randint(0, 2)):
-        if rng.random() < 0.6:
+        roll = rng.random()
+        semi_keys = [c for c in t["ints"] if c in _SEMI]
+        if roll < 0.15 and semi_keys:
+            # IN (SELECT fk ...) semi-join on an integer key
+            c = rng.choice(semi_keys)
+            ot, ok_col = _SEMI[c]
+            oc = rng.choice(TABLES[ot]["ints"])
+            sub = f"SELECT {ok_col} FROM {ot} WHERE {oc} {rng.choice(_CMP)} {rng.choice(_INT_LITS)}"
+            neg = "NOT " if rng.random() < 0.3 else ""
+            preds.append(f"{c} {neg}IN ({sub})")
+        elif roll < 0.6:
             c = rng.choice(t["ints"])
             preds.append(f"{c} {rng.choice(_CMP)} {rng.choice(_INT_LITS)}")
         else:
@@ -153,8 +173,13 @@ def gen_query(rng: random.Random) -> str:
             aggs.append(f"CAST(SUM({rng.choice(t['ints'])}) AS BIGINT) AS agg{i}")
     sel = ", ".join((gcols if gcols else []) + aggs)
     group = f" GROUP BY {', '.join(gcols)}" if gcols else ""
+    having = (
+        f" HAVING COUNT(*) {rng.choice(['>', '>=', '<='])} {rng.choice([1, 2, 5, 10])}"
+        if gcols and rng.random() < 0.3
+        else ""
+    )
     order = f" ORDER BY {', '.join(gcols)}" if gcols else ""
-    return f"SELECT {sel} FROM {frm}{where}{group}{order}"
+    return f"SELECT {sel} FROM {frm}{where}{group}{having}{order}"
 
 
 def run_case(spark, con, sql: str):
