@@ -146,11 +146,52 @@ def gen_query(rng: random.Random) -> str:
         where = " WHERE " + glue.join(preds)
 
     shape = rng.random()
-    if shape < 0.25:
+    if shape < 0.2:
         # DISTINCT projection of low-cardinality columns
         cols = rng.sample(t["groups"], rng.randint(1, min(2, len(t["groups"]))))
         sel = ", ".join(cols)
         return f"SELECT DISTINCT {sel} FROM {frm}{where} ORDER BY {sel}"
+
+    if shape < 0.35:
+        # window functions over the FULL integer-column order: any rows
+        # still tied are identical on every selected and windowed
+        # column, so the output MULTISET is engine-independent even
+        # where per-row assignment isn't (the canon sorts rows). Single
+        # tables only — join fanout would make the tuple non-total in
+        # ways that interact with the WHERE productions.
+        if " JOIN " not in frm:
+            pcol = rng.choice(t["groups"])
+            okey = ", ".join(t["ints"])  # full tuple: ties ⇒ identical rows
+            target = rng.choice(t["ints"])
+            wfn = rng.choice(
+                [
+                    "ROW_NUMBER()",
+                    "RANK()",
+                    "DENSE_RANK()",
+                    f"LAG({target}) OVER_PLACEHOLDER",
+                    f"CAST(SUM({target}) OVER_CUM AS BIGINT)",
+                ]
+            )
+            over = f"OVER (PARTITION BY {pcol} ORDER BY {okey})"
+            over_cum = (
+                f"OVER (PARTITION BY {pcol} ORDER BY {okey} "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            )
+            if "OVER_CUM" in wfn:
+                expr = wfn.replace("OVER_CUM", over_cum)
+            elif "OVER_PLACEHOLDER" in wfn:
+                expr = wfn.replace("OVER_PLACEHOLDER", over)
+            else:
+                expr = f"{wfn} {over}"
+            # pcol may itself be an integer column (p_size, c_nationkey
+            # etc.) — don't select it twice, pandas rejects duplicate
+            # column labels in the canon
+            sel_cols = t["ints"] + ([pcol] if pcol not in t["ints"] else [])
+            keys = ", ".join(sel_cols)
+            return (
+                f"SELECT {keys}, {expr} AS wv FROM {frm}{where} "
+                f"ORDER BY {', '.join(t['ints'])}"
+            )
 
     gcols = (
         rng.sample(t["groups"], rng.randint(1, min(2, len(t["groups"]))))
