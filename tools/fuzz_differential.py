@@ -147,10 +147,20 @@ def gen_query(rng: random.Random) -> str:
 
     shape = rng.random()
     if shape < 0.2:
-        # DISTINCT projection of low-cardinality columns
+        # DISTINCT projection of low-cardinality columns — sometimes
+        # composed through a set operation against a second predicate
+        # on the same table (INTERSECT/EXCEPT/UNION are exact set
+        # semantics on int/string tuples, bit-safe)
         cols = rng.sample(t["groups"], rng.randint(1, min(2, len(t["groups"]))))
         sel = ", ".join(cols)
-        return f"SELECT DISTINCT {sel} FROM {frm}{where} ORDER BY {sel}"
+        base = f"SELECT DISTINCT {sel} FROM {frm}{where}"
+        if " JOIN " not in frm and rng.random() < 0.35:
+            c = rng.choice(t["ints"])
+            where2 = f" WHERE {c} {rng.choice(_CMP)} {rng.choice(_INT_LITS)}"
+            other = f"SELECT DISTINCT {sel} FROM {frm}{where2}"
+            setop = rng.choice(["INTERSECT", "EXCEPT", "UNION"])
+            return f"{base} {setop} {other} ORDER BY {sel}"
+        return f"{base} ORDER BY {sel}"
 
     if shape < 0.35:
         # window functions over the FULL integer-column order: any rows
@@ -201,8 +211,15 @@ def gen_query(rng: random.Random) -> str:
     aggs = []
     n_aggs = rng.randint(1, 3)
     for i in range(n_aggs):
-        kind = rng.randint(0, 4)
-        if kind == 0:
+        kind = rng.randint(0, 5)
+        if kind == 5:
+            # conditional aggregation: exact integer CASE inside SUM
+            c = rng.choice(t["ints"])
+            aggs.append(
+                f"CAST(SUM(CASE WHEN {c} {rng.choice(_CMP)} {rng.choice(_INT_LITS)} "
+                f"THEN 1 ELSE 0 END) AS BIGINT) AS agg{i}"
+            )
+        elif kind == 0:
             aggs.append(f"CAST(COUNT(*) AS BIGINT) AS agg{i}")
         elif kind == 1:
             aggs.append(f"CAST(COUNT(DISTINCT {rng.choice(t['ints'])}) AS BIGINT) AS agg{i}")
