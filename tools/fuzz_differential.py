@@ -17,8 +17,16 @@ Bit-safe grammar, by the house parity rules:
   =/!=/IN against values actually present, AND/OR combinations, and
   IN (SELECT fk ...) semi-join subqueries on integer keys;
 - GROUP BY only low-cardinality columns, or plain DISTINCT / global
-  aggregates; optional HAVING on an exact COUNT(*);
-- FK equi-joins and LEFT JOINs from a fixed key map.
+  aggregates; optional HAVING on an exact COUNT(*); conditional
+  aggregation as CAST(SUM(CASE int-pred THEN 1 ELSE 0) AS BIGINT);
+- FK equi-joins and LEFT JOINs from a fixed key map;
+- set operations (UNION/INTERSECT/EXCEPT, distinct set semantics on
+  both engines) between two DISTINCT projections of one table;
+- window functions (ROW_NUMBER/RANK/DENSE_RANK/LAG/cumulative SUM of
+  ints) ordered by the FULL integer-column tuple: any rows still tied
+  are identical on every selected and windowed column, so the output
+  multiset is engine-independent even where per-row assignment isn't
+  (the canon sorts rows).
 
 Every engine-vs-engine mismatch under this grammar is a REAL bug in
 one engine's query path (or in the harness), never float noise.
@@ -78,6 +86,12 @@ _STR_POOL = {
 _INT_LITS = [0, 1, 2, 3, 5, 10, 100, 1000, 5000]
 _CMP = ["<", "<=", "=", ">", ">=", "!="]
 
+
+def _int_pred(rng: random.Random, col: str) -> str:
+    """The one integer-comparison template every production shares."""
+    return f"{col} {rng.choice(_CMP)} {rng.choice(_INT_LITS)}"
+
+
 # FK equi-join pairs: (left table, right table, join condition)
 _JOINS = [
     ("lineitem", "orders", "l_orderkey = o_orderkey"),
@@ -125,12 +139,12 @@ def gen_query(rng: random.Random) -> str:
             c = rng.choice(semi_keys)
             ot, ok_col = _SEMI[c]
             oc = rng.choice(TABLES[ot]["ints"])
-            sub = f"SELECT {ok_col} FROM {ot} WHERE {oc} {rng.choice(_CMP)} {rng.choice(_INT_LITS)}"
+            sub = f"SELECT {ok_col} FROM {ot} WHERE {_int_pred(rng, oc)}"
             neg = "NOT " if rng.random() < 0.3 else ""
             preds.append(f"{c} {neg}IN ({sub})")
         elif roll < 0.6:
             c = rng.choice(t["ints"])
-            preds.append(f"{c} {rng.choice(_CMP)} {rng.choice(_INT_LITS)}")
+            preds.append(_int_pred(rng, c))
         else:
             c = rng.choice(t["strs"])
             pool = _STR_POOL[c]
@@ -156,7 +170,7 @@ def gen_query(rng: random.Random) -> str:
         base = f"SELECT DISTINCT {sel} FROM {frm}{where}"
         if " JOIN " not in frm and rng.random() < 0.35:
             c = rng.choice(t["ints"])
-            where2 = f" WHERE {c} {rng.choice(_CMP)} {rng.choice(_INT_LITS)}"
+            where2 = f" WHERE {_int_pred(rng, c)}"
             other = f"SELECT DISTINCT {sel} FROM {frm}{where2}"
             setop = rng.choice(["INTERSECT", "EXCEPT", "UNION"])
             return f"{base} {setop} {other} ORDER BY {sel}"
@@ -173,26 +187,17 @@ def gen_query(rng: random.Random) -> str:
             pcol = rng.choice(t["groups"])
             okey = ", ".join(t["ints"])  # full tuple: ties ⇒ identical rows
             target = rng.choice(t["ints"])
-            wfn = rng.choice(
-                [
-                    "ROW_NUMBER()",
-                    "RANK()",
-                    "DENSE_RANK()",
-                    f"LAG({target}) OVER_PLACEHOLDER",
-                    f"CAST(SUM({target}) OVER_CUM AS BIGINT)",
-                ]
-            )
             over = f"OVER (PARTITION BY {pcol} ORDER BY {okey})"
-            over_cum = (
-                f"OVER (PARTITION BY {pcol} ORDER BY {okey} "
-                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-            )
-            if "OVER_CUM" in wfn:
-                expr = wfn.replace("OVER_CUM", over_cum)
-            elif "OVER_PLACEHOLDER" in wfn:
-                expr = wfn.replace("OVER_PLACEHOLDER", over)
+            kind = rng.choice(["row_number", "rank", "dense_rank", "lag", "cumsum"])
+            if kind == "cumsum":
+                expr = (
+                    f"CAST(SUM({target}) OVER (PARTITION BY {pcol} ORDER BY {okey} "
+                    f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+                )
+            elif kind == "lag":
+                expr = f"LAG({target}) {over}"
             else:
-                expr = f"{wfn} {over}"
+                expr = f"{kind.upper()}() {over}"
             # pcol may itself be an integer column (p_size, c_nationkey
             # etc.) — don't select it twice, pandas rejects duplicate
             # column labels in the canon
@@ -216,7 +221,7 @@ def gen_query(rng: random.Random) -> str:
             # conditional aggregation: exact integer CASE inside SUM
             c = rng.choice(t["ints"])
             aggs.append(
-                f"CAST(SUM(CASE WHEN {c} {rng.choice(_CMP)} {rng.choice(_INT_LITS)} "
+                f"CAST(SUM(CASE WHEN {_int_pred(rng, c)} "
                 f"THEN 1 ELSE 0 END) AS BIGINT) AS agg{i}"
             )
         elif kind == 0:
