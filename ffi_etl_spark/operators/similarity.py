@@ -326,7 +326,91 @@ def ann_ivf_topk(
     )
 
 
+def brp_hyperplanes(num_hash_tables: int, dim: int) -> list[list[float]]:
+    """Deterministic 'random' projection directions for the BRP tier:
+    component (t, i) is ``(md5_int32("brp:t:i") % 2001 - 1000) / 1000``
+    — a rational in [-1, 1] derivable bit-identically by any engine
+    with md5 (the functions/hashing.py convention), replacing MLlib's
+    JVM-seeded Gaussians so the whole tier is oracle-checkable
+    (VERDICT r04 recipe d). Not Gaussian, but for LSH bucketing any
+    fixed full-rank direction family preserves the locality guarantee;
+    ``bucket_length`` absorbs the scale."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"brp:{t}:{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+            / 1000.0
+            for i in range(dim)
+        ]
+        for t in range(num_hash_tables)
+    ]
+
+
 def ann_brp_lsh_pairs(
+    corpus: DataFrame,
+    threshold: float = 1.0,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Euclidean near-pair search by bucketed random projection LSH,
+    deterministic edition: each of ``num_hash_tables`` tables buckets a
+    vector by ``floor(dot(v, r_t) / bucket_length)`` over the
+    md5-derived direction ``r_t`` (``brp_hyperplanes``); candidates
+    share any (table, bucket); the verify is the exact sequential-fold
+    Euclidean distance (bit-identical to DuckDB's list arithmetic, the
+    knn/_COS precedent). Same scale shape as MLlib's
+    ``approxSimilarityJoin``: bucket equi-join, no cross product,
+    distinct-before-verify. Output: id_a, id_b, euclid_dist.
+
+    The stock MLlib path lives on as ``ann_brp_lsh_pairs_mllib`` for
+    interop; its JVM-seeded hyperplanes are engine-private, which is
+    exactly why the GATED tier uses this formulation."""
+    planes = brp_hyperplanes(num_hash_tables, dim)
+    v = F.col(vec_col).cast("array<double>")
+    keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(t)),
+                F.floor(
+                    dot(v, F.array(*[F.lit(x) for x in planes[t]]))
+                    / F.lit(bucket_length)
+                ).cast("string"),
+            )
+            for t in range(num_hash_tables)
+        ]
+    )
+    b = corpus.select(
+        F.col(id_col).alias("_id"), v.alias("_v"), F.explode(keys).alias("_bk")
+    )
+    left = b.alias("l")
+    right = b.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l._bk") == F.col("r._bk")) & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._v").alias("_va"),
+            F.col("r._v").alias("_vb"),
+        )
+        .distinct()
+    )
+    diff = F.zip_with(F.col("_va"), F.col("_vb"), lambda a, bb: a - bb)
+    return (
+        pairs.withColumn("euclid_dist", F.sqrt(dot(diff, diff)))
+        .filter(F.col("euclid_dist") <= F.lit(threshold))
+        .select("id_a", "id_b", "euclid_dist")
+    )
+
+
+def ann_brp_lsh_pairs_mllib(
     corpus: DataFrame,
     threshold: float = 1.0,
     bucket_length: float = 2.0,
@@ -337,11 +421,11 @@ def ann_brp_lsh_pairs(
 ) -> DataFrame:
     """Near-pair search via stock pyspark.ml
     ``BucketedRandomProjectionLSH`` (Euclidean): the library counterpart
-    to the hand-rolled sign-LSH. Seeded for determinism, but the random
-    hyperplanes are engine-private — differential testing uses the
-    sign-LSH/IVF tiers; this tier exists for MLlib interop (same
+    to the hand-rolled tiers, kept for MLlib interop (same
     ``approxSimilarityJoin`` scale path: bucket join, no cross
-    product). Output: id_a, id_b, euclid_dist."""
+    product). Seeded for determinism within one engine, but the random
+    hyperplanes are JVM-private — differential gating uses
+    ``ann_brp_lsh_pairs``. Output: id_a, id_b, euclid_dist."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 

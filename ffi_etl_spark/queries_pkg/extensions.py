@@ -805,20 +805,151 @@ def _approx_distinct_users(spark, sf_dir):
     )
 
 
-@query("dedup_minhash_fast")  # xxhash64 tier: engine-private hashes, rows-only check
+@query(
+    "dedup_minhash_fast",
+    oracle=f"""
+WITH {_minhash_pairs_cte()}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_md5,
+       CAST(1 AS INT) AS fast_recall_ok,
+       CAST(1 AS INT) AS fast_precision_ok
+FROM verified WHERE jaccard_sim >= 0.5
+""",
+)
 def _dedup_minhash_fast(spark, sf_dir):
-    return dedup_minhash_lsh(table(spark, sf_dir, "documents"), fast=True)
+    """xxhash64 MinHash tier, graded as a derived invariant (VERDICT
+    r04 recipe c): the fast tier's hashes are engine-private (no DuckDB
+    xxhash64), but its VERIFIED pair set must closely agree with the
+    fully-oracled md5 tier's — same algorithm, different hash family,
+    so only band-collision luck differs. Output: the md5 tier's exact
+    pair count (hash-checked against the oracle) plus two deterministic
+    flags: |fast ∩ md5| ≥ 0.9·n_md5 (recall) and ≥ 0.9·n_fast
+    (precision). Measured agreement on the testdata: 25/25/25 at
+    sf0.01, 255/254/253 at sf0.1 — both flags hold with margin, and
+    xxhash64 is deterministic so the flags cannot flake. Thresholds
+    use integer arithmetic (10·common ≥ 9·n) — no float boundary.
+
+    The approx_distinct_users precedent: exact SQL-computable content
+    plus engine-deterministic band flags the oracle pins to 1."""
+    docs = table(spark, sf_dir, "documents")
+    md5p = dedup_minhash_lsh(docs).select("id_a", "id_b")
+    fastp = dedup_minhash_lsh(docs, fast=True).select("id_a", "id_b")
+    common = md5p.intersect(fastp)
+    stats = (
+        md5p.agg(F.count(F.lit(1)).alias("n_md5"))
+        .crossJoin(fastp.agg(F.count(F.lit(1)).alias("n_fast")))
+        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+    )
+    return stats.select(
+        F.col("n_md5").alias("n_pairs_md5"),
+        (F.col("n_common") * 10 >= F.col("n_md5") * 9).cast("int").alias("fast_recall_ok"),
+        (F.col("n_common") * 10 >= F.col("n_fast") * 9).cast("int").alias("fast_precision_ok"),
+    )
 
 
-@query("dedup_simhash_fast")  # xxhash64 tier: engine-private hashes, rows-only check
+@query(
+    "dedup_simhash_fast",
+    oracle=_SIMHASH_FP_CTE
+    + """
+, chunks AS (
+  SELECT doc_id, simhash, c,
+         (simhash >> (15 * c)) & 32767 AS chunk_val
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM chunks a JOIN chunks b
+    ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+), md5_pairs AS (
+  SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+  FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_md5,
+       CAST(COUNT(*) FILTER (WHERE hamming <= 1) AS BIGINT) AS n_strong_md5,
+       CAST(1 AS INT) AS strong_recall_ok
+FROM md5_pairs
+""",
+)
 def _dedup_simhash_fast(spark, sf_dir):
+    """xxhash64 SimHash tier, graded as a derived invariant. Unlike
+    MinHash (where the verify step is hash-family-agnostic exact
+    Jaccard), SimHash's Hamming distance IS family-specific: borderline
+    majority-vote bits flip between families, so the hamming≤3 pair
+    sets genuinely diverge (measured: recall 0.32 at sf0.1 — inherent
+    to SimHash, not a plumbing bug). What DOES cross families is the
+    strong-near-dup core: md5-tier pairs at hamming ≤ 1 are found by
+    the fast tier (any hamming ≤ 3) at 6/6 (sf0.01) and 85/98 = 0.867
+    (sf0.1). Output: the md5 tier's exact pair count and strong-pair
+    count (both hash-checked against the oracle) plus a deterministic
+    flag |{md5 h≤1} ∩ fast| ≥ 0.8·n_strong — integer arithmetic, no
+    float boundary, xxhash64 deterministic so no flake."""
     from ffi_etl_spark.operators.dedup import dedup_simhash
 
-    return dedup_simhash(table(spark, sf_dir, "documents"), fast=True)
+    docs = table(spark, sf_dir, "documents")
+    md5p = dedup_simhash(docs)
+    fastp = dedup_simhash(docs, fast=True).select("id_a", "id_b")
+    strong = md5p.filter(F.col("hamming") <= 1).select("id_a", "id_b")
+    found = strong.intersect(fastp)
+    stats = (
+        md5p.agg(F.count(F.lit(1)).alias("n_md5"))
+        .crossJoin(strong.agg(F.count(F.lit(1)).alias("n_strong")))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+    )
+    return stats.select(
+        F.col("n_md5").alias("n_pairs_md5"),
+        F.col("n_strong").alias("n_strong_md5"),
+        (F.col("n_found") * 10 >= F.col("n_strong") * 8).cast("int").alias("strong_recall_ok"),
+    )
 
 
-@query("ann_brp_lsh")  # MLlib LSH: random hyperplanes are engine-private, rows-only
+def _brp_oracle(threshold: float = 1.2, bucket_length: float = 2.0,
+                num_hash_tables: int = 3, dim: int = 64) -> str:
+    """Full differential oracle for the deterministic BRP tier: the
+    hyperplane components are md5-derived integers (similarity.py::
+    brp_hyperplanes) emitted here as ``m/1000.0`` literals so both
+    engines parse the identical double; dot products and the
+    squared-diff Euclidean fold are sequential list arithmetic —
+    bit-identical to Spark's zip_with/aggregate folds (the knn/_COS
+    precedent), so bucket floors and the threshold compare agree
+    exactly."""
+    from ffi_etl_spark.operators.similarity import brp_hyperplanes
+
+    planes = brp_hyperplanes(num_hash_tables, dim)
+    tables = ", ".join(
+        f"([{', '.join(f'{int(round(x * 1000))}/1000.0' for x in planes[t])}], {t})"
+        for t in range(num_hash_tables)
+    )
+    return f"""
+WITH planes(r, t) AS (VALUES {tables}),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), bucketed AS (
+  SELECT e.vec_id, e.v, p.t,
+         CAST(FLOOR(list_dot_product(e.v, p.r) / {bucket_length}) AS BIGINT) AS bk
+  FROM e CROSS JOIN planes p
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bucketed a JOIN bucketed b
+    ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id
+), diffed AS (
+  SELECT c.id_a, c.id_b,
+         [ea.v[i] - eb.v[i] for i in generate_series(1, {dim})] AS diff
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.id_a
+  JOIN e eb ON eb.vec_id = c.id_b
+), verified AS (
+  SELECT id_a, id_b, sqrt(list_dot_product(diff, diff)) AS euclid_dist
+  FROM diffed
+)
+SELECT id_a, id_b, euclid_dist FROM verified WHERE euclid_dist <= {threshold}
+"""
+
+
+@query("ann_brp_lsh", oracle=_brp_oracle())
 def _ann_brp_lsh(spark, sf_dir):
+    """Deterministic bucketed-random-projection LSH (Euclidean) with a
+    full differential oracle — the VERDICT r04 recipe-d upgrade from
+    the MLlib-seeded rows-only tier (the stock MLlib path survives as
+    ``ann_brp_lsh_pairs_mllib`` for interop, ungated)."""
     from ffi_etl_spark.operators.similarity import ann_brp_lsh_pairs
 
     return ann_brp_lsh_pairs(table(spark, sf_dir, "embeddings"), threshold=1.2)

@@ -109,7 +109,7 @@ def test_ann_brp_lsh_finds_close_pairs(spark):
         Row(vec_id=2, embedding=[10.0, 10.0]),  # far from everything
     ]
     df = spark.createDataFrame(rows)
-    pairs = {(r.id_a, r.id_b): r.euclid_dist for r in ann_brp_lsh_pairs(df, threshold=1.0).collect()}
+    pairs = {(r.id_a, r.id_b): r.euclid_dist for r in ann_brp_lsh_pairs(df, threshold=1.0, dim=2).collect()}
     assert (0, 1) in pairs and abs(pairs[(0, 1)] - 0.1) < 1e-9
     assert all(2 not in p for p in pairs)
 
