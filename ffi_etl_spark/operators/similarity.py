@@ -170,6 +170,53 @@ def compute_centroids_arrow(
     )
 
 
+def quantized_centroid_sums(
+    assigned: DataFrame,
+    label_col: str = "centroid_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Integer-quantized centroid SUMS per cluster: element i is
+    ``SUM(FLOOR(x_i · 2^scale_bits))`` as an exact BIGINT, reassembled
+    into an array<double> of integer values. This is the
+    cross-engine-deterministic centroid update for Lloyd iteration:
+
+    * ``x · 2^scale_bits`` is EXACT for float32 inputs (power-of-two
+      scaling never rounds a double), ``FLOOR`` is exact and has no
+      tie-breaking ambiguity (unlike decimal HALF_UP casts), and a sum
+      of BIGINTs is exact and order-independent — so unlike a float
+      mean (partition-order-dependent accumulation), every engine
+      computes bit-identical centroids, which makes iterated argmax
+      assignment bit-stable and therefore fully DuckDB-oracleable.
+    * cosine is scale-invariant, so assigning against the un-divided
+      SUM is identical to assigning against the mean; the quantization
+      at 2^-20 per element is the only (deterministic, documented)
+      deviation from ``compute_centroids``' float mean.
+    * Magnitude: |sum_i| ≤ n_members · 2^scale_bits · max|x|; with
+      scale_bits=20 an exact-double budget of 2^53 allows ~8e9
+      member·|x| per cluster — raise k or lower scale_bits past that.
+
+    Same shuffle shape as ``compute_centroids``: one narrow posexplode,
+    one K·dim-group aggregate (map-side combined), one K-row collect."""
+    exploded = assigned.select(
+        F.col(label_col).alias("centroid_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    sums = exploded.groupBy("centroid_id", "pos").agg(
+        F.sum(
+            F.floor(F.col("x").cast("double") * F.lit(float(1 << scale_bits))).cast(
+                "long"
+            )
+        ).alias("sx")
+    )
+    return sums.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sx"))),
+            lambda s: s["sx"].cast("double"),
+        ).alias("centroid")
+    )
+
+
 def pack_centroids(centroids: DataFrame) -> DataFrame:
     """Collapse the K centroid rows into ONE row holding an array of
     (centroid_id, centroid, cnorm) structs — the broadcastable model.
@@ -457,6 +504,7 @@ def kmeans_lloyd(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize_bits: int | None = None,
 ) -> DataFrame:
     """Spherical k-means by Lloyd iteration — the engine's
     representative ITERATIVE algorithm (genuinely non-SQL-expressible:
@@ -478,7 +526,17 @@ def kmeans_lloyd(
     per round (driver never sees the corpus — only K rows are pinned,
     and eagerly so the lazy chain doesn't re-run every PRIOR round's
     assignment inside each later round's plan). The corpus itself is
-    scanned once per round: persist it first at production scale.
+    scanned once per round: persist it first at production scale. The
+    per-round centroid pins accumulate over the call (K rows each);
+    call ``spark.catalog.clearCache()`` after materializing the result
+    if the session runs many clusterings.
+
+    ``quantize_bits`` switches the update step to
+    ``quantized_centroid_sums`` — exact integer centroids, so the whole
+    iteration is bit-identical across engines and partitionings
+    (assignment is unchanged: cosine is scale-invariant, the sum
+    assigns like the mean). This is the ORACLE-GRADEABLE mode; the
+    default float mean keeps full precision for production use.
     """
     assigned = corpus.select(
         F.col(id_col),
@@ -487,9 +545,15 @@ def kmeans_lloyd(
     )
     prev = None
     for _ in range(n_iter):
-        cents = compute_centroids(
-            assigned, 0, label_col="centroid_id", vec_col=vec_col
-        ).persist()
+        if quantize_bits is not None:
+            cents = quantized_centroid_sums(
+                assigned, label_col="centroid_id", vec_col=vec_col,
+                scale_bits=quantize_bits,
+            ).persist()
+        else:
+            cents = compute_centroids(
+                assigned, 0, label_col="centroid_id", vec_col=vec_col
+            ).persist()
         cents.count()
         if prev is not None:
             prev.unpersist()
@@ -519,6 +583,7 @@ def dedup_semantic(
     min_sim: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize_bits: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic
@@ -539,11 +604,23 @@ def dedup_semantic(
     (argmax with lowest-id tie-break), so they land in the same
     cluster by construction.
 
-    Iterative k-means makes the gate rows-only (the kmeans numpy
-    differential + the subset/recall tests carry correctness); the
-    pair verify itself is the bit-deterministic in-order cosine fold
-    from functions/vectors.py."""
-    assigned = kmeans_lloyd(corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    With the default float-mean k-means the gate is rows-only (the
+    kmeans numpy differential + the subset/recall tests carry
+    correctness); ``quantize_bits`` switches to the integer-centroid
+    deterministic mode, making the WHOLE pipeline bit-stable across
+    engines — the gated ``dedup_semantic`` query runs that mode under
+    a full unrolled-CTE DuckDB oracle. The pair verify itself is the
+    bit-deterministic in-order cosine fold from functions/vectors.py
+    either way.
+
+    NOTE: this operator persists intermediate state (the per-round
+    centroid models and the final assignment) that stays pinned after
+    the result is materialized — call ``spark.catalog.clearCache()``
+    when done if the session continues with other heavy work."""
+    assigned = kmeans_lloyd(
+        corpus, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        quantize_bits=quantize_bits,
+    )
     if "vec_norm" not in assigned.columns:  # n_iter=0: init-only assignment
         assigned = assigned.withColumn("vec_norm", norm2(F.col(vec_col)))
     # pin the assignment: it feeds BOTH sides of the within-cluster

@@ -957,26 +957,50 @@ def _mixture_curriculum(spark, sf_dir):
 # SemDeDup: cluster-scoped semantic near-duplicates
 # ---------------------------------------------------------------------------
 
-@query("dedup_semantic")  # rows-only: k-means is iterative (numpy-differential gated)
+_SEMDEDUP_K, _SEMDEDUP_ROUNDS = 8, 3
+
+
+def _dedup_semantic_oracle() -> str:
+    from ffi_etl_spark.queries_pkg.extensions import _jround, _kmeans_det_cte
+
+    cos = "list_dot_product(a.v, b.v) / (a.vn * b.vn)"
+    return f"""
+WITH {_kmeans_det_cte(_SEMDEDUP_K, _SEMDEDUP_ROUNDS)},
+fin AS (
+  SELECT vec_id, v, centroid_id, sqrt(list_dot_product(v, v)) AS vn
+  FROM a{_SEMDEDUP_ROUNDS}
+)
+SELECT a.centroid_id, a.vec_id AS id_a, b.vec_id AS id_b,
+       {_jround(cos, 6)} AS cosine_sim
+FROM fin a JOIN fin b
+  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+WHERE a.vn > 0 AND b.vn > 0 AND {cos} >= 0.15
+ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_semantic", oracle=_dedup_semantic_oracle())
 def _dedup_semantic(spark, sf_dir):
     """operators/similarity.py::dedup_semantic over embeddings — the
     SemDeDup tier beside the LSH-bucketed `dedup_embedding`: learned
     (k-means) buckets instead of random hyperplanes, pairs compared
     only within a cluster (min_sim matches the dedup_embedding tier's
     0.15 floor — this synthetic corpus has no high-cosine pairs).
-    Rows-only by design (iterative k-means);
-    correctness is carried by test_round4b.py's subset/recall
-    differentials and the kmeans numpy stepwise differential."""
+    Upgraded rows-only → full oracle (VERDICT r04 recipe b): the gated
+    form runs the integer-centroid deterministic k-means mode
+    (``quantize_bits=20``), so clustering AND the exact cosine verify
+    are bit-stable and the whole pipeline unrolls into one CTE chain.
+    k is pinned at 8 — the documented adaptive knob
+    (``max(8, n // 500)``) resolves to 8 at every testdata SF, and a
+    static oracle needs a static k; callers tuning for corpus scale
+    pass their own k to the operator. The float-mean mode keeps the
+    test_round4b.py subset/recall differentials."""
     from ffi_etl_spark.operators.similarity import dedup_semantic
 
     emb = table(spark, sf_dir, "embeddings")
-    # k scales with the corpus so per-cluster membership (and the
-    # within-cluster pair count ~ n^2/k) stays bounded at ~500 members
-    # — one scalar count() action, the documented SemDeDup knob
-    k = max(8, emb.count() // 500)
-    return dedup_semantic(emb, k=k, n_iter=3, min_sim=0.15).orderBy(
-        "id_a", "id_b"
-    )
+    return dedup_semantic(
+        emb, k=_SEMDEDUP_K, n_iter=_SEMDEDUP_ROUNDS, min_sim=0.15, quantize_bits=20
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

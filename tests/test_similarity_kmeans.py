@@ -67,3 +67,54 @@ def test_kmeans_profile_counts(spark, clustered_v25):
     assert sum(r["n_members"] for r in prof) == 25
     assert all(r["n_members"] > 0 for r in prof)
     assert all(r["first_member"] >= 0 for r in prof)
+
+
+def _np_kmeans_quantized(vecs: np.ndarray, k: int, n_iter: int, bits: int) -> np.ndarray:
+    """Replica of the deterministic mode: centroid = exact integer SUM
+    of floor(x * 2^bits) per element (quantized_centroid_sums); assign
+    is unchanged (cosine is scale-invariant over the un-divided sum)."""
+    labels = np.arange(len(vecs)) % k
+    scale = float(1 << bits)
+    for _ in range(n_iter):
+        q = np.floor(vecs * scale)
+        cents = np.stack([q[labels == c].sum(axis=0) for c in sorted(set(labels))])
+        cids = np.array(sorted(set(labels)))
+        sims = (vecs @ cents.T) / (
+            np.linalg.norm(vecs, axis=1)[:, None] * np.linalg.norm(cents, axis=1)[None, :]
+        )
+        labels = cids[np.argmax(sims, axis=1)]
+    return labels
+
+
+def test_kmeans_quantized_matches_numpy(spark, clustered_v25):
+    """The oracle-gradeable integer-centroid mode, differentially
+    checked round by round against a numpy replica — the same contract
+    the unrolled DuckDB CTE oracle (_kmeans_det_cte) encodes."""
+    df = spark.createDataFrame(clustered_v25, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in kmeans_lloyd(df, k=5, n_iter=3, quantize_bits=20).collect()
+    }
+    vecs = np.array([v for _, v in clustered_v25])
+    want = _np_kmeans_quantized(vecs, k=5, n_iter=3, bits=20)
+    assert got == {i: int(want[i]) for i in range(25)}
+    # at 2^-20 quantization the planted-cone geometry is untouched:
+    # the quantized run recovers the same pure cones as the float mode
+    planted = {}
+    for i, c in got.items():
+        planted.setdefault(i // 5, set()).add(c)
+    assert all(len(s) == 1 for s in planted.values())
+
+
+def test_quantized_centroid_sums_exact(spark):
+    """Element sums are exact integers: no float-mean accumulation."""
+    from ffi_etl_spark.operators.similarity import quantized_centroid_sums
+
+    rows = [(0, [0.5, -0.3]), (1, [0.25, 0.7]), (2, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = df.withColumn("centroid_id", (df.vec_id % 2).cast("int"))
+    out = {r["centroid_id"]: r["centroid"] for r in quantized_centroid_sums(assigned, scale_bits=2).collect()}
+    # scale 4: floor(.5*4)+floor(1*4)=2+4=6 ; floor(-.3*4)+floor(2*4)=-2+8=6
+    assert out[0] == [6.0, 6.0]
+    # floor(.25*4)=1 ; floor(.7*4)=2
+    assert out[1] == [1.0, 2.0]
