@@ -570,6 +570,115 @@ def dup_span_profile(
     )
 
 
+# position key packing for scrub_dup_spans: doc_id * 2^POS_BITS + pos.
+# Bounds: pos ≤ n_tokens < 2^20 (a 1M-token doc breaks the pack — raise
+# POS_BITS), doc_id < 2^43 (so the key fits a signed 64-bit long).
+_SPAN_POS_BITS = 20
+
+
+def scrub_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Exact-substring span REMOVAL — the scrub step after
+    ``dup_span_profile``'s measurement (Lee et al. 2021: drop duplicated
+    ≥n-token spans from the training corpus, keeping one canonical
+    occurrence). Token n-gram occurrences are keyed by md5 hash; a gram
+    duplicated across ≥2 distinct documents keeps only its canonical
+    occurrence (minimum (doc_id, position)) and every other occurrence's
+    n-token window is scrubbed; a document's kept tokens are re-joined
+    with single spaces (whitespace-normalized, like every token op
+    here). Within-doc-only repeats are NOT scrubbed — same contract as
+    ``dup_span_profile`` (that is ``repetition_filter``'s signal).
+
+    Output per document: ``n_tokens`` (before), ``n_removed`` (tokens
+    scrubbed), ``scrubbed_md5`` (md5 of the rebuilt text — the whole
+    transform is md5/position arithmetic, so a DuckDB oracle replays it
+    end-to-end and the gate is a full differential, not an invariant
+    flag). Overlapping duplicated spans union their token windows, so
+    scrubbing is idempotent per doc; residual cross-doc duplication
+    after the scrub is pinned ≈0 by the planted-span pytest (seam-grams
+    formed across removal joints are the only possible leftovers).
+
+    Scale shape: two narrow explodes (gram starts, token positions), one
+    gram-keyed aggregate (map-side combined; boilerplate-hot grams skew
+    a COUNT, never a collect), one gram-keyed join back, a doc-keyed
+    anti-join on covered positions, and per-doc rebuilds via the
+    order-pinned collect — no driver collects, no cross product; the
+    token-position anti-join co-partitions on the doc key. The
+    tokenized base is read three times (grams, positions, final join):
+    persist it first at production scale."""
+    from ffi_etl_spark.functions.hashing import md5_int60
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.size(toks).alias("n_tokens"),
+    )
+    occ = base.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.col("n_tokens") - F.lit(n - 1), F.lit(1))
+            )
+        ).alias("s"),
+        F.col("_toks"),
+    ).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("s"),
+        md5_int60(
+            F.concat_ws(" ", F.slice(F.col("_toks"), F.col("s"), F.lit(n)))
+        ).alias("g"),
+    )
+    pos_key = F.col(id_col) * F.lit(1 << _SPAN_POS_BITS) + F.col("s")
+    stats = occ.groupBy("g").agg(
+        F.count_distinct(id_col).alias("_ddf"),
+        F.min(F.col(id_col) * F.lit(1 << _SPAN_POS_BITS) + F.col("s")).alias("_canon"),
+    )
+    scrub = (
+        occ.join(stats, "g")
+        .where((F.col("_ddf") >= 2) & (pos_key != F.col("_canon")))
+        .select(F.col(id_col), F.col("s"), F.col("n_tokens"))
+    )
+    covered = scrub.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.col("s"), F.least(F.col("s") + F.lit(n - 1), F.col("n_tokens"))
+            )
+        ).alias("ti"),
+    ).distinct()
+    toks_pos = base.select(
+        F.col(id_col), F.posexplode("_toks").alias("_p", "tok")
+    ).select(F.col(id_col), (F.col("_p") + 1).alias("ti"), F.col("tok"))
+    kept = toks_pos.join(covered, [id_col, "ti"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ti", "tok"))),
+                lambda st: st["tok"],
+            ),
+        ).alias("_scrubbed")
+    )
+    removed = covered.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nrem"))
+    return (
+        base.join(rebuilt, id_col, "left")
+        .join(removed, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.coalesce(F.col("_nrem"), F.lit(0)).cast("int").alias("n_removed"),
+            F.md5(F.coalesce(F.col("_scrubbed"), F.lit(""))).alias("scrubbed_md5"),
+        )
+    )
+
+
 def inverted_index(
     df: DataFrame,
     text_col: str = "text",

@@ -55,22 +55,21 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
     analytics,
     round4b,
     round4c,
+    round5,
 )
 
 # The driver's correctness gate grades a bounded prefix of the registry
 # (exactly the first 50 registered queries). Registration order is
-# therefore a grading decision. Rounds 1-3 banked green rows for 108
-# distinct queries; round 4 ROTATES again per the round-3 verdict:
-# 5 continuity canaries, the 4 r03 reds (array outputs stringified,
-# stats_moments fixed-precision — re-grade), the 30 queries that have
-# never had a driver row (registry positions 50-79 last round), and
-# the first 11 round-4 additions. If r04 grades these green, every
-# query registered THROUGH ROUND 3 has a driver row across rounds;
-# the later round-4 registrations sit past the cap and lead the
-# round-5 rotation — TODO.md keeps the authoritative list (27
-# ungraded at end of round 4, all local-gate green at sf0.01 AND
-# sf0.1), plus token_entropy whose gate was upgraded rows-only → full
-# oracle after its last grading.
+# therefore a grading decision; `tools/rotation.py` machine-derives the
+# graded/green/never-graded sets from CORRECTNESS_r*.json and proposes
+# the next prefix (VERDICT r04 item 6 — no more hand-counted TODO
+# lists). Round-5 rotation = 5 continuity canaries + the 6 latest-red
+# rows (the 4 rows-only reds, all upgraded to full oracles this round,
+# plus the token_entropy / pagerank_centrality oracle-upgrade
+# re-grades) + the 38 never-graded round-4b/4c-era registrations +
+# the 1 round-5 addition = exactly 50. If all grade green, EVERY
+# registered query has a green driver row across rounds and the
+# coverage claim is proven, not asserted.
 PRIORITY_PREFIX: tuple[str, ...] = (
     # -- canaries: green every prior round, kept for continuity --
     "survey_pipeline",
@@ -78,56 +77,54 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "dedup_minhash",
     "tpch_q1",
     "pretraining_corpus",
-    # -- r03 reds, fixed this round: re-grade --
-    "approx_quantiles",
-    "stats_moments",
-    "grouped_list_agg",
-    "embedding_unit_norm",
-    # -- never driver-graded: the 15 deferred TPC-H spines --
-    "tpch_q2_min_cost",
-    "tpch_q4_priority",
-    "tpch_q7_volume",
-    "tpch_q8_share",
-    "tpch_q10_returns",
-    "tpch_q11_important",
-    "tpch_q12_priority",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty",
-    "tpch_q19_disjunct",
-    "tpch_q20_promo_suppliers",
-    "tpch_q21_waiting",
-    "tpch_q22_idle_rich",
-    # -- never driver-graded: the 5 deferred round-2 spines --
-    "deterministic_sample",
-    "weighted_sample",
-    "running_total",
-    "set_ops_retention",
-    "unpivot_metrics",
-    # -- never driver-graded: the 10 round-3 additions --
-    "skew_salted_join",
-    "dedup_keep_best",
-    "training_order",
-    "dataset_diff",
-    "dedup_minhash_incremental",
-    "mixture_temperature",
-    "training_export",
-    "heavy_hitters_sketch",
-    "ewma_smoothing",
-    "quality_percentile_gate",
-    # -- round-4 additions --
-    "bm25_rank",
-    "dedup_survivors",
-    "embedding_quantize_int8",
-    "first_touch_attribution",
-    "event_count_anomaly",
-    "winsorize_scale",
-    "gdpr_forget_audit",
-    "train_val_test_split",
-    "star_denormalize",
-    "mad_outliers",
-    "skyline_pareto",
+    # -- latest-red rows, all upgraded to full oracles: re-grade --
+    "dedup_minhash_fast",
+    "dedup_simhash_fast",
+    "ann_brp_lsh",
+    "kmeans_clusters",
+    "token_entropy",
+    "pagerank_centrality",
+    # -- never driver-graded (rotation.py order) --
+    "countmin_frequency",
+    "random_projection",
+    "lm_transition_anomaly",
+    "dedup_cluster_profile",
+    "knn_int8_codes",
+    "label_propagation_communities",
+    "mode_agg",
+    "percent_change_mom",
+    "activity_gaps",
+    "vocab_growth",
+    "similarity_histogram",
+    "weekly_engagement",
+    "power_users_pareto",
+    "dedup_containment",
+    "k_anonymity_audit",
+    "top_user_paths",
+    "token_budget_mixture",
+    "padding_efficiency",
+    "daily_autocorr",
+    "ccnet_quality_tiers",
+    "vocab_coverage",
+    "rfm_features",
+    "lang_confusion",
+    "constraint_audit",
+    "split_leakage_audit",
+    "corr_matrix",
+    "mixture_curriculum",
+    "dedup_semantic",
+    "doc_lm_fluency",
+    "l_diversity_audit",
+    "join_cardinality_probe",
+    "incremental_agg_maintenance",
+    "dp_noised_release",
+    "rendezvous_resharding",
+    "kmv_set_algebra",
+    "clustering_coefficient",
+    "market_basket_lift",
+    "zorder_locality",
+    # -- round-5 addition --
+    "dedup_span_scrub",
 )
 
 

@@ -174,14 +174,15 @@ def test_registry_priority_prefix(spark):
     expected = [n for n in PRIORITY_PREFIX if n in names]
     assert names[: len(expected)] == expected
     assert len(expected) == 50  # the graded prefix is exactly full
-    # round-4 rotation: continuity canaries + the 4 r03 reds + the 30
-    # never-driver-graded queries + the 11 round-4 additions sit inside
-    # the first 50 (every earlier-green query already banked its row)
+    # round-5 rotation: continuity canaries + the 6 latest-red rows
+    # (all upgraded to full oracles) + the 38 never-driver-graded
+    # registrations + the round-5 addition sit inside the first 50
+    # (every earlier-green query already banked its row)
     for must in ("survey_pipeline", "census_merge", "dedup_minhash",
-                 "stats_moments", "grouped_list_agg", "embedding_unit_norm",
-                 "approx_quantiles", "tpch_q22_idle_rich",
-                 "dedup_minhash_incremental", "training_export",
-                 "bm25_rank", "dedup_survivors", "skyline_pareto"):
+                 "dedup_minhash_fast", "dedup_simhash_fast", "ann_brp_lsh",
+                 "kmeans_clusters", "token_entropy", "pagerank_centrality",
+                 "dedup_semantic", "incremental_agg_maintenance",
+                 "zorder_locality", "dedup_span_scrub"):
         assert names.index(must) < 50, must
 
 

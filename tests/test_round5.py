@@ -1,0 +1,101 @@
+"""Round-5 operator tests: exact-substring span scrub."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ffi_etl_spark.operators.textops import dup_span_profile, scrub_dup_spans
+
+
+def _tok(s: str) -> list[str]:
+    return s.strip().split()
+
+
+SHARED = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 tokens
+
+
+def _planted(spark):
+    rows = [
+        # doc 1: canonical holder of the shared span (min doc_id)
+        (1, f"one two three {SHARED} four five six seven eight nine ten eleven"),
+        # doc 2: same span embedded in different context -> scrubbed here
+        (2, f"red orange yellow green {SHARED} blue indigo violet pink brown black white"),
+        # doc 3: within-doc-only repeat of an 8-token run -> untouched
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 mid w1 w2 w3 w4 w5 w6 w7 w8"),
+        # doc 4: short doc, no overlap
+        (4, "tiny little doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_scrub_removes_noncanonical_span(spark):
+    df = _planted(spark)
+    out = {r["doc_id"]: r for r in scrub_dup_spans(df, n=8).collect()}
+
+    # doc 1 keeps everything (canonical occurrences live here)
+    assert out[1]["n_removed"] == 0
+    # doc 2 loses exactly the shared windows' token union: gram starts
+    # 5..7 in doc2? no — every 8-gram fully inside the shared span is
+    # duplicated; their covered union is the 10 shared tokens plus no
+    # context tokens (context differs between docs)
+    assert out[2]["n_removed"] == 10
+    # within-doc-only repetition is not cross-doc: untouched
+    assert out[3]["n_removed"] == 0
+    assert out[4]["n_removed"] == 0
+
+    # token counts are the pre-scrub sizes
+    assert out[2]["n_tokens"] == len(_tok(f"red orange yellow green {SHARED} blue indigo violet pink brown black white"))
+
+
+def test_scrub_rebuild_matches_manual(spark):
+    import hashlib
+
+    df = _planted(spark)
+    out = {r["doc_id"]: r for r in scrub_dup_spans(df, n=8).collect()}
+    doc2 = _tok(f"red orange yellow green {SHARED} blue indigo violet pink brown black white")
+    shared = set(_tok(SHARED))
+    kept = [t for t in doc2 if t not in shared]
+    want = hashlib.md5(" ".join(kept).encode()).hexdigest()
+    assert out[2]["scrubbed_md5"] == want
+    # untouched docs hash to their whitespace-normalized selves
+    want3 = hashlib.md5(
+        "w1 w2 w3 w4 w5 w6 w7 w8 mid w1 w2 w3 w4 w5 w6 w7 w8".encode()
+    ).hexdigest()
+    assert out[3]["scrubbed_md5"] == want3
+
+
+def test_scrub_leaves_no_residual_crossdoc_grams(spark):
+    """The Lee-et-al invariant: after scrubbing, re-profiling the
+    rebuilt corpus finds zero cross-doc duplicated 8-grams (seam-grams
+    across removal joints are the only theoretical leftovers; none
+    arise on this corpus)."""
+    rows = [
+        (1, f"one two three {SHARED} four five six seven eight"),
+        (2, f"red orange yellow green {SHARED} blue indigo violet pink"),
+        (3, f"aa bb cc dd {SHARED} ee ff gg hh ii jj"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # rebuild the scrubbed corpus (same construction as the operator's
+    # internal rebuild, surfaced as text for re-profiling)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = df.select("doc_id", toks.alias("_toks"))
+    out = scrub_dup_spans(df, n=8)
+
+    # scrub kept doc1's span only; docs 2 and 3 each lose the 10 tokens
+    got = {r["doc_id"]: r["n_removed"] for r in out.collect()}
+    assert got == {1: 0, 2: 10, 3: 10}
+
+    # reconstruct texts manually and re-profile
+    shared = set(_tok(SHARED))
+    rebuilt_rows = []
+    for doc_id, text in rows:
+        if doc_id == 1:
+            rebuilt_rows.append((doc_id, text.strip()))
+        else:
+            rebuilt_rows.append(
+                (doc_id, " ".join(t for t in _tok(text) if t not in shared))
+            )
+    rebuilt = spark.createDataFrame(rebuilt_rows, "doc_id long, text string")
+    prof = dup_span_profile(rebuilt, n=8)
+    assert prof.agg(F.sum("n_dup_grams")).collect()[0][0] == 0
