@@ -99,22 +99,43 @@ def main() -> None:
     only = set(sys.argv[1:])
     timed = [n for n in HEADLINE if not only or n in only]
 
+    # median-of-N (default 3): single draws shipped a 2.4x skew-line
+    # outlier in BENCH_r04 that the repo's own >=3-run-median rule would
+    # have smoothed (VERDICT r04 item 3) — the recorded artifact now
+    # follows the same rule as BASELINE.md. Cache is cleared between
+    # repeats, so each draw re-executes the full plan; JVM/codegen warmth
+    # carries across draws, which is the steady state a long-lived
+    # cluster sees anyway.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+    def _median(xs: list[float]) -> float:
+        xs = sorted(xs)
+        mid = len(xs) // 2
+        return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2.0
+
+    def _timed_count(build) -> float:
+        t0 = time.perf_counter()
+        build().count()
+        dt = time.perf_counter() - t0
+        # isolation between draws/queries: drop persisted signature
+        # tables etc. so nothing is timed under a predecessor's footprint
+        spark.catalog.clearCache()
+        return dt
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in timed:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
+        draws = [_timed_count(lambda: fn(spark, sf_dir)) for _ in range(runs)]
+        dt = _median(draws)
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {n} rows in {dt:.3f}s", file=sys.stderr)
-        # isolation between queries: drop persisted signature tables etc.
-        # so no query is timed under a predecessor's memory footprint
-        spark.catalog.clearCache()
+        print(
+            f"# {name}: median {dt:.3f}s of {[round(d, 3) for d in draws]}",
+            file=sys.stderr,
+        )
 
     # skew lever, measured: the unsalted twin of skew_salted_join runs the
     # same shuffle join with the hot key serialized through one reducer
@@ -124,15 +145,13 @@ def main() -> None:
     if "skew_salted_join" in timings:
         from ffi_etl_spark.queries_pkg.breadth import skew_join_plain
 
-        t0 = time.perf_counter()
-        skew_join_plain(spark, sf_dir).count()
-        dt_plain = time.perf_counter() - t0
+        draws = [_timed_count(lambda: skew_join_plain(spark, sf_dir)) for _ in range(runs)]
+        dt_plain = _median(draws)
         print(
-            f"# skew_join_plain (unsalted twin): {dt_plain:.3f}s vs salted "
+            f"# skew_join_plain (unsalted twin): median {dt_plain:.3f}s vs salted "
             f"{timings['skew_salted_join']:.3f}s",
             file=sys.stderr,
         )
-        spark.catalog.clearCache()
 
     print(
         json.dumps(

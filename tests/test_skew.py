@@ -126,3 +126,31 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
         .collect()
     }
     assert got == want and len(got) == 1
+
+
+def test_salted_join_adaptive_branches(spark):
+    """The probe salts only under real skew; both branches match the
+    plain join exactly."""
+    from ffi_etl_spark.operators.olap import salted_join_adaptive
+
+    # hot: 90% of fact rows on key 1
+    hot = spark.range(2000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        (F.col("id") % 7).alias("v"),
+    )
+    uniform = spark.range(2000).select(
+        (F.col("id") % 500).alias("k"), (F.col("id") % 7).alias("v")
+    )
+    dim = spark.range(2000).select(F.col("id").alias("k"), F.lit(10).alias("w"))
+
+    for fact, expect_salted in ((hot, True), (uniform, False)):
+        out = salted_join_adaptive(fact, dim, ["k"], probe_fraction=0.5)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert ("_salt" in plan) == expect_salted, plan[:500]
+        got = out.groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
+        ).collect()[0]
+        want = fact.join(dim, "k").groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
+        ).collect()[0]
+        assert (got["n"], got["s"]) == (want["n"], want["s"])
