@@ -74,13 +74,50 @@ def _violation(rule: Rule, probe_col: str | None) -> Column:
     return F.count_if(bad)
 
 
+_COL_KINDS = ("not_null", "in_set", "range", "regex", "unique", "fk")
+
+
+def _validate_rules(rules: list[Rule]) -> None:
+    """Fail fast with NAMED errors on malformed suites (ADVICE r04):
+    a missing ``col`` otherwise surfaces as an AttributeError deep in
+    compilation, an empty ``in_set`` values tuple as an opaque py4j
+    error from ``isin()``, and two rules sharing a name silently
+    collide in the aggregate alias namespace (the second rule's count
+    would shadow the first's)."""
+    seen: set[str] = set()
+    for r in rules:
+        if r.name in seen:
+            raise ValueError(f"duplicate rule name {r.name!r}: alias "
+                             "columns are keyed by name, so the suite "
+                             "would silently report one rule twice")
+        seen.add(r.name)
+        if r.kind in _COL_KINDS and r.col is None:
+            raise ValueError(f"{r.kind} rule {r.name!r} needs col")
+        if r.kind == "in_set" and not r.values:
+            raise ValueError(f"in_set rule {r.name!r} needs a non-empty "
+                             "values tuple (an empty set would flag every "
+                             "non-null row — say that with a predicate rule "
+                             "if it is really meant)")
+        if r.kind == "range" and (r.lo is None or r.hi is None):
+            # between(lo, NULL) evaluates NULL and count_if would
+            # silently skip it — an open-ended bound must be written as
+            # a predicate rule, not left half-specified here
+            raise ValueError(f"range rule {r.name!r} needs both lo and hi")
+        if r.kind == "regex" and r.pattern is None:
+            raise ValueError(f"regex rule {r.name!r} needs pattern")
+        if r.kind == "predicate" and r.expr is None:
+            raise ValueError(f"predicate rule {r.name!r} needs expr")
+
+
 def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Evaluate a constraint suite in one pass.
 
     Returns one row per rule: ``rule`` (name), ``n_checked`` (table
     row count), ``n_violations``. Deterministic long-format output,
-    ordered by rule name.
+    ordered by rule name. Malformed rules (missing fields, empty
+    in_set values, duplicate names) raise ValueError up front.
     """
+    _validate_rules(rules)
     probe_names: dict[str, str] = {}
     scan = df
     for i, r in enumerate(rules):

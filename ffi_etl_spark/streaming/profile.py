@@ -55,11 +55,30 @@ def merge_batch_into_profile(
     table aside, move the new one in, then drop the old — with startup
     recovery for the two torn states (aside-but-not-replaced restores
     the old table; replaced-but-not-dropped clears the leftover), so
-    no crash point loses the accumulated profile."""
+    no crash point loses the accumulated profile.
+
+    LOCAL FILESYSTEM ONLY: the atomic-swap protocol is ``os.rename``/
+    ``shutil`` over POSIX paths, so the crash-safety guarantee does NOT
+    extend to HDFS/object storage — a scheme-prefixed ``target_path``
+    (``hdfs://``, ``s3a://``, …) raises up front rather than silently
+    dropping the guarantee (ADVICE r04). The production path for a
+    distributed store is a transactional table format carrying the
+    ledger in table metadata: Delta's ``txnAppId``/``txnVersion`` pair
+    is the exact counterpart of the (app_id, batch_id) ledger here."""
     import os
+    import re
     import shutil
 
     from ffi_etl_spark.operators.ivm import merge_grouped_partials
+
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", target_path)
+    if m and not target_path.startswith("file://"):
+        raise ValueError(
+            f"merge_batch_into_profile: target_path {target_path!r} is on a "
+            f"{m.group(0)} filesystem — the os.rename commit protocol is "
+            "only atomic on the local filesystem. Use a transactional table "
+            "format (Delta txnAppId/txnVersion) for distributed stores."
+        )
 
     spark = batch_df.sparkSession
     new_dir = target_path + ".__ivm_new__"

@@ -26,7 +26,19 @@ Bit-safe grammar, by the house parity rules:
   ints) ordered by the FULL integer-column tuple: any rows still tied
   are identical on every selected and windowed column, so the output
   multiset is engine-independent even where per-row assignment isn't
-  (the canon sorts rows).
+  (the canon sorts rows);
+- outer-join NULL edges (round-5 grammar): LEFT joins optionally carry
+  an extra right-side ON predicate so unmatched (NULL-extended) rows
+  actually occur even under intact FKs; RIGHT and FULL OUTER joins
+  (WHERE restricted to the preserved side, or absent for FULL);
+  NULL-skipping COUNT(col) beside COUNT(*); IS NULL / IS NOT NULL
+  probes on the NULL-extensible side's key;
+- windows OVER joins: the full-tuple-order argument survives a join —
+  order by EVERY integer column of the joined row with explicit
+  NULLS FIRST (Spark defaults NULLS FIRST ASC, DuckDB NULLS LAST:
+  unstated NULL placement is exactly the cross-engine trap this
+  production pins), select only the ordered columns, and tied rows
+  are again identical on all selected + windowed columns.
 
 Every engine-vs-engine mismatch under this grammar is a REAL bug in
 one engine's query path (or in the harness), never float noise.
@@ -114,24 +126,55 @@ def _merged(a: dict, b: dict) -> dict:
 
 
 def gen_query(rng: random.Random) -> str:
-    if rng.random() < 0.3:
+    join_how = None
+    null_side = None  # the NULL-extensible side's column dict (outer joins)
+    merged_ints: list[str] = []  # every int column of the joined row
+    if rng.random() < 0.35:
         lt, rt, cond = rng.choice(_JOINS)
-        how = rng.choice(["JOIN", "LEFT JOIN"])
-        frm = f"{lt} {how} {rt} ON {cond}"
-        t = _merged(TABLES[lt], TABLES[rt])
-        # under LEFT JOIN keep WHERE/GROUP columns on the left side: a
-        # right-side WHERE predicate silently reduces the query to an
-        # inner join, and the point of generating LEFT JOIN is to keep
-        # exercising the unmatched-row path
-        if how == "LEFT JOIN":
+        join_how = rng.choice(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
+        extra = ""
+        merged_ints = TABLES[lt]["ints"] + TABLES[rt]["ints"]
+        if join_how == "JOIN":
+            t = _merged(TABLES[lt], TABLES[rt])
+        elif join_how == "LEFT JOIN":
+            # WHERE/GROUP columns stay on the preserved (left) side: a
+            # null-rejecting right-side predicate silently reduces the
+            # query to an inner join. An extra right-side ON predicate
+            # MANUFACTURES unmatched rows — with intact FKs the plain
+            # LEFT JOIN never exercises the NULL-extension path at all.
+            if rng.random() < 0.6:
+                extra = f" AND {_int_pred(rng, rng.choice(TABLES[rt]['ints']))}"
             t = dict(TABLES[lt])
+            null_side = TABLES[rt]
+        elif join_how == "RIGHT JOIN":
+            if rng.random() < 0.6:
+                extra = f" AND {_int_pred(rng, rng.choice(TABLES[lt]['ints']))}"
+            t = dict(TABLES[rt])
+            null_side = TABLES[lt]
+        else:  # FULL JOIN: any WHERE would drop one side's unmatched rows
+            if rng.random() < 0.6:
+                extra = f" AND {_int_pred(rng, rng.choice(TABLES[rt]['ints']))}"
+            t = dict(TABLES[lt])
+            null_side = TABLES[rt]
+        frm = f"{lt} {join_how} {rt} ON {cond}{extra}"
     else:
         tname = rng.choice(sorted(TABLES))
         frm = tname
         t = TABLES[tname]
 
     preds = []
-    for _ in range(rng.randint(0, 2)):
+    if join_how in ("LEFT JOIN", "RIGHT JOIN") and rng.random() < 0.4:
+        # NULL-edge probe on the NULL-extensible side's key: IS NULL is
+        # the anti-join shape, IS NOT NULL the silent inner-join
+        # reduction — both legal and engine-comparable
+        preds.append(
+            f"{rng.choice(null_side['ints'])} IS {rng.choice(['NULL', 'NOT NULL'])}"
+        )
+    for _ in range(rng.randint(0, 2) if join_how != "FULL JOIN" else 0):
+        # FULL JOIN takes no random WHERE: any predicate on one side's
+        # columns is null-rejecting for the other side's unmatched rows
+        # and would silently degrade the join — the NULL-group GROUP BY
+        # below is the edge this production exists to exercise
         roll = rng.random()
         semi_keys = [c for c in t["ints"] if c in _SEMI]
         if roll < 0.15 and semi_keys:
@@ -180,13 +223,20 @@ def gen_query(rng: random.Random) -> str:
         # window functions over the FULL integer-column order: any rows
         # still tied are identical on every selected and windowed
         # column, so the output MULTISET is engine-independent even
-        # where per-row assignment isn't (the canon sorts rows). Single
-        # tables only — join fanout would make the tuple non-total in
-        # ways that interact with the WHERE productions.
-        if " JOIN " not in frm:
+        # where per-row assignment isn't (the canon sorts rows). The
+        # argument survives joins — order by EVERY int column of the
+        # joined row — PROVIDED the NULL placement is stated: Spark
+        # defaults ASC NULLS FIRST where DuckDB defaults NULLS LAST, so
+        # outer-join NULL-extended rows would rank differently under a
+        # bare ORDER BY. Explicit NULLS FIRST on every key closes it.
+        # FULL JOIN is excluded: its window targets can be NULL on
+        # either side and LAG-over-NULL-runs adds nothing the LEFT
+        # production doesn't already pin.
+        if join_how != "FULL JOIN":
+            win_ints = merged_ints if join_how else t["ints"]
             pcol = rng.choice(t["groups"])
-            okey = ", ".join(t["ints"])  # full tuple: ties ⇒ identical rows
-            target = rng.choice(t["ints"])
+            okey = ", ".join(f"{c} NULLS FIRST" for c in win_ints)
+            target = rng.choice(win_ints)
             over = f"OVER (PARTITION BY {pcol} ORDER BY {okey})"
             kind = rng.choice(["row_number", "rank", "dense_rank", "lag", "cumsum"])
             if kind == "cumsum":
@@ -201,11 +251,11 @@ def gen_query(rng: random.Random) -> str:
             # pcol may itself be an integer column (p_size, c_nationkey
             # etc.) — don't select it twice, pandas rejects duplicate
             # column labels in the canon
-            sel_cols = t["ints"] + ([pcol] if pcol not in t["ints"] else [])
+            sel_cols = win_ints + ([pcol] if pcol not in win_ints else [])
             keys = ", ".join(sel_cols)
             return (
                 f"SELECT {keys}, {expr} AS wv FROM {frm}{where} "
-                f"ORDER BY {', '.join(t['ints'])}"
+                f"ORDER BY {', '.join(win_ints)}"
             )
 
     gcols = (
@@ -213,10 +263,18 @@ def gen_query(rng: random.Random) -> str:
         if shape < 0.75
         else []
     )
+    # aggregate inputs may come from the NULL-extensible side too: that
+    # is where COUNT(col) vs COUNT(*), NULL-skipping MIN/MAX/SUM, and
+    # all-NULL-group -> NULL results genuinely differ from the inner
+    # case (CASE predicates stay on non-null columns: `WHEN NULL-int
+    # < 5 THEN 1 ELSE 0` would hit the ELSE branch, which is fine, but
+    # keeping them preserved-side keeps the production's intent exact)
+    agg_ints = t["ints"] + (null_side["ints"] if null_side else [])
+    agg_any = agg_ints + t["strs"] + (null_side["strs"] if null_side else [])
     aggs = []
     n_aggs = rng.randint(1, 3)
     for i in range(n_aggs):
-        kind = rng.randint(0, 5)
+        kind = rng.randint(0, 6)
         if kind == 5:
             # conditional aggregation: exact integer CASE inside SUM
             c = rng.choice(t["ints"])
@@ -224,16 +282,20 @@ def gen_query(rng: random.Random) -> str:
                 f"CAST(SUM(CASE WHEN {_int_pred(rng, c)} "
                 f"THEN 1 ELSE 0 END) AS BIGINT) AS agg{i}"
             )
+        elif kind == 6:
+            # NULL-skipping COUNT(col): on an outer join's NULL side
+            # this diverges from COUNT(*) — the exact edge under test
+            aggs.append(f"CAST(COUNT({rng.choice(agg_ints)}) AS BIGINT) AS agg{i}")
         elif kind == 0:
             aggs.append(f"CAST(COUNT(*) AS BIGINT) AS agg{i}")
         elif kind == 1:
-            aggs.append(f"CAST(COUNT(DISTINCT {rng.choice(t['ints'])}) AS BIGINT) AS agg{i}")
+            aggs.append(f"CAST(COUNT(DISTINCT {rng.choice(agg_ints)}) AS BIGINT) AS agg{i}")
         elif kind == 2:
-            aggs.append(f"MIN({rng.choice(t['ints'] + t['strs'])}) AS agg{i}")
+            aggs.append(f"MIN({rng.choice(agg_any)}) AS agg{i}")
         elif kind == 3:
-            aggs.append(f"MAX({rng.choice(t['ints'] + t['strs'])}) AS agg{i}")
+            aggs.append(f"MAX({rng.choice(agg_any)}) AS agg{i}")
         else:
-            aggs.append(f"CAST(SUM({rng.choice(t['ints'])}) AS BIGINT) AS agg{i}")
+            aggs.append(f"CAST(SUM({rng.choice(agg_ints)}) AS BIGINT) AS agg{i}")
     sel = ", ".join((gcols if gcols else []) + aggs)
     group = f" GROUP BY {', '.join(gcols)}" if gcols else ""
     having = (

@@ -26,7 +26,7 @@ SNAPSHOT = [
     ("lateral_topk_orders", "LATERAL decorrelated to WindowGroupLimit, no nested loop"),
     ("mixture_balance", "broadcast counts back over the corpus, scan-side integer filter"),
     ("reservoir_sample", "TakeOrderedAndProject bottom-k, no global sort"),
-    ("skew_salted_join", "per-row salt on the 90%-hot fact key, dim exploded per salt, SMJ on (k, salt) — hot key spread over 16 reducer tasks; measured ~1.6x vs unsalted at sf0.1"),
+    ("skew_salted_join", "per-row salt on the 90%-hot fact key, dim exploded per salt, SMJ on (k, salt) — hot key spread over 16 reducer tasks; measured ~1.6x vs unsalted at sf0.1. ADAPTIVE FORM (operators/olap.py::salted_join_adaptive): a seed-pinned 1%-sample key-count probe precedes this plan and salts only when the hottest key's sampled share >= 0.2 — below threshold the operator emits the PLAIN equi-join (no _salt column, no dim explode) and leaves mild skew to AQE; both branches are result-identical (tests/test_skew.py::test_salted_join_adaptive_branches asserts the branch choice AND the equality)"),
     ("dedup_keep_best", "single partial+final SortAggregate (max_by pair buffer), one shuffle, no per-group window"),
     ("training_order", "one hash exchange on shard_id feeding the per-shard row_number window — no global sort"),
     ("dataset_diff", "both sides reduced to (id, md5) before the full-outer SMJ; bodies never shuffle"),
@@ -50,6 +50,9 @@ SNAPSHOT = [
     ("clustering_coefficient", "oriented 3-way triangle join on the pair list, 3-corner union credit, left join onto the degree agg — no wedge materialization beyond candidates"),
     ("kmv_set_algebra", "two-phase shard-local top-k sketch build (no per-set single-task sort), K-row sketches through the pair stage, broadcast per-type estimates"),
     ("rendezvous_resharding", "narrow 17x explode + ONE doc-keyed aggregate carrying both argmaxes (struct max with explicit tie-break), map-side partial combine before the only shuffle"),
+    ("dedup_span_scrub", "two narrow explodes (gram starts, token positions), one gram-keyed agg + join back, doc-co-partitioned anti-join on covered positions, order-pinned per-doc rebuild — no collects, no cross product"),
+    ("kmeans_clusters", "per round: narrow posexplode into ONE K*dim-group integer-sum aggregate, K-row centroid model packed into a 1-row broadcast, argmax inside the scan stage — corpus never shuffles across rounds"),
+    ("ann_brp_lsh", "literal-hyperplane dot folds + floor buckets inside the scan stage, bucket equi-self-join as the only shuffle, distinct-before-verify, sequential-fold Euclidean verify"),
 ]
 
 
