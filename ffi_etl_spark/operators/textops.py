@@ -269,6 +269,51 @@ def bm25_rank(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rrf_k: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke 2009) of N ranked
+    lists — the standard hybrid-retrieval combiner (BM25 lexical list ×
+    embedding-cosine semantic list) a RAG-ish curation pipeline runs:
+    ``rrf = Σ_i 1/(rrf_k + rank_i)`` with absent-from-list-i
+    contributing 0. Each input must carry (``id_col``, ``rank_col``)
+    with ranks 1-based and deterministic (tie-broken) — rank ties are
+    the CALLER's bug, this combiner assumes total orders.
+
+    Cross-engine exactness: every contribution is one correctly-rounded
+    division of exact integers, and the contributions sum in the FIXED
+    list order given — no partition-order accumulation — so the fused
+    score is bit-identical on any engine and is legal to feed the
+    top-``k`` LIMIT (the rational-arithmetic rule). Ties on the fused
+    score break by ``id_col``.
+
+    Shape: the lists are top-N (tiny) by construction, so the N-way
+    full-outer join and the final top-k are driver-free small-data
+    stages; the expensive work (the rankings) happened upstream where
+    each ranker's own scale story applies."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    out = None
+    for i, r in enumerate(rankings):
+        ri = r.select(F.col(id_col), F.col(rank_col).alias(f"rank_{i}"))
+        out = ri if out is None else out.join(ri, id_col, "full_outer")
+    score = None
+    for i in range(len(rankings)):
+        c = F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+        score = c if score is None else score + c
+    return (
+        out.withColumn("rrf", score)
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lm_transition_anomaly(
     df: DataFrame,
     text_col: str = "text",

@@ -26,8 +26,18 @@ from ffi_etl_spark.queries_pkg.extensions import _minhash_pairs_cte
 
 _BM25_TERMS = ("hash", "spark", "window")
 
-_BM25_ORACLE = rf"""
-WITH toks AS (
+
+def _bm25_cte(terms: tuple[str, ...] = _BM25_TERMS) -> str:
+    """The BM25 scoring pipeline as a WITH-body ending in ``piv``
+    (doc_id, score) — mirrors operators/textops.py::bm25_rank term by
+    term (rational idf, exact-integer avgdl, sorted-term-order score
+    sum). Shared by the bm25_rank gate and round-5's RRF fusion gate."""
+    in_list = ", ".join(f"'{t}'" for t in sorted(terms))
+    pieces = "\n         + ".join(
+        f"COALESCE(MAX(CASE WHEN term = '{t}' THEN s END), 0.0)"
+        for t in sorted(terms)
+    )
+    return rf"""toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
   FROM documents
 ), dl AS (
@@ -37,7 +47,7 @@ WITH toks AS (
   FROM dl
 ), tf AS (
   SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM toks WHERE term IN ('hash', 'spark', 'window')
+  FROM toks WHERE term IN ({in_list})
   GROUP BY doc_id, term
 ), dfreq AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
@@ -51,11 +61,13 @@ WITH toks AS (
   FROM tf t JOIN dfreq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN corpus c
 ), piv AS (
   SELECT doc_id,
-         COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0.0)
-         + COALESCE(MAX(CASE WHEN term = 'spark' THEN s END), 0.0)
-         + COALESCE(MAX(CASE WHEN term = 'window' THEN s END), 0.0) AS score
+         {pieces} AS score
   FROM scored GROUP BY doc_id
-)
+)"""
+
+
+_BM25_ORACLE = f"""
+WITH {_bm25_cte()}
 SELECT doc_id, printf('%.6f', score) AS score_s
 FROM piv ORDER BY score DESC, doc_id LIMIT 20
 """

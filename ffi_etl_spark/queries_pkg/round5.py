@@ -77,3 +77,88 @@ def _dedup_span_scrub(spark, sf_dir):
     it end to end and the gate is a full differential on
     (n_tokens, n_removed, md5-of-rebuilt-text) per document."""
     return scrub_dup_spans(table(spark, sf_dir, "documents"), n=_SPAN_N)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 lexical list x embedding-cosine semantic list,
+# fused by reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_DEPTH, _RRF_K, _RRF_TOPK, _RRF_QUERY_VEC = 50, 60, 20, 0
+
+
+def _rrf_oracle() -> str:
+    from ffi_etl_spark.queries_pkg.extensions import _COS
+    from ffi_etl_spark.queries_pkg.round4 import _bm25_cte
+
+    return f"""
+WITH {_bm25_cte()},
+lex AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_0
+  FROM piv ORDER BY score DESC, doc_id LIMIT {_RRF_DEPTH}
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC}
+), semscored AS (
+  SELECT e.vec_id AS doc_id, {_COS.format(a='q.qv', b='e.v')} AS cs
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e CROSS JOIN q
+  WHERE e.vec_id <> {_RRF_QUERY_VEC}
+), sem AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS INT) AS rank_1
+  FROM semscored ORDER BY cs DESC, doc_id LIMIT {_RRF_DEPTH}
+), fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex.rank_0, sem.rank_1,
+         COALESCE(1.0 / ({_RRF_K} + lex.rank_0), 0.0)
+           + COALESCE(1.0 / ({_RRF_K} + sem.rank_1), 0.0) AS rrf
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, rank_0, rank_1, rrf FROM fused
+ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOPK}
+"""
+
+
+@query("hybrid_rrf_fusion", oracle=_rrf_oracle())
+def _hybrid_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval (operators/textops.py::rrf_fuse): the BM25
+    top-50 for the {hash, spark, window} query fused with the
+    embedding-cosine top-50 around query vector 0 (documents and
+    embeddings share the 0..N id space — vec_id IS the doc's
+    embedding). Both ranked lists are bit-stable (rational BM25, the
+    sequential cosine fold), every RRF contribution is one
+    correctly-rounded division summed in fixed list order, so the
+    fused float legally feeds the top-20 LIMIT and the gate is a full
+    differential. The query vector's own document is absent from the
+    semantic list (self-match excluded) but can still enter via the
+    lexical list."""
+    from pyspark.sql import Window
+
+    from ffi_etl_spark.operators.similarity import knn_bruteforce
+    from ffi_etl_spark.operators.textops import bm25_rank, rrf_fuse
+    from ffi_etl_spark.queries_pkg.round4 import _BM25_TERMS
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    # lexical: the top-50 frame is already reduced (TakeOrdered), so
+    # the rank window runs over 50 rows, not the corpus
+    lex = bm25_rank(docs, list(_BM25_TERMS), k=_RRF_DEPTH).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+        ),
+    )
+    sem = (
+        knn_bruteforce(
+            emb,
+            emb.filter(F.col("vec_id") == _RRF_QUERY_VEC),
+            k=_RRF_DEPTH,
+        )
+        .withColumnsRenamed({"neighbor_id": "doc_id"})
+        .select("doc_id", "rank")
+    )
+    return rrf_fuse(
+        [lex.select("doc_id", "rank"), sem], rrf_k=_RRF_K, k=_RRF_TOPK
+    ).select(
+        "doc_id",
+        F.col("rank_0").cast("int").alias("rank_0"),
+        F.col("rank_1").cast("int").alias("rank_1"),
+        "rrf",
+    )

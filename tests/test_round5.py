@@ -99,3 +99,30 @@ def test_scrub_leaves_no_residual_crossdoc_grams(spark):
     rebuilt = spark.createDataFrame(rebuilt_rows, "doc_id long, text string")
     prof = dup_span_profile(rebuilt, n=8)
     assert prof.agg(F.sum("n_dup_grams")).collect()[0][0] == 0
+
+
+def test_rrf_fuse_combines_lists(spark):
+    from ffi_etl_spark.operators.textops import rrf_fuse
+
+    lex = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], "doc_id long, rank int")
+    sem = spark.createDataFrame([(11, 1), (13, 2)], "doc_id long, rank int")
+    out = {r["doc_id"]: r for r in rrf_fuse([lex, sem], rrf_k=60, k=10).collect()}
+    # doc 11 appears in both lists -> two contributions
+    assert abs(out[11]["rrf"] - (1 / 62 + 1 / 61)) < 1e-15
+    # single-list docs get one contribution, absent rank is NULL
+    assert abs(out[10]["rrf"] - 1 / 61) < 1e-15
+    assert out[10]["rank_1"] is None
+    assert abs(out[13]["rrf"] - 1 / 62) < 1e-15
+    assert out[13]["rank_0"] is None
+    # both-list doc outranks every single-list doc here
+    top = sorted(out.values(), key=lambda r: (-r["rrf"], r["doc_id"]))[0]
+    assert top["doc_id"] == 11
+
+
+def test_rrf_fuse_requires_input(spark):
+    import pytest
+
+    from ffi_etl_spark.operators.textops import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
