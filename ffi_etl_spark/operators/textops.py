@@ -269,6 +269,94 @@ def bm25_rank(
     )
 
 
+def dsir_importance(
+    df: DataFrame,
+    target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    buckets: int = 64,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much more likely its hashed-n-gram bag is under a
+    TARGET domain's distribution than under the raw corpus's —
+    ``w(d) = Σ_b c_d[b] · llr[b]`` with
+    ``llr[b] = ln((t_b+1)/(T+B)) − ln((s_b+1)/(S+B))`` (add-1-smoothed
+    multinomials over ``buckets`` md5-hashed n-gram buckets; ``target``
+    is a boolean Column over ``df`` marking the in-domain sample).
+    High-weight documents are the ones importance RESAMPLING keeps;
+    feed the weights to the deterministic samplers downstream.
+
+    Cross-engine exactness: ``ln`` is NOT bit-identical between
+    engines (Java ``Math.log`` vs libm — measured), so the per-bucket
+    LLR is FIXED-POINT QUANTIZED before it touches any sum:
+    ``llr_q[b] = floor(2^scale_bits · llr)`` is an exact BIGINT (the
+    floor flips only if the engines' ln values straddle a 2^-20 grid
+    line — odds ~1e-10 per bucket), and the document weight
+    ``weight_q = Σ c_d[b]·llr_q[b]`` is then pure integer arithmetic:
+    order-independent, overflow-safe (|llr_q| ≲ 2^24, corpus-scale
+    gram counts fit comfortably), and hash-strict with no float
+    column in the gate. ``weight`` = weight_q/2^scale_bits (a
+    power-of-two division — exact) rides along for human use.
+
+    Shape: one narrow gram explode carrying the target flag, ONE
+    B-group aggregate producing both sides' bucket counts (no second
+    corpus pass), a 1-row totals broadcast, a B-row llr broadcast, one
+    (doc, bucket)-keyed count aggregate, one doc-keyed integer sum.
+    Nothing corpus-sized shuffles more than once; B bounds every
+    model-side structure."""
+    from ffi_etl_spark.functions.hashing import md5_int32, word_ngrams
+
+    grams = df.select(
+        F.col(id_col),
+        target.alias("_t"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("_g"),
+    ).select(
+        F.col(id_col),
+        F.col("_t"),
+        F.pmod(md5_int32(F.col("_g")), F.lit(buckets)).alias("b"),
+    )
+    stats = grams.groupBy("b").agg(
+        F.count(F.lit(1)).alias("s_b"),
+        F.count_if(F.col("_t")).alias("t_b"),
+    )
+    tot = stats.agg(F.sum("s_b").alias("S"), F.sum("t_b").alias("T"))
+    scale = F.lit(float(1 << scale_bits))
+    llr = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                scale
+                * (
+                    F.log(
+                        (F.col("t_b") + F.lit(1)).cast("double")
+                        / (F.col("T") + F.lit(buckets))
+                    )
+                    - F.log(
+                        (F.col("s_b") + F.lit(1)).cast("double")
+                        / (F.col("S") + F.lit(buckets))
+                    )
+                )
+            )
+            .cast("long")
+            .alias("llr_q"),
+        )
+    )
+    dbc = grams.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        dbc.join(F.broadcast(llr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("llr_q")).alias("weight_q"),
+        )
+        .withColumn("weight", F.col("weight_q").cast("double") / scale)
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     id_col: str = "doc_id",

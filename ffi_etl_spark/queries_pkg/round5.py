@@ -162,3 +162,57 @@ def _hybrid_rrf_fusion(spark, sf_dir):
         F.col("rank_1").cast("int").alias("rank_1"),
         "rrf",
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights: hashed-bigram LLR vs a target domain sample
+# ---------------------------------------------------------------------------
+
+_DSIR_B, _DSIR_BITS = 64, 20
+
+_DSIR_ORACLE = rf"""
+WITH toked AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), occ AS (
+  SELECT doc_id, lang, toks,
+         unnest(generate_series(1, greatest(len(toks) - 1, 1))) AS i
+  FROM toked
+), grams AS (
+  SELECT doc_id, (lang = 'en') AS t,
+         ('0x' || substr(md5(array_to_string(toks[i:i+1], ' ')), 1, 8))::BIGINT % {_DSIR_B} AS b
+  FROM occ
+), stats AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS s_b,
+         CAST(COUNT(*) FILTER (WHERE t) AS BIGINT) AS t_b
+  FROM grams GROUP BY b
+), tot AS (
+  SELECT CAST(SUM(s_b) AS BIGINT) AS S, CAST(SUM(t_b) AS BIGINT) AS T FROM stats
+), llr AS (
+  SELECT b,
+         CAST(FLOOR({1 << _DSIR_BITS}.0 * (
+           ln(CAST(t_b + 1 AS DOUBLE) / (T + {_DSIR_B}))
+           - ln(CAST(s_b + 1 AS DOUBLE) / (S + {_DSIR_B}))
+         )) AS BIGINT) AS llr_q
+  FROM stats CROSS JOIN tot
+), dbc AS (
+  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY doc_id, b
+)
+SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_grams,
+       CAST(SUM(d.c * l.llr_q) AS BIGINT) AS weight_q
+FROM dbc d JOIN llr l USING (b)
+GROUP BY d.doc_id
+"""
+
+
+@query("dsir_importance", oracle=_DSIR_ORACLE)
+def _dsir_importance(spark, sf_dir):
+    """operators/textops.py::dsir_importance over documents with the
+    English subset as the target domain sample. The gate hashes only
+    the exact-integer columns (gram count + fixed-point-quantized LLR
+    weight); the convenience float `weight` stays operator-side."""
+    from ffi_etl_spark.operators.textops import dsir_importance
+
+    docs = table(spark, sf_dir, "documents")
+    return dsir_importance(docs, F.col("lang") == "en").select(
+        "doc_id", "n_grams", "weight_q"
+    )

@@ -126,3 +126,27 @@ def test_rrf_fuse_requires_input(spark):
 
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_dsir_importance_separates_domains(spark):
+    """Docs made of target-only vocabulary must outweigh docs of
+    source-only vocabulary; weight_q is the exact integer form of the
+    float weight."""
+    from ffi_etl_spark.operators.textops import dsir_importance
+
+    tgt_text = "alpha beta gamma delta " * 10
+    src_text = "omega psi chi phi " * 10
+    rows = (
+        [(i, tgt_text, True) for i in range(10)]
+        + [(100 + i, src_text, False) for i in range(10)]
+        # held-out docs, one per vocabulary
+        + [(500, tgt_text, False), (501, src_text, False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    out = {r["doc_id"]: r for r in dsir_importance(df, F.col("is_tgt")).collect()}
+    # in-domain vocabulary scores above out-of-domain
+    assert out[500]["weight"] > out[501]["weight"]
+    assert out[500]["weight"] > 0 > out[501]["weight"]
+    # fixed-point contract: weight == weight_q / 2^20 exactly
+    for r in out.values():
+        assert r["weight"] == r["weight_q"] / (1 << 20)
