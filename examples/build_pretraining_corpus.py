@@ -9,7 +9,15 @@ The full LLM-data composition, end to end and lazy per stage:
                per cluster (operators/corpus.pretraining_corpus)
   4. decontam — drop docs sharing word-5-grams with a held-out eval
                split (textops.decontaminate)
-  5. pack     — concat-and-chunk the survivors into 256-token context
+  5. scrub    — remove cross-doc duplicated 8-token SPANS from the
+               surviving docs, keeping one canonical occurrence
+               (textops.scrub_dup_spans — the Lee et al. step row-level
+               dedup can't do: boilerplate shared by otherwise-distinct
+               documents)
+  6. select   — DSIR importance weights against a target domain sample
+               (textops.dsir_importance); keep docs the target
+               distribution up-weights
+  7. pack     — concat-and-chunk the survivors into 256-token context
                windows (textops.pack_sequences)
 
 Run:
@@ -45,10 +53,12 @@ def main() -> None:
     from ffi_etl_spark.operators.dedup import dedup_minhash_lsh
     from ffi_etl_spark.operators.textops import (
         decontaminate,
+        dsir_importance,
         pack_sequences,
         quality_filter,
         redact_pii,
         repetition_filter,
+        scrub_dup_spans,
     )
     from ffi_etl_spark.session import get_session
 

@@ -727,10 +727,11 @@ def scrub_dup_spans(
     ``dup_span_profile`` (that is ``repetition_filter``'s signal).
 
     Output per document: ``n_tokens`` (before), ``n_removed`` (tokens
-    scrubbed), ``scrubbed_md5`` (md5 of the rebuilt text — the whole
-    transform is md5/position arithmetic, so a DuckDB oracle replays it
-    end-to-end and the gate is a full differential, not an invariant
-    flag). Overlapping duplicated spans union their token windows, so
+    scrubbed), ``scrubbed_text`` (the rebuilt document — feed it to
+    packing/training downstream), and ``scrubbed_md5`` (md5 of the
+    rebuilt text — the whole transform is md5/position arithmetic, so
+    a DuckDB oracle replays it end-to-end and the gate is a full
+    differential, not an invariant flag). Overlapping duplicated spans union their token windows, so
     scrubbing is idempotent per doc; residual cross-doc duplication
     after the scrub is pinned ≈0 by the planted-span pytest (seam-grams
     formed across removal joints are the only possible leftovers).
@@ -800,6 +801,7 @@ def scrub_dup_spans(
         ).alias("_scrubbed")
     )
     removed = covered.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nrem"))
+    scrubbed = F.coalesce(F.col("_scrubbed"), F.lit(""))
     return (
         base.join(rebuilt, id_col, "left")
         .join(removed, id_col, "left")
@@ -807,7 +809,8 @@ def scrub_dup_spans(
             F.col(id_col),
             F.col("n_tokens"),
             F.coalesce(F.col("_nrem"), F.lit(0)).cast("int").alias("n_removed"),
-            F.md5(F.coalesce(F.col("_scrubbed"), F.lit(""))).alias("scrubbed_md5"),
+            scrubbed.alias("scrubbed_text"),
+            F.md5(scrubbed).alias("scrubbed_md5"),
         )
     )
 

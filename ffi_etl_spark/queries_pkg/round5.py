@@ -75,8 +75,13 @@ def _dedup_span_scrub(spark, sf_dir):
     scrub (gram hashing, canonical-occurrence election, covered-window
     union, rebuild) is md5/position arithmetic, so the oracle replays
     it end to end and the gate is a full differential on
-    (n_tokens, n_removed, md5-of-rebuilt-text) per document."""
-    return scrub_dup_spans(table(spark, sf_dir, "documents"), n=_SPAN_N)
+    (n_tokens, n_removed, md5-of-rebuilt-text) per document (the
+    rebuilt text itself stays operator-side for pipeline use — the
+    md5 pins it byte-exactly without shipping long strings through
+    the canonicalizer)."""
+    return scrub_dup_spans(table(spark, sf_dir, "documents"), n=_SPAN_N).select(
+        "doc_id", "n_tokens", "n_removed", "scrubbed_md5"
+    )
 
 
 # ---------------------------------------------------------------------------
