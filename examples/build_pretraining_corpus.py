@@ -91,8 +91,30 @@ def main() -> None:
     final_docs = gated.join(final_ids.select("doc_id"), "doc_id")
     n_final = final_docs.count()
 
-    # 5. pack into 256-token context windows
-    packed = pack_sequences(final_docs, chunk_tokens=256)
+    # 5. span scrub: row-level dedup kept one doc per near-dup CLUSTER;
+    # this removes the duplicated ≥8-token spans that survive INSIDE
+    # distinct documents (shared boilerplate), keeping one canonical
+    # occurrence corpus-wide
+    scrubbed = scrub_dup_spans(final_docs, n=8)
+    n_tok_removed = (
+        scrubbed.agg(F.sum("n_removed").alias("r")).collect()[0]["r"] or 0
+    )
+    scrub_docs = scrubbed.select(
+        "doc_id", F.col("scrubbed_text").alias("text")
+    ).filter(F.trim(F.col("text")) != "")
+
+    # 6. DSIR selection: hashed-bigram importance vs a target domain
+    # sample (docs ending in 0 stand in for the curated in-domain set);
+    # keep documents the target distribution up-weights (weight_q > 0 —
+    # integer threshold, no float boundary)
+    weights = dsir_importance(scrub_docs, F.col("doc_id") % 10 == 1)
+    selected = scrub_docs.join(
+        weights.filter(F.col("weight_q") > 0).select("doc_id"), "doc_id"
+    )
+    n_selected = selected.count()
+
+    # 7. pack into 256-token context windows
+    packed = pack_sequences(selected, chunk_tokens=256)
     packed.write.mode("overwrite").parquet(args.out)
     n_chunks = (
         spark.read.parquet(args.out).agg(F.max("chunk_end")).collect()[0][0] or 0
@@ -103,6 +125,8 @@ def main() -> None:
     print(f"near-dup pairs:        {pairs}")
     print(f"dedup survivors:       {n_dedup}")
     print(f"after decontamination: {n_final}")
+    print(f"span tokens scrubbed:  {n_tok_removed}")
+    print(f"DSIR-selected docs:    {n_selected}")
     print(f"packed 256-tok chunks: {n_chunks}  -> {args.out}")
 
 
