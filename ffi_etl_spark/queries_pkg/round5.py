@@ -221,3 +221,70 @@ def _dsir_importance(spark, sf_dir):
     return dsir_importance(docs, F.col("lang") == "en").select(
         "doc_id", "n_grams", "weight_q"
     )
+
+
+# ---------------------------------------------------------------------------
+# WOE / IV supervised encoding over equi-width value bins
+# ---------------------------------------------------------------------------
+
+_WOE_BITS = 20
+
+_WOE_ORACLE = f"""
+WITH rng AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+), binned AS (
+  SELECT CASE WHEN e.value >= rng.hi THEN 9
+              ELSE CAST(floor((e.value - rng.lo) / (rng.hi - rng.lo) * 10) AS BIGINT)
+         END AS category,
+         (e.event_type = 'purchase') AS is_purchase
+  FROM events e CROSS JOIN rng
+), grp AS (
+  SELECT category,
+         CAST(COUNT(*) FILTER (WHERE is_purchase) AS BIGINT) AS n_good,
+         CAST(COUNT(*) FILTER (WHERE NOT is_purchase) AS BIGINT) AS n_bad
+  FROM binned GROUP BY category
+), tot AS (
+  SELECT CAST(SUM(n_good) AS BIGINT) AS G, CAST(SUM(n_bad) AS BIGINT) AS B FROM grp
+), woed AS (
+  SELECT category, n_good, n_bad,
+         CAST(FLOOR({1 << _WOE_BITS}.0 * ln(
+           ((n_good + 0.5) / G) / ((n_bad + 0.5) / B)
+         )) AS BIGINT) AS woe_q
+  FROM grp CROSS JOIN tot
+)
+SELECT w.category, w.n_good, w.n_bad, w.woe_q,
+       CAST(FLOOR({1 << _WOE_BITS}.0 * (
+         (CAST(w.n_good AS DOUBLE) / t.G - CAST(w.n_bad AS DOUBLE) / t.B)
+         * (CAST(w.woe_q AS DOUBLE) / {1 << _WOE_BITS}.0)
+       )) AS BIGINT) AS iv_q
+FROM woed w CROSS JOIN tot t
+ORDER BY category
+"""
+
+
+@query("woe_iv_encoding", oracle=_WOE_ORACLE)
+def _woe_iv_encoding(spark, sf_dir):
+    """operators/features.py::woe_encode over equi-width deciles of
+    events.value with `is a purchase` as the label — the scorecard
+    encoding with the r5 transcendental rule applied (quantized WOE
+    leaves; the IV term re-derives from the quantized WOE so nothing
+    downstream touches a raw ln). Bin math is the proven
+    histogram_equiwidth broadcast-range circuit."""
+    from ffi_etl_spark.operators.features import woe_encode
+
+    ev = table(spark, sf_dir, "events")
+    rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bin_ = F.when(F.col("value") >= F.col("hi"), F.lit(9).cast("long")).otherwise(
+        F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10)
+    )
+    binned = (
+        ev.select("value", "event_type")
+        .crossJoin(F.broadcast(rng))
+        .select(
+            bin_.alias("category"),
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+        )
+    )
+    return woe_encode(binned, "category", "is_purchase", scale_bits=_WOE_BITS).orderBy(
+        "category"
+    )

@@ -150,3 +150,33 @@ def test_dsir_importance_separates_domains(spark):
     # fixed-point contract: weight == weight_q / 2^20 exactly
     for r in out.values():
         assert r["weight"] == r["weight_q"] / (1 << 20)
+
+
+def test_woe_encode_matches_manual(spark):
+    import math
+
+    from ffi_etl_spark.operators.features import woe_encode
+
+    rows = [("a", True)] * 8 + [("a", False)] * 2 + [("b", True)] * 2 + [("b", False)] * 8
+    df = spark.createDataFrame(rows, "cat string, y boolean")
+    out = {r["category"]: r for r in woe_encode(df, "cat", "y").collect()}
+    G, B = 10, 10
+    for cat, (g, b) in {"a": (8, 2), "b": (2, 8)}.items():
+        woe = math.log(((g + 0.5) / G) / ((b + 0.5) / B))
+        assert out[cat]["woe_q"] == math.floor((1 << 20) * woe)
+        assert out[cat]["n_good"] == g and out[cat]["n_bad"] == b
+    # the predictive category has positive WOE, the other negative,
+    # and both IV contributions are positive (|separation| > 0)
+    assert out["a"]["woe_q"] > 0 > out["b"]["woe_q"]
+    assert out["a"]["iv_q"] > 0 and out["b"]["iv_q"] > 0
+
+
+def test_woe_encode_null_label_counts_negative(spark):
+    from ffi_etl_spark.operators.features import woe_encode
+
+    df = spark.createDataFrame(
+        [("a", True), ("a", None), ("b", False)], "cat string, y boolean"
+    )
+    out = {r["category"]: r for r in woe_encode(df, "cat", "y").collect()}
+    assert (out["a"]["n_good"], out["a"]["n_bad"]) == (1, 1)
+    assert (out["b"]["n_good"], out["b"]["n_bad"]) == (0, 1)
