@@ -779,6 +779,69 @@ def scrub_dup_spans(
         .where((F.col("_ddf") >= 2) & (pos_key != F.col("_canon")))
         .select(F.col(id_col), F.col("s"), F.col("n_tokens"))
     )
+    return _rebuild_scrubbed(base, scrub, id_col, n)
+
+
+def scrub_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """WITHIN-document repeated-span scrub — the removal step for the
+    signal ``repetition_filter`` measures (Gopher-style repeated
+    n-gram mass), complementing ``scrub_dup_spans``' cross-document
+    scrub: every n-token span that re-occurs LATER in the same
+    document keeps its first occurrence and loses the repeats. A
+    solid run of one token collapses to its first window remainder
+    (every later window is a repeat of the first — the aggressive
+    edge, documented rather than special-cased).
+
+    Same machinery and same output schema as ``scrub_dup_spans``
+    (n_tokens / n_removed / scrubbed_text / scrubbed_md5); the only
+    difference is the election: canonical = min position PER (doc,
+    gram), and cross-document occurrences are ignored entirely."""
+    from ffi_etl_spark.functions.hashing import md5_int60
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.size(toks).alias("n_tokens"),
+    )
+    occ = base.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.col("n_tokens") - F.lit(n - 1), F.lit(1))
+            )
+        ).alias("s"),
+        F.col("_toks"),
+    ).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("s"),
+        md5_int60(
+            F.concat_ws(" ", F.slice(F.col("_toks"), F.col("s"), F.lit(n)))
+        ).alias("g"),
+    )
+    firsts = occ.groupBy(id_col, "g").agg(F.min("s").alias("_first_s"))
+    scrub = (
+        occ.join(firsts, [id_col, "g"])
+        .where(F.col("s") > F.col("_first_s"))
+        .select(F.col(id_col), F.col("s"), F.col("n_tokens"))
+    )
+    return _rebuild_scrubbed(base, scrub, id_col, n)
+
+
+def _rebuild_scrubbed(
+    base: DataFrame, scrub: DataFrame, id_col: str, n: int
+) -> DataFrame:
+    """Shared scrub tail: union the condemned occurrences' n-token
+    windows (clamped to the doc), anti-join the token positions, and
+    rebuild each doc with the order-pinned collect. ``base`` carries
+    (id, _toks, n_tokens); ``scrub`` carries (id, s, n_tokens)."""
     covered = scrub.select(
         F.col(id_col),
         F.explode(

@@ -288,3 +288,69 @@ def _woe_iv_encoding(spark, sf_dir):
     return woe_encode(binned, "category", "is_purchase", scale_bits=_WOE_BITS).orderBy(
         "category"
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-doc repeated-span scrub (the removal step for repetition_filter)
+# ---------------------------------------------------------------------------
+
+_REP_SCRUB_ORACLE = rf"""
+WITH toked AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), base AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens FROM toked
+), occ AS (
+  SELECT doc_id, n_tokens,
+         unnest(generate_series(1, greatest(n_tokens - {_SPAN_N - 1}, 1))) AS s
+  FROM base
+), hashed AS (
+  SELECT o.doc_id, o.n_tokens, o.s,
+         ('0x' || substr(md5(array_to_string(b.toks[o.s:o.s + {_SPAN_N - 1}], ' ')), 1, 15))::BIGINT AS g
+  FROM occ o JOIN base b ON b.doc_id = o.doc_id
+), firsts AS (
+  SELECT doc_id, g, MIN(s) AS first_s FROM hashed GROUP BY doc_id, g
+), scrub AS (
+  SELECT h.doc_id, h.s, h.n_tokens
+  FROM hashed h JOIN firsts f ON f.doc_id = h.doc_id AND f.g = h.g
+  WHERE h.s > f.first_s
+), covered AS (
+  SELECT DISTINCT doc_id,
+         unnest(generate_series(s, least(s + {_SPAN_N - 1}, n_tokens))) AS ti
+  FROM scrub
+), toks_pos AS (
+  SELECT doc_id, unnest(generate_series(1, n_tokens)) AS ti FROM base
+), kept AS (
+  SELECT tp.doc_id, tp.ti
+  FROM toks_pos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c WHERE c.doc_id = tp.doc_id AND c.ti = tp.ti
+  )
+), rebuilt AS (
+  SELECT k.doc_id, string_agg(b.toks[k.ti], ' ' ORDER BY k.ti) AS scrubbed
+  FROM kept k JOIN base b ON b.doc_id = k.doc_id
+  GROUP BY k.doc_id
+), removed AS (
+  SELECT doc_id, COUNT(*) AS nrem FROM covered GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS INT) AS n_tokens,
+       CAST(COALESCE(r.nrem, 0) AS INT) AS n_removed,
+       md5(COALESCE(rb.scrubbed, '')) AS scrubbed_md5
+FROM base b
+LEFT JOIN rebuilt rb ON rb.doc_id = b.doc_id
+LEFT JOIN removed r ON r.doc_id = b.doc_id
+"""
+
+
+@query("repetition_span_scrub", oracle=_REP_SCRUB_ORACLE)
+def _repetition_span_scrub(spark, sf_dir):
+    """operators/textops.py::scrub_repeated_spans over documents —
+    within-doc repeated 8-token spans keep their first occurrence
+    (the removal step for repetition_filter's measurement). Same full
+    end-to-end differential as dedup_span_scrub, different election
+    (min position per (doc, gram), cross-doc occurrences ignored)."""
+    from ffi_etl_spark.operators.textops import scrub_repeated_spans
+
+    return scrub_repeated_spans(table(spark, sf_dir, "documents"), n=_SPAN_N).select(
+        "doc_id", "n_tokens", "n_removed", "scrubbed_md5"
+    )

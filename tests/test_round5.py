@@ -180,3 +180,34 @@ def test_woe_encode_null_label_counts_negative(spark):
     out = {r["category"]: r for r in woe_encode(df, "cat", "y").collect()}
     assert (out["a"]["n_good"], out["a"]["n_bad"]) == (1, 1)
     assert (out["b"]["n_good"], out["b"]["n_bad"]) == (0, 1)
+
+
+def test_scrub_repeated_spans_within_doc(spark):
+    import hashlib
+
+    from ffi_etl_spark.operators.textops import scrub_repeated_spans
+
+    span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    rows = [
+        # span repeats later in the SAME doc -> second occurrence scrubbed
+        (1, f"{span} mid1 mid2 {span} tail"),
+        # unique content untouched
+        (2, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_repeated_spans(df, n=8).collect()}
+    assert out[1]["n_removed"] == 8
+    kept = f"{span} mid1 mid2 tail"
+    assert out[1]["scrubbed_text"] == kept
+    assert out[1]["scrubbed_md5"] == hashlib.md5(kept.encode()).hexdigest()
+    assert out[2]["n_removed"] == 0
+
+
+def test_scrub_repeated_spans_ignores_crossdoc(spark):
+    from ffi_etl_spark.operators.textops import scrub_repeated_spans
+
+    span = "c1 c2 c3 c4 c5 c6 c7 c8"
+    rows = [(1, f"a {span}"), (2, f"b {span}")]  # cross-doc only
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_removed"] for r in scrub_repeated_spans(df, n=8).collect()}
+    assert out == {1: 0, 2: 0}
