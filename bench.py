@@ -44,6 +44,9 @@ HEADLINE = [
     "split_leakage_audit",
     # round-4c: the IVM flagship — merge-of-partials maintenance shape
     "incremental_agg_maintenance",
+    # round-5: exact-substring span scrub — the heaviest new text
+    # operator (gram df + covered-window anti-join + per-doc rebuild)
+    "dedup_span_scrub",
 ]
 
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -742,8 +743,10 @@ def scrub_dup_spans(
     anti-join on covered positions, and per-doc rebuilds via the
     order-pinned collect — no driver collects, no cross product; the
     token-position anti-join co-partitions on the doc key. The
-    tokenized base is read three times (grams, positions, final join):
-    persist it first at production scale."""
+    tokenized base feeds three consumers (grams, positions, final
+    join), so it is pinned MEMORY_AND_DISK like the dedup signature
+    tables — one tokenization pass, reclaimed by
+    ``spark.catalog.clearCache()``."""
     from ffi_etl_spark.functions.hashing import md5_int60
 
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -751,7 +754,7 @@ def scrub_dup_spans(
         F.col(id_col),
         toks.alias("_toks"),
         F.size(toks).alias("n_tokens"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     occ = base.select(
         F.col(id_col),
         F.col("n_tokens"),
@@ -808,7 +811,7 @@ def scrub_repeated_spans(
         F.col(id_col),
         toks.alias("_toks"),
         F.size(toks).alias("n_tokens"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     occ = base.select(
         F.col(id_col),
         F.col("n_tokens"),
