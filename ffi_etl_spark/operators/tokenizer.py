@@ -1,0 +1,167 @@
+"""Tokenizer-training operators: distributed BPE merge learning.
+
+Byte-pair encoding training (Sennrich et al. 2016) is the canonical
+tokenizer-fitting job a pretraining pipeline runs over its corpus.
+The classic formulation is word-level: pre-tokenize to a (word, freq)
+VOCABULARY — corpus-sized text collapses to a bounded symbol-state
+table — then iterate: count adjacent symbol pairs weighted by word
+frequency, merge the most frequent pair everywhere, repeat.
+
+This implementation keeps that structure Spark-shaped:
+
+  * the only corpus-scale pass is the word-frequency aggregate (one
+    explode + one shuffle); everything after runs on the vocab table;
+  * each round is ONE pair-count aggregate + a 1-row argmax broadcast
+    + a narrow fold rewriting the symbol arrays — no collect() (the
+    winning pair reaches the rewrite as a broadcast column, the
+    kmeans packed-model idiom), no windows, no Python in the loop;
+  * per-round ``localCheckpoint(eager=True)`` TRUNCATES the logical
+    plan, not just the computation: round r's state references round
+    r-1 TWICE (directly and through the winner), so plain persist
+    leaves a 2^r-node logical tree that OOMs the driver by round 8 —
+    the checkpoint replaces it with a constant-size LogicalRDD
+    (kmeans gets away with persist because its rounds reference the
+    previous state once). Local checkpoints live in executor storage:
+    on a real cluster with executor loss, swap for
+    ``checkpoint()`` against a reliable dir — same call shape.
+
+Everything is integer/string arithmetic — no floats anywhere — so
+fixed-round runs are bit-deterministic and the whole iteration
+unrolls into a DuckDB CTE chain (the _kmeans_det_cte recipe, minus
+even the quantization caveats).
+
+Determinism contract (both engines): argmax pair by count DESC with
+ties to the lexicographically smallest (left, right); merge
+application is greedy left-to-right (for a self-pair run like
+``aaaa`` the 1st/3rd/... occurrences merge — the even-offset parity
+rule), which the fold implements naturally because a just-merged
+symbol ``a+b`` can never equal ``a`` again within the round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EOW = "</w>"
+
+
+def word_vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_cap: int = 5000,
+) -> DataFrame:
+    """(w, freq) for the ``vocab_cap`` most frequent whitespace words
+    (ties to the lexicographically smaller word — deterministic).
+    The cap bounds the iteration state; raise it at real scale (BPE
+    state is vocab-sized, not corpus-sized, so even web-scale corpora
+    fit a few million rows here)."""
+    words = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "w")
+        .limit(vocab_cap)
+    )
+
+
+def _initial_symbols() -> "F.Column":
+    """word -> [chars..., EOW]."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(F.col("w"))),
+        lambda i: F.substring(F.col("w"), i, F.lit(1)),
+    )
+    return F.concat(chars, F.array(F.lit(EOW)))
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    vocab_cap: int = 5000,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules over the corpus.
+
+    Returns (merge_rank, left_sym, right_sym, pair_count) — the merge
+    table a tokenizer would persist, rank 1 = first (most frequent)
+    merge. ``pair_count`` is the frequency-weighted adjacency count at
+    the time the pair won its round.
+
+    Per-round state lives as eager local checkpoints (executor
+    storage, freed with the session); nothing stays in the Spark
+    cache, so no clearCache is needed after this operator."""
+    vocab = word_vocabulary(df, text_col, vocab_cap)
+    prev = vocab.select(
+        F.col("w"), _initial_symbols().alias("syms"), F.col("freq")
+    ).localCheckpoint(eager=True)
+
+    merge_rows = []
+    for r in range(1, n_merges + 1):
+        pairs = (
+            prev.filter(F.size("syms") >= 2)
+            .select(
+                F.col("freq"),
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("syms"), i).alias("a"),
+                            F.element_at(F.col("syms"), i + F.lit(1)).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+        )
+        counts = pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+            F.sum("freq").alias("cnt")
+        )
+        # argmax by count with ties to the SMALLEST (a, b): min over
+        # (-cnt, a, b) struct ordering — one 1-row aggregate
+        best = (
+            counts.agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("a"), F.col("b"))
+                ).alias("bp")
+            )
+            .select(
+                F.col("bp.a").alias("_ba"),
+                F.col("bp.b").alias("_bb"),
+                (-F.col("bp.nc")).alias("_bc"),
+            )
+            # checkpoint the 1-row winner too: the returned merge table
+            # references every round's winner, and each winner is the
+            # second plan-tree reference that made plain persist
+            # exponential
+            .localCheckpoint(eager=True)
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(r).alias("merge_rank"),
+                F.col("_ba").alias("left_sym"),
+                F.col("_bb").alias("right_sym"),
+                F.col("_bc").alias("pair_count"),
+            )
+        )
+        merged = F.concat(F.col("_ba"), F.col("_bb"))
+        new_syms = F.aggregate(
+            F.col("syms"),
+            F.slice(F.col("syms"), 1, 0),  # empty array<string>, typed
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("_ba"))
+                & (s == F.col("_bb")),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        prev = (
+            prev.crossJoin(F.broadcast(best))
+            .select(F.col("w"), new_syms.alias("syms"), F.col("freq"))
+            .localCheckpoint(eager=True)
+        )
+
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_rank")

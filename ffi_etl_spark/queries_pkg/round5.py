@@ -354,3 +354,90 @@ def _repetition_span_scrub(spark, sf_dir):
     return scrub_repeated_spans(table(spark, sf_dir, "documents"), n=_SPAN_N).select(
         "doc_id", "n_tokens", "n_removed", "scrubbed_md5"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge learning (tokenizer training)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES, _BPE_CAP = 8, 5000
+
+
+def _bpe_oracle(n_merges: int = _BPE_MERGES, cap: int = _BPE_CAP) -> str:
+    """Unrolled fixed-round BPE training as a DuckDB CTE chain — the
+    _kmeans_det_cte recipe with NO floats at all (pair counts are
+    exact integers, the argmax tie-breaks lexicographically, strings
+    compare bytewise UTF-8 on both engines). The greedy left-to-right
+    merge application is replayed with the even-offset parity rule:
+    in each run of consecutive pair matches the 1st/3rd/... merge
+    (identical to the engine's fold, where a just-merged symbol can
+    never re-match as the left element within the round)."""
+    rounds = []
+    for r in range(1, n_merges + 1):
+        rounds.append(f"""p{r} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT w, freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+    FROM s{r - 1} WHERE len(syms) >= 2
+  ) GROUP BY 1, 2
+), b{r} AS (
+  SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+), pos{r} AS (
+  SELECT w, freq, syms, unnest(generate_series(1, len(syms))) AS i
+  FROM s{r - 1}
+), mt{r} AS (
+  SELECT p.w, p.i
+  FROM pos{r} p CROSS JOIN b{r} bb
+  WHERE p.i < len(p.syms) AND p.syms[p.i] = bb.a AND p.syms[p.i + 1] = bb.b
+), keepm{r} AS (
+  SELECT w, i FROM (
+    SELECT w, i, ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY i) AS rn
+    FROM (
+      SELECT w, i, i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i) AS grp
+      FROM mt{r}
+    )
+  ) WHERE rn % 2 = 1
+), s{r} AS (
+  SELECT q.w, q.freq, list(q.sym ORDER BY q.i) AS syms FROM (
+    SELECT p.w, p.freq, p.i,
+           CASE WHEN k1.i IS NOT NULL THEN bb.a || bb.b ELSE p.syms[p.i] END AS sym
+    FROM pos{r} p
+    CROSS JOIN b{r} bb
+    LEFT JOIN keepm{r} k1 ON k1.w = p.w AND k1.i = p.i
+    LEFT JOIN keepm{r} k2 ON k2.w = p.w AND k2.i = p.i - 1
+    WHERE k2.i IS NULL
+  ) q GROUP BY q.w, q.freq
+)""")
+        chain = ",\n".join(rounds)
+    finals = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a AS left_sym, b AS right_sym, cnt AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return rf"""
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+), v AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM words WHERE w <> ''
+  GROUP BY w ORDER BY freq DESC, w LIMIT {cap}
+), s0 AS (
+  SELECT w, freq,
+         list_append([w[i] for i in generate_series(1, len(w))], '</w>') AS syms
+  FROM v
+),
+{chain}
+SELECT * FROM ({finals}) ORDER BY merge_rank
+"""
+
+
+@query("bpe_learn_merges", oracle=_bpe_oracle())
+def _bpe_learn_merges(spark, sf_dir):
+    """operators/tokenizer.py::bpe_learn_merges over documents: the
+    first 8 BPE merge rules learned from the top-5000 word vocabulary.
+    The engine's representative iterative-STRING algorithm beside
+    kmeans (floats) and pagerank (%.6e) — all-integer/string state, so
+    the unrolled oracle is exact with no quantization caveats at all."""
+    from ffi_etl_spark.operators.tokenizer import bpe_learn_merges
+
+    return bpe_learn_merges(
+        table(spark, sf_dir, "documents"), n_merges=_BPE_MERGES, vocab_cap=_BPE_CAP
+    )

@@ -211,3 +211,62 @@ def test_scrub_repeated_spans_ignores_crossdoc(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["n_removed"] for r in scrub_repeated_spans(df, n=8).collect()}
     assert out == {1: 0, 2: 0}
+
+
+def _py_bpe(word_freqs: dict, n_merges: int):
+    """Pure-Python replica of the BPE merge-learning contract."""
+    state = {w: [*w, "</w>"] for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + word_freqs[w]
+                )
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((a, b, cnt))
+        for w, syms in state.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            state[w] = out
+    return merges
+
+
+def test_bpe_learn_merges_matches_python(spark):
+    from ffi_etl_spark.operators.tokenizer import bpe_learn_merges
+
+    corpus = ["low low low lower lowest", "new newer newest low", "wide wider new"]
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wf = {}
+    for t in corpus:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    want = _py_bpe(wf, 5)
+    got = [
+        (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_learn_merges(df, n_merges=5).collect()
+    ]
+    assert got == want
+    spark.catalog.clearCache()
+
+
+def test_bpe_greedy_self_pair_run(spark):
+    """aaaa: greedy left-to-right merges offsets 0 and 2."""
+    from ffi_etl_spark.operators.tokenizer import bpe_learn_merges
+
+    df = spark.createDataFrame([(0, "aaaa aaaa")], "doc_id long, text string")
+    out = bpe_learn_merges(df, n_merges=2).collect()
+    # round 1: (a, a) count = 3 adjacencies x 2 occurrences = 6
+    assert (out[0]["left_sym"], out[0]["right_sym"], out[0]["pair_count"]) == ("a", "a", 6)
+    # after greedy merge the word is [aa, aa, </w>]: round 2 has
+    # (aa, aa) and (aa, </w>) TIED at count 2 — the lexicographic
+    # tie-break picks (aa, </w>) ('<' sorts before 'a')
+    assert (out[1]["left_sym"], out[1]["right_sym"], out[1]["pair_count"]) == ("aa", "</w>", 2)
+    spark.catalog.clearCache()
