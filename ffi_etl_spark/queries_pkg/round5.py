@@ -371,25 +371,29 @@ def _bpe_oracle(n_merges: int = _BPE_MERGES, cap: int = _BPE_CAP) -> str:
     merge application is replayed with the even-offset parity rule:
     in each run of consecutive pair matches the 1st/3rd/... merge
     (identical to the engine's fold, where a just-merged symbol can
-    never re-match as the left element within the round)."""
+    never re-match as the left element within the round). Every
+    per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+    multi-reference round structure would otherwise expand to an
+    exponential plan (thousands of duplicated parquet scans — the
+    oracle-side twin of the engine-side localCheckpoint fix)."""
     rounds = []
     for r in range(1, n_merges + 1):
-        rounds.append(f"""p{r} AS (
+        rounds.append(f"""p{r} AS MATERIALIZED (
   SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM (
     SELECT w, freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
     FROM s{r - 1} WHERE len(syms) >= 2
   ) GROUP BY 1, 2
-), b{r} AS (
+), b{r} AS MATERIALIZED (
   SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
-), pos{r} AS (
+), pos{r} AS MATERIALIZED (
   SELECT w, freq, syms, unnest(generate_series(1, len(syms))) AS i
   FROM s{r - 1}
 ), mt{r} AS (
   SELECT p.w, p.i
   FROM pos{r} p CROSS JOIN b{r} bb
   WHERE p.i < len(p.syms) AND p.syms[p.i] = bb.a AND p.syms[p.i + 1] = bb.b
-), keepm{r} AS (
+), keepm{r} AS MATERIALIZED (
   SELECT w, i FROM (
     SELECT w, i, ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY i) AS rn
     FROM (
@@ -397,7 +401,7 @@ def _bpe_oracle(n_merges: int = _BPE_MERGES, cap: int = _BPE_CAP) -> str:
       FROM mt{r}
     )
   ) WHERE rn % 2 = 1
-), s{r} AS (
+), s{r} AS MATERIALIZED (
   SELECT q.w, q.freq, list(q.sym ORDER BY q.i) AS syms FROM (
     SELECT p.w, p.freq, p.i,
            CASE WHEN k1.i IS NOT NULL THEN bb.a || bb.b ELSE p.syms[p.i] END AS sym
@@ -419,7 +423,7 @@ WITH words AS (
 ), v AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM words WHERE w <> ''
   GROUP BY w ORDER BY freq DESC, w LIMIT {cap}
-), s0 AS (
+), s0 AS MATERIALIZED (
   SELECT w, freq,
          list_append([w[i] for i in generate_series(1, len(w))], '</w>') AS syms
   FROM v
