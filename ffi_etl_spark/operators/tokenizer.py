@@ -165,3 +165,86 @@ def bpe_learn_merges(
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out.orderBy("merge_rank")
+
+
+def bpe_encode(
+    df: DataFrame,
+    merge_table: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge table (the encode side
+    of ``bpe_learn_merges``): every DISTINCT word is char-split and
+    the merge rules applied greedily in rank order — the classic BPE
+    property makes this identical to the training state for vocabulary
+    words — then documents reassemble by joining the (tiny,
+    broadcastable) per-word encoding back onto word positions.
+
+    ``n_merges`` must match the merge table's row count (the fold
+    chain is unrolled statically; the rules reach it as a packed 1-row
+    broadcast, no collect). Output per document: ``n_bpe_tokens`` and
+    ``tokens_md5`` (md5 of the space-joined symbol stream — pins the
+    full tokenization byte-exactly without shipping long outputs).
+    Documents with no words emit 0 / md5('').
+
+    Scale shape: one corpus word explode (narrow + one distinct), the
+    encode itself runs on DISTINCT words only (vocabulary-sized — at
+    100 TB this is the whole point: encode cost is O(vocab), the
+    corpus pays one broadcast hash join), and the per-doc reassembly
+    is one doc-keyed aggregate with the order-pinned collect."""
+    packed = merge_table.agg(
+        F.array_sort(
+            F.collect_list(F.struct("merge_rank", "left_sym", "right_sym"))
+        ).alias("_m")
+    )
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_p", "w"),
+    ).filter(F.col("w") != "").select(
+        F.col(id_col), (F.col("_p") + 1).alias("wp"), F.col("w")
+    )
+    def _merge_step(a, b, merged):
+        # closure, not lambda defaults: PySpark infers HOF arity from
+        # the lambda signature (the functions/hashing.py rule)
+        return lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (s == b),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    enc = words.select("w").distinct().crossJoin(F.broadcast(packed))
+    syms = _initial_symbols()
+    for r in range(1, n_merges + 1):
+        rule = F.element_at(F.col("_m"), r)
+        a, b = rule["left_sym"], rule["right_sym"]
+        syms = F.aggregate(
+            syms,
+            F.slice(F.split(F.lit(""), " "), 1, 0),  # empty array<string>
+            _merge_step(a, b, F.concat(a, b)),
+        )
+    enc = enc.select(F.col("w"), syms.alias("_syms"))
+    flat = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("wp", "_syms"))),
+            lambda s: s["_syms"],
+        )
+    )
+    agg = (
+        words.join(F.broadcast(enc), "w")
+        .groupBy(id_col)
+        .agg(flat.alias("_flat"))
+        .select(
+            F.col(id_col),
+            F.size("_flat").cast("long").alias("n_bpe_tokens"),
+            F.md5(F.concat_ws(" ", F.col("_flat"))).alias("tokens_md5"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bpe_tokens"), F.lit(0)).cast("long").alias("n_bpe_tokens"),
+            F.coalesce(F.col("tokens_md5"), F.md5(F.lit(""))).alias("tokens_md5"),
+        )
+    )

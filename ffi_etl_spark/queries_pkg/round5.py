@@ -376,6 +376,16 @@ def _bpe_oracle(n_merges: int = _BPE_MERGES, cap: int = _BPE_CAP) -> str:
     multi-reference round structure would otherwise expand to an
     exponential plan (thousands of duplicated parquet scans — the
     oracle-side twin of the engine-side localCheckpoint fix)."""
+    chain, finals = _bpe_chain(n_merges, cap)
+    return rf"""
+WITH {chain}
+SELECT * FROM ({finals}) ORDER BY merge_rank
+"""
+
+
+def _bpe_chain(n_merges: int, cap: int) -> tuple[str, str]:
+    """(WITH-body through s{{n}}, merge-table UNION select) — shared by
+    the learn gate and the encode gate."""
     rounds = []
     for r in range(1, n_merges + 1):
         rounds.append(f"""p{r} AS MATERIALIZED (
@@ -412,13 +422,13 @@ def _bpe_oracle(n_merges: int = _BPE_MERGES, cap: int = _BPE_CAP) -> str:
     WHERE k2.i IS NULL
   ) q GROUP BY q.w, q.freq
 )""")
-        chain = ",\n".join(rounds)
+        pass
+    chain = ",\n".join(rounds)
     finals = "\nUNION ALL ".join(
         f"SELECT {r} AS merge_rank, a AS left_sym, b AS right_sym, cnt AS pair_count FROM b{r}"
         for r in range(1, n_merges + 1)
     )
-    return rf"""
-WITH words AS (
+    head = rf"""words AS (
   SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
 ), v AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM words WHERE w <> ''
@@ -428,9 +438,8 @@ WITH words AS (
          list_append([w[i] for i in generate_series(1, len(w))], '</w>') AS syms
   FROM v
 ),
-{chain}
-SELECT * FROM ({finals}) ORDER BY merge_rank
-"""
+{chain}"""
+    return head, finals
 
 
 @query("bpe_learn_merges", oracle=_bpe_oracle())
@@ -445,3 +454,51 @@ def _bpe_learn_merges(spark, sf_dir):
     return bpe_learn_merges(
         table(spark, sf_dir, "documents"), n_merges=_BPE_MERGES, vocab_cap=_BPE_CAP
     )
+
+
+def _bpe_encode_oracle(n_merges: int = _BPE_MERGES, cap: int = _BPE_CAP) -> str:
+    """Encode gate oracle: the training chain through s{n} (every
+    vocabulary word's final symbol sequence — the classic BPE property
+    that training state ≡ rank-order greedy encode of a fresh word),
+    joined back onto word positions and reassembled per document.
+    Valid while the vocabulary covers every corpus word (31 distinct
+    words ≤ cap at every testdata SF; the ENGINE has no such
+    restriction — it encodes distinct corpus words directly)."""
+    chain, _ = _bpe_chain(n_merges, cap)
+    return rf"""
+WITH {chain},
+wordpos AS MATERIALIZED (
+  SELECT doc_id, i AS wp, toks[i] AS w FROM (
+    SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+  ) WHERE toks[i] <> ''
+), enc AS MATERIALIZED (
+  SELECT wp.doc_id, wp.wp, s.syms
+  FROM wordpos wp JOIN s{n_merges} s ON s.w = wp.w
+), agg AS (
+  SELECT doc_id,
+         CAST(SUM(len(syms)) AS BIGINT) AS n_bpe_tokens,
+         md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY wp)) AS tokens_md5
+  FROM enc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+       COALESCE(a.tokens_md5, md5('')) AS tokens_md5
+FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+@query("bpe_encode_corpus", oracle=_bpe_encode_oracle())
+def _bpe_encode_corpus(spark, sf_dir):
+    """Learn 8 merges, then tokenize the whole corpus with them
+    (operators/tokenizer.py::bpe_encode): per-doc BPE token count +
+    md5 of the full symbol stream. Ends-to-end differential over
+    train→encode — the oracle replays training and reuses the final
+    state as the per-word encoding (the BPE train/encode equivalence),
+    while the engine encodes independently via the rank-order fold
+    chain, so the gate also PROVES that equivalence holds."""
+    from ffi_etl_spark.operators.tokenizer import bpe_encode, bpe_learn_merges
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_learn_merges(docs, n_merges=_BPE_MERGES, vocab_cap=_BPE_CAP)
+    return bpe_encode(docs, merges, n_merges=_BPE_MERGES)

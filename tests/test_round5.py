@@ -270,3 +270,54 @@ def test_bpe_greedy_self_pair_run(spark):
     # tie-break picks (aa, </w>) ('<' sorts before 'a')
     assert (out[1]["left_sym"], out[1]["right_sym"], out[1]["pair_count"]) == ("aa", "</w>", 2)
     spark.catalog.clearCache()
+
+
+def test_bpe_encode_matches_python(spark):
+    from ffi_etl_spark.operators.tokenizer import bpe_encode, bpe_learn_merges
+
+    corpus = ["low low lower lowest", "new newer newest low wide"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    wf = {}
+    for t in corpus:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    merges = _py_bpe(wf, 4)
+
+    def encode_word(w):
+        syms = [*w, "</w>"]
+        for a, b, _ in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    import hashlib
+
+    got = {
+        r["doc_id"]: r
+        for r in bpe_encode(
+            df, bpe_learn_merges(df, n_merges=4), n_merges=4
+        ).collect()
+    }
+    for i, t in enumerate(corpus):
+        stream = [s for w in t.split() for s in encode_word(w)]
+        assert got[i]["n_bpe_tokens"] == len(stream)
+        assert got[i]["tokens_md5"] == hashlib.md5(" ".join(stream).encode()).hexdigest()
+    spark.catalog.clearCache()
+
+
+def test_bpe_encode_empty_doc(spark):
+    import hashlib
+
+    from ffi_etl_spark.operators.tokenizer import bpe_encode, bpe_learn_merges
+
+    df = spark.createDataFrame([(0, "ab ab"), (1, "   ")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bpe_encode(df, bpe_learn_merges(df, n_merges=2), n_merges=2).collect()}
+    assert out[1]["n_bpe_tokens"] == 0
+    assert out[1]["tokens_md5"] == hashlib.md5(b"").hexdigest()
