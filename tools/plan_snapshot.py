@@ -50,7 +50,11 @@ SNAPSHOT = [
     ("clustering_coefficient", "oriented 3-way triangle join on the pair list, 3-corner union credit, left join onto the degree agg — no wedge materialization beyond candidates"),
     ("kmv_set_algebra", "two-phase shard-local top-k sketch build (no per-set single-task sort), K-row sketches through the pair stage, broadcast per-type estimates"),
     ("rendezvous_resharding", "narrow 17x explode + ONE doc-keyed aggregate carrying both argmaxes (struct max with explicit tie-break), map-side partial combine before the only shuffle"),
-    ("dedup_span_scrub", "two narrow explodes (gram starts, token positions), one gram-keyed agg + join back, doc-co-partitioned anti-join on covered positions, order-pinned per-doc rebuild — no collects, no cross product"),
+    ("dedup_span_scrub", "two narrow explodes (gram starts, token positions), one gram-keyed agg + join back, doc-co-partitioned anti-join on covered positions, order-pinned per-doc rebuild — no collects, no cross product; tokenized base pinned once for its three consumers"),
+    ("hybrid_rrf_fusion", "both ranked lists reduced to top-50 BEFORE the rank windows (TakeOrderedAndProject feeds a 50-row window, never the corpus), tiny full-outer fuse, rational RRF score into the final top-k"),
+    ("dsir_importance", "one gram explode carrying the target flag, ONE B-group aggregate for both distributions, 1-row totals + B-row quantized-LLR broadcasts, doc-keyed integer sum — corpus shuffles once"),
+    ("bpe_learn_merges", "per round: vocab-table pair-count aggregate + 1-row argmax broadcast + greedy fold rewrite; localCheckpoint truncates the twice-referencing round lineage (LogicalRDD scans in the plan are the checkpoints); corpus touched once for the word-frequency pass"),
+    ("woe_iv_encoding", "ONE aggregation over one scan to K category rows, 1-row totals broadcast, scalar quantized-WOE math — the minimal supervised-encoding plan"),
     ("kmeans_clusters", "per round: narrow posexplode into ONE K*dim-group integer-sum aggregate, K-row centroid model packed into a 1-row broadcast, argmax inside the scan stage — corpus never shuffles across rounds"),
     ("ann_brp_lsh", "literal-hyperplane dot folds + floor buckets inside the scan stage, bucket equi-self-join as the only shuffle, distinct-before-verify, sequential-fold Euclidean verify"),
 ]
