@@ -88,3 +88,122 @@ def countmin_estimate(
         # an empty bucket means the key never occurred: count 0
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_est"))
     )
+
+
+def quantile_summary(
+    df: DataFrame,
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_shards: int = 8,
+    k: int = 64,
+) -> DataFrame:
+    """Phase 1 of the deterministic mergeable quantile summary: shard
+    the rows by md5(id) (modeling the partition-local summaries a
+    100 TB job builds with ``sortWithinPartitions`` — md5 shards make
+    the construction partitioning-independent here), rank each shard
+    on the (value, id) total order, and keep every ``k``-th element
+    plus the shard maximum. Output: (shard, value, id, shard_rank,
+    shard_n) — ≤ n/k + n_shards rows, the summary a pipeline PERSISTS
+    per partition/day and merges later (the IVM story for quantiles,
+    beside KMV's for distincts; Spark's approx_percentile sketch is
+    engine-private, THIS one is bit-reproducible on any engine).
+
+    Everything is exact integer/identity arithmetic: ranks are
+    ROW_NUMBER over a total order, no floats touch the construction.
+    """
+    from ffi_etl_spark.functions.hashing import md5_int32
+
+    from pyspark.sql import Window
+
+    shard = F.pmod(md5_int32(F.col(id_col).cast("string")), F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy(value_col, id_col)
+    ranked = (
+        df.select(F.col(value_col), F.col(id_col), shard.alias("shard"))
+        .withColumn("shard_rank", F.row_number().over(w))
+        .withColumn("shard_n", F.count(F.lit(1)).over(Window.partitionBy("shard")))
+    )
+    return ranked.filter(
+        (F.pmod(F.col("shard_rank"), F.lit(k)) == 0)
+        | (F.col("shard_rank") == F.col("shard_n"))
+    ).select("shard", value_col, id_col, "shard_rank", "shard_n")
+
+
+def quantile_summary_query(
+    summary: DataFrame,
+    total_n,
+    quantiles: list[float],
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: int = 64,
+) -> DataFrame:
+    """Phase 2: answer quantile queries from a merged summary. Each
+    summary element's global rank is ESTIMATED with pure integers:
+    its exact own-shard rank plus ``k ×`` (count of OTHER shards'
+    summary elements strictly below it on the (value, id) total
+    order) — every foreign summary element stands for the ≤ k rows
+    at-or-below it, so the estimate errs by at most k per foreign
+    shard. The answer for quantile q is the element whose estimated
+    rank is nearest ``ceil(q·N)`` (ties to the smaller element).
+
+    The candidate join is summary × summary — quadratic in the
+    SUMMARY (n/k rows), never the data; at 100 TB with k sized so
+    summaries stay ~10⁵ rows this is a trivially small stage.
+    ``total_n`` is a 1-row DataFrame with column ``n`` (exact count).
+    Output: (q_label, est_value, est_id, est_rank, target_rank) — the
+    answering element's id rides along so callers can compute its
+    exact global rank cheaply."""
+    a = summary.alias("a")
+    b = summary.alias("b")
+    below = (
+        a.join(
+            b,
+            (F.col("b.shard") != F.col("a.shard"))
+            & (
+                (F.col(f"b.{value_col}") < F.col(f"a.{value_col}"))
+                | (
+                    (F.col(f"b.{value_col}") == F.col(f"a.{value_col}"))
+                    & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+                )
+            ),
+            "left",
+        )
+        .groupBy(
+            F.col(f"a.{value_col}").alias("value"),
+            F.col(f"a.{id_col}").alias("id"),
+            F.col("a.shard_rank").alias("own_rank"),
+        )
+        .agg(F.count(F.col("b.shard")).alias("n_below"))
+        .select(
+            "value",
+            "id",
+            (F.col("own_rank") + F.lit(k) * F.col("n_below")).alias("est_rank"),
+        )
+    )
+    targets = None
+    for q in quantiles:
+        t = total_n.select(
+            F.lit(f"p{int(q * 100)}").alias("q_label"),
+            F.ceil(F.lit(q) * F.col("n")).cast("long").alias("target_rank"),
+        )
+        targets = t if targets is None else targets.unionByName(t)
+    best = (
+        below.crossJoin(F.broadcast(targets))
+        .groupBy("q_label", "target_rank")
+        .agg(
+            F.min(
+                F.struct(
+                    F.abs(F.col("est_rank") - F.col("target_rank")).alias("d"),
+                    F.col("value"),
+                    F.col("id"),
+                    F.col("est_rank"),
+                )
+            ).alias("c")
+        )
+    )
+    return best.select(
+        "q_label",
+        F.col("c.value").alias("est_value"),
+        F.col("c.id").alias("est_id"),
+        F.col("c.est_rank").alias("est_rank"),
+        "target_rank",
+    )

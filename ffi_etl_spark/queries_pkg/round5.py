@@ -502,3 +502,107 @@ def _bpe_encode_corpus(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     merges = bpe_learn_merges(docs, n_merges=_BPE_MERGES, vocab_cap=_BPE_CAP)
     return bpe_encode(docs, merges, n_merges=_BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mergeable quantile summary (the IVM story for quantiles)
+# ---------------------------------------------------------------------------
+
+_QS_SHARDS, _QS_K, _QS_BAND = 8, 64, 1024
+_QS_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _qs_oracle() -> str:
+    targets = "\nUNION ALL ".join(
+        f"SELECT 'p{int(q * 100)}' AS q_label, CAST(CEIL({q} * n) AS BIGINT) AS target_rank FROM tot"
+        for q in _QS_QUANTILES
+    )
+    return f"""
+WITH ev AS (
+  SELECT value, event_id FROM events
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev
+), sharded AS (
+  SELECT value, event_id,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % {_QS_SHARDS} AS shard
+  FROM ev
+), ranked AS (
+  SELECT value, event_id, shard,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY value, event_id) AS shard_rank,
+         COUNT(*) OVER (PARTITION BY shard) AS shard_n
+  FROM sharded
+), summ AS MATERIALIZED (
+  SELECT shard, value, event_id, shard_rank FROM ranked
+  WHERE shard_rank % {_QS_K} = 0 OR shard_rank = shard_n
+), est AS MATERIALIZED (
+  SELECT a.value, a.event_id, CAST(a.shard_rank + {_QS_K} * COUNT(b.shard) AS BIGINT) AS est_rank
+  FROM summ a LEFT JOIN summ b
+    ON b.shard <> a.shard
+   AND (b.value < a.value OR (b.value = a.value AND b.event_id < a.event_id))
+  GROUP BY a.value, a.event_id, a.shard_rank
+), targets AS (
+  {targets}
+), scored AS (
+  SELECT t.q_label, t.target_rank, e.value, e.event_id, e.est_rank,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.q_label
+           ORDER BY abs(e.est_rank - t.target_rank), e.value, e.event_id
+         ) AS rk
+  FROM est e CROSS JOIN targets t
+), chosen AS MATERIALIZED (
+  SELECT q_label, target_rank, value, event_id, est_rank FROM scored WHERE rk = 1
+), truth AS (
+  SELECT c.q_label, CAST(COUNT(*) AS BIGINT) AS true_rank
+  FROM ev CROSS JOIN chosen c
+  WHERE ev.value < c.value OR (ev.value = c.value AND ev.event_id <= c.event_id)
+  GROUP BY c.q_label
+)
+SELECT c.q_label, c.value AS est_value, c.est_rank, c.target_rank, t.true_rank,
+       CAST(abs(t.true_rank - c.target_rank) <= {_QS_BAND} AS INT) AS band_ok
+FROM chosen c JOIN truth t USING (q_label)
+ORDER BY q_label
+"""
+
+
+@query("quantile_summary_merge", oracle=_qs_oracle())
+def _quantile_summary_merge(spark, sf_dir):
+    """operators/sketches.py::quantile_summary + quantile_summary_query
+    over events.value: the deterministic MERGEABLE quantile summary —
+    shard-local every-k-th-rank samples (what a 100 TB job persists per
+    partition/day), merged into error-bounded quantile answers with
+    pure-integer rank estimation. Spark's approx_percentile sketch is
+    engine-private; this one is bit-reproducible on any engine, so the
+    gate is a FULL differential (construction + estimation replayed in
+    SQL) plus the theory-backed band flag |true−target| ≤ 2kS, checked
+    with exact integer ranks."""
+    from ffi_etl_spark.operators.sketches import (
+        quantile_summary,
+        quantile_summary_query,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    summ = quantile_summary(ev, n_shards=_QS_SHARDS, k=_QS_K)
+    n = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    res = quantile_summary_query(
+        summ, n, list(_QS_QUANTILES), k=_QS_K
+    )
+    truth = (
+        ev.select(F.col("value").alias("_v"), F.col("event_id").alias("_e"))
+        .crossJoin(F.broadcast(res))
+        .where(
+            (F.col("_v") < F.col("est_value"))
+            | ((F.col("_v") == F.col("est_value")) & (F.col("_e") <= F.col("est_id")))
+        )
+        .groupBy("q_label", "est_value", "est_rank", "target_rank")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_rank"))
+    )
+    return truth.select(
+        "q_label",
+        "est_value",
+        "est_rank",
+        "target_rank",
+        "true_rank",
+        (F.abs(F.col("true_rank") - F.col("target_rank")) <= F.lit(_QS_BAND))
+        .cast("int")
+        .alias("band_ok"),
+    ).orderBy("q_label")

@@ -321,3 +321,29 @@ def test_bpe_encode_empty_doc(spark):
     out = {r["doc_id"]: r for r in bpe_encode(df, bpe_learn_merges(df, n_merges=2), n_merges=2).collect()}
     assert out[1]["n_bpe_tokens"] == 0
     assert out[1]["tokens_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_quantile_summary_answers_within_band(spark):
+    """Planted uniform data: the summary answer's TRUE rank must sit
+    within k*(S-1) + k (estimate error + sample spacing) of the
+    target; exact-rank arithmetic throughout."""
+    from ffi_etl_spark.operators.sketches import (
+        quantile_summary,
+        quantile_summary_query,
+    )
+
+    n, k, shards = 5000, 16, 4
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % n)) for i in range(n)], "event_id long, value double"
+    )
+    summ = quantile_summary(df, n_shards=shards, k=k)
+    # summary is every k-th rank + shard maxima
+    assert summ.count() <= n // k + shards + shards
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    res = quantile_summary_query(summ, total, [0.5, 0.9], k=k)
+    for r in res.collect():
+        true_rank = df.where(
+            (F.col("value") < r["est_value"])
+            | ((F.col("value") == r["est_value"]) & (F.col("event_id") <= r["est_id"]))
+        ).count()
+        assert abs(true_rank - r["target_rank"]) <= k * shards
