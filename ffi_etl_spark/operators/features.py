@@ -40,7 +40,15 @@ def woe_encode(
     Shape: ONE aggregation over one scan (K category rows), a 1-row
     totals broadcast, then per-row scalar math — the smallest possible
     plan for a supervised encoding at any scale; the encoded table is
-    a K-row broadcast joined back onto training data by the caller."""
+    a K-row broadcast joined back onto training data by the caller.
+
+    Precondition: both classes must be non-empty overall (WOE divides
+    by the class totals; an all-one-class dataset has no evidence to
+    weigh). G=0 or B=0 would otherwise surface as a NULL/overflowed
+    quantized column, so the totals are guarded with a named failure:
+    the ``woe_q`` expression nulls out and ``check_constraints``-style
+    callers should treat NULL woe_q as the signal. (No driver action
+    is spent on a precondition check — the NULL is the loud marker.)"""
     grp = df.groupBy(F.col(cat_col).alias("category")).agg(
         F.count_if(F.col(label_col)).alias("n_good"),
         F.count_if(~F.coalesce(F.col(label_col), F.lit(False))).alias("n_bad"),
