@@ -135,6 +135,7 @@ def quantile_summary_query(
     value_col: str = "value",
     id_col: str = "event_id",
     k: int = 64,
+    part_cols: tuple[str, ...] = ("shard",),
 ) -> DataFrame:
     """Phase 2: answer quantile queries from a merged summary. Each
     summary element's global rank is ESTIMATED with pure integers:
@@ -151,13 +152,24 @@ def quantile_summary_query(
     ``total_n`` is a 1-row DataFrame with column ``n`` (exact count).
     Output: (q_label, est_value, est_id, est_rank, target_rank) — the
     answering element's id rides along so callers can compute its
-    exact global rank cheaply."""
+    exact global rank cheaply.
+
+    ``part_cols`` names the summary's part identity: ("shard",) for a
+    one-shot build (quantile_summary), ("batch_id", "shard") for the
+    streaming accumulation where every micro-batch contributes its own
+    parts — the estimator only needs "same part ⇒ exact rank, foreign
+    part ⇒ ≤ k error", so it works unchanged over any partition of the
+    data; the error bound scales with the number of PARTS."""
     a = summary.alias("a")
     b = summary.alias("b")
+    same_part = None
+    for c in part_cols:
+        eq = F.col(f"b.{c}") == F.col(f"a.{c}")
+        same_part = eq if same_part is None else (same_part & eq)
     below = (
         a.join(
             b,
-            (F.col("b.shard") != F.col("a.shard"))
+            (~same_part)
             & (
                 (F.col(f"b.{value_col}") < F.col(f"a.{value_col}"))
                 | (
@@ -172,7 +184,7 @@ def quantile_summary_query(
             F.col(f"a.{id_col}").alias("id"),
             F.col("a.shard_rank").alias("own_rank"),
         )
-        .agg(F.count(F.col("b.shard")).alias("n_below"))
+        .agg(F.count(F.col(f"b.{id_col}")).alias("n_below"))
         .select(
             "value",
             "id",

@@ -711,3 +711,70 @@ def test_stream_profile_merge_recovers_torn_commit(spark, sf_dir, tmp_path):
     )
     assert not os.path.exists(target + ".__ivm_old__")
     assert good is not None
+
+
+def test_stream_quantile_summary_within_band_and_idempotent(spark, sf_dir, tmp_path):
+    """Streamed per-batch summary parts answer quantiles within the
+    k x parts band of the exact rank, and replaying the stream (fresh
+    checkpoint, same batches) leaves the table byte-identical —
+    partition-overwrite idempotence, no ledger needed."""
+    from ffi_etl_spark.streaming.events import stream_events
+    from ffi_etl_spark.streaming.summaries import (
+        quantiles_from_stream_summary,
+        read_summary_parts,
+        stream_quantile_summary,
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "summary")
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    split = ev.selectExpr("percentile_approx(event_id, 0.5) p").collect()[0]["p"]
+    ev.filter(F.col("event_id") <= split).write.mode("append").parquet(src)
+    stream_quantile_summary(
+        stream_events(spark, src), target, str(tmp_path / "ck1"), k=16, n_shards=4
+    )
+    ev.filter(F.col("event_id") > split).write.mode("append").parquet(src)
+    stream_quantile_summary(
+        stream_events(spark, src), target, str(tmp_path / "ck1"), k=16, n_shards=4
+    )
+
+    parts = read_summary_parts(spark, target)
+    n_parts = parts.select("batch", "shard").distinct().count()
+    assert parts.select("batch").distinct().count() >= 2
+
+    total = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    res = quantiles_from_stream_summary(
+        spark, target, total, [0.5, 0.9], k=16
+    ).collect()
+    for r in res:
+        true_rank = ev.where(
+            (F.col("value") < r["est_value"])
+            | ((F.col("value") == r["est_value"]) & (F.col("event_id") <= r["est_id"]))
+        ).count()
+        assert abs(true_rank - r["target_rank"]) <= 16 * n_parts
+
+    # simulate the at-least-once window: drop the latest commit marker
+    # so a restart from the SAME checkpoint re-processes that batch
+    # (same batch id, same file set) — the rewrite lands on the same
+    # batch=<id> directory and the table is unchanged
+    import os
+
+    before = sorted(
+        (r["batch"], r["shard"], r["value"], r["event_id"], r["shard_rank"])
+        for r in parts.collect()
+    )
+    commits = sorted(
+        f for f in os.listdir(str(tmp_path / "ck1" / "commits")) if f.isdigit()
+    )
+    os.remove(str(tmp_path / "ck1" / "commits" / commits[-1]))
+    crc = str(tmp_path / "ck1" / "commits" / f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    stream_quantile_summary(
+        stream_events(spark, src), target, str(tmp_path / "ck1"), k=16, n_shards=4
+    )
+    after = sorted(
+        (r["batch"], r["shard"], r["value"], r["event_id"], r["shard_rank"])
+        for r in read_summary_parts(spark, target).collect()
+    )
+    assert after == before
