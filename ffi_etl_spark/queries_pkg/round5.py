@@ -606,3 +606,67 @@ def _quantile_summary_merge(spark, sf_dir):
         .cast("int")
         .alias("band_ok"),
     ).orderBy("q_label")
+
+
+# ---------------------------------------------------------------------------
+# Tree-ensemble inference compiled to pure relational expressions
+# ---------------------------------------------------------------------------
+
+# a hand-built 3-tree "anomaly-margin" ensemble over events: splits on
+# value and an id-derived feature; leaf outputs dyadic (exact doubles)
+_TREES = [
+    {
+        "feature": "value", "threshold": 50.0,
+        "left": {
+            "feature": "value", "threshold": 10.0,
+            "left": {"value": -0.5},
+            "right": {"value": 0.25},
+        },
+        "right": {"value": 0.75},
+    },
+    {
+        "feature": "idmod", "threshold": 49.0,
+        "left": {"value": 0.125},
+        "right": {
+            "feature": "value", "threshold": 80.0,
+            "left": {"value": -0.25},
+            "right": {"value": 0.5},
+        },
+    },
+    {
+        "feature": "value", "threshold": 25.0,
+        "left": {"value": 0.0625},
+        "right": {"value": -0.125},
+    },
+]
+
+
+def _inference_oracle() -> str:
+    from ffi_etl_spark.operators.inference import ensemble_to_sql
+
+    margin, predicted = ensemble_to_sql(_TREES, threshold=0.0)
+    return f"""
+WITH feats AS (
+  SELECT event_id, value, CAST(event_id % 100 AS DOUBLE) AS idmod FROM events
+)
+SELECT event_id, {margin} AS margin, {predicted} AS predicted
+FROM feats
+"""
+
+
+@query("tree_ensemble_score", oracle=_inference_oracle())
+def _tree_ensemble_score(spark, sf_dir):
+    """operators/inference.py::score_ensemble over events — ML
+    inference compiled to nested CASE expressions + a fixed-order leaf
+    sum (the in-database/operator-fusion inference idea, Spark-first):
+    the model is pure codegen arithmetic in the scan stage, zero
+    shuffles, zero Python. The SAME tree dicts generate the Spark
+    Columns AND the oracle SQL, so scoring is bit-differential."""
+    from ffi_etl_spark.operators.inference import score_ensemble
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        (F.col("event_id") % 100).cast("double").alias("idmod"),
+    )
+    return score_ensemble(ev, _TREES)

@@ -347,3 +347,41 @@ def test_quantile_summary_answers_within_band(spark):
             | ((F.col("value") == r["est_value"]) & (F.col("event_id") <= r["est_id"]))
         ).count()
         assert abs(true_rank - r["target_rank"]) <= k * shards
+
+
+def test_tree_ensemble_scoring_matches_python(spark):
+    from ffi_etl_spark.operators.inference import score_ensemble
+
+    tree = {
+        "feature": "x", "threshold": 5.0,
+        "left": {"value": -1.0},
+        "right": {"feature": "y", "threshold": 2.0,
+                  "left": {"value": 0.5}, "right": {"value": 2.0}},
+    }
+    tree2 = {"feature": "y", "threshold": 0.0,
+             "left": {"value": 0.25}, "right": {"value": -0.25}}
+
+    def py_score(x, y):
+        t1 = -1.0 if (x is not None and x <= 5.0) else (0.5 if (y is not None and y <= 2.0) else 2.0)
+        t2 = 0.25 if (y is not None and y <= 0.0) else -0.25
+        return t1 + t2
+
+    rows = [(0, 1.0, 3.0), (1, 9.0, 1.0), (2, 9.0, 9.0), (3, None, -1.0)]
+    df = spark.createDataFrame(rows, "event_id long, x double, y double")
+    out = {r["event_id"]: r for r in score_ensemble(df, [tree, tree2]).collect()}
+    for eid, x, y in rows:
+        want = py_score(x, y)
+        assert out[eid]["margin"] == want
+        assert out[eid]["predicted"] == int(want > 0.0)
+    # NULL feature routes RIGHT: doc'd contract
+    assert out[3]["margin"] == py_score(None, -1.0)
+
+
+def test_tree_ensemble_requires_trees(spark):
+    import pytest
+
+    from ffi_etl_spark.operators.inference import score_ensemble
+
+    df = spark.createDataFrame([(0, 1.0)], "event_id long, x double")
+    with pytest.raises(ValueError):
+        score_ensemble(df, [])
