@@ -82,3 +82,53 @@ def ensemble_to_sql(trees: list[dict], threshold: float = 0.0) -> tuple[str, str
     the SAME specs, summed in the same order."""
     margin = " + ".join(f"({tree_to_sql(t)})" for t in trees)
     return margin, f"CAST(({margin}) > {float(threshold)!r} AS INT)"
+
+
+def auc_exact(
+    scored: DataFrame,
+    score_col: str = "margin",
+    label_col: str = "label",
+) -> DataFrame:
+    """EXACT ROC-AUC via the Mann-Whitney rank-sum — the model-eval
+    counterpart to ``score_ensemble``, computed with pure integer
+    arithmetic so it is bit-identical on any engine:
+
+    * ranks are tie-AVERAGED per distinct score; the half-integer
+      average rank is carried DOUBLED (avg of ranks c+1..c+n doubles
+      to the integer ``2c + n + 1``), so every intermediate is a
+      BIGINT;
+    * ``U2 = Σ_positives 2·rank = Σ_s n_pos(s)·(2c(s) + n(s) + 1)``,
+      and ``AUC = (U2 − n_pos·(n_pos+1)) / (2·n_pos·n_neg)`` — one
+      correctly-rounded division at the very end.
+
+    Scale shape: one score-keyed aggregate collapses the data to the
+    DISTINCT-score table (for a tree ensemble that is ≤ the product of
+    leaf counts — tiny), a K-row post-aggregate window builds the
+    cumulative counts, and one 1-row reduce finishes. The corpus
+    shuffles once, grouped by score.
+
+    Output (1 row): n_pos, n_neg, u2, auc. NULL labels are rejected
+    rows — filter them upstream; NULL auc signals a single-class
+    input (n_pos or n_neg = 0), the undefined case."""
+    from pyspark.sql import Window
+
+    per_score = scored.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_if(F.col(label_col)).alias("_np"),
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.withColumn(
+        "_c", F.coalesce(F.sum("_n").over(w), F.lit(0))
+    )
+    agg = ranked.agg(
+        F.sum("_np").cast("long").alias("n_pos"),
+        (F.sum("_n") - F.sum("_np")).cast("long").alias("n_neg"),
+        F.sum(F.col("_np") * (F.lit(2) * F.col("_c") + F.col("_n") + F.lit(1)))
+        .cast("long")
+        .alias("u2"),
+    )
+    auc = (
+        (F.col("u2") - F.col("n_pos") * (F.col("n_pos") + F.lit(1))).cast("double")
+        / (F.lit(2.0) * (F.col("n_pos") * F.col("n_neg")).cast("double"))
+    )
+    return agg.select("n_pos", "n_neg", "u2", auc.alias("auc"))

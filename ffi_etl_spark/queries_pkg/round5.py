@@ -670,3 +670,57 @@ def _tree_ensemble_score(spark, sf_dir):
         (F.col("event_id") % 100).cast("double").alias("idmod"),
     )
     return score_ensemble(ev, _TREES)
+
+
+def _auc_oracle() -> str:
+    from ffi_etl_spark.operators.inference import ensemble_to_sql
+
+    margin, _ = ensemble_to_sql(_TREES, threshold=0.0)
+    return f"""
+WITH feats AS (
+  SELECT event_id, value, CAST(event_id % 100 AS DOUBLE) AS idmod,
+         (event_type = 'purchase') AS label
+  FROM events
+), scored AS (
+  SELECT {margin} AS s, label FROM feats
+), per_score AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE label) AS BIGINT) AS np
+  FROM scored GROUP BY s
+), ranked AS (
+  SELECT s, n, np,
+         COALESCE(SUM(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM per_score
+), agg AS (
+  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+         CAST(SUM(n) - SUM(np) AS BIGINT) AS n_neg,
+         CAST(SUM(np * (2 * c + n + 1)) AS BIGINT) AS u2
+  FROM ranked
+)
+SELECT n_pos, n_neg, u2,
+       CAST(u2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * CAST(n_pos * n_neg AS DOUBLE)) AS auc
+FROM agg
+"""
+
+
+@query("model_auc_exact", oracle=_auc_oracle())
+def _model_auc_exact(spark, sf_dir):
+    """operators/inference.py::auc_exact over the tree-ensemble margin
+    with `is a purchase` as the label — exact ROC-AUC by Mann-Whitney
+    rank-sum with tie-averaged ranks carried as doubled integers: all
+    intermediates are BIGINTs, one division at the end, so the gate
+    hashes the raw double bit-strictly. Completes the scoring op with
+    its evaluation (the margin here has ~13 distinct values, so the
+    rank table is K-row and the post-aggregate window is legal)."""
+    from ffi_etl_spark.operators.inference import auc_exact, score_ensemble
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        (F.col("event_id") % 100).cast("double").alias("idmod"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    scored = score_ensemble(ev, _TREES).join(
+        ev.select("event_id", "label"), "event_id"
+    )
+    return auc_exact(scored)

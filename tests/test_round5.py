@@ -385,3 +385,33 @@ def test_tree_ensemble_requires_trees(spark):
     df = spark.createDataFrame([(0, 1.0)], "event_id long, x double")
     with pytest.raises(ValueError):
         score_ensemble(df, [])
+
+
+def test_auc_exact_matches_sklearnless_reference(spark):
+    """Hand-checkable AUC cases: perfect ranking, random-ish ties,
+    inverted ranking."""
+    from ffi_etl_spark.operators.inference import auc_exact
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "event_id long, margin double, label boolean")
+        return auc_exact(df).collect()[0]
+
+    # perfect separation -> AUC 1
+    r = run([(i, float(i), i >= 5) for i in range(10)])
+    assert r["auc"] == 1.0
+    # inverted -> AUC 0
+    r = run([(i, float(-i), i >= 5) for i in range(10)])
+    assert r["auc"] == 0.0
+    # all scores tied -> AUC exactly 0.5 (tie-averaged ranks)
+    r = run([(i, 1.0, i % 2 == 0) for i in range(10)])
+    assert r["auc"] == 0.5
+    # mixed case vs direct pair counting: AUC = (wins + 0.5*ties)/pairs
+    rows = [(0, 0.1, False), (1, 0.4, True), (2, 0.4, False), (3, 0.9, True), (4, 0.2, False)]
+    r = run(rows)
+    pos = [m for _, m, y in rows if y]
+    neg = [m for _, m, y in rows if not y]
+    want = sum(1.0 if p > q else 0.5 if p == q else 0.0 for p in pos for q in neg) / (len(pos) * len(neg))
+    assert r["auc"] == want
+    # single-class input -> NULL auc (documented undefined case)
+    r = run([(i, float(i), True) for i in range(4)])
+    assert r["auc"] is None
