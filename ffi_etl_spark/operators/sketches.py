@@ -191,13 +191,24 @@ def quantile_summary_query(
             (F.col("own_rank") + F.lit(k) * F.col("n_below")).alias("est_rank"),
         )
     )
-    targets = None
-    for q in quantiles:
-        t = total_n.select(
-            F.lit(f"p{int(q * 100)}").alias("q_label"),
-            F.ceil(F.lit(q) * F.col("n")).cast("long").alias("target_rank"),
-        )
-        targets = t if targets is None else targets.unionByName(t)
+    # one explode over the 1-row total, NOT one union branch per
+    # quantile — each branch would carry its own copy of the count
+    # aggregate's subtree (q full scans of the source at scale)
+    target_structs = F.array(
+        *[
+            F.struct(
+                F.lit(f"p{int(q * 100)}").alias("q_label"),
+                F.lit(float(q)).alias("q"),
+            )
+            for q in quantiles
+        ]
+    )
+    targets = total_n.select(
+        F.explode(target_structs).alias("_t"), F.col("n")
+    ).select(
+        F.col("_t.q_label").alias("q_label"),
+        F.ceil(F.col("_t.q") * F.col("n")).cast("long").alias("target_rank"),
+    )
     best = (
         below.crossJoin(F.broadcast(targets))
         .groupBy("q_label", "target_rank")
