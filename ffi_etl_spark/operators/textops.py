@@ -319,9 +319,22 @@ def dsir_importance(
         F.col("_t"),
         F.pmod(md5_int32(F.col("_g")), F.lit(buckets)).alias("b"),
     )
-    stats = grams.groupBy("b").agg(
-        F.count(F.lit(1)).alias("s_b"),
-        F.count_if(F.col("_t")).alias("t_b"),
+    # doc-bucket counts FIRST, then bucket stats derived from them —
+    # the gram explode (the corpus-scale pass) runs exactly once;
+    # aggregating stats directly from `grams` under a different key
+    # would recompute the explode (no exchange reuse across grouping
+    # keys). dbc feeds both the stats and the final weight join, so it
+    # is pinned — it is compact by construction (≤ docs × buckets
+    # rows), unlike the gram stream it summarizes; reclaimed by
+    # spark.catalog.clearCache() like the dedup signature tables.
+    dbc = (
+        grams.groupBy(id_col, "_t", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats = dbc.groupBy("b").agg(
+        F.sum("c").alias("s_b"),
+        F.sum(F.when(F.col("_t"), F.col("c")).otherwise(F.lit(0))).alias("t_b"),
     )
     tot = stats.agg(F.sum("s_b").alias("S"), F.sum("t_b").alias("T"))
     scale = F.lit(float(1 << scale_bits))
@@ -346,7 +359,6 @@ def dsir_importance(
             .alias("llr_q"),
         )
     )
-    dbc = grams.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c"))
     return (
         dbc.join(F.broadcast(llr), "b")
         .groupBy(id_col)
@@ -771,7 +783,10 @@ def scrub_dup_spans(
         md5_int60(
             F.concat_ws(" ", F.slice(F.col("_toks"), F.col("s"), F.lit(n)))
         ).alias("g"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # occ feeds the gram-stats aggregate AND the scrub join; without
+    # the pin the gram hashing pass runs twice (stats and join shuffle
+    # under different keys, so no exchange reuse)
     pos_key = F.col(id_col) * F.lit(1 << _SPAN_POS_BITS) + F.col("s")
     stats = occ.groupBy("g").agg(
         F.count_distinct(id_col).alias("_ddf"),
@@ -828,7 +843,7 @@ def scrub_repeated_spans(
         md5_int60(
             F.concat_ws(" ", F.slice(F.col("_toks"), F.col("s"), F.lit(n)))
         ).alias("g"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     firsts = occ.groupBy(id_col, "g").agg(F.min("s").alias("_first_s"))
     scrub = (
         occ.join(firsts, [id_col, "g"])
