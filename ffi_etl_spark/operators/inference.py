@@ -57,13 +57,16 @@ def score_ensemble(
     trees: list[dict],
     id_col: str = "event_id",
     threshold: float = 0.0,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Score every row with the ensemble: ``margin`` = sum of the
     trees' leaf outputs in ENSEMBLE ORDER (fixed-order float addition
     — bit-identical on any engine), ``predicted`` = margin > threshold
     as int. The whole scorer is one narrow projection: at 100 TB it
     fuses into the scan, shuffles nothing, and broadcasts nothing —
-    the model IS the plan."""
+    the model IS the plan. ``keep_cols`` pass through unchanged (e.g.
+    a label column for evaluation — cheaper than re-joining the source
+    onto its own scores)."""
     if not trees:
         raise ValueError("score_ensemble: need at least one tree")
     margin = None
@@ -72,6 +75,7 @@ def score_ensemble(
         margin = c if margin is None else margin + c
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         margin.alias("margin"),
         (margin > F.lit(threshold)).cast("int").alias("predicted"),
     )

@@ -160,6 +160,13 @@ def quantile_summary_query(
     parts — the estimator only needs "same part ⇒ exact rank, foreign
     part ⇒ ≤ k error", so it works unchanged over any partition of the
     data; the error bound scales with the number of PARTS."""
+    from pyspark import StorageLevel
+
+    # the summary feeds BOTH sides of the estimate self-join; unpinned,
+    # its lineage (the corpus-wide rank pass) would execute twice. In
+    # production phase 1 is a stored table and this is moot; for a
+    # composed plan the pin keeps the construction single-pass.
+    summary = summary.persist(StorageLevel.MEMORY_AND_DISK)
     a = summary.alias("a")
     b = summary.alias("b")
     same_part = None

@@ -198,11 +198,18 @@ def bpe_encode(
             F.collect_list(F.struct("merge_rank", "left_sym", "right_sym"))
         ).alias("_m")
     )
-    words = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_p", "w"),
-    ).filter(F.col("w") != "").select(
-        F.col(id_col), (F.col("_p") + 1).alias("wp"), F.col("w")
+    from pyspark import StorageLevel
+
+    words = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_p", "w"),
+        )
+        .filter(F.col("w") != "")
+        .select(F.col(id_col), (F.col("_p") + 1).alias("wp"), F.col("w"))
+        # the word stream feeds the distinct-word encode AND the
+        # broadcast join back — pin it so the corpus explodes once
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     def _merge_step(a, b, merged):
         # closure, not lambda defaults: PySpark infers HOF arity from

@@ -720,7 +720,6 @@ def _model_auc_exact(spark, sf_dir):
         (F.col("event_id") % 100).cast("double").alias("idmod"),
         (F.col("event_type") == "purchase").alias("label"),
     )
-    scored = score_ensemble(ev, _TREES).join(
-        ev.select("event_id", "label"), "event_id"
-    )
-    return auc_exact(scored)
+    # the label rides through the scorer (keep_cols) — no second scan
+    # of events and no self-join just to reattach it
+    return auc_exact(score_ensemble(ev, _TREES, keep_cols=("label",)))
