@@ -88,6 +88,135 @@ def ensemble_to_sql(trees: list[dict], threshold: float = 0.0) -> tuple[str, str
     return margin, f"CAST(({margin}) > {float(threshold)!r} AS INT)"
 
 
+def classification_report(
+    scored: DataFrame,
+    label_col: str = "label",
+    predicted_col: str = "predicted",
+) -> DataFrame:
+    """Per-class precision / recall / F1 from a scored frame — the
+    confusion-matrix evaluation that pairs with ``score_ensemble`` /
+    ``auc_exact``. Everything up to the final divisions is integer
+    counting (tp / fp / fn / support are BIGINTs), and each metric is
+    ONE correctly-rounded double division (F1 is computed from the raw
+    integer counts as ``2·tp / (2·tp + fp + fn)`` — algebraically equal
+    to the harmonic mean but with a single division, so it is
+    bit-identical on any engine; the naive ``2PR/(P+R)`` form chains
+    three divisions and drifts).
+
+    Scale shape: one groupBy on the (label, predicted) pair collapses
+    the corpus to ≤ C² rows (C = #classes), then a C-row reshape.
+    Classes with zero predicted (or zero actual) rows yield NULL
+    precision (recall) — undefined, not 0, so a downstream mean does
+    not silently deflate.
+
+    Output: one row per class present in either column —
+    (class, tp, fp, fn, support, precision, recall, f1).
+    """
+    pairs = scored.groupBy(
+        F.col(label_col).cast("long").alias("_y"),
+        F.col(predicted_col).cast("long").alias("_p"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    # per-class tallies: tp from the diagonal, fp down the predicted
+    # column, fn across the actual row — one more tiny aggregate each
+    by_true = pairs.groupBy(F.col("_y").alias("class")).agg(
+        F.sum("_n").cast("long").alias("support"),
+        F.sum(F.when(F.col("_p") == F.col("_y"), F.col("_n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tp"),
+    )
+    by_pred = pairs.groupBy(F.col("_p").alias("class")).agg(
+        F.sum("_n").cast("long").alias("n_pred")
+    )
+    rep = by_true.join(by_pred, "class", "full_outer").select(
+        F.col("class").cast("long").alias("class"),
+        F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+        (F.coalesce(F.col("n_pred"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0)))
+        .cast("long")
+        .alias("fp"),
+        (F.coalesce(F.col("support"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0)))
+        .cast("long")
+        .alias("fn"),
+        F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
+    )
+    return rep.select(
+        "class",
+        "tp",
+        "fp",
+        "fn",
+        "support",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+        ).alias("recall"),
+        F.when(
+            F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            (F.lit(2) * F.col("tp")).cast("double")
+            / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+        ).alias("f1"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str = "margin",
+    label_col: str = "label",
+    lo: float = -1.0,
+    hi: float = 2.0,
+    n_bins: int = 12,
+) -> DataFrame:
+    """Reliability-diagram bins: fixed-width score bins over [lo, hi),
+    per-bin count, positive count, mean predicted score, and observed
+    positive rate — the calibration evaluation for any scorer whose
+    scores land in a known range (tree-ensemble margins are bounded by
+    the sum of extreme leaves).
+
+    Determinism: the bin index is ``floor((s - lo) / width)`` clamped
+    to [0, n_bins-1] — with dyadic lo/width (callers should pick a
+    power-of-two-friendly range) the index arithmetic is exact.
+    ``mean_score`` = SUM(score)/n: for tree-ensemble margins every
+    score is a small dyadic rational, so the partition-order float SUM
+    is EXACT (multiples of 2^-k with tiny magnitude — no rounding at
+    any add) and the mean is one final division. For arbitrary float
+    scores, pre-quantize the score or emit fixed-precision strings
+    (oracle-parity rule, TODO.md).
+
+    Scale shape: one narrow projection + one n_bins-row aggregate —
+    scan-stage work, a K-row shuffle.
+    """
+    if n_bins <= 0:
+        raise ValueError("calibration_bins: n_bins must be positive")
+    width = (hi - lo) / n_bins
+    idx = F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width))
+    idx = F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), idx)).cast("long")
+    binned = scored.select(
+        idx.alias("bin"),
+        F.col(score_col).alias("_s"),
+        F.col(label_col).cast("long").alias("_y"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_y").cast("long").alias("n_pos"),
+            F.sum("_s").alias("_sum_s"),
+        )
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin").cast("double") * F.lit(width)).alias("bin_lo"),
+            "n",
+            "n_pos",
+            (F.col("_sum_s") / F.col("n").cast("double")).alias("mean_score"),
+            (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+                "frac_pos"
+            ),
+        )
+    )
+
+
 def auc_exact(
     scored: DataFrame,
     score_col: str = "margin",

@@ -56,6 +56,7 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
     round4b,
     round4c,
     round5,
+    round5b,
 )
 
 # The driver's correctness gate grades a bounded prefix of the registry

@@ -1,0 +1,150 @@
+"""Round-5b gated queries: model-evaluation completion + new sketch ops.
+
+The reference has no ML-evaluation surface (its scope is survey ETL —
+SURVEY.md §2); these extend the engine's training-data/modeling family
+(tree_ensemble_score / model_auc_exact, round 5) with the rest of the
+standard evaluation toolkit, each a full differential oracle:
+
+* ``model_classification_report`` — per-class precision/recall/F1 from
+  integer confusion counts (one division per metric, F1 in the
+  single-division ``2tp/(2tp+fp+fn)`` form);
+* ``model_calibration_bins`` — reliability-diagram bins whose mean
+  score is an EXACT float sum (tree-ensemble margins are dyadic
+  rationals, so partition-order addition never rounds).
+
+Both reuse the round-5 ``_TREES`` ensemble spec so the scored frame
+under evaluation is itself differentially pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ffi_etl_spark.catalog import table
+from ffi_etl_spark.queries import query
+from ffi_etl_spark.queries_pkg.round5 import _TREES
+
+# ---------------------------------------------------------------------------
+# shared: the scored-events CTE both oracles start from
+# ---------------------------------------------------------------------------
+
+
+def _scored_cte() -> str:
+    from ffi_etl_spark.operators.inference import ensemble_to_sql
+
+    margin, predicted = ensemble_to_sql(_TREES, threshold=0.0)
+    return f"""feats AS (
+  SELECT event_id, value, CAST(event_id % 100 AS DOUBLE) AS idmod,
+         CAST(event_type = 'purchase' AS BIGINT) AS y
+  FROM events
+), scored AS (
+  SELECT y, {margin} AS s, CAST({predicted} AS BIGINT) AS p FROM feats
+)"""
+
+
+def _scored_events(spark, sf_dir):
+    from ffi_etl_spark.operators.inference import score_ensemble
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        (F.col("event_id") % 100).cast("double").alias("idmod"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    return score_ensemble(ev, _TREES, keep_cols=("label",))
+
+
+def _report_oracle() -> str:
+    return f"""
+WITH {_scored_cte()}, pairs AS (
+  SELECT y, p, CAST(COUNT(*) AS BIGINT) AS n FROM scored GROUP BY y, p
+), by_true AS (
+  SELECT y AS cls, CAST(SUM(n) AS BIGINT) AS support,
+         CAST(SUM(CASE WHEN p = y THEN n ELSE 0 END) AS BIGINT) AS tp
+  FROM pairs GROUP BY y
+), by_pred AS (
+  SELECT p AS cls, CAST(SUM(n) AS BIGINT) AS n_pred FROM pairs GROUP BY p
+), rep AS (
+  SELECT COALESCE(t.cls, q.cls) AS cls,
+         COALESCE(t.tp, 0) AS tp,
+         COALESCE(q.n_pred, 0) - COALESCE(t.tp, 0) AS fp,
+         COALESCE(t.support, 0) - COALESCE(t.tp, 0) AS fn,
+         COALESCE(t.support, 0) AS support
+  FROM by_true t FULL OUTER JOIN by_pred q ON t.cls = q.cls
+)
+SELECT CAST(cls AS BIGINT) AS cls, CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+       CAST(support AS BIGINT) AS support,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
+       CASE WHEN tp + fn > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+       END AS f1
+FROM rep
+"""
+
+
+@query("model_classification_report", oracle=_report_oracle())
+def _model_classification_report(spark, sf_dir):
+    """operators/inference.py::classification_report over the round-5
+    tree-ensemble predictions with `is a purchase` as the label — the
+    confusion-matrix evaluation completing the scoring/AUC family. All
+    counts are BIGINTs from one (label, predicted) aggregate; each
+    metric is a single correctly-rounded division (F1 from raw counts,
+    not chained P/R), so the doubles hash bit-strictly."""
+    from ffi_etl_spark.operators.inference import classification_report
+
+    rep = classification_report(_scored_events(spark, sf_dir))
+    return rep.select(
+        F.col("class").alias("cls"),
+        "tp",
+        "fp",
+        "fn",
+        "support",
+        F.col("precision").alias("prec"),
+        "recall",
+        "f1",
+    )
+
+
+_CAL_LO, _CAL_HI, _CAL_BINS = -1.0, 2.0, 12
+
+
+def _calibration_oracle() -> str:
+    width = (_CAL_HI - _CAL_LO) / _CAL_BINS
+    return f"""
+WITH {_scored_cte()}, binned AS (
+  SELECT CAST(GREATEST(0, LEAST({_CAL_BINS - 1},
+              FLOOR((s - ({_CAL_LO!r})) / {width!r}))) AS BIGINT) AS bin,
+         s, y
+  FROM scored
+)
+SELECT bin,
+       {_CAL_LO!r} + CAST(bin AS DOUBLE) * {width!r} AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       SUM(s) / CAST(COUNT(*) AS DOUBLE) AS mean_score,
+       CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos
+FROM binned GROUP BY bin
+"""
+
+
+@query("model_calibration_bins", oracle=_calibration_oracle())
+def _model_calibration_bins(spark, sf_dir):
+    """operators/inference.py::calibration_bins over the tree-ensemble
+    margin — reliability-diagram evaluation. Exactness argument: the
+    margins are dyadic rationals (leaf outputs are multiples of 2^-4),
+    so SUM(margin) is exact under any partition order and mean_score
+    is one final division; the bin index is exact dyadic arithmetic
+    (width 0.25). frac_pos is an integer ratio. Hence raw doubles in
+    the gated output, hashed bit-strictly."""
+    from ffi_etl_spark.operators.inference import calibration_bins
+
+    return calibration_bins(
+        _scored_events(spark, sf_dir),
+        lo=_CAL_LO,
+        hi=_CAL_HI,
+        n_bins=_CAL_BINS,
+    )

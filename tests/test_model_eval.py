@@ -1,0 +1,83 @@
+"""Model-evaluation operators: classification report + calibration bins."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _report(spark, rows):
+    from ffi_etl_spark.operators.inference import classification_report
+
+    df = spark.createDataFrame(rows, "id long, label long, predicted long")
+    return {r["class"]: r for r in classification_report(df).collect()}
+
+
+def test_classification_report_hand_counts(spark):
+    # 3 classes; class 2 never predicted, class 3 predicted but absent
+    rows = [
+        (0, 0, 0), (1, 0, 0), (2, 0, 1),   # class 0: tp=2 fn=1
+        (3, 1, 1), (4, 1, 0), (5, 1, 1),   # class 1: tp=2 fn=1
+        (6, 2, 3),                         # class 2: tp=0, predicted as 3
+    ]
+    rep = _report(spark, rows)
+    r0 = rep[0]
+    assert (r0["tp"], r0["fp"], r0["fn"], r0["support"]) == (2, 1, 1, 3)
+    assert r0["precision"] == 2 / 3 and r0["recall"] == 2 / 3
+    assert r0["f1"] == 4 / 6  # 2tp/(2tp+fp+fn) = 4/6
+    r1 = rep[1]
+    assert (r1["tp"], r1["fp"], r1["fn"], r1["support"]) == (2, 1, 1, 3)
+    # class 2: support 1, never predicted -> precision NULL, recall 0
+    r2 = rep[2]
+    assert (r2["tp"], r2["fp"], r2["fn"], r2["support"]) == (0, 0, 1, 1)
+    assert r2["precision"] is None and r2["recall"] == 0.0
+    # class 3: predicted once, zero support -> recall NULL, precision 0
+    r3 = rep[3]
+    assert (r3["tp"], r3["fp"], r3["fn"], r3["support"]) == (0, 1, 0, 0)
+    assert r3["recall"] is None and r3["precision"] == 0.0
+    # F1 defined whenever tp+fp+fn > 0
+    assert r2["f1"] == 0.0 and r3["f1"] == 0.0
+
+
+def test_classification_report_perfect(spark):
+    rows = [(i, i % 2, i % 2) for i in range(10)]
+    rep = _report(spark, rows)
+    for c in (0, 1):
+        assert rep[c]["precision"] == 1.0
+        assert rep[c]["recall"] == 1.0
+        assert rep[c]["f1"] == 1.0
+        assert rep[c]["support"] == 5
+
+
+def test_calibration_bins_hand_counts(spark):
+    from ffi_etl_spark.operators.inference import calibration_bins
+
+    # scores in [0,1), 4 bins of width 0.25; dyadic scores -> exact sums
+    rows = [
+        (0, 0.0, False), (1, 0.125, True),        # bin 0
+        (2, 0.25, True), (3, 0.375, True),        # bin 1
+        (4, 0.75, False),                         # bin 3
+        (5, -5.0, False), (6, 9.0, True),         # clamped to bins 0 / 3
+    ]
+    df = spark.createDataFrame(rows, "id long, margin double, label boolean")
+    out = {
+        r["bin"]: r
+        for r in calibration_bins(df, lo=0.0, hi=1.0, n_bins=4).collect()
+    }
+    assert set(out) == {0, 1, 3}
+    b0 = out[0]
+    assert (b0["n"], b0["n_pos"]) == (3, 1)
+    assert b0["mean_score"] == (0.0 + 0.125 - 5.0) / 3
+    assert b0["frac_pos"] == 1 / 3
+    b1 = out[1]
+    assert (b1["n"], b1["n_pos"], b1["bin_lo"]) == (2, 2, 0.25)
+    assert b1["mean_score"] == (0.25 + 0.375) / 2 and b1["frac_pos"] == 1.0
+    b3 = out[3]
+    assert (b3["n"], b3["n_pos"], b3["bin_lo"]) == (2, 1, 0.75)
+
+
+def test_calibration_bins_rejects_bad_bins(spark):
+    from ffi_etl_spark.operators.inference import calibration_bins
+
+    df = spark.createDataFrame([(0, 0.5, True)], "id long, margin double, label boolean")
+    with pytest.raises(ValueError):
+        calibration_bins(df, n_bins=0)
