@@ -90,6 +90,107 @@ def countmin_estimate(
     )
 
 
+HLL_P = 10  # 2^10 = 1024 registers
+HLL_TAIL_BITS = 60 - HLL_P  # md5_int60 leaves a 50-bit tail
+
+
+def hll_scale_constant() -> float:
+    """``α_m · m² · 2^(tail_bits+1)`` folded to ONE double, driver-side,
+    so both engines receive the identical literal and the estimate is a
+    single division by the exact integer ``z_scaled``."""
+    m = 1 << HLL_P
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return alpha * m * m * float(1 << (HLL_TAIL_BITS + 1))
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: tuple[str, ...]
+) -> DataFrame:
+    """Per-group HyperLogLog register table — the mergeable-sketch
+    counterpart to COUNT(DISTINCT): (group..., bucket, reg) with
+    ``reg`` = max leading-zero rank observed in the bucket.
+
+    Determinism: the hash is the engine's md5 idiom (``md5_int60`` —
+    60 bits, cross-engine exact), bucket = hv mod m, and the rank is
+    ``tail_bits + 1 − length(bin(tail))`` — pure integer/string ops
+    both engines compute bit-identically (probed: Spark ``bin`` ==
+    DuckDB ``bin`` digit-for-digit). Spark's own ``approx_count_
+    distinct`` is the production fast path but its HLL++ registers
+    are engine-private; THIS sketch is differentially testable and
+    mergeable across engines.
+
+    Scale shape: one narrow map + one (group, bucket)-keyed aggregate
+    whose map-side partials cap each partition's shuffle contribution
+    at m rows per group — the classic fixed-memory distinct sketch.
+    Registers MERGE by MAX: union register tables from shards/days and
+    re-aggregate to combine sketches without re-reading data.
+    """
+    from ffi_etl_spark.functions.hashing import md5_int60
+
+    m = 1 << HLL_P
+    hv = md5_int60(F.col(key_col).cast("string"))
+    tail = F.shiftright(hv, HLL_P)
+    rank = F.when(tail == 0, F.lit(HLL_TAIL_BITS + 1)).otherwise(
+        F.lit(HLL_TAIL_BITS + 1) - F.length(F.bin(tail))
+    )
+    return (
+        df.select(*group_cols, (hv % m).alias("bucket"), rank.alias("_r"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_r").cast("int").alias("reg"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: tuple[str, ...]) -> DataFrame:
+    """Collapse a register table to the raw HLL cardinality estimate.
+
+    All accumulation is integer: each register contributes
+    ``2^(tail_bits+1 − reg)`` (an exact BIGINT via shiftleft; empty
+    registers contribute ``2^(tail_bits+1)``), so ``z_scaled`` =
+    ``2^(tail_bits+1) · Σ 2^−reg`` is an exact integer under ANY
+    aggregation order. The estimate is then ONE double division,
+    ``C / z_scaled`` with ``C = α_m · m² · 2^(tail_bits+1)`` folded to
+    a single Python literal — bit-identical on any engine.
+
+    This is the RAW estimator (Flajolet α_m correction only): no
+    small-range linear-counting or large-range correction is applied,
+    but ``n_zero`` is emitted so callers can apply linear counting
+    downstream (it needs ln — transcendental, so it stays out of the
+    hash-gated surface per the oracle-parity rules in TODO.md).
+
+    Output: (group..., used_registers, n_zero, z_scaled, hll_estimate).
+    """
+    m = 1 << HLL_P
+    b1 = HLL_TAIL_BITS + 1
+    c_lit = hll_scale_constant()
+    term = F.expr(f"shiftleft(cast(1 as bigint), cast({b1} - reg as int))")
+    z = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("used_registers"),
+        F.sum(term).cast("long").alias("_zp"),
+    )
+    z_scaled = F.col("_zp") + (F.lit(m) - F.col("used_registers")) * F.lit(1 << b1)
+    n_zero = (F.lit(m) - F.col("used_registers")).cast("long")
+    # linear counting for the small-range regime (raw HLL biases high
+    # when n ≲ 2.5m): m·ln(m/V), V = empty registers. ln is
+    # transcendental — NOT bit-identical cross-engine — so it ships as
+    # a %.6e fixed-precision STRING (the token_entropy/pagerank rule;
+    # flake budget quantified in queries_pkg/audit.py). NULL when V=0
+    # (regime where the raw estimate is the right answer anyway).
+    lc = F.when(
+        n_zero > 0,
+        F.format_string(
+            "%.6e", F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero.cast("double"))
+        ),
+    )
+    return z.select(
+        *group_cols,
+        "used_registers",
+        n_zero.alias("n_zero"),
+        z_scaled.cast("long").alias("z_scaled"),
+        (F.lit(c_lit) / z_scaled.cast("double")).alias("hll_estimate"),
+        lc.alias("lc_estimate_s"),
+    )
+
+
 def quantile_summary(
     df: DataFrame,
     value_col: str = "value",

@@ -109,6 +109,77 @@ def _model_classification_report(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (per-group, mergeable, cross-engine exact)
+# ---------------------------------------------------------------------------
+
+
+def _hll_oracle() -> str:
+    from ffi_etl_spark.operators.sketches import (
+        HLL_P,
+        HLL_TAIL_BITS,
+        hll_scale_constant,
+    )
+
+    m, b1 = 1 << HLL_P, HLL_TAIL_BITS + 1
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+), rb AS (
+  SELECT event_type, hv % {m} AS bucket,
+         CASE WHEN hv // {m} = 0 THEN {b1}
+              ELSE {b1} - length(bin(hv // {m})) END AS r
+  FROM h
+), regs AS (
+  SELECT event_type, bucket, MAX(r) AS reg FROM rb GROUP BY event_type, bucket
+), z AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS used_registers,
+         CAST(SUM(1::BIGINT << CAST({b1} - reg AS INT)) AS BIGINT) AS zp
+  FROM regs GROUP BY event_type
+), ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT z.event_type, used_registers,
+       CAST({m} - used_registers AS BIGINT) AS n_zero,
+       CAST(zp + ({m} - used_registers) * (1::BIGINT << {b1}) AS BIGINT)
+         AS z_scaled,
+       {hll_scale_constant()!r}
+         / CAST(zp + ({m} - used_registers) * (1::BIGINT << {b1}) AS DOUBLE)
+         AS hll_estimate,
+       CASE WHEN {m} - used_registers > 0
+            THEN printf('%.6e', {float(m)!r}
+                 * ln({float(m)!r} / CAST({m} - used_registers AS DOUBLE)))
+       END AS lc_estimate_s,
+       exact_distinct
+FROM z JOIN ex ON ex.event_type = z.event_type
+"""
+
+
+@query("hll_distinct_sketch", oracle=_hll_oracle())
+def _hll_distinct_sketch(spark, sf_dir):
+    """operators/sketches.py::hll_registers + hll_estimate — per-
+    event-type HyperLogLog distinct-user sketch beside the exact
+    count. The register table is integer-exact and engine-portable
+    (md5 bits, bin()-length ranks), Z accumulates as shifted BIGINTs
+    under any order, and the estimate is one division by an exact
+    integer — so the raw double hashes bit-strictly. exact_distinct
+    rides along to expose the sketch error honestly (KMV covers
+    set-algebra merges; HLL is the fixed-memory per-group workhorse:
+    1024 registers regardless of cardinality)."""
+    from ffi_etl_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = table(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", ("event_type",))
+    est = hll_estimate(regs, ("event_type",))
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
 _CAL_LO, _CAL_HI, _CAL_BINS = -1.0, 2.0, 12
 
 
