@@ -77,3 +77,132 @@ def woe_encode(
             F.floor(scale * iv_term).cast("long").alias("iv_q"),
         )
     )
+
+
+NB_BUCKETS = 4096
+NB_SCALE_BITS = 20
+
+
+def nb_train_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = NB_BUCKETS,
+    scale_bits: int = NB_SCALE_BITS,
+) -> DataFrame:
+    """Multinomial naive Bayes, trained AND scored in one relational
+    plan — supervised text classification over hashed token counts
+    (the hashing-trick vocabulary: md5 mod ``n_buckets``, so the model
+    is a fixed C×B table no matter the corpus vocabulary).
+
+    Math: per class c and bucket b, the Laplace-smoothed
+    log-likelihood ``ln((n_cb+1)/(total_c+B))`` and the class prior
+    ``ln(n_docs_c/N)``; a document's class score is
+    ``prior_c + Σ_b cnt_db · ll_cb`` with unseen buckets contributing
+    the per-class floor ``ln(1/(total_c+B))``. Every ln is FIXED-POINT
+    QUANTIZED (``FLOOR(2^bits·x)`` → BIGINT) at the leaf per the
+    round-5 transcendental rule, so scores are pure integer sums and
+    the argmax is bit-stable; ties break to the lexicographically
+    larger class on both engines (max over (score, class)).
+
+    Scale shape: one explode + (doc, bucket) aggregate builds the only
+    corpus-sized table; the class-bucket model DERIVES from it (no
+    second scan), is C×B rows, and broadcasts. Scoring is the standard
+    C-fold fanout of doc-bucket rows (a broadcast nested loop against
+    the C-row class table), one (doc, class) aggregate, one doc-keyed
+    argmax — three shuffles total, none corpus×corpus.
+
+    Output: (id, actual, predicted, score_q, correct).
+    """
+    scale = float(1 << scale_bits)
+    from ffi_etl_spark.functions.hashing import md5_int32
+
+    base = docs.filter(F.col(text_col).isNotNull())
+    toks = base.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("actual"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    from pyspark import StorageLevel
+
+    doc_buckets = toks.groupBy(
+        "id", "actual", (md5_int32(F.col("tok")) % n_buckets).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # doc_buckets feeds the model AND the scoring fanout under
+    # DIFFERENT keys — no exchange reuse (round-5 lesson d), so pin the
+    # corpus-scale subtree or the explode+aggregate runs twice. Callers
+    # composing further should spark.catalog.clearCache() when done
+    # (public lifecycle note, per the kmeans/dedup_semantic precedent).
+    doc_buckets = doc_buckets.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # model derives from doc_buckets (one corpus pass total) and stays
+    # derived: cb -> totals is a K-row re-aggregate
+    cb = doc_buckets.groupBy(F.col("actual").alias("cls"), "bucket").agg(
+        F.sum("cnt").cast("long").alias("n_cb")
+    )
+    tot = cb.groupBy("cls").agg(F.sum("n_cb").cast("long").alias("total_c"))
+    model = (
+        cb.join(tot, "cls")
+        .select(
+            "cls",
+            "bucket",
+            F.floor(
+                F.lit(scale)
+                * F.log(
+                    (F.col("n_cb") + F.lit(1)).cast("double")
+                    / (F.col("total_c") + F.lit(n_buckets)).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    pri = base.groupBy(F.col(label_col).alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("nd")
+    )
+    nall = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    consts = (
+        tot.join(pri, "cls")
+        .crossJoin(F.broadcast(nall))
+        .select(
+            "cls",
+            F.floor(
+                F.lit(scale)
+                * F.log(
+                    F.lit(1.0) / (F.col("total_c") + F.lit(n_buckets)).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("q0"),
+            F.floor(
+                F.lit(scale)
+                * F.log(F.col("nd").cast("double") / F.col("n").cast("double"))
+            )
+            .cast("long")
+            .alias("prior_q"),
+        )
+    )
+    scored = (
+        doc_buckets.crossJoin(F.broadcast(consts))
+        .join(F.broadcast(model), ["cls", "bucket"], "left")
+        .groupBy("id", "actual", "cls", "prior_q")
+        .agg(
+            (
+                F.col("prior_q")
+                + F.sum(F.col("cnt") * F.coalesce(F.col("q"), F.col("q0")))
+            )
+            .cast("long")
+            .alias("score_q")
+        )
+    )
+    best = scored.groupBy("id", "actual").agg(
+        F.max(F.struct("score_q", "cls")).alias("_b")
+    )
+    return best.select(
+        F.col("id"),
+        F.col("actual"),
+        F.col("_b.cls").alias("predicted"),
+        F.col("_b.score_q").alias("score_q"),
+        (F.col("_b.cls") == F.col("actual")).cast("int").alias("correct"),
+    )

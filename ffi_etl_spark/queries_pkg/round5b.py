@@ -110,6 +110,86 @@ def _model_classification_report(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Naive Bayes: train + score in one relational plan
+# ---------------------------------------------------------------------------
+
+
+def _nb_oracle() -> str:
+    from ffi_etl_spark.operators.features import NB_BUCKETS, NB_SCALE_BITS
+
+    b, s = NB_BUCKETS, float(1 << NB_SCALE_BITS)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), db AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {b} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY doc_id, lang, bucket
+), cb AS (
+  SELECT lang AS cls, bucket, CAST(SUM(cnt) AS BIGINT) AS n_cb
+  FROM db GROUP BY lang, bucket
+), tot AS (
+  SELECT cls, CAST(SUM(n_cb) AS BIGINT) AS total_c FROM cb GROUP BY cls
+), model AS (
+  SELECT cb.cls, cb.bucket,
+         CAST(FLOOR({s!r} * ln(CAST(n_cb + 1 AS DOUBLE)
+              / CAST(total_c + {b} AS DOUBLE))) AS BIGINT) AS q
+  FROM cb JOIN tot ON tot.cls = cb.cls
+), pri AS (
+  SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS nd
+  FROM documents WHERE text IS NOT NULL GROUP BY lang
+), nall AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE text IS NOT NULL
+), consts AS (
+  SELECT t.cls,
+         CAST(FLOOR({s!r} * ln(1.0 / CAST(t.total_c + {b} AS DOUBLE)))
+              AS BIGINT) AS q0,
+         CAST(FLOOR({s!r} * ln(CAST(p.nd AS DOUBLE) / CAST(nall.n AS DOUBLE)))
+              AS BIGINT) AS prior_q
+  FROM tot t JOIN pri p ON p.cls = t.cls CROSS JOIN nall
+), scored AS (
+  SELECT db.doc_id, db.lang AS actual, c.cls, c.prior_q,
+         c.prior_q + CAST(SUM(db.cnt * COALESCE(m.q, c.q0)) AS BIGINT)
+           AS score_q
+  FROM db CROSS JOIN consts c
+  LEFT JOIN model m ON m.cls = c.cls AND m.bucket = db.bucket
+  GROUP BY db.doc_id, db.lang, c.cls, c.prior_q
+), ranked AS (
+  SELECT doc_id, actual, cls, score_q,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_q DESC, cls DESC) AS rn
+  FROM scored
+)
+SELECT doc_id AS id, actual, cls AS predicted, score_q,
+       CAST(cls = actual AS INT) AS correct
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("nb_lang_train_score", oracle=_nb_oracle())
+def _nb_lang_train_score(spark, sf_dir):
+    """operators/features.py::nb_train_score over documents with lang
+    as the class — multinomial naive Bayes trained and scored in one
+    relational plan (hashing-trick vocabulary, Laplace smoothing).
+    Every ln is fixed-point-quantized at the leaf (the round-5
+    transcendental rule), so per-doc class scores are exact integer
+    sums and the argmax (ties to the larger class string) hashes
+    bit-strictly. The oracle replays train AND score end-to-end.
+
+    Expect majority-class predictions HERE: testdata text is
+    lang-independent token soup, so the only learnable signal is the
+    prior — that is a property of the synthetic corpus, not the
+    operator (tests/test_model_eval.py plants a class-distinct
+    vocabulary and the same operator scores it 100%)."""
+    from ffi_etl_spark.operators.features import nb_train_score
+
+    return nb_train_score(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog distinct sketch (per-group, mergeable, cross-engine exact)
 # ---------------------------------------------------------------------------
 

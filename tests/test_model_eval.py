@@ -81,3 +81,43 @@ def test_calibration_bins_rejects_bad_bins(spark):
     df = spark.createDataFrame([(0, 0.5, True)], "id long, margin double, label boolean")
     with pytest.raises(ValueError):
         calibration_bins(df, n_bins=0)
+
+
+def test_nb_learns_planted_vocabulary(spark):
+    from ffi_etl_spark.operators.features import nb_train_score
+
+    rows = []
+    # two classes with disjoint vocab + shared filler; 20 docs each
+    for i in range(20):
+        rows.append((i, f"apple banana cherry filler{i % 3} common", "fruit"))
+        rows.append((100 + i, f"bolt nut wrench filler{i % 3} common", "tool"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = nb_train_score(df)
+    assert out.count() == 40
+    assert out.agg({"correct": "min"}).collect()[0][0] == 1  # 100% self-fit
+    spark.catalog.clearCache()
+
+
+def test_nb_tie_breaks_to_larger_class(spark):
+    from ffi_etl_spark.operators.features import nb_train_score
+
+    # perfectly symmetric corpus -> identical scores for both classes
+    # on every doc; the argmax must deterministically pick the
+    # lexicographically LARGER class name on both engines
+    rows = [
+        (1, "x y", "a"), (2, "x y", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["id"]: r for r in nb_train_score(df).collect()}
+    assert out[1]["predicted"] == "b" and out[2]["predicted"] == "b"
+    spark.catalog.clearCache()
+
+
+def test_nb_skips_null_text(spark):
+    from ffi_etl_spark.operators.features import nb_train_score
+
+    rows = [(1, "aa bb", "x"), (2, None, "x"), (3, "aa cc", "y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["id"] for r in nb_train_score(df).collect()}
+    assert got == {1, 3}
+    spark.catalog.clearCache()
