@@ -255,3 +255,200 @@ def bpe_encode(
             F.coalesce(F.col("tokens_md5"), F.md5(F.lit(""))).alias("tokens_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM segmentation (the SentencePiece-unigram counterpart to BPE)
+# ---------------------------------------------------------------------------
+
+UNI_MAX_WORD = 16   # words truncate here; the DP unrolls this many rounds
+UNI_MAX_PIECE = 6   # max subword piece length considered
+UNI_VOCAB = 512     # top-K pieces kept (plus all single chars — coverage)
+UNI_SCALE_BITS = 20
+
+
+def unigram_lexicon(
+    df: DataFrame, text_col: str = "text", word_cap: int = 5000
+) -> DataFrame:
+    """(w, freq): the top-``word_cap`` truncated words — the ONE
+    corpus-scale pass both the vocabulary and the Viterbi DP start
+    from (words truncate at ``UNI_MAX_WORD`` chars so the DP's round
+    count is statically bounded)."""
+    return (
+        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_raw"))
+        .filter(F.col("_raw") != "")
+        .select(F.substring(F.col("_raw"), 1, UNI_MAX_WORD).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "w")
+        .limit(word_cap)
+    )
+
+
+def unigram_vocab(
+    lexicon: DataFrame,
+    vocab_cap: int = UNI_VOCAB,
+    max_piece: int = UNI_MAX_PIECE,
+) -> DataFrame:
+    """(piece, cnt, score_q): the unigram-LM piece vocabulary — every
+    substring (length ≤ ``max_piece``) of the lexicon's words
+    (``unigram_lexicon`` output), frequency-weighted, capped to the ``vocab_cap`` best by
+    (count, piece) PLUS every single character seen (so any lexicon
+    word is always segmentable). ``score_q`` = floor(2^bits·ln(cnt/N))
+    over the FINAL vocabulary's total — quantized at the leaf per the
+    round-5 transcendental rule, so downstream Viterbi sums are exact
+    integers.
+
+    This is the frequency-seeded initialization of the SentencePiece
+    unigram model (Kudo 2018); full EM re-estimation would iterate
+    E-step expected counts — the seed vocabulary is already the
+    operative tokenizer for segmentation purposes and keeps every
+    step differentially testable.
+
+    Scale shape: the only corpus pass is the word-frequency aggregate;
+    candidate generation explodes the CAPPED lexicon (≤ word_cap ×
+    ~16·max_piece rows) and everything after is K-row."""
+    words = lexicon
+    spans = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda j: F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(max_piece), F.length("w") - j + 1)
+                ),
+                lambda l: F.substring(F.col("w"), j, l),
+            ),
+        )
+    )
+    cand = (
+        words.select(F.col("freq"), F.explode(spans).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+    from pyspark import StorageLevel
+
+    # cand feeds the top-K selection AND the single-char fallback —
+    # pin it (round-5 lesson d). Lexicon-sized, trivially cached;
+    # callers compose via spark.catalog.clearCache() when done.
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    topv = cand.orderBy(F.desc("cnt"), "piece").limit(vocab_cap)
+    chars = cand.filter(F.length("piece") == 1)
+    vocab = topv.unionByName(chars).groupBy("piece").agg(
+        F.max("cnt").alias("cnt")  # duplicates carry identical counts
+    )
+    total = vocab.agg(F.sum("cnt").cast("long").alias("_n"))
+    scale = float(1 << UNI_SCALE_BITS)
+    return vocab.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "cnt",
+        F.floor(
+            F.lit(scale)
+            * F.log(F.col("cnt").cast("double") / F.col("_n").cast("double"))
+        )
+        .cast("long")
+        .alias("score_q"),
+    )
+
+
+def unigram_viterbi_segment(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_cap: int = UNI_VOCAB,
+    max_piece: int = UNI_MAX_PIECE,
+    word_cap: int = 5000,
+) -> DataFrame:
+    """Viterbi-segment every lexicon word under the unigram-LM piece
+    vocabulary: per word, the piece sequence maximizing Σ score_q.
+
+    The DP runs over DISTINCT WORDS (lexicon-sized — the bpe_encode
+    insight: at 100 TB the corpus never enters the loop; documents
+    reassemble later with one broadcast join, exactly as bpe_encode
+    does). Words are bounded at ``UNI_MAX_WORD`` chars, so the
+    position recurrence unrolls STATICALLY into ≤16 rounds of
+    (≤ max_piece broadcast-joined candidate branches → one per-word
+    integer argmax) — no Python in the loop, no windows, every score
+    an exact BIGINT, ties broken to the larger split position (the
+    shorter final piece) then implied uniquely.
+
+    Per-round ``localCheckpoint(eager=True)``: round state is
+    referenced by up to ``max_piece`` later rounds AND the final
+    union — the multi-reference shape that makes plain persist carry
+    an exponential logical plan (the BPE lesson in this module's
+    docstring).
+
+    Output: (w, wlen, n_pieces, score_q, segmentation) — segmentation
+    is the space-joined piece list (words contain no spaces).
+    """
+    # ONE corpus pass: the lexicon feeds both the vocabulary and the
+    # DP base; eager checkpoints pin each so the 16 rounds of joins
+    # never re-execute corpus lineage
+    lex = unigram_lexicon(df, text_col, word_cap).localCheckpoint(eager=True)
+    vocab = unigram_vocab(lex, vocab_cap, max_piece).localCheckpoint(eager=True)
+    words = lex.select("w", F.length("w").alias("wlen"))
+    # state[j]: best segmentation of w[:j] — (w, wlen, score, n, path)
+    state = {
+        0: words.select(
+            "w",
+            "wlen",
+            F.lit(0).cast("long").alias("score"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit("").alias("path"),
+        ).localCheckpoint(eager=True)
+    }
+    finals = []
+    for r in range(1, UNI_MAX_WORD + 1):
+        branches = []
+        for j in range(max(0, r - max_piece), r):
+            piece = F.substring(F.col("w"), j + 1, r - j)
+            branches.append(
+                state[j]
+                .filter(F.col("wlen") >= r)
+                .select(
+                    "w",
+                    "wlen",
+                    piece.alias("piece"),
+                    F.col("score"),
+                    F.col("n"),
+                    F.col("path"),
+                    F.lit(j).alias("j"),
+                )
+            )
+        cands = branches[0]
+        for b in branches[1:]:
+            cands = cands.unionByName(b)
+        scored = cands.join(F.broadcast(vocab), "piece").select(
+            "w",
+            "wlen",
+            (F.col("score") + F.col("score_q")).alias("total"),
+            (F.col("n") + 1).alias("n2"),
+            F.when(F.col("path") == "", F.col("piece"))
+            .otherwise(F.concat(F.col("path"), F.lit(" "), F.col("piece")))
+            .alias("path2"),
+            F.col("j"),
+        )
+        # (total, j) uniquely identifies a candidate per word, so the
+        # struct argmax is deterministic; path rides behind the key
+        best = (
+            scored.groupBy("w", "wlen")
+            .agg(F.max(F.struct("total", "j", "n2", "path2")).alias("_b"))
+            .select(
+                "w",
+                "wlen",
+                F.col("_b.total").alias("score"),
+                F.col("_b.n2").alias("n"),
+                F.col("_b.path2").alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        state[r] = best
+        finals.append(best.filter(F.col("wlen") == r))
+    out = finals[0]
+    for f in finals[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "w",
+        "wlen",
+        F.col("n").alias("n_pieces"),
+        F.col("score").alias("score_q"),
+        F.col("path").alias("segmentation"),
+    )

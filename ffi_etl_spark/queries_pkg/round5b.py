@@ -299,3 +299,100 @@ def _model_calibration_bins(spark, sf_dir):
         hi=_CAL_HI,
         n_bins=_CAL_BINS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM Viterbi segmentation (tokenizer-family completion)
+# ---------------------------------------------------------------------------
+
+
+def _unigram_oracle() -> str:
+    from ffi_etl_spark.operators.tokenizer import (
+        UNI_MAX_PIECE,
+        UNI_MAX_WORD,
+        UNI_SCALE_BITS,
+        UNI_VOCAB,
+    )
+
+    s, mp, wcap, vcap = float(1 << UNI_SCALE_BITS), UNI_MAX_PIECE, 5000, UNI_VOCAB
+    rounds = []
+    for r in range(1, UNI_MAX_WORD + 1):
+        branches = []
+        for j in range(max(0, r - mp), r):
+            branches.append(f"""
+      SELECT s{j}.w, s{j}.wlen, s{j}.score + v.score_q AS total,
+             s{j}.n + 1 AS n2,
+             CASE WHEN s{j}.path = '' THEN v.piece
+                  ELSE s{j}.path || ' ' || v.piece END AS path2,
+             {j} AS j
+      FROM s{j} JOIN vocab v ON v.piece = substr(s{j}.w, {j + 1}, {r - j})
+      WHERE s{j}.wlen >= {r}""")
+        union = "\n      UNION ALL".join(branches)
+        rounds.append(f"""s{r} AS MATERIALIZED (
+  SELECT w, wlen, total AS score, n2 AS n, path2 AS path FROM (
+    SELECT c.*, ROW_NUMBER() OVER (PARTITION BY w
+                                   ORDER BY total DESC, j DESC) AS rn
+    FROM ({union}
+    ) c
+  ) WHERE rn = 1
+)""")
+    finals = "\n  UNION ALL ".join(
+        f"SELECT * FROM s{r} WHERE wlen = {r}" for r in range(1, UNI_MAX_WORD + 1)
+    )
+    rounds_sql = ",\n".join(rounds)
+    return rf"""
+WITH raw AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS raw FROM documents
+), lex AS MATERIALIZED (
+  SELECT substr(raw, 1, {UNI_MAX_WORD}) AS w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM raw WHERE raw <> '' GROUP BY 1
+  ORDER BY freq DESC, w LIMIT {wcap}
+), spans AS (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT l.freq, substr(l.w, j.j, s.l) AS piece
+    FROM lex l
+    CROSS JOIN (SELECT unnest(generate_series(1, {UNI_MAX_WORD})) AS j) j
+    CROSS JOIN (SELECT unnest(generate_series(1, {mp})) AS l) s
+    WHERE j.j + s.l - 1 <= length(l.w)
+  ) GROUP BY piece
+), topv AS MATERIALIZED (
+  SELECT piece, cnt FROM spans ORDER BY cnt DESC, piece LIMIT {vcap}
+), chars AS (
+  SELECT piece, cnt FROM spans WHERE length(piece) = 1
+), vocab0 AS (
+  SELECT piece, MAX(cnt) AS cnt
+  FROM (SELECT * FROM topv UNION ALL SELECT * FROM chars) GROUP BY piece
+), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab0),
+vocab AS MATERIALIZED (
+  SELECT piece,
+         CAST(FLOOR({s!r} * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)))
+              AS BIGINT) AS score_q
+  FROM vocab0 CROSS JOIN tot
+), s0 AS MATERIALIZED (
+  SELECT w, CAST(length(w) AS INT) AS wlen, CAST(0 AS BIGINT) AS score,
+         CAST(0 AS BIGINT) AS n, '' AS path
+  FROM lex
+), {rounds_sql}, res AS (
+  {finals}
+)
+SELECT w, CAST(wlen AS INT) AS wlen, CAST(n AS BIGINT) AS n_pieces,
+       CAST(score AS BIGINT) AS score_q, path AS segmentation
+FROM res
+"""
+
+
+@query("unigram_lm_segment", oracle=_unigram_oracle())
+def _unigram_lm_segment(spark, sf_dir):
+    """operators/tokenizer.py::unigram_viterbi_segment over documents —
+    the SentencePiece-unigram counterpart to bpe_learn_merges/
+    bpe_encode: frequency-seeded piece vocabulary (quantized-ln
+    scores, single-char fallback for coverage), then a Viterbi DP over
+    DISTINCT words that unrolls statically into ≤16 rounds because
+    words are length-capped. All DP arithmetic is integer (quantized
+    leaf scores), ties break on (total, last-split) — the oracle
+    replays lexicon, vocabulary, and all 16 rounds as materialized
+    CTEs, so the full segmentation table hashes bit-strictly."""
+    from ffi_etl_spark.operators.tokenizer import unigram_viterbi_segment
+
+    out = unigram_viterbi_segment(table(spark, sf_dir, "documents"))
+    return out.withColumn("wlen", F.col("wlen").cast("int"))
