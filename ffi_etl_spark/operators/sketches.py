@@ -338,3 +338,85 @@ def quantile_summary_query(
         F.col("c.est_rank").alias("est_rank"),
         "target_rank",
     )
+
+
+def compact_quantile_summary(
+    summary: DataFrame,
+    k: int,
+    stride: int,
+    value_col: str = "value",
+    id_col: str = "event_id",
+    part_cols: tuple[str, ...] = ("shard",),
+) -> DataFrame:
+    """Compact a many-part quantile summary into ONE part at coarser
+    spacing — the maintenance step a long-running stream needs because
+    the estimator's error grows with the part count (k × parts).
+
+    Mechanics, all exact integers: estimate each element's global rank
+    with the standard own-rank + k·(foreign elements below) formula,
+    order the whole summary on (est_rank, value, id), and keep every
+    ``stride``-th element plus the maximum. The kept elements carry
+    ``shard_rank = est_rank`` under a single part identity, so
+    ``quantile_summary_query(part_cols=("part",))`` answers from the
+    compacted table with NO foreign-part correction.
+
+    Error honesty: a pre-compaction estimate errs ≤ k·(parts−1); the
+    stride filter then spaces retained elements ≈ k·stride rows apart,
+    so post-compaction answers err ≤ k·(parts−1) + k·stride/2 — size
+    ``stride`` so that matches a fresh summary at the coarser k, and
+    rebuild from raw data when even that drifts too far.
+
+    Scale shape: summary × summary self-join (quadratic in the
+    SUMMARY, never the data) + one global window over the summary-
+    sized table (K rows — the post-aggregate global-window idiom, not
+    a corpus window) + one narrow filter.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    summary = summary.persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = summary.alias("a"), summary.alias("b")
+    same_part = None
+    for c in part_cols:
+        eq = F.col(f"b.{c}") == F.col(f"a.{c}")
+        same_part = eq if same_part is None else (same_part & eq)
+    est = (
+        a.join(
+            b,
+            (~same_part)
+            & (
+                (F.col(f"b.{value_col}") < F.col(f"a.{value_col}"))
+                | (
+                    (F.col(f"b.{value_col}") == F.col(f"a.{value_col}"))
+                    & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+                )
+            ),
+            "left",
+        )
+        .groupBy(
+            F.col(f"a.{value_col}").alias(value_col),
+            F.col(f"a.{id_col}").alias(id_col),
+            F.col("a.shard_rank").alias("own_rank"),
+        )
+        .agg(F.count(F.col(f"b.{id_col}")).alias("n_below"))
+        .select(
+            value_col,
+            id_col,
+            (F.col("own_rank") + F.lit(k) * F.col("n_below")).alias("est_rank"),
+        )
+    )
+    w = Window.orderBy("est_rank", value_col, id_col)
+    ranked = est.select(
+        value_col, id_col, "est_rank", F.row_number().over(w).alias("_rn")
+    )
+    n_tot = ranked.agg(F.max("_rn").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .filter((F.pmod(F.col("_rn"), F.lit(stride)) == 0) | (F.col("_rn") == F.col("_n")))
+        .select(
+            F.lit(0).alias("part"),
+            F.col(value_col),
+            F.col(id_col),
+            F.col("est_rank").cast("long").alias("shard_rank"),
+        )
+    )

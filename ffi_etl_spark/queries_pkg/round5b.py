@@ -396,3 +396,123 @@ def _unigram_lm_segment(spark, sf_dir):
 
     out = unigram_viterbi_segment(table(spark, sf_dir, "documents"))
     return out.withColumn("wlen", F.col("wlen").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Quantile-summary compaction (the maintenance step for streamed parts)
+# ---------------------------------------------------------------------------
+
+_QSC_SHARDS, _QSC_K, _QSC_STRIDE = 8, 64, 4
+# pre-compaction estimate error ≤ k(S−1); stride spacing adds ≤ k·stride
+_QSC_BAND = _QSC_K * (_QSC_SHARDS - 1) + _QSC_K * _QSC_STRIDE
+_QSC_QUANTILES = (0.25, 0.5, 0.9)
+
+
+def _qsc_oracle() -> str:
+    targets = "\nUNION ALL ".join(
+        f"SELECT 'p{int(q * 100)}' AS q_label, "
+        f"CAST(CEIL({q} * n) AS BIGINT) AS target_rank FROM tot"
+        for q in _QSC_QUANTILES
+    )
+    return f"""
+WITH ev AS (
+  SELECT value, event_id FROM events
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev
+), sharded AS (
+  SELECT value, event_id,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+           % {_QSC_SHARDS} AS shard
+  FROM ev
+), ranked AS (
+  SELECT value, event_id, shard,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY value, event_id)
+           AS shard_rank,
+         COUNT(*) OVER (PARTITION BY shard) AS shard_n
+  FROM sharded
+), summ AS MATERIALIZED (
+  SELECT shard, value, event_id, shard_rank FROM ranked
+  WHERE shard_rank % {_QSC_K} = 0 OR shard_rank = shard_n
+), est AS MATERIALIZED (
+  SELECT a.value, a.event_id,
+         CAST(a.shard_rank + {_QSC_K} * COUNT(b.shard) AS BIGINT) AS est_rank
+  FROM summ a LEFT JOIN summ b
+    ON b.shard <> a.shard
+   AND (b.value < a.value OR (b.value = a.value AND b.event_id < a.event_id))
+  GROUP BY a.value, a.event_id, a.shard_rank
+), numbered AS (
+  SELECT value, event_id, est_rank,
+         ROW_NUMBER() OVER (ORDER BY est_rank, value, event_id) AS rn,
+         COUNT(*) OVER () AS nt
+  FROM est
+), compacted AS MATERIALIZED (
+  SELECT value, event_id, est_rank AS shard_rank FROM numbered
+  WHERE rn % {_QSC_STRIDE} = 0 OR rn = nt
+), targets AS (
+  {targets}
+), scored AS (
+  SELECT t.q_label, t.target_rank, c.value, c.event_id, c.shard_rank AS est_rank,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.q_label
+           ORDER BY abs(c.shard_rank - t.target_rank), c.value, c.event_id
+         ) AS rk
+  FROM compacted c CROSS JOIN targets t
+), chosen AS MATERIALIZED (
+  SELECT q_label, target_rank, value, event_id, est_rank FROM scored WHERE rk = 1
+), truth AS (
+  SELECT c.q_label, CAST(COUNT(*) AS BIGINT) AS true_rank
+  FROM ev CROSS JOIN chosen c
+  WHERE ev.value < c.value OR (ev.value = c.value AND ev.event_id <= c.event_id)
+  GROUP BY c.q_label
+)
+SELECT c.q_label, c.value AS est_value, c.est_rank, c.target_rank, t.true_rank,
+       CAST(abs(t.true_rank - c.target_rank) <= {_QSC_BAND} AS INT) AS band_ok
+FROM chosen c JOIN truth t USING (q_label)
+ORDER BY q_label
+"""
+
+
+@query("quantile_summary_compact", oracle=_qsc_oracle())
+def _quantile_summary_compact(spark, sf_dir):
+    """operators/sketches.py::compact_quantile_summary — merge the
+    8-shard summary into ONE coarser part (stride 4) and answer
+    quantiles from the compacted table: the maintenance step that
+    keeps a long-running stream's part count (and therefore its error
+    bound) from growing without rebuilding from raw data. The whole
+    pipeline — shard ranks, every-k-th sampling, integer rank
+    estimation, stride filter, nearest-rank answer, exact-rank truth —
+    replays in SQL, and the band flag pins the documented error bound
+    k(S−1) + k·stride with exact integer ranks."""
+    from ffi_etl_spark.operators.sketches import (
+        compact_quantile_summary,
+        quantile_summary,
+        quantile_summary_query,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    summ = quantile_summary(ev, n_shards=_QSC_SHARDS, k=_QSC_K)
+    comp = compact_quantile_summary(summ, k=_QSC_K, stride=_QSC_STRIDE)
+    n = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    res = quantile_summary_query(
+        comp, n, list(_QSC_QUANTILES), k=_QSC_K, part_cols=("part",)
+    )
+    truth = (
+        ev.select(F.col("value").alias("_v"), F.col("event_id").alias("_e"))
+        .crossJoin(F.broadcast(res))
+        .where(
+            (F.col("_v") < F.col("est_value"))
+            | ((F.col("_v") == F.col("est_value")) & (F.col("_e") <= F.col("est_id")))
+        )
+        .groupBy("q_label", "est_value", "est_rank", "target_rank")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_rank"))
+    )
+    return truth.select(
+        "q_label",
+        "est_value",
+        "est_rank",
+        "target_rank",
+        "true_rank",
+        (F.abs(F.col("true_rank") - F.col("target_rank")) <= F.lit(_QSC_BAND))
+        .cast("int")
+        .alias("band_ok"),
+    ).orderBy("q_label")

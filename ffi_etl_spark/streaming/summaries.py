@@ -19,11 +19,12 @@ is keyed by batch id). Same local-filesystem caveat as profile.py: on
 object storage use a transactional table format's
 replaceWhere/dynamic-partition-overwrite instead.
 
-Unbounded-parts caveat, stated honestly: the estimator's error grows
-with the part count, so a long-running stream periodically COMPACTS by
-rebuilding the summary from the raw table (cheap: one ranked pass) or
-re-summarizing at a coarser k. This module deliberately ships the
-append path only — compaction policy is a deployment decision.
+Unbounded-parts caveat: the estimator's error grows with the part
+count, so a long-running stream periodically COMPACTS —
+``compact_stream_summary`` below folds every accumulated part into one
+coarser part (operators/sketches.py::compact_quantile_summary) without
+touching raw data; WHEN to trigger it (every N batches, on an error
+budget) stays a deployment decision.
 """
 
 from __future__ import annotations
@@ -96,3 +97,30 @@ def quantiles_from_stream_summary(
         k=k,
         part_cols=("batch", "shard"),
     )
+
+
+def compact_stream_summary(
+    spark,
+    target_path: str,
+    k: int,
+    stride: int = 4,
+) -> str:
+    """Fold every accumulated ``batch=*`` part into one compacted part
+    under ``<target>/compacted/`` (mode=overwrite — the output is a
+    pure function of the parts, so replaying the compaction is
+    idempotent by construction). Readers answering from the compacted
+    table use ``quantile_summary_query(part_cols=("part",))`` with the
+    error bound k·(parts−1) + k·stride/2 documented on the operator.
+
+    The parts directories are left in place: removing inputs is the
+    caller's retention decision (and keeping them preserves the
+    rebuild-from-parts escape hatch)."""
+    from ffi_etl_spark.operators.sketches import compact_quantile_summary
+
+    parts = read_summary_parts(spark, target_path)
+    comp = compact_quantile_summary(
+        parts, k=k, stride=stride, part_cols=("batch", "shard")
+    )
+    out = os.path.join(target_path, "compacted")
+    comp.write.mode("overwrite").parquet(out)
+    return out

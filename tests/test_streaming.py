@@ -778,3 +778,57 @@ def test_stream_quantile_summary_within_band_and_idempotent(spark, sf_dir, tmp_p
         for r in read_summary_parts(spark, target).collect()
     )
     assert after == before
+
+
+def test_stream_summary_compaction_preserves_answers(spark, sf_dir, tmp_path):
+    """Compacting the accumulated parts into one coarse part keeps
+    quantile answers inside the widened band k(parts-1) + k*stride,
+    collapses the part count to 1, and is replay-idempotent
+    (overwrite of derived data)."""
+    from ffi_etl_spark.operators.sketches import quantile_summary_query
+    from ffi_etl_spark.streaming.events import stream_events
+    from ffi_etl_spark.streaming.summaries import (
+        compact_stream_summary,
+        read_summary_parts,
+        stream_quantile_summary,
+    )
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "summary")
+    k, stride = 16, 4
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    split = ev.selectExpr("percentile_approx(event_id, 0.5) p").collect()[0]["p"]
+    ev.filter(F.col("event_id") <= split).write.mode("append").parquet(src)
+    stream_quantile_summary(
+        stream_events(spark, src), target, str(tmp_path / "ck1"), k=k, n_shards=4
+    )
+    ev.filter(F.col("event_id") > split).write.mode("append").parquet(src)
+    stream_quantile_summary(
+        stream_events(spark, src), target, str(tmp_path / "ck1"), k=k, n_shards=4
+    )
+    n_parts = read_summary_parts(spark, target).select("batch", "shard").distinct().count()
+
+    out = compact_stream_summary(spark, target, k=k, stride=stride)
+    comp = spark.read.parquet(out)
+    assert comp.select("part").distinct().count() == 1
+    # compacted is strictly smaller than the union of parts
+    assert comp.count() < read_summary_parts(spark, target).count()
+
+    total = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    res = quantile_summary_query(
+        comp, total, [0.5, 0.9], k=k, part_cols=("part",)
+    ).collect()
+    band = k * (n_parts - 1) + k * stride
+    for r in res:
+        true_rank = ev.where(
+            (F.col("value") < r["est_value"])
+            | ((F.col("value") == r["est_value"]) & (F.col("event_id") <= r["est_id"]))
+        ).count()
+        assert abs(true_rank - r["target_rank"]) <= band
+
+    # idempotence: recompacting yields the identical table
+    before = sorted(map(tuple, comp.collect()))
+    compact_stream_summary(spark, target, k=k, stride=stride)
+    after = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert after == before
+    spark.catalog.clearCache()
