@@ -265,3 +265,69 @@ def auc_exact(
         / (F.lit(2.0) * (F.col("n_pos") * F.col("n_neg")).cast("double"))
     )
     return agg.select("n_pos", "n_neg", "u2", auc.alias("auc"))
+
+
+def isotonic_calibrate(
+    bins: DataFrame,
+    n_col: str = "n",
+    pos_col: str = "n_pos",
+    order_col: str = "bin",
+) -> DataFrame:
+    """Exact isotonic (monotone non-decreasing) calibration of a
+    binned reliability table — the PAVA fit computed in its CLOSED
+    minimax form instead of the sequential pooling loop:
+
+        iso[t] = max_{i ≤ t} min_{j ≥ t} (ΣP[i..j]) / (ΣN[i..j])
+
+    which is embarrassingly parallel: cumulative sums over the K bins,
+    all K(K+1)/2 interval averages, one min-then-max cascade. Interval
+    sums are exact integers (cumsum differences); each average is ONE
+    correctly-rounded division of exact integers, and min/max SELECT
+    among those doubles — no float accumulation anywhere, so the fit
+    is bit-identical on any engine.
+
+    Quadratic in the BIN COUNT only (K ≤ dozens) — the corpus was
+    already collapsed by ``calibration_bins``; every window here is
+    the K-row post-aggregate idiom, not a corpus window.
+
+    Output: the input bins + ``iso_rate`` (the calibrated probability
+    for the bin). Bins with n=0 cannot occur (groupBy only emits
+    occupied bins).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(order_col)
+    cums = bins.select(
+        F.col(order_col),
+        F.row_number().over(w).alias("_t"),
+        F.sum(F.col(pos_col)).over(w).cast("long").alias("_cp"),
+        F.sum(F.col(n_col)).over(w).cast("long").alias("_cn"),
+    )
+    sentinel = cums.sparkSession.range(1).select(
+        F.lit(None).cast(cums.schema[order_col].dataType).alias(order_col),
+        F.lit(0).cast("int").alias("_t"),
+        F.lit(0).cast("long").alias("_cp"),
+        F.lit(0).cast("long").alias("_cn"),
+    )
+    bounds = cums.unionByName(sentinel)
+    ivals = (
+        cums.alias("j")
+        .join(bounds.alias("i0"), F.col("i0._t") < F.col("j._t"))
+        .select(
+            (F.col("i0._t") + 1).alias("i"),
+            F.col("j._t").alias("j"),
+            (
+                (F.col("j._cp") - F.col("i0._cp")).cast("double")
+                / (F.col("j._cn") - F.col("i0._cn")).cast("double")
+            ).alias("avg"),
+        )
+    )
+    ts = cums.select(F.col("_t").alias("t"), F.col(order_col))
+    inner = (
+        ivals.join(ts, (F.col("i") <= F.col("t")) & (F.col("j") >= F.col("t")))
+        .groupBy("t", order_col, "i")
+        .agg(F.min("avg").alias("_m"))
+        .groupBy("t", order_col)
+        .agg(F.max("_m").alias("iso_rate"))
+    )
+    return bins.join(inner.select(order_col, "iso_rate"), order_col)

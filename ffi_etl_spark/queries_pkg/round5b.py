@@ -516,3 +516,68 @@ def _quantile_summary_compact(spark, sf_dir):
         .cast("int")
         .alias("band_ok"),
     ).orderBy("q_label")
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration of the reliability bins (closed-form PAVA)
+# ---------------------------------------------------------------------------
+
+
+def _isotonic_oracle() -> str:
+    width = (_CAL_HI - _CAL_LO) / _CAL_BINS
+    return f"""
+WITH {_scored_cte()}, binned AS (
+  SELECT CAST(GREATEST(0, LEAST({_CAL_BINS - 1},
+              FLOOR((s - ({_CAL_LO!r})) / {width!r}))) AS BIGINT) AS bin,
+         s, y
+  FROM scored
+), b AS (
+  SELECT bin,
+         {_CAL_LO!r} + CAST(bin AS DOUBLE) * {width!r} AS bin_lo,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         SUM(s) / CAST(COUNT(*) AS DOUBLE) AS mean_score,
+         CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos
+  FROM binned GROUP BY bin
+), cums AS (
+  SELECT bin, CAST(ROW_NUMBER() OVER (ORDER BY bin) AS BIGINT) AS t,
+         CAST(SUM(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp,
+         CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn
+  FROM b
+), bounds AS (
+  SELECT t, cp, cn FROM cums
+  UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+), ivals AS (
+  SELECT i0.t + 1 AS i, j.t AS j,
+         CAST(j.cp - i0.cp AS DOUBLE) / CAST(j.cn - i0.cn AS DOUBLE) AS avg
+  FROM cums j JOIN bounds i0 ON i0.t < j.t
+), inner_min AS (
+  SELECT ts.t, ivals.i, MIN(avg) AS m
+  FROM ivals JOIN cums ts ON ivals.i <= ts.t AND ivals.j >= ts.t
+  GROUP BY ts.t, ivals.i
+), iso AS (
+  SELECT t, MAX(m) AS iso_rate FROM inner_min GROUP BY t
+)
+SELECT b.bin, b.bin_lo, b.n, b.n_pos, b.mean_score, b.frac_pos, iso.iso_rate
+FROM b JOIN cums ON cums.bin = b.bin JOIN iso ON iso.t = cums.t
+"""
+
+
+@query("model_isotonic_calibration", oracle=_isotonic_oracle())
+def _model_isotonic_calibration(spark, sf_dir):
+    """operators/inference.py::isotonic_calibrate over the reliability
+    bins — PAVA computed in its closed minimax form (max over i≤t of
+    min over j≥t of the interval positive rate): cumsum differences
+    are exact integers, each interval average is one correctly-rounded
+    division, and min/max merely SELECT among those doubles, so the
+    monotone fit hashes bit-strictly. Quadratic in the bin count only;
+    the corpus collapsed in calibration_bins."""
+    from ffi_etl_spark.operators.inference import (
+        calibration_bins,
+        isotonic_calibrate,
+    )
+
+    bins = calibration_bins(
+        _scored_events(spark, sf_dir), lo=_CAL_LO, hi=_CAL_HI, n_bins=_CAL_BINS
+    )
+    return isotonic_calibrate(bins)

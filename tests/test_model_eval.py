@@ -121,3 +121,53 @@ def test_nb_skips_null_text(spark):
     got = {r["id"] for r in nb_train_score(df).collect()}
     assert got == {1, 3}
     spark.catalog.clearCache()
+
+
+def test_isotonic_matches_pava_reference(spark):
+    from ffi_etl_spark.operators.inference import isotonic_calibrate
+
+    def pava(ns, ps):
+        # classic sequential pool-adjacent-violators on (pos, n) bins
+        pools = [[p, n] for p, n in zip(ps, ns)]
+        i = 0
+        while i < len(pools) - 1:
+            if pools[i][0] * pools[i + 1][1] > pools[i + 1][0] * pools[i][1]:
+                pools[i][0] += pools[i + 1][0]
+                pools[i][1] += pools[i + 1][1]
+                del pools[i + 1]
+                i = max(i - 1, 0)
+            else:
+                i += 1
+        out = []
+        for p, n in pools:
+            out.extend([p / n] * 1)
+        # expand pools back to per-bin rates
+        rates, k = [], 0
+        for p, n in pools:
+            # count how many original bins the pool covers by matching n
+            covered, acc = 0, 0
+            while acc < n:
+                acc += ns[k + covered]
+                covered += 1
+            rates.extend([p / n] * covered)
+            k += covered
+        return rates
+
+    ns = [10, 10, 10, 10, 10]
+    ps = [1, 5, 3, 2, 9]  # violation in the middle -> pooling
+    rows = [(i, n, p) for i, (n, p) in enumerate(zip(ns, ps))]
+    df = spark.createDataFrame(rows, "bin long, n long, n_pos long")
+    got = {r["bin"]: r["iso_rate"] for r in isotonic_calibrate(df).collect()}
+    want = pava(ns, ps)
+    assert [got[i] for i in range(5)] == want
+    # monotone non-decreasing
+    assert all(got[i] <= got[i + 1] for i in range(4))
+
+
+def test_isotonic_identity_when_already_monotone(spark):
+    from ffi_etl_spark.operators.inference import isotonic_calibrate
+
+    rows = [(0, 10, 1), (1, 10, 4), (2, 10, 8)]
+    df = spark.createDataFrame(rows, "bin long, n long, n_pos long")
+    got = {r["bin"]: r["iso_rate"] for r in isotonic_calibrate(df).collect()}
+    assert got == {0: 0.1, 1: 0.4, 2: 0.8}
