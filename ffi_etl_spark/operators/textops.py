@@ -1049,3 +1049,96 @@ def token_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             .alias("entropy_nats"),
         )
     )
+
+
+def more_like_this(
+    df: DataFrame,
+    query_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 25,
+    idf_bits: int = 10,
+) -> DataFrame:
+    """Top-``k`` most-similar documents to ``query_id`` by EXACT
+    sparse tf-idf cosine — the lexical counterpart to knn_bruteforce's
+    dense retrieval (and the scoring engine behind a "more like this"
+    curation step: seed docs → nearest lexical neighbors).
+
+    Exactness chain (bit-identical on any engine, no flake budget):
+
+    * idf is the rational keyword_tfidf form ``(N−df+0.5)/(df+0.5)``
+      — one correctly-rounded division — FIXED-POINT QUANTIZED with
+      ``FLOOR(2^bits·idf)``: flooring a deterministic double is
+      deterministic (nothing transcendental anywhere);
+    * term weights ``w = tf·q_idf``, dots and squared norms are then
+      exact BIGINT sums under any order;
+    * ``cosine = dot / (sqrt(n_a)·sqrt(n_q))`` — sqrt IS an IEEE-754
+      basic operation (correctly rounded everywhere, unlike ln/exp),
+      so the three float ops produce identical doubles and the
+      ORDER BY cosine LIMIT k is cross-engine stable (ties then break
+      on id).
+
+    Scale shape: the query vector (≤ vocab rows) and df table
+    broadcast; the corpus is touched by one explode + one (doc, term)
+    aggregate + one doc-keyed dot aggregate — all linear, no
+    corpus×corpus pair generation (an all-pairs variant is
+    intentionally absent: on a corpus where every term is near-
+    ubiquitous every pair is a candidate, so exact all-pairs cosine
+    is Ω(n²) regardless of indexing — seed-anchored retrieval is the
+    shape that survives 100 TB).
+
+    Output: (id, n_shared, dot, norm2, cosine), cosine desc.
+    """
+    from pyspark import StorageLevel
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.select(F.count(F.lit(1)).alias("n_docs"))
+    q_idf = F.floor(
+        F.lit(float(1 << idf_bits))
+        * (
+            (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        )
+    ).cast("long")
+    weights = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select("id", "term", (F.col("tf") * q_idf).alias("w"))
+        # weights feed the query vector, the norms, and the dot join —
+        # pin the corpus-scale subtree (round-5 lesson d); callers
+        # compose via spark.catalog.clearCache() when done
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    qvec = weights.filter(F.col("id") == query_id).select(
+        F.col("term"), F.col("w").alias("qw")
+    )
+    norms = weights.groupBy("id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("norm2")
+    )
+    qnorm = norms.filter(F.col("id") == query_id).select(
+        F.col("norm2").alias("qnorm2")
+    )
+    dots = (
+        weights.filter(F.col("id") != query_id)
+        .join(F.broadcast(qvec), "term")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum(F.col("w") * F.col("qw")).cast("long").alias("dot"),
+        )
+    )
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("norm2").cast("double")) * F.sqrt(F.col("qnorm2").cast("double"))
+    )
+    return (
+        dots.join(norms, "id")
+        .crossJoin(F.broadcast(qnorm))
+        .select("id", "n_shared", "dot", "norm2", cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), "id")
+        .limit(k)
+    )

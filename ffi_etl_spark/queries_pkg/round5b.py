@@ -581,3 +581,69 @@ def _model_isotonic_calibration(spark, sf_dir):
         _scored_events(spark, sf_dir), lo=_CAL_LO, hi=_CAL_HI, n_bins=_CAL_BINS
     )
     return isotonic_calibrate(bins)
+
+
+# ---------------------------------------------------------------------------
+# Sparse tf-idf cosine retrieval ("more like this")
+# ---------------------------------------------------------------------------
+
+_MLT_QUERY_DOC, _MLT_K, _MLT_BITS = 0, 25, 10
+
+
+def _mlt_oracle() -> str:
+    s = float(1 << _MLT_BITS)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY id, term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+), weights AS MATERIALIZED (
+  SELECT tf.id, tf.term,
+         tf.tf * CAST(FLOOR({s!r} *
+           ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+            / (CAST(df AS DOUBLE) + 0.5))) AS BIGINT) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), qvec AS (
+  SELECT term, w AS qw FROM weights WHERE id = {_MLT_QUERY_DOC}
+), norms AS (
+  SELECT id, CAST(SUM(w * w) AS BIGINT) AS norm2 FROM weights GROUP BY id
+), qnorm AS (
+  SELECT norm2 AS qnorm2 FROM norms WHERE id = {_MLT_QUERY_DOC}
+), dots AS (
+  SELECT w.id, CAST(COUNT(*) AS BIGINT) AS n_shared,
+         CAST(SUM(w.w * q.qw) AS BIGINT) AS dot
+  FROM weights w JOIN qvec q USING (term)
+  WHERE w.id <> {_MLT_QUERY_DOC}
+  GROUP BY w.id
+)
+SELECT d.id, d.n_shared, d.dot, nm.norm2,
+       CAST(d.dot AS DOUBLE) / (sqrt(CAST(nm.norm2 AS DOUBLE))
+                                * sqrt(CAST(q.qnorm2 AS DOUBLE))) AS cosine
+FROM dots d JOIN norms nm USING (id) CROSS JOIN qnorm q
+ORDER BY cosine DESC, id LIMIT {_MLT_K}
+"""
+
+
+@query("sparse_cosine_mlt", oracle=_mlt_oracle())
+def _sparse_cosine_mlt(spark, sf_dir):
+    """operators/textops.py::more_like_this — exact sparse tf-idf
+    cosine retrieval anchored on doc 0, the lexical counterpart to
+    knn_bruteforce. Weights are integers (tf × floor-quantized
+    RATIONAL idf — no transcendental anywhere), dots/norms exact
+    BIGINTs, cosine three IEEE-correctly-rounded float ops (sqrt is a
+    basic op, not a transcendental) — so even the ORDER BY cosine
+    LIMIT k is cross-engine stable and the gate hashes raw doubles."""
+    from ffi_etl_spark.operators.textops import more_like_this
+
+    return more_like_this(
+        table(spark, sf_dir, "documents"),
+        query_id=_MLT_QUERY_DOC,
+        k=_MLT_K,
+        idf_bits=_MLT_BITS,
+    )

@@ -171,3 +171,24 @@ def test_isotonic_identity_when_already_monotone(spark):
     df = spark.createDataFrame(rows, "bin long, n long, n_pos long")
     got = {r["bin"]: r["iso_rate"] for r in isotonic_calibrate(df).collect()}
     assert got == {0: 0.1, 1: 0.4, 2: 0.8}
+
+
+def test_more_like_this_ranks_lexical_overlap(spark):
+    from ffi_etl_spark.operators.textops import more_like_this
+
+    rows = [
+        (0, "spark join shuffle hash"),          # query
+        (1, "spark join shuffle hash"),          # identical -> cosine 1
+        (2, "spark join shuffle sort"),          # 3/4 overlap
+        (3, "pandas numpy arrow polars"),        # disjoint -> no row
+        (4, "spark spark spark spark"),          # single shared term
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = more_like_this(df, query_id=0, k=10).collect()
+    ids = [r["id"] for r in out]
+    assert 3 not in ids                          # zero shared terms
+    assert ids[0] == 1 and abs(out[0]["cosine"] - 1.0) < 1e-12
+    by_id = {r["id"]: r for r in out}
+    assert by_id[2]["cosine"] > by_id[4]["cosine"]
+    assert by_id[1]["n_shared"] == 4 and by_id[2]["n_shared"] == 3
+    spark.catalog.clearCache()
