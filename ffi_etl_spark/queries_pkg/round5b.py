@@ -647,3 +647,92 @@ def _sparse_cosine_mlt(spark, sf_dir):
         k=_MLT_K,
         idf_bits=_MLT_BITS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: fuzzy pairs -> clusters -> golden records
+# ---------------------------------------------------------------------------
+
+_ER_ORACLE = """
+WITH RECURSIVE names AS (
+  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n,
+         split_part(p_name, ' ', 1) AS blk
+  FROM part GROUP BY p_name
+), pairs AS (
+  SELECT a.p_name AS na, b.p_name AS nb
+  FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= 3
+), edges AS (
+  SELECT na AS a, nb AS b FROM pairs UNION ALL SELECT nb, na FROM pairs
+), verts AS (
+  SELECT DISTINCT a AS v FROM edges
+), reach(v, m) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.v
+), comp AS (
+  SELECT v AS p_name, MIN(m) AS component FROM reach GROUP BY v
+), allc AS (
+  SELECT n.p_name, COALESCE(c.component, n.p_name) AS entity_id, n.n
+  FROM names n LEFT JOIN comp c ON c.p_name = n.p_name
+), ranked AS (
+  SELECT entity_id, p_name, n,
+         ROW_NUMBER() OVER (PARTITION BY entity_id
+                            ORDER BY n DESC, p_name) AS rk
+  FROM allc
+), golden AS (
+  SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         CAST(SUM(n) AS BIGINT) AS total_n
+  FROM allc GROUP BY entity_id
+)
+SELECT g.entity_id, r.p_name AS canonical, g.cluster_size, g.total_n
+FROM golden g JOIN ranked r ON r.entity_id = g.entity_id AND r.rk = 1
+"""
+
+
+@query("entity_resolution_golden", oracle=_ER_ORACLE)
+def _entity_resolution_golden(spark, sf_dir):
+    """The RESOLUTION step completing fuzzy_match_blocked's matching:
+    blocked levenshtein pairs -> connected components (operators/
+    graph.py alternating-star rounds; the oracle's recursive-CTE
+    min-reachable-label is the same fixpoint) -> one golden record per
+    entity by frequency-then-name survivorship (min over the
+    (-n, name) struct — deterministic both engines). Unmatched names
+    stay singleton entities via the left join. Same 100 TB shape as
+    the matcher: the corpus collapses to distinct names first, the
+    quadratic work is per-block, and survivorship is one aggregate."""
+    from ffi_etl_spark.operators.graph import connected_components
+
+    names = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("blk", F.split("p_name", " ")[0])
+    )
+    a, b = names.alias("a"), names.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .select(
+            F.col("a.p_name").alias("id_a"), F.col("b.p_name").alias("id_b")
+        )
+    )
+    comp = connected_components(pairs).withColumnsRenamed(
+        {"vertex": "p_name", "component": "entity_id"}
+    )
+    allc = names.join(comp, "p_name", "left").select(
+        "p_name",
+        F.coalesce(F.col("entity_id"), F.col("p_name")).alias("entity_id"),
+        "n",
+    )
+    return allc.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.sum("n").cast("long").alias("total_n"),
+        F.min(F.struct((-F.col("n")).alias("nn"), F.col("p_name").alias("nm")))
+        .getField("nm")
+        .alias("canonical"),
+    ).select("entity_id", "canonical", "cluster_size", "total_n")

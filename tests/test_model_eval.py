@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _report(spark, rows):
@@ -192,3 +193,59 @@ def test_more_like_this_ranks_lexical_overlap(spark):
     assert by_id[2]["cosine"] > by_id[4]["cosine"]
     assert by_id[1]["n_shared"] == 4 and by_id[2]["n_shared"] == 3
     spark.catalog.clearCache()
+
+
+def test_entity_resolution_golden_planted(spark):
+    """Planted dirty variants resolve to one golden record; distinct
+    entities survive separately; singletons pass through."""
+    from ffi_etl_spark.operators.graph import connected_components
+
+    rows = (
+        [("acme corp",)] * 5
+        + [("acme c0rp",)] * 2      # dist 1 from acme corp
+        + [("acme körp",)] * 1      # dist 2
+        + [("zenith ltd",)] * 3     # unrelated block
+        + [("solo inc",)] * 1       # singleton
+    )
+    df = spark.createDataFrame(rows, "p_name string")
+    names = (
+        df.groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("blk", F.split("p_name", " ")[0])
+    )
+    a, b = names.alias("a"), names.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .select(F.col("a.p_name").alias("id_a"), F.col("b.p_name").alias("id_b"))
+    )
+    comp = connected_components(pairs).withColumnsRenamed(
+        {"vertex": "p_name", "component": "entity_id"}
+    )
+    allc = names.join(comp, "p_name", "left").select(
+        "p_name",
+        F.coalesce(F.col("entity_id"), F.col("p_name")).alias("entity_id"),
+        "n",
+    )
+    golden = (
+        allc.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.sum("n").cast("long").alias("total_n"),
+            F.min(
+                F.struct((-F.col("n")).alias("nn"), F.col("p_name").alias("nm"))
+            )
+            .getField("nm")
+            .alias("canonical"),
+        )
+    ).collect()
+    by_canon = {r["canonical"]: r for r in golden}
+    assert len(golden) == 3
+    acme = by_canon["acme corp"]          # most frequent variant wins
+    assert acme["cluster_size"] == 3 and acme["total_n"] == 8
+    assert by_canon["zenith ltd"]["cluster_size"] == 1
+    assert by_canon["solo inc"]["total_n"] == 1
