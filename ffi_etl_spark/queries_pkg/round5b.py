@@ -736,3 +736,129 @@ def _entity_resolution_golden(spark, sf_dir):
         .getField("nm")
         .alias("canonical"),
     ).select("entity_id", "canonical", "cluster_size", "total_n")
+
+
+# ---------------------------------------------------------------------------
+# Time-series evaluation: seasonal-naive backtest + OLS daily trend
+# ---------------------------------------------------------------------------
+
+_WAPE_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), scored AS (
+  SELECT a.event_type, a.d, a.y, f.y AS fc
+  FROM daily a JOIN daily f
+    ON f.event_type = a.event_type AND f.d = a.d - INTERVAL 7 DAY
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(ABS(y - fc)) AS BIGINT) AS sum_abs_err,
+       CAST(SUM(y) AS BIGINT) AS sum_actual,
+       CAST(SUM(ABS(y - fc)) AS DOUBLE) / CAST(SUM(y) AS DOUBLE) AS wape
+FROM scored GROUP BY event_type
+"""
+
+
+@query("forecast_backtest_wape", oracle=_WAPE_ORACLE)
+def _forecast_backtest_wape(spark, sf_dir):
+    """Seasonal-naive forecast backtest per event type: forecast(d) =
+    actual(d−7), scored on every day with a week-ago predecessor, with
+    WAPE = Σ|y−ŷ| / Σy — the sum-ratio form (NOT per-day MAPE means,
+    which would accumulate floats): both sums are exact BIGINTs of
+    daily counts, the metric one division, so raw doubles hash
+    bit-strictly. The shape a forecasting pipeline runs to decide if a
+    model beats the seasonal baseline — two K-row aggregates + one
+    K-row self-join, corpus touched once."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    f = daily.select(
+        F.col("event_type"),
+        F.date_add(F.col("d"), 7).alias("d"),
+        F.col("y").alias("fc"),
+    )
+    scored = daily.join(f, ["event_type", "d"])
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.abs(F.col("y") - F.col("fc"))).cast("long").alias("sum_abs_err"),
+        F.sum("y").cast("long").alias("sum_actual"),
+        (
+            F.sum(F.abs(F.col("y") - F.col("fc"))).cast("double")
+            / F.sum("y").cast("double")
+        ).alias("wape"),
+    )
+
+
+_OLS_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS slope,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE)
+       END AS intercept
+FROM s
+"""
+
+
+@query("daily_trend_ols", oracle=_OLS_ORACLE)
+def _daily_trend_ols(spark, sf_dir):
+    """Per-event-type OLS of daily volume against the epoch-day index:
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) from EXACT integer moment
+    sums (day index × count products stay far inside BIGINT), one
+    division; the intercept re-derives through the same slope double
+    with a fixed op sequence (sub, mul, div — all IEEE-correctly
+    rounded), so both doubles are bit-identical cross-engine. NULL
+    slope for a single-day series (degenerate denominator). The
+    regression a monitoring pipeline fits to thousands of series at
+    once — one K-row aggregate after the daily rollup."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        F.when(den != 0, slope).alias("slope"),
+        F.when(den != 0, intercept).alias("intercept"),
+    )

@@ -249,3 +249,61 @@ def test_entity_resolution_golden_planted(spark):
     assert acme["cluster_size"] == 3 and acme["total_n"] == 8
     assert by_canon["zenith ltd"]["cluster_size"] == 1
     assert by_canon["solo inc"]["total_n"] == 1
+
+
+def test_wape_and_ols_on_crafted_series(spark):
+    """Crafted daily series: perfect weekly seasonality -> WAPE 0;
+    exact linear growth -> OLS recovers slope/intercept exactly."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 'flat': y = 3 every day for 21 days -> seasonal-naive perfect
+    for d in range(21):
+        for i in range(3):
+            rows.append((len(rows), base + dt.timedelta(days=d), "flat"))
+    # 'lin': y = d + 1 events on day d (exact linear trend)
+    for d in range(10):
+        for i in range(d + 1):
+            rows.append((len(rows), base + dt.timedelta(days=d), "lin"))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+
+    daily = df.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    f = daily.select(
+        "event_type", F.date_add("d", 7).alias("d"), F.col("y").alias("fc")
+    )
+    wape = {
+        r["event_type"]: r
+        for r in daily.join(f, ["event_type", "d"])
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.abs(F.col("y") - F.col("fc"))).cast("double")
+                / F.sum("y").cast("double")
+            ).alias("wape"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+        .collect()
+    }
+    assert wape["flat"]["wape"] == 0.0 and wape["flat"]["nd"] == 14
+    assert "lin" in wape and wape["lin"]["wape"] > 0  # 3 scored days (d7-d9)
+
+    # OLS on 'lin': y = x - x0 + 1 -> slope exactly 1
+    from ffi_etl_spark.queries import QUERIES  # reuse registered callable shape
+    daily2 = df.filter(F.col("event_type") == "lin").groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    s = daily2.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    ).collect()[0]
+    den = s["n"] * s["sxx"] - s["sx"] * s["sx"]
+    slope = (s["n"] * s["sxy"] - s["sx"] * s["sy"]) / den
+    assert slope == 1.0
