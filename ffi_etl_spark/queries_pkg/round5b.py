@@ -862,3 +862,142 @@ def _daily_trend_ols(spark, sf_dir):
         F.when(den != 0, slope).alias("slope"),
         F.when(den != 0, intercept).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter build + membership audit (deterministic, cross-engine)
+# ---------------------------------------------------------------------------
+
+_BF_M, _BF_K = 1 << 13, 3  # 8192 bits, 3 md5-salted hash rows
+# members = customers ordering in one month — a SELECTIVE set, so the
+# probe population has real negatives and the measured FPR means
+# something (at sf0.1 the filter runs at ~0.2 load -> ~10% expected
+# FPR, deliberately: the audit DETECTS an undersized filter; size m
+# up for production use)
+_BF_MEMBER_PRED = "o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-02-01'"
+
+
+def _bf_oracle() -> str:
+    probe_bits = " AND ".join(
+        f"EXISTS (SELECT 1 FROM bits WHERE bit ="
+        f" ('0x' || substr(md5('bf{j}_' || CAST(c.c_custkey AS VARCHAR)), 1, 8))::BIGINT % {_BF_M})"
+        for j in range(_BF_K)
+    )
+    member_bits = "\nUNION ALL ".join(
+        f"SELECT ('0x' || substr(md5('bf{j}_' || CAST(k AS VARCHAR)), 1, 8))::BIGINT % {_BF_M} AS bit FROM members"
+        for j in range(_BF_K)
+    )
+    pred = _BF_MEMBER_PRED
+    return f"""
+WITH members AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE {pred}
+), bits AS (
+  SELECT DISTINCT bit FROM ({member_bits})
+), probed AS (
+  SELECT c.c_custkey,
+         CAST(({probe_bits}) AS INT) AS claimed,
+         CAST(EXISTS (SELECT 1 FROM members m WHERE m.k = c.c_custkey) AS INT)
+           AS actual
+  FROM customer c
+)
+SELECT CAST((SELECT COUNT(*) FROM members) AS BIGINT) AS n_members,
+       CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(actual) AS BIGINT) AS n_present,
+       CAST(SUM(claimed) AS BIGINT) AS n_claimed,
+       CAST(SUM(CASE WHEN claimed = 1 AND actual = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN claimed = 0 AND actual = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_neg,
+       CASE WHEN COUNT(*) - SUM(actual) > 0 THEN
+         CAST(SUM(CASE WHEN claimed = 1 AND actual = 0 THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(COUNT(*) - SUM(actual) AS DOUBLE)
+       END AS fpr
+FROM probed
+"""
+
+
+@query("bloom_filter_audit", oracle=_bf_oracle())
+def _bloom_filter_audit(spark, sf_dir):
+    """Deterministic Bloom filter over customers-with-orders, audited
+    against ground truth: ``n_false_neg`` is structurally 0 (the Bloom
+    guarantee — gate-pinned, not assumed) and the measured false-
+    positive rate is one division of exact counts. Bits are md5-salted
+    buckets (the count-min idiom), so the filter an engine builds is
+    byte-reproducible anywhere — unlike Spark's session-private
+    ``bloom_filter_agg`` (which remains the production fast lane,
+    session.BLOOM_JOIN_CONFS). Shape: the member set collapses to ≤k·n
+    distinct bit rows (broadcastable); probing is a scan-side
+    semi-join per hash row — the explicit form of runtime-filter
+    pruning at 100 TB."""
+    from ffi_etl_spark.functions.hashing import md5_int32
+
+    def bit(col, j):
+        return md5_int32(F.concat(F.lit(f"bf{j}_"), col.cast("string"))) % _BF_M
+
+    from pyspark import StorageLevel
+
+    members = (
+        table(spark, sf_dir, "orders")
+        .where(F.expr(_BF_MEMBER_PRED))
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+        # feeds the k bit branches, the truth join, and the count —
+        # pin the shared aggregate (round-5 lesson d)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bits = None
+    for j in range(_BF_K):
+        b = members.select(bit(F.col("k"), j).alias("bit"))
+        bits = b if bits is None else bits.unionByName(b)
+    bits = bits.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    probed = cust
+    for j in range(_BF_K):
+        probed = probed.join(
+            F.broadcast(bits.withColumnRenamed("bit", f"_b{j}")),
+            bit(F.col("c_custkey"), j) == F.col(f"_b{j}"),
+            "left",
+        )
+    claimed = None
+    for j in range(_BF_K):
+        c = F.col(f"_b{j}").isNotNull()
+        claimed = c if claimed is None else (claimed & c)
+    probed = probed.join(
+        members.withColumnRenamed("k", "_mk"),
+        F.col("c_custkey") == F.col("_mk"),
+        "left",
+    ).select(
+        claimed.cast("int").alias("claimed"),
+        F.col("_mk").isNotNull().cast("int").alias("actual"),
+    )
+    n_members = members.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    agg = probed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum("actual").cast("long").alias("n_present"),
+        F.sum("claimed").cast("long").alias("n_claimed"),
+        F.sum(((F.col("claimed") == 1) & (F.col("actual") == 0)).cast("int"))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(((F.col("claimed") == 0) & (F.col("actual") == 1)).cast("int"))
+        .cast("long")
+        .alias("n_false_neg"),
+    )
+    return agg.crossJoin(F.broadcast(n_members)).crossJoin(
+        F.broadcast(n_bits)
+    ).select(
+        "n_members",
+        "n_bits_set",
+        "n_probes",
+        "n_present",
+        "n_claimed",
+        "n_false_pos",
+        "n_false_neg",
+        F.when(
+            F.col("n_probes") - F.col("n_present") > 0,
+            F.col("n_false_pos").cast("double")
+            / (F.col("n_probes") - F.col("n_present")).cast("double"),
+        ).alias("fpr"),
+    )

@@ -67,3 +67,16 @@ def test_hll_register_bounds(spark):
     assert sorted((r["bucket"], r["reg"]) for r in rows) == sorted(
         (r["bucket"], r["reg"]) for r in dup
     )
+
+
+def test_bloom_audit_invariants(spark, sf_dir):
+    from ffi_etl_spark.queries import QUERIES
+
+    row = QUERIES["bloom_filter_audit"](spark, sf_dir).collect()[0]
+    # the Bloom guarantee: never a false negative
+    assert row["n_false_neg"] == 0
+    # claimed = present + false positives, exactly
+    assert row["n_claimed"] == row["n_present"] + row["n_false_pos"]
+    # the filter holds at most k*n bits
+    assert row["n_bits_set"] <= 3 * row["n_members"]
+    spark.catalog.clearCache()
