@@ -1001,3 +1001,155 @@ def _bloom_filter_audit(spark, sf_dir):
             / (F.col("n_probes") - F.col("n_present")).cast("double"),
         ).alias("fpr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical inference: Wilson proportion CIs + chi-square independence
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = 1.96  # 95% two-sided
+
+
+def _wilson_oracle() -> str:
+    z = _WILSON_Z
+    return f"""
+WITH g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE value > 50.0) AS BIGINT) AS k
+  FROM events GROUP BY event_type
+), p AS (
+  SELECT event_type, n, k,
+         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS phat,
+         {z!r} * {z!r} / CAST(n AS DOUBLE) AS zzn
+  FROM g
+)
+SELECT event_type, n, k, phat,
+       ((phat + zzn / 2.0)
+        - {z!r} * sqrt((phat * (1.0 - phat) + zzn / 4.0) / CAST(n AS DOUBLE)))
+       / (1.0 + zzn) AS wilson_lo,
+       ((phat + zzn / 2.0)
+        + {z!r} * sqrt((phat * (1.0 - phat) + zzn / 4.0) / CAST(n AS DOUBLE)))
+       / (1.0 + zzn) AS wilson_hi
+FROM p
+"""
+
+
+@query("conversion_wilson_ci", oracle=_wilson_oracle())
+def _conversion_wilson_ci(spark, sf_dir):
+    """Per-event-type proportion (share of value>50 events) with the
+    95% Wilson score interval — the interval estimate an experiment
+    readout needs (Wilson, not Wald: behaves at extreme p̂ and small
+    n). Bit-exact cross-engine with NO flake budget: p̂ is one
+    division of exact counts, and the bound formula is a fixed
+    sequence of +,−,×,÷,sqrt — all IEEE-correctly-rounded basic ops
+    (the more_like_this sqrt rule; nothing transcendental). One K-row
+    aggregate over one scan."""
+    z = _WILSON_Z
+    g = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_if(F.col("value") > 50.0).cast("long").alias("k"),
+        )
+    )
+    phat = F.col("k").cast("double") / F.col("n").cast("double")
+    zzn = F.lit(z * z) / F.col("n").cast("double")
+    rad = F.lit(z) * F.sqrt(
+        (phat * (F.lit(1.0) - phat) + zzn / F.lit(4.0)) / F.col("n").cast("double")
+    )
+    center = phat + zzn / F.lit(2.0)
+    denom = F.lit(1.0) + zzn
+    return g.select(
+        "event_type",
+        "n",
+        "k",
+        phat.alias("phat"),
+        ((center - rad) / denom).alias("wilson_lo"),
+        ((center + rad) / denom).alias("wilson_hi"),
+    )
+
+
+_CHI2_BITS = 20
+
+
+def _chi2_oracle() -> str:
+    s = float(1 << _CHI2_BITS)
+    return f"""
+WITH cells AS (
+  SELECT event_type AS r, CAST(value > 50.0 AS INT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY event_type, CAST(value > 50.0 AS INT)
+), margins AS (
+  SELECT r, CAST(SUM(o) AS BIGINT) AS nr FROM cells GROUP BY r
+), cmargins AS (
+  SELECT c, CAST(SUM(o) AS BIGINT) AS nc FROM cells GROUP BY c
+), tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells
+), terms AS (
+  SELECT cells.r, cells.c,
+         CAST(FLOOR({s!r} *
+           (CAST((cells.o * tot.n - margins.nr * cmargins.nc) AS DOUBLE)
+            * CAST((cells.o * tot.n - margins.nr * cmargins.nc) AS DOUBLE)
+            / (CAST(tot.n AS DOUBLE) * CAST(margins.nr AS DOUBLE)
+               * CAST(cmargins.nc AS DOUBLE)))) AS BIGINT) AS term_q
+  FROM cells
+  JOIN margins ON margins.r = cells.r
+  JOIN cmargins ON cmargins.c = cells.c
+  CROSS JOIN tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(term_q) AS BIGINT) AS chi2_q,
+       CAST(SUM(term_q) AS DOUBLE) / {s!r} AS chi2
+FROM terms
+"""
+
+
+@query("chi2_independence", oracle=_chi2_oracle())
+def _chi2_independence(spark, sf_dir):
+    """Chi-square independence test for event_type × (value>50) —
+    ``Σ (O·N − r·c)² / (N·r·c)`` (the margins-multiplied form: every
+    numerator an exact BIGINT). Each cell's term is a deterministic
+    double (integer-exact operands, fixed op sequence) FIXED-POINT
+    QUANTIZED before the sum (floor(2^20·term) — the transcendental-
+    rule trick applied to an order-dependent float SUM), so the
+    statistic is an exact integer plus one final exact power-of-two
+    division. p-values need the chi² CDF (transcendental) — callers
+    compare chi2 against critical-value literals instead. Two K-row
+    aggregates over one scan."""
+    s = float(1 << _CHI2_BITS)
+    cells = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("r"),
+            (F.col("value") > 50.0).cast("int").alias("c"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    from pyspark import StorageLevel
+
+    cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
+    margins = cells.groupBy("r").agg(F.sum("o").cast("long").alias("nr"))
+    cmargins = cells.groupBy("c").agg(F.sum("o").cast("long").alias("nc"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    num = F.col("o") * F.col("n") - F.col("nr") * F.col("nc")
+    term = (
+        num.cast("double")
+        * num.cast("double")
+        / (
+            F.col("n").cast("double")
+            * F.col("nr").cast("double")
+            * F.col("nc").cast("double")
+        )
+    )
+    terms = (
+        cells.join(F.broadcast(margins), "r")
+        .join(F.broadcast(cmargins), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(F.floor(F.lit(s) * term).cast("long").alias("term_q"))
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("term_q").cast("long").alias("chi2_q"),
+        (F.sum("term_q").cast("double") / F.lit(s)).alias("chi2"),
+    )

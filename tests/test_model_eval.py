@@ -307,3 +307,53 @@ def test_wape_and_ols_on_crafted_series(spark):
     den = s["n"] * s["sxx"] - s["sx"] * s["sx"]
     slope = (s["n"] * s["sxy"] - s["sx"] * s["sy"]) / den
     assert slope == 1.0
+
+
+def test_wilson_interval_properties(spark, sf_dir):
+    from ffi_etl_spark.queries import QUERIES
+
+    rows = QUERIES["conversion_wilson_ci"](spark, sf_dir).collect()
+    import math
+    for r in rows:
+        assert 0.0 <= r["wilson_lo"] <= r["phat"] <= r["wilson_hi"] <= 1.0
+        # reference formula cross-check in plain Python
+        z, n, p = 1.96, r["n"], r["phat"]
+        zzn = z * z / n
+        rad = z * math.sqrt((p * (1 - p) + zzn / 4.0) / n)
+        assert abs(r["wilson_lo"] - (p + zzn / 2 - rad) / (1 + zzn)) < 1e-12
+        assert abs(r["wilson_hi"] - (p + zzn / 2 + rad) / (1 + zzn)) < 1e-12
+
+
+def test_chi2_matches_scipyless_reference(spark):
+    """Crafted 2x2 table with known chi2 = N(ad-bc)^2/(r1 r2 c1 c2)."""
+    rows = (
+        [(i, "x", 60.0) for i in range(30)]       # x high: 30
+        + [(i + 100, "x", 10.0) for i in range(10)]  # x low: 10
+        + [(i + 200, "y", 60.0) for i in range(15)]  # y high: 15
+        + [(i + 300, "y", 10.0) for i in range(45)]  # y low: 45
+    )
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    cells = df.groupBy(
+        F.col("event_type").alias("r"),
+        (F.col("value") > 50.0).cast("int").alias("c"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    margins = cells.groupBy("r").agg(F.sum("o").cast("long").alias("nr"))
+    cmargins = cells.groupBy("c").agg(F.sum("o").cast("long").alias("nc"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    num = F.col("o") * F.col("n") - F.col("nr") * F.col("nc")
+    term = (
+        num.cast("double") * num.cast("double")
+        / (F.col("n").cast("double") * F.col("nr").cast("double") * F.col("nc").cast("double"))
+    )
+    got = (
+        cells.join(F.broadcast(margins), "r")
+        .join(F.broadcast(cmargins), "c")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.floor(F.lit(float(1 << 20)) * term)).alias("q"))
+        .collect()[0]["q"]
+    ) / float(1 << 20)
+    # chi2 for a 2x2: N(ad-bc)^2 / (r1 r2 c1 c2)
+    a, b, c, d = 30, 10, 15, 45
+    n = a + b + c + d
+    want = n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d))
+    assert abs(got - want) < 1e-4  # 4-term quantization error ≤ 4/2^20
