@@ -47,6 +47,11 @@ HEADLINE = [
     # round-5: exact-substring span scrub — the heaviest new text
     # operator (gram df + covered-window anti-join + per-doc rebuild)
     "dedup_span_scrub",
+    # round-5b: the 16-round statically-unrolled Viterbi DP (tokenizer
+    # family ceiling) and the one-plan NB train+score (C-fold scoring
+    # fanout) — recorded so the iterative/checkpoint cost has a floor
+    "unigram_lm_segment",
+    "nb_lang_train_score",
 ]
 
 

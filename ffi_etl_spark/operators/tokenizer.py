@@ -385,6 +385,12 @@ def unigram_viterbi_segment(
     lex = unigram_lexicon(df, text_col, word_cap).localCheckpoint(eager=True)
     vocab = unigram_vocab(lex, vocab_cap, max_piece).localCheckpoint(eager=True)
     words = lex.select("w", F.length("w").alias("wlen"))
+    # one 1-row action on the CHECKPOINTED lexicon (the sanctioned
+    # convergence-check pattern) trims dead rounds: a corpus whose
+    # longest word is 8 chars pays 8 DP rounds, not UNI_MAX_WORD=16 —
+    # results identical (round r emits only words with wlen == r)
+    max_wlen = words.agg(F.max("wlen")).collect()[0][0] or 0
+    n_rounds = min(UNI_MAX_WORD, int(max_wlen))
     # state[j]: best segmentation of w[:j] — (w, wlen, score, n, path)
     state = {
         0: words.select(
@@ -396,7 +402,7 @@ def unigram_viterbi_segment(
         ).localCheckpoint(eager=True)
     }
     finals = []
-    for r in range(1, UNI_MAX_WORD + 1):
+    for r in range(1, n_rounds + 1):
         branches = []
         for j in range(max(0, r - max_piece), r):
             piece = F.substring(F.col("w"), j + 1, r - j)
@@ -442,6 +448,14 @@ def unigram_viterbi_segment(
         )
         state[r] = best
         finals.append(best.filter(F.col("wlen") == r))
+    if not finals:  # empty corpus: zero rounds, empty result
+        return state[0].select(
+            "w",
+            "wlen",
+            F.col("n").alias("n_pieces"),
+            F.col("score").alias("score_q"),
+            F.col("path").alias("segmentation"),
+        )
     out = finals[0]
     for f in finals[1:]:
         out = out.unionByName(f)
