@@ -31,6 +31,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# the demonstration ensemble the gated queries / examples score with —
+# a stand-in for the JSON a real training job exports (leaf outputs
+# dyadic so margins sum exactly)
+DEMO_TREES = [
+    {
+        "feature": "value", "threshold": 50.0,
+        "left": {
+            "feature": "value", "threshold": 10.0,
+            "left": {"value": -0.5},
+            "right": {"value": 0.25},
+        },
+        "right": {"value": 0.75},
+    },
+    {
+        "feature": "idmod", "threshold": 49.0,
+        "left": {"value": 0.125},
+        "right": {
+            "feature": "value", "threshold": 80.0,
+            "left": {"value": -0.25},
+            "right": {"value": 0.5},
+        },
+    },
+    {
+        "feature": "value", "threshold": 25.0,
+        "left": {"value": 0.0625},
+        "right": {"value": -0.125},
+    },
+]
+
+
 def compile_tree(tree: dict) -> Column:
     """Tree dict -> one nested when/otherwise Column."""
     if "value" in tree:

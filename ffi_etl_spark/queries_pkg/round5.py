@@ -612,33 +612,7 @@ def _quantile_summary_merge(spark, sf_dir):
 # Tree-ensemble inference compiled to pure relational expressions
 # ---------------------------------------------------------------------------
 
-# a hand-built 3-tree "anomaly-margin" ensemble over events: splits on
-# value and an id-derived feature; leaf outputs dyadic (exact doubles)
-_TREES = [
-    {
-        "feature": "value", "threshold": 50.0,
-        "left": {
-            "feature": "value", "threshold": 10.0,
-            "left": {"value": -0.5},
-            "right": {"value": 0.25},
-        },
-        "right": {"value": 0.75},
-    },
-    {
-        "feature": "idmod", "threshold": 49.0,
-        "left": {"value": 0.125},
-        "right": {
-            "feature": "value", "threshold": 80.0,
-            "left": {"value": -0.25},
-            "right": {"value": 0.5},
-        },
-    },
-    {
-        "feature": "value", "threshold": 25.0,
-        "left": {"value": 0.0625},
-        "right": {"value": -0.125},
-    },
-]
+from ffi_etl_spark.operators.inference import DEMO_TREES as _TREES  # noqa: E402
 
 
 def _inference_oracle() -> str:

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ffi_etl_spark.catalog import table
 from ffi_etl_spark.queries import query
-from ffi_etl_spark.queries_pkg.round5 import _TREES
+from ffi_etl_spark.operators.inference import DEMO_TREES as _TREES
 
 # ---------------------------------------------------------------------------
 # shared: the scored-events CTE both oracles start from
