@@ -96,3 +96,44 @@ def merge_grouped_partials(
             _MERGE_FNS[how](F.col(f"_b_{c}"), F.col(f"_d_{c}")).alias(c)
         )
     return merged.select(*out_cols)
+
+
+def maintain_fact_dim_join(
+    stored: DataFrame,
+    fact_delta: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Incrementally maintain a materialized fact⋈dim INNER join —
+    the join-side companion to ``merge_grouped_partials``:
+
+    * **fact appends** — the only new-fact work is ``Δfact ⋈ dim``
+      (dim broadcasts; cost O(|Δ|), the fact history never rescans);
+    * **dim updates** — affected stored rows are REFRESHED IN PLACE
+      from the stored row's own fact columns: drop the old dim
+      attributes, re-join just those rows against the current dim.
+      The fact table is never consulted — the stored join IS the
+      recovery source for its fact columns (the reason a maintained
+      join should always persist the fact columns it joined on).
+
+    ``dim`` is the CURRENT dimension table. Every stored row is
+    re-decorated from it, which subsumes the "which keys changed"
+    bookkeeping: unchanged keys re-join to identical attributes.
+    When the caller KNOWS the changed-key set it can pre-split stored
+    and pass only affected rows through here — same plan, less work;
+    this operator keeps the correctness-first form.
+
+    Maintenance identity (the gate): the maintained table is row-equal
+    to the full recompute ``(fact_old ∪ Δfact) ⋈ dim_current``.
+    Deleted dim keys fall out (inner-join semantics) on both paths.
+
+    Scale shape: one broadcast join over the stored table + one over
+    the delta — O(|stored| + |Δ|) with zero fact-table scans; with
+    stored bucketed by key and a big dimension, both joins become
+    co-located shuffle joins of the same shape.
+    """
+    dim_attr_cols = [c for c in dim.columns if c not in keys]
+    fact_cols = [c for c in stored.columns if c not in dim_attr_cols]
+    refreshed = stored.select(*fact_cols).join(F.broadcast(dim), list(keys))
+    appended = fact_delta.join(F.broadcast(dim), list(keys))
+    return refreshed.unionByName(appended.select(*refreshed.columns))

@@ -1153,3 +1153,65 @@ def _chi2_independence(spark, sf_dir):
         F.sum("term_q").cast("long").alias("chi2_q"),
         (F.sum("term_q").cast("double") / F.lit(s)).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN maintenance (the join-side IVM companion)
+# ---------------------------------------------------------------------------
+
+_IVMJ_ORACLE = """
+WITH dim_now AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer
+)
+SELECT o.o_orderkey, o.o_custkey, d.c_name, d.c_acctbal
+FROM orders o JOIN dim_now d ON d.c_custkey = o.o_custkey
+"""
+
+
+@query("incremental_join_maintenance", oracle=_IVMJ_ORACLE)
+def _incremental_join_maintenance(spark, sf_dir):
+    """operators/ivm.py::maintain_fact_dim_join — the join-side IVM
+    story beside incremental_agg_maintenance's aggregates: a stored
+    orders⋈customer join absorbs (a) a fact delta (orders with key%10
+    = 0, arriving 'tonight') via Δ⋈dim and (b) a dimension update
+    (every 7th customer's balance +100) by re-decorating stored rows
+    from their OWN fact columns — the orders history is never
+    rescanned. The gate is the maintenance identity itself: the
+    maintained table must hash-equal the oracle's full recompute of
+    (all orders)⋈(current dim). Like the agg-IVM gate, the bench-side
+    cost here deliberately builds both halves live; steady state only
+    pays the delta half."""
+    from ffi_etl_spark.operators.ivm import maintain_fact_dim_join
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dim_old = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    dim_now = dim_old.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + F.lit(100.0)
+        ).otherwise(F.col("c_acctbal")),
+    )
+    fact_old = orders.where(F.col("o_orderkey") % 10 != 0)
+    fact_delta = orders.where(F.col("o_orderkey") % 10 == 0)
+    # "stored": yesterday's materialized join (built live here; in
+    # production this is a parquet/Delta table read back)
+    stored = fact_old.join(
+        F.broadcast(dim_old), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "c_custkey", "c_name", "c_acctbal")
+    out = maintain_fact_dim_join(
+        stored,
+        fact_delta.withColumnRenamed("o_custkey", "c_custkey"),
+        dim_now,
+        keys=("c_custkey",),
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("c_custkey").alias("o_custkey"),
+        "c_name",
+        "c_acctbal",
+    )

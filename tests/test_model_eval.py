@@ -357,3 +357,32 @@ def test_chi2_matches_scipyless_reference(spark):
     n = a + b + c + d
     want = n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d))
     assert abs(got - want) < 1e-4  # 4-term quantization error ≤ 4/2^20
+
+
+def test_maintain_fact_dim_join_identity(spark):
+    """Maintained join == full recompute under fact appends + dim
+    updates + dim deletes (inner-join fallout)."""
+    from ffi_etl_spark.operators.ivm import maintain_fact_dim_join
+
+    fact_old = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "fid long, k long"
+    )
+    fact_delta = spark.createDataFrame([(4, 10), (5, 40)], "fid long, k long")
+    dim_old = spark.createDataFrame(
+        [(10, "a"), (20, "b"), (30, "c")], "k long, attr string"
+    )
+    # dim now: 10 updated, 30 DELETED, 40 added
+    dim_now = spark.createDataFrame(
+        [(10, "a2"), (20, "b"), (40, "d")], "k long, attr string"
+    )
+    stored = fact_old.join(dim_old, "k").select("fid", "k", "attr")
+    out = maintain_fact_dim_join(stored, fact_delta, dim_now, keys=("k",))
+    got = sorted((r["fid"], r["k"], r["attr"]) for r in out.collect())
+    full = (
+        fact_old.unionByName(fact_delta).join(dim_now, "k").select("fid", "k", "attr")
+    )
+    want = sorted((r["fid"], r["k"], r["attr"]) for r in full.collect())
+    assert got == want
+    # the deleted dim key's fact rows fell out; updated key re-decorated
+    assert (3, 30, "c") not in got
+    assert (1, 10, "a2") in got and (4, 10, "a2") in got
