@@ -155,3 +155,115 @@ def knn_int8_codes(
         .filter(F.col("rk") <= k)
         .orderBy("pid", "rk")
     )
+
+
+def mmr_diverse_topk(
+    df: DataFrame,
+    probe_id: int,
+    n_candidates: int = 20,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking in quantized code space —
+    the diversity-aware top-k a curation pipeline uses so "nearest k"
+    isn't k copies of the same template (Carbonell & Goldstein 1998).
+
+    With λ = 1/2 the MMR objective scales to pure integers:
+    ``mmr(c) = min_{s∈S} d2(c, s) − d2(q, c)`` (prefer candidates FAR
+    from everything already selected, NEAR the query), over the int8
+    squared-L2 kernel — every score an exact BIGINT, ties to the
+    smaller id, so the full selection ORDER is bit-deterministic.
+
+    Shape: the candidate pool (top-``n_candidates`` by query distance)
+    and its pairwise distance table are tiny (n² rows) and eagerly
+    checkpointed once; each of the k selection rounds is one broadcast
+    semi/anti join + a 1-row argmax — never any corpus-scale work
+    beyond the initial kNN (whose corpus shuffle is the knn_int8_codes
+    shape). Output: (rank, id, d2q, div_min) in selection order;
+    div_min is NULL for rank 1 (no selected set yet).
+    """
+    codes = quantize_codes_long(df, vec_col, id_col)
+    probe = codes.filter(F.col(id_col) == probe_id).select(
+        "dim", F.col("code").alias("pcode")
+    )
+    d2q = (
+        codes.filter(F.col(id_col) != probe_id)
+        .join(F.broadcast(probe), "dim")
+        .groupBy(F.col(id_col).alias("id"))
+        .agg(
+            F.sum((F.col("code") - F.col("pcode")) * (F.col("code") - F.col("pcode")))
+            .cast("long")
+            .alias("d2q")
+        )
+        .orderBy("d2q", "id")
+        .limit(n_candidates)
+        .localCheckpoint(eager=True)
+    )
+    cc = codes.join(F.broadcast(d2q.select("id")), F.col(id_col) == F.col("id")).select(
+        "id", "dim", "code"
+    )
+    a, b = cc.alias("a"), cc.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("ca"), F.col("b.id").alias("cb"))
+        .agg(
+            F.sum(
+                (F.col("a.code") - F.col("b.code"))
+                * (F.col("a.code") - F.col("b.code"))
+            )
+            .cast("long")
+            .alias("d2p")
+        )
+        .localCheckpoint(eager=True)
+    )
+    first = (
+        d2q.agg(F.min(F.struct("d2q", "id")).alias("_w"))
+        .select(
+            F.lit(1).alias("rank"),
+            F.col("_w.id").alias("id"),
+            F.col("_w.d2q").alias("d2q"),
+            F.lit(None).cast("long").alias("div_min"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    picks = [first]
+    sel = first.select("id")
+    for r in range(2, k + 1):
+        remaining = d2q.join(sel, "id", "left_anti")
+        div = (
+            remaining.join(
+                F.broadcast(pair.join(sel, pair.cb == sel.id).select("ca", "d2p")),
+                F.col("id") == F.col("ca"),
+            )
+            .groupBy("id", "d2q")
+            .agg(F.min("d2p").cast("long").alias("div_min"))
+        )
+        winner = (
+            div.agg(
+                F.min(
+                    F.struct(
+                        (F.col("d2q") - F.col("div_min")).alias("neg_mmr"),
+                        F.col("id"),
+                        F.col("d2q").alias("dq"),
+                        F.col("div_min").alias("dm"),
+                    )
+                ).alias("_w")
+            )
+            .select(
+                F.lit(r).alias("rank"),
+                F.col("_w.id").alias("id"),
+                F.col("_w.dq").alias("d2q"),
+                F.col("_w.dm").alias("div_min"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        picks.append(winner)
+        sel = sel.unionByName(winner.select("id")).localCheckpoint(eager=True)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1215,3 +1215,86 @@ def _incremental_join_maintenance(spark, sf_dir):
         "c_name",
         "c_acctbal",
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity-aware top-k (quantized code space)
+# ---------------------------------------------------------------------------
+
+_MMR_PROBE, _MMR_CANDS, _MMR_K = 0, 20, 5
+
+
+def _mmr_oracle() -> str:
+    rounds = []
+    for r in range(2, _MMR_K + 1):
+        rounds.append(f"""s{r} AS MATERIALIZED (
+  SELECT {r} AS rank, id, d2q, div_min FROM (
+    SELECT rm.id, rm.d2q, MIN(p.d2p) AS div_min
+    FROM d2q rm
+    JOIN pair p ON p.ca = rm.id AND p.cb IN (SELECT id FROM acc{r - 1})
+    WHERE rm.id NOT IN (SELECT id FROM acc{r - 1})
+    GROUP BY rm.id, rm.d2q
+  ) ORDER BY d2q - div_min, id LIMIT 1
+), acc{r} AS (
+  SELECT id FROM acc{r - 1} UNION ALL SELECT id FROM s{r}
+)""")
+    rounds_sql = ",\n".join(rounds)
+    finals = "\nUNION ALL ".join(
+        f"SELECT * FROM s{r}" for r in range(1, _MMR_K + 1)
+    )
+    return f"""
+WITH ex AS (
+  SELECT vec_id,
+         unnest(embedding::DOUBLE[]) AS x,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings
+), stats AS (
+  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim
+), codes AS (
+  SELECT vec_id, dim,
+         CASE WHEN mx = mn THEN 0
+              ELSE CAST(floor(((x - mn) * 255.0) / (mx - mn)) AS INT) END AS code
+  FROM ex JOIN stats USING (dim)
+), d2q AS MATERIALIZED (
+  SELECT c.vec_id AS id,
+         CAST(SUM((c.code - p.code) * (c.code - p.code)) AS BIGINT) AS d2q
+  FROM codes c
+  JOIN (SELECT dim, code FROM codes WHERE vec_id = {_MMR_PROBE}) p USING (dim)
+  WHERE c.vec_id <> {_MMR_PROBE}
+  GROUP BY c.vec_id
+  ORDER BY d2q, id LIMIT {_MMR_CANDS}
+), pair AS MATERIALIZED (
+  SELECT a.vec_id AS ca, b.vec_id AS cb,
+         CAST(SUM((a.code - b.code) * (a.code - b.code)) AS BIGINT) AS d2p
+  FROM codes a
+  JOIN codes b ON b.dim = a.dim AND b.vec_id <> a.vec_id
+  WHERE a.vec_id IN (SELECT id FROM d2q) AND b.vec_id IN (SELECT id FROM d2q)
+  GROUP BY a.vec_id, b.vec_id
+), s1 AS MATERIALIZED (
+  SELECT 1 AS rank, id, d2q, CAST(NULL AS BIGINT) AS div_min
+  FROM d2q ORDER BY d2q, id LIMIT 1
+), acc1 AS (
+  SELECT id FROM s1
+), {rounds_sql}
+SELECT CAST(rank AS INT) AS rank, id, d2q, div_min FROM ({finals})
+"""
+
+
+@query("mmr_diverse_topk", oracle=_mmr_oracle())
+def _mmr_diverse_topk(spark, sf_dir):
+    """operators/quantize.py::mmr_diverse_topk — Maximal-Marginal-
+    Relevance selection over the int8 code space: with λ=1/2 the MMR
+    objective is ``min_{s∈S} d2(c,s) − d2(q,c)`` — pure BIGINTs, so
+    all 5 selection rounds (unrolled, 1-row argmax each, candidates
+    and pairwise table checkpointed once) are bit-deterministic and
+    the oracle replays them as materialized CTEs. The curation answer
+    to 'nearest k without k copies of the same template'."""
+    from ffi_etl_spark.operators.quantize import mmr_diverse_topk
+
+    out = mmr_diverse_topk(
+        table(spark, sf_dir, "embeddings"),
+        probe_id=_MMR_PROBE,
+        n_candidates=_MMR_CANDS,
+        k=_MMR_K,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))

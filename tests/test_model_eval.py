@@ -386,3 +386,27 @@ def test_maintain_fact_dim_join_identity(spark):
     # the deleted dim key's fact rows fell out; updated key re-decorated
     assert (3, 30, "c") not in got
     assert (1, 10, "a2") in got and (4, 10, "a2") in got
+
+
+def test_mmr_prefers_diverse_over_clustered(spark):
+    """Planted geometry: query at origin; a tight cluster of 3 very
+    near points and one slightly-farther outlier. Plain kNN top-3 is
+    the cluster; MMR's second pick must jump to the outlier."""
+    from ffi_etl_spark.operators.quantize import mmr_diverse_topk
+
+    rows = [
+        (0, [0.0, 0.0]),        # query
+        (1, [1.0, 0.0]),        # cluster
+        (2, [1.0, 0.1]),
+        (3, [0.9, 0.1]),
+        (4, [0.0, 2.0]),        # outlier, farther from q but far from cluster
+        (5, [50.0, 50.0]),      # far away (sets the quantization range)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mmr_diverse_topk(df, probe_id=0, n_candidates=5, k=3).collect()
+    sel = [r["id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert sel[0] in (1, 2, 3)       # rank 1 = pure relevance
+    assert sel[1] == 4               # rank 2 jumps to the diverse point
+    # ranks are 1..k, div_min set from rank 2 on
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+    assert sorted(out, key=lambda r: r["rank"])[1]["div_min"] is not None
