@@ -251,6 +251,7 @@ def auc_exact(
     scored: DataFrame,
     score_col: str = "margin",
     label_col: str = "label",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """EXACT ROC-AUC via the Mann-Whitney rank-sum — the model-eval
     counterpart to ``score_ensemble``, computed with pure integer
@@ -270,20 +271,27 @@ def auc_exact(
     cumulative counts, and one 1-row reduce finishes. The corpus
     shuffles once, grouped by score.
 
-    Output (1 row): n_pos, n_neg, u2, auc. NULL labels are rejected
-    rows — filter them upstream; NULL auc signals a single-class
-    input (n_pos or n_neg = 0), the undefined case."""
+    Output (1 row; with ``group_cols``, one row per group — the
+    k-fold/per-segment evaluation shape, same integer pipeline with
+    every stage keyed by the group): n_pos, n_neg, u2, auc. NULL
+    labels are rejected rows — filter them upstream; NULL auc signals
+    a single-class input (n_pos or n_neg = 0), the undefined case."""
     from pyspark.sql import Window
 
-    per_score = scored.groupBy(F.col(score_col).alias("_s")).agg(
+    gcols = list(group_cols)
+    per_score = scored.groupBy(*gcols, F.col(score_col).alias("_s")).agg(
         F.count(F.lit(1)).alias("_n"),
         F.count_if(F.col(label_col)).alias("_np"),
     )
-    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     ranked = per_score.withColumn(
         "_c", F.coalesce(F.sum("_n").over(w), F.lit(0))
     )
-    agg = ranked.agg(
+    agg = ranked.groupBy(*gcols).agg(
         F.sum("_np").cast("long").alias("n_pos"),
         (F.sum("_n") - F.sum("_np")).cast("long").alias("n_neg"),
         F.sum(F.col("_np") * (F.lit(2) * F.col("_c") + F.col("_n") + F.lit(1)))
@@ -294,7 +302,7 @@ def auc_exact(
         (F.col("u2") - F.col("n_pos") * (F.col("n_pos") + F.lit(1))).cast("double")
         / (F.lit(2.0) * (F.col("n_pos") * F.col("n_neg")).cast("double"))
     )
-    return agg.select("n_pos", "n_neg", "u2", auc.alias("auc"))
+    return agg.select(*gcols, "n_pos", "n_neg", "u2", auc.alias("auc"))
 
 
 def isotonic_calibrate(

@@ -1298,3 +1298,68 @@ def _mmr_diverse_topk(spark, sf_dir):
         k=_MMR_K,
     )
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validated AUC (per-segment model evaluation)
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = 5
+
+
+def _cv_auc_oracle() -> str:
+    from ffi_etl_spark.operators.inference import ensemble_to_sql
+
+    margin, _ = ensemble_to_sql(_TREES, threshold=0.0)
+    return f"""
+WITH feats AS (
+  SELECT event_id, value, CAST(event_id % 100 AS DOUBLE) AS idmod,
+         (event_type = 'purchase') AS label,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+           % {_CV_FOLDS} AS fold
+  FROM events
+), scored AS (
+  SELECT fold, {margin} AS s, label FROM feats
+), per_score AS (
+  SELECT fold, s, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE label) AS BIGINT) AS np
+  FROM scored GROUP BY fold, s
+), ranked AS (
+  SELECT fold, s, n, np,
+         COALESCE(SUM(n) OVER (PARTITION BY fold ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM per_score
+), agg AS (
+  SELECT fold, CAST(SUM(np) AS BIGINT) AS n_pos,
+         CAST(SUM(n) - SUM(np) AS BIGINT) AS n_neg,
+         CAST(SUM(np * (2 * c + n + 1)) AS BIGINT) AS u2
+  FROM ranked GROUP BY fold
+)
+SELECT fold, n_pos, n_neg, u2,
+       CAST(u2 - n_pos * (n_pos + 1) AS DOUBLE)
+         / (2.0 * CAST(n_pos * n_neg AS DOUBLE)) AS auc
+FROM agg
+"""
+
+
+@query("cv_auc_folds", oracle=_cv_auc_oracle())
+def _cv_auc_folds(spark, sf_dir):
+    """operators/inference.py::auc_exact(group_cols=("fold",)) — the
+    k-fold evaluation shape: deterministic md5 folds (the
+    train/val/test-split idiom), the same integer Mann-Whitney
+    pipeline per fold (score aggregate, cumulative window, and final
+    reduce all keyed by fold), one division per fold at the end. The
+    spread across folds is the variance estimate an experiment readout
+    quotes next to the point AUC."""
+    from ffi_etl_spark.functions.hashing import md5_int32
+    from ffi_etl_spark.operators.inference import auc_exact, score_ensemble
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        (F.col("event_id") % 100).cast("double").alias("idmod"),
+        (F.col("event_type") == "purchase").alias("label"),
+        (md5_int32(F.col("event_id").cast("string")) % _CV_FOLDS).alias("fold"),
+    )
+    scored = score_ensemble(ev, _TREES, keep_cols=("label", "fold"))
+    return auc_exact(scored, group_cols=("fold",))

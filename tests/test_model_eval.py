@@ -410,3 +410,23 @@ def test_mmr_prefers_diverse_over_clustered(spark):
     # ranks are 1..k, div_min set from rank 2 on
     assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
     assert sorted(out, key=lambda r: r["rank"])[1]["div_min"] is not None
+
+
+def test_auc_grouped_matches_per_group_global(spark):
+    """Per-group AUC == global AUC computed on each group's slice."""
+    from ffi_etl_spark.operators.inference import auc_exact
+
+    rows = [
+        (i, "a", float(i), i >= 5) for i in range(10)       # perfect in a
+    ] + [
+        (i + 100, "b", float(-i), i >= 5) for i in range(10)  # inverted in b
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, margin double, label boolean")
+    grouped = {
+        r["g"]: r["auc"]
+        for r in auc_exact(df, group_cols=("g",)).collect()
+    }
+    assert grouped == {"a": 1.0, "b": 0.0}
+    for g in ("a", "b"):
+        solo = auc_exact(df.filter(F.col("g") == g)).collect()[0]["auc"]
+        assert solo == grouped[g]
