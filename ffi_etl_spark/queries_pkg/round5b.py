@@ -1363,3 +1363,110 @@ def _cv_auc_folds(spark, sf_dir):
     )
     scored = score_ensemble(ev, _TREES, keep_cols=("label", "fold"))
     return auc_exact(scored, group_cols=("fold",))
+
+
+# ---------------------------------------------------------------------------
+# Feature drift: Population Stability Index between time halves
+# ---------------------------------------------------------------------------
+
+_PSI_BINS, _PSI_BITS = 10, 20
+
+
+def _psi_oracle() -> str:
+    s = float(1 << _PSI_BITS)
+    return f"""
+WITH spanb AS (
+  SELECT (CAST(epoch_us(MIN(ts)) AS BIGINT)
+          + CAST(epoch_us(MAX(ts)) AS BIGINT)) // 2 AS half_us
+  FROM events
+), tagged AS (
+  SELECT CAST(LEAST({_PSI_BINS - 1},
+              GREATEST(0, FLOOR(value / 10.0))) AS BIGINT) AS bin,
+         CAST(CAST(epoch_us(e.ts) AS BIGINT) <= b.half_us AS INT) AS is_ref
+  FROM events e CROSS JOIN spanb b
+), cells AS (
+  SELECT bin,
+         CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+         CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+  FROM tagged GROUP BY bin
+), tot AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS tr, CAST(SUM(n_cur) AS BIGINT) AS tc
+  FROM cells
+), terms AS (
+  SELECT bin, n_ref, n_cur,
+         CAST(FLOOR({s!r} *
+           ((CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + {_PSI_BINS} * 0.5)
+            - (CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + {_PSI_BINS} * 0.5))
+           * ln(((CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + {_PSI_BINS} * 0.5))
+                / ((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + {_PSI_BINS} * 0.5))))
+           AS BIGINT) AS term_q
+  FROM cells CROSS JOIN tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(term_q) AS BIGINT) AS psi_q,
+       CAST(SUM(term_q) AS DOUBLE) / {s!r} AS psi,
+       CAST(CAST(SUM(term_q) AS DOUBLE) / {s!r} >= 0.2 AS INT) AS drift_flag
+FROM terms
+"""
+
+
+@query("feature_drift_psi", oracle=_psi_oracle())
+def _feature_drift_psi(spark, sf_dir):
+    """Population Stability Index of the value distribution between
+    the first and second time halves — THE production drift metric a
+    feature store monitors per column. Each bin's
+    ``(p−q)·ln(p/q)`` term (Laplace-smoothed proportions so empty
+    bins stay finite) is FIXED-POINT QUANTIZED before the sum (the
+    transcendental rule — ln is per-term, never accumulated raw), so
+    the statistic is an exact integer plus one power-of-two division;
+    drift_flag pins the standard 0.2 threshold as an integer decision.
+    One scan, one K-bin aggregate, 1-row time-span broadcast."""
+    s = float(1 << _PSI_BITS)
+    ev = table(spark, sf_dir, "events")
+    # midpoint in exact epoch MICROSECONDS (integer floor-div) — naive
+    # timestamp-interval halving rounds differently across engines
+    span = ev.agg(
+        (
+            (
+                F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))
+            )
+            / 2
+        )
+        .cast("long")
+        .alias("half_us")
+    )
+    tagged = ev.crossJoin(F.broadcast(span)).select(
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.greatest(F.lit(0), F.floor(F.col("value") / 10.0)),
+        )
+        .cast("long")
+        .alias("bin"),
+        (F.unix_micros(F.col("ts")) <= F.col("half_us")).cast("int").alias("is_ref"),
+    )
+    cells = tagged.groupBy("bin").agg(
+        F.sum("is_ref").cast("long").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).cast("long").alias("n_cur"),
+    )
+    from pyspark import StorageLevel
+
+    cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
+    tot = cells.agg(
+        F.sum("n_ref").cast("long").alias("tr"),
+        F.sum("n_cur").cast("long").alias("tc"),
+    )
+    p = (F.col("n_ref").cast("double") + F.lit(0.5)) / (
+        F.col("tr").cast("double") + F.lit(_PSI_BINS * 0.5)
+    )
+    q = (F.col("n_cur").cast("double") + F.lit(0.5)) / (
+        F.col("tc").cast("double") + F.lit(_PSI_BINS * 0.5)
+    )
+    term_q = F.floor(F.lit(s) * (p - q) * F.log(p / q)).cast("long")
+    terms = cells.crossJoin(F.broadcast(tot)).select(term_q.alias("term_q"))
+    psi = F.sum("term_q").cast("double") / F.lit(s)
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("term_q").cast("long").alias("psi_q"),
+        psi.alias("psi"),
+        (psi >= F.lit(0.2)).cast("int").alias("drift_flag"),
+    )

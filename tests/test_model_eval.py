@@ -430,3 +430,59 @@ def test_auc_grouped_matches_per_group_global(spark):
     for g in ("a", "b"):
         solo = auc_exact(df.filter(F.col("g") == g)).collect()[0]["auc"]
         assert solo == grouped[g]
+
+
+def test_psi_flags_planted_drift(spark):
+    """First half uniform low values, second half shifted high -> PSI
+    far above the 0.2 drift threshold; identical halves -> PSI ~ 0."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+
+    def psi_of(df):
+        s = float(1 << 20)
+        span = df.agg(
+            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2)
+            .cast("long")
+            .alias("half_us")
+        )
+        tagged = df.crossJoin(F.broadcast(span)).select(
+            F.least(F.lit(9), F.greatest(F.lit(0), F.floor(F.col("value") / 10.0)))
+            .cast("long")
+            .alias("bin"),
+            (F.unix_micros(F.col("ts")) <= F.col("half_us")).cast("int").alias("is_ref"),
+        )
+        cells = tagged.groupBy("bin").agg(
+            F.sum("is_ref").cast("long").alias("n_ref"),
+            F.sum(F.lit(1) - F.col("is_ref")).cast("long").alias("n_cur"),
+        )
+        tot = cells.agg(
+            F.sum("n_ref").cast("long").alias("tr"),
+            F.sum("n_cur").cast("long").alias("tc"),
+        )
+        p = (F.col("n_ref").cast("double") + F.lit(0.5)) / (
+            F.col("tr").cast("double") + F.lit(5.0)
+        )
+        q = (F.col("n_cur").cast("double") + F.lit(0.5)) / (
+            F.col("tc").cast("double") + F.lit(5.0)
+        )
+        term_q = F.floor(F.lit(s) * (p - q) * F.log(p / q)).cast("long")
+        out = (
+            cells.crossJoin(F.broadcast(tot))
+            .agg((F.sum(term_q).cast("double") / F.lit(s)).alias("psi"))
+            .collect()[0]["psi"]
+        )
+        return out
+
+    drifted = mk(
+        [(i, base + dt.timedelta(hours=i), 5.0) for i in range(100)]
+        + [(i + 1000, base + dt.timedelta(hours=200 + i), 95.0) for i in range(100)]
+    )
+    stable = mk(
+        [(i, base + dt.timedelta(hours=i), float((i * 7) % 100)) for i in range(200)]
+    )
+    assert psi_of(drifted) > 0.2
+    assert abs(psi_of(stable)) < 0.1
