@@ -1470,3 +1470,132 @@ def _feature_drift_psi(spark, sf_dir):
         psi.alias("psi"),
         (psi >= F.lit(0.2)).cast("int").alias("drift_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# In-database model TRAINING: optimal decision stump by Gini
+# ---------------------------------------------------------------------------
+
+_STUMP_ORACLE = """
+WITH binned AS (
+  SELECT CAST(LEAST(99, GREATEST(0, FLOOR(value))) AS BIGINT) AS bin,
+         CAST(event_type = 'purchase' AS BIGINT) AS y
+  FROM events
+), cells AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM binned GROUP BY bin
+), cum AS (
+  SELECT bin,
+         CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS nl,
+         CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS posl
+  FROM cells
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(pos) AS BIGINT) AS pt FROM cells
+), cand AS (
+  SELECT bin, nl, posl, nt - nl AS nr, pt - posl AS posr,
+         (CAST(nl AS DOUBLE)
+          - (CAST(posl * posl AS DOUBLE) + CAST((nl - posl) * (nl - posl) AS DOUBLE))
+            / CAST(nl AS DOUBLE))
+         + (CAST(nt - nl AS DOUBLE)
+            - (CAST((pt - posl) * (pt - posl) AS DOUBLE)
+               + CAST(((nt - nl) - (pt - posl)) * ((nt - nl) - (pt - posl)) AS DOUBLE))
+              / CAST(nt - nl AS DOUBLE)) AS gini_cost,
+         nt, pt
+  FROM cum CROSS JOIN tot
+  WHERE nl > 0 AND nt - nl > 0
+), best AS (
+  SELECT * FROM cand ORDER BY gini_cost, bin LIMIT 1
+)
+SELECT bin AS threshold_bin, nl AS n_left, posl AS pos_left,
+       nr AS n_right, posr AS pos_right, gini_cost,
+       CAST(GREATEST(posl, nl - posl) + GREATEST(posr, nr - posr) AS DOUBLE)
+         / CAST(nt AS DOUBLE) AS stump_acc
+FROM best
+"""
+
+
+@query("train_decision_stump", oracle=_STUMP_ORACLE)
+def _train_decision_stump(spark, sf_dir):
+    """In-database model TRAINING beside the inference family: the
+    optimal 1-split decision stump on value predicting `is a
+    purchase`, by exhaustive Gini scan over the 100 integer bin
+    thresholds. All split statistics are cumulative-window BIGINTs;
+    each candidate's Gini cost is a fixed op sequence over exact
+    integers (deterministic double, no accumulation), and the argmin
+    ties to the smaller threshold — so even the TRAINED MODEL is
+    bit-identical cross-engine. The trained stump is exactly a
+    ``DEMO_TREES``-style dict — score it with ``score_ensemble``.
+    Shape: one scan, one 100-row aggregate, K-row window + argmin."""
+    from pyspark.sql import Window
+
+    binned = table(spark, sf_dir, "events").select(
+        F.least(F.lit(99), F.greatest(F.lit(0), F.floor(F.col("value"))))
+        .cast("long")
+        .alias("bin"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    from pyspark import StorageLevel
+
+    cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
+    w = Window.orderBy("bin")
+    cum = cells.select(
+        "bin",
+        F.sum("n").over(w).cast("long").alias("nl"),
+        F.sum("pos").over(w).cast("long").alias("posl"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nt"), F.sum("pos").cast("long").alias("pt")
+    )
+    negl = F.col("nl") - F.col("posl")
+    nr = F.col("nt") - F.col("nl")
+    posr = F.col("pt") - F.col("posl")
+    negr = nr - posr
+    gini = (
+        F.col("nl").cast("double")
+        - (
+            (F.col("posl") * F.col("posl")).cast("double")
+            + (negl * negl).cast("double")
+        )
+        / F.col("nl").cast("double")
+    ) + (
+        nr.cast("double")
+        - ((posr * posr).cast("double") + (negr * negr).cast("double"))
+        / nr.cast("double")
+    )
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .where((F.col("nl") > 0) & (nr > 0))
+        .select(
+            "bin",
+            "nl",
+            "posl",
+            nr.alias("nr"),
+            posr.alias("posr"),
+            gini.alias("gini_cost"),
+            "nt",
+        )
+    )
+    best = cand.agg(
+        F.min(
+            F.struct(
+                "gini_cost", "bin", "nl", "posl", "nr", "posr", "nt"
+            )
+        ).alias("_b")
+    )
+    acc = (
+        F.greatest(F.col("_b.posl"), F.col("_b.nl") - F.col("_b.posl"))
+        + F.greatest(F.col("_b.posr"), F.col("_b.nr") - F.col("_b.posr"))
+    ).cast("double") / F.col("_b.nt").cast("double")
+    return best.select(
+        F.col("_b.bin").alias("threshold_bin"),
+        F.col("_b.nl").alias("n_left"),
+        F.col("_b.posl").alias("pos_left"),
+        F.col("_b.nr").alias("n_right"),
+        F.col("_b.posr").alias("pos_right"),
+        F.col("_b.gini_cost").alias("gini_cost"),
+        acc.alias("stump_acc"),
+    )

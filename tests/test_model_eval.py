@@ -486,3 +486,60 @@ def test_psi_flags_planted_drift(spark):
     )
     assert psi_of(drifted) > 0.2
     assert abs(psi_of(stable)) < 0.1
+
+
+def test_stump_finds_planted_split(spark):
+    """Perfectly separable data at value 30 -> the stump must pick
+    threshold bin 30 region with accuracy 1."""
+    from ffi_etl_spark.queries import QUERIES
+
+    rows = [(i, "purchase" if i % 2 == 0 else "view", 10.0 + (i % 20)) for i in range(200)]
+    # overwrite: purchases all value<=29, views all >=31
+    rows = [
+        (i, "purchase", float(5 + i % 25)) for i in range(100)
+    ] + [
+        (i + 100, "view", float(31 + i % 60)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    df.createOrReplaceTempView("_stump_ev")
+
+    from pyspark.sql import Window
+    binned = df.select(
+        F.least(F.lit(99), F.greatest(F.lit(0), F.floor(F.col("value"))))
+        .cast("long").alias("bin"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = Window.orderBy("bin")
+    cum = cells.select(
+        "bin",
+        F.sum("n").over(w).cast("long").alias("nl"),
+        F.sum("pos").over(w).cast("long").alias("posl"),
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("nt"), F.sum("pos").cast("long").alias("pt"))
+    nr = F.col("nt") - F.col("nl")
+    posr = F.col("pt") - F.col("posl")
+    negl = F.col("nl") - F.col("posl")
+    negr = nr - posr
+    gini = (
+        F.col("nl").cast("double")
+        - ((F.col("posl") * F.col("posl")).cast("double") + (negl * negl).cast("double"))
+        / F.col("nl").cast("double")
+    ) + (
+        nr.cast("double")
+        - ((posr * posr).cast("double") + (negr * negr).cast("double")) / nr.cast("double")
+    )
+    best = (
+        cum.crossJoin(F.broadcast(tot))
+        .where((F.col("nl") > 0) & (nr > 0))
+        .select("bin", gini.alias("g"), F.col("posl"), F.col("nl"))
+        .orderBy("g", "bin")
+        .limit(1)
+        .collect()[0]
+    )
+    assert 29 <= best["bin"] <= 30      # the separating boundary
+    assert best["g"] == 0.0             # pure split
+    assert best["posl"] == best["nl"]   # left side all positive
