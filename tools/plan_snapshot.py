@@ -57,6 +57,13 @@ SNAPSHOT = [
     ("woe_iv_encoding", "ONE aggregation over one scan to K category rows, 1-row totals broadcast, scalar quantized-WOE math — the minimal supervised-encoding plan"),
     ("kmeans_clusters", "per round: narrow posexplode into ONE K*dim-group integer-sum aggregate, K-row centroid model packed into a 1-row broadcast, argmax inside the scan stage — corpus never shuffles across rounds"),
     ("ann_brp_lsh", "literal-hyperplane dot folds + floor buckets inside the scan stage, bucket equi-self-join as the only shuffle, distinct-before-verify, sequential-fold Euclidean verify"),
+    ("nb_lang_train_score", "ONE corpus explode into the pinned (doc,bucket) aggregate; C x B model + C-row consts derived from it and broadcast; scoring = broadcast nested-loop C-fanout + (doc,class) agg + doc-keyed struct argmax — three shuffles, none corpus x corpus"),
+    ("unigram_lm_segment", "lexicon + vocab checkpointed once (LogicalRDD scans); each DP round = <=6 branch unions broadcast-joined to the vocab + one per-word struct-max aggregate; round count trimmed to the lexicon's max word length"),
+    ("sparse_cosine_mlt", "pinned (doc,term) weights table; query vector + df broadcast; one doc-keyed dot aggregate + TakeOrderedAndProject top-k — corpus shuffles once on (doc,term)"),
+    ("quantile_summary_compact", "summary x summary below-count join (quadratic in the SUMMARY only), K-row global window for the stride filter, broadcast targets — corpus touched only by the initial shard-rank pass"),
+    ("mmr_diverse_topk", "candidate pool + pairwise table checkpointed once; each of k rounds = anti-join + broadcast semi-join + 1-row struct argmin — no corpus work past the initial kNN"),
+    ("incremental_join_maintenance", "stored rows re-decorated via ONE broadcast dim join + delta broadcast-joined and unioned — zero fact-table rescans in the maintenance path"),
+    ("train_decision_stump", "one scan to 100 bin rows, K-row cumulative window + 1-row broadcast totals, struct argmin — the whole training job is one aggregate tree"),
 ]
 
 
