@@ -1599,3 +1599,133 @@ def _train_decision_stump(spark, sf_dir):
         F.col("_b.gini_cost").alias("gini_cost"),
         acc.alias("stump_acc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative mining (hard + random negatives per anchor)
+# ---------------------------------------------------------------------------
+
+_CN_ANCHORS, _CN_HARD, _CN_RAND = (0, 1, 2), 5, 5
+
+
+def _cn_oracle() -> str:
+    anchors = ", ".join(str(a) for a in _CN_ANCHORS)
+    return f"""
+WITH ex AS (
+  SELECT vec_id,
+         unnest(embedding::DOUBLE[]) AS x,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings
+), stats AS (
+  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim
+), codes AS (
+  SELECT vec_id, dim,
+         CASE WHEN mx = mn THEN 0
+              ELSE CAST(floor(((x - mn) * 255.0) / (mx - mn)) AS INT) END AS code
+  FROM ex JOIN stats USING (dim)
+), probes AS (
+  SELECT vec_id AS anchor, dim, code AS pcode FROM codes
+  WHERE vec_id IN ({anchors})
+), dists AS (
+  SELECT p.anchor, c.vec_id,
+         CAST(SUM((c.code - p.pcode) * (c.code - p.pcode)) AS BIGINT) AS d2
+  FROM codes c JOIN probes p USING (dim)
+  WHERE c.vec_id <> p.anchor
+  GROUP BY p.anchor, c.vec_id
+), hard AS (
+  SELECT anchor, vec_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY d2, vec_id) AS rk
+  FROM dists WHERE d2 > 0
+), hardk AS (
+  SELECT anchor, vec_id, d2, rk FROM hard WHERE rk <= {_CN_HARD}
+), randpool AS (
+  SELECT d.anchor, d.vec_id,
+         ('0x' || substr(md5(CAST(d.anchor AS VARCHAR) || '_'
+                             || CAST(d.vec_id AS VARCHAR)), 1, 8))::BIGINT AS draw,
+         d.d2
+  FROM dists d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hardk h WHERE h.anchor = d.anchor AND h.vec_id = d.vec_id
+  )
+), randk AS (
+  SELECT anchor, vec_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY draw, vec_id) AS rk
+  FROM randpool
+)
+SELECT anchor, vec_id AS negative, 'hard' AS kind, d2, CAST(rk AS INT) AS rk
+FROM hardk
+UNION ALL
+SELECT anchor, vec_id AS negative, 'random' AS kind, d2, CAST(rk AS INT) AS rk
+FROM randk WHERE rk <= {_CN_RAND}
+"""
+
+
+@query("contrastive_negatives", oracle=_cn_oracle())
+def _contrastive_negatives(spark, sf_dir):
+    """Negative mining for contrastive training: per anchor, the
+    ``_CN_HARD`` nearest non-identical vectors in int8 code space
+    (hard negatives — the examples that actually move an embedding
+    model) plus ``_CN_RAND`` md5-drawn random negatives EXCLUDING the
+    hard set (the easy-negative background). Distances are exact
+    integers, the random draw is the deterministic-sample idiom, both
+    rankings tie on vec_id — fully bit-stable. Shape: one dim-keyed
+    broadcast probe join (the knn_int8_codes kernel), per-anchor
+    WindowGroupLimits, one anti-join for the exclusion."""
+    from pyspark.sql import Window
+
+    from ffi_etl_spark.functions.hashing import md5_int32
+    from ffi_etl_spark.operators.quantize import quantize_codes_long
+
+    from pyspark import StorageLevel
+
+    codes = quantize_codes_long(table(spark, sf_dir, "embeddings"))
+    probes = codes.filter(F.col("vec_id").isin(list(_CN_ANCHORS))).select(
+        F.col("vec_id").alias("anchor"), "dim", F.col("code").alias("pcode")
+    )
+    dists = (
+        codes.join(F.broadcast(probes), "dim")
+        .filter(F.col("vec_id") != F.col("anchor"))
+        .groupBy("anchor", "vec_id")
+        .agg(
+            F.sum(
+                (F.col("code") - F.col("pcode")) * (F.col("code") - F.col("pcode"))
+            )
+            .cast("long")
+            .alias("d2")
+        )
+        # feeds the hard ranking AND the random pool (anti-join) — pin
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wq = Window.partitionBy("anchor").orderBy("d2", "vec_id")
+    hardk = (
+        dists.where(F.col("d2") > 0)
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= _CN_HARD)
+    )
+    draw = md5_int32(
+        F.concat(
+            F.col("anchor").cast("string"), F.lit("_"), F.col("vec_id").cast("string")
+        )
+    )
+    wr = Window.partitionBy("anchor").orderBy("draw", "vec_id")
+    randk = (
+        dists.join(hardk.select("anchor", "vec_id"), ["anchor", "vec_id"], "left_anti")
+        .withColumn("draw", draw)
+        .withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= _CN_RAND)
+    )
+    return hardk.select(
+        "anchor",
+        F.col("vec_id").alias("negative"),
+        F.lit("hard").alias("kind"),
+        "d2",
+        F.col("rk").cast("int").alias("rk"),
+    ).unionByName(
+        randk.select(
+            "anchor",
+            F.col("vec_id").alias("negative"),
+            F.lit("random").alias("kind"),
+            "d2",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
