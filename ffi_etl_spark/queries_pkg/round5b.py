@@ -1729,3 +1729,170 @@ def _contrastive_negatives(spark, sf_dir):
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PPMI association + Zipf power-law fit over the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+_PPMI_BITS, _PPMI_TOPK = 20, 20
+
+
+def _ppmi_oracle() -> str:
+    s = float(1 << _PPMI_BITS)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+  FROM documents
+), uni AS (
+  SELECT unnest(ts) AS t FROM toks
+), ucnt AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY t
+), nu AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM ucnt
+), bi AS (
+  SELECT ts[i] AS a, ts[i + 1] AS b
+  FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks)
+), bcnt AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM bi GROUP BY a, b
+), nb AS (
+  SELECT CAST(SUM(cab) AS BIGINT) AS m FROM bcnt
+), scoredp AS (
+  SELECT bcnt.a, bcnt.b, cab, ca.c AS ca, cb.c AS cb,
+         GREATEST(CAST(0 AS BIGINT), CAST(FLOOR({s!r} * ln(
+           (CAST(cab AS DOUBLE) * CAST(nu.n AS DOUBLE) * CAST(nu.n AS DOUBLE))
+           / (CAST(nb.m AS DOUBLE) * CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
+         )) AS BIGINT)) AS ppmi_q
+  FROM bcnt
+  JOIN ucnt ca ON ca.t = bcnt.a
+  JOIN ucnt cb ON cb.t = bcnt.b
+  CROSS JOIN nu CROSS JOIN nb
+)
+SELECT a, b, cab, ca, cb, ppmi_q
+FROM scoredp ORDER BY ppmi_q DESC, a, b LIMIT {_PPMI_TOPK}
+"""
+
+
+@query("ppmi_associations", oracle=_ppmi_oracle())
+def _ppmi_associations(spark, sf_dir):
+    """Top-k adjacent-bigram PPMI associations — the log-ratio
+    companion to term_collocations' transcendental-free Dice (PPMI is
+    the weighting word-vector count models start from). The PMI ln is
+    FIXED-POINT QUANTIZED per pair (floor(2^20·ln), clamped at 0 for
+    the POSITIVE PMI), so the ranking feeding the LIMIT is integer.
+    Shape: one token explode for unigrams, one shifted-pair explode
+    for bigrams, vocabulary-sized joins, TakeOrdered top-k."""
+    toks = table(spark, sf_dir, "documents").select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ts")
+    )
+    from pyspark import StorageLevel
+
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    uni = toks.select(F.explode("ts").alias("t"))
+    ucnt = uni.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nu = ucnt.agg(F.sum("c").cast("long").alias("n"))
+    bi = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] as a, ts[i] as b))")
+        ).alias("p")
+    ).select("p.a", "p.b")
+    bcnt = bi.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("cab"))
+    nb = bcnt.agg(F.sum("cab").cast("long").alias("m"))
+    s = float(1 << _PPMI_BITS)
+    arg = (
+        F.col("cab").cast("double")
+        * F.col("n").cast("double")
+        * F.col("n").cast("double")
+    ) / (
+        F.col("m").cast("double")
+        * F.col("ca").cast("double")
+        * F.col("cb").cast("double")
+    )
+    ppmi_q = F.greatest(
+        F.lit(0).cast("long"), F.floor(F.lit(s) * F.log(arg)).cast("long")
+    )
+    ua = ucnt.select(F.col("t").alias("a"), F.col("c").alias("ca"))
+    ub = ucnt.select(F.col("t").alias("b"), F.col("c").alias("cb"))
+    return (
+        bcnt.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select("a", "b", "cab", "ca", "cb", ppmi_q.alias("ppmi_q"))
+        .orderBy(F.desc("ppmi_q"), "a", "b")
+        .limit(_PPMI_TOPK)
+    )
+
+
+_ZIPF_BITS = 20
+
+
+def _zipf_oracle() -> str:
+    s = float(1 << _ZIPF_BITS)
+    return rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents
+), ucnt AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY t
+), ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS r FROM ucnt
+), q AS (
+  SELECT CAST(FLOOR({s!r} * ln(CAST(r AS DOUBLE))) AS BIGINT) AS xq,
+         CAST(FLOOR({s!r} * ln(CAST(c AS DOUBLE))) AS BIGINT) AS yq
+  FROM ranked
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+         CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+         CAST(SUM(xq * xq) AS BIGINT) AS sxx
+  FROM q
+)
+SELECT n AS vocab,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+FROM sums
+"""
+
+
+@query("zipf_exponent_fit", oracle=_zipf_oracle())
+def _zipf_exponent_fit(spark, sf_dir):
+    """Zipf power-law exponent of the corpus vocabulary: OLS slope of
+    ln(freq) on ln(rank) — the corpus-health number (natural text
+    ≈ −1; synthetic token soup flattens toward 0). Both logs are
+    FIXED-POINT QUANTIZED at the leaf so all OLS moment sums are
+    exact BIGINTs (the scale factor cancels in the slope ratio) and
+    the fit is ONE division. Deterministic rank ties on term. One
+    explode + vocab aggregate + K-row rank window + 1-row reduce."""
+    from pyspark.sql import Window
+
+    s = float(1 << _ZIPF_BITS)
+    ucnt = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked = ucnt.select(
+        "c", F.row_number().over(Window.orderBy(F.desc("c"), "t")).alias("r")
+    )
+    q = ranked.select(
+        F.floor(F.lit(s) * F.log(F.col("r").cast("double"))).cast("long").alias("xq"),
+        F.floor(F.lit(s) * F.log(F.col("c").cast("double"))).cast("long").alias("yq"),
+    )
+    sums = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+    )
+    return sums.select(
+        F.col("n").alias("vocab"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("zipf_slope"),
+    )
