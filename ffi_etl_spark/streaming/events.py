@@ -387,3 +387,55 @@ def stream_interval_join(
         f"{key_col} = _rk AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL {within}"
     )
     return l.join(r, cond).select(key_col, "l_event_id", "r_event_id", "l_ts", "r_ts")
+
+
+def stream_join_maintenance(
+    fact_stream: DataFrame,
+    dim_path: str,
+    target_path: str,
+    keys: list[str],
+    checkpoint: str | None = None,
+):
+    """Streaming twin of ``operators/ivm.py::maintain_fact_dim_join``:
+    keep a materialized fact⋈dim join current as fact micro-batches
+    arrive, re-reading the dimension table per batch so in-place dim
+    edits are picked up on the next trigger (the stream_static_enrich
+    refresh semantics, applied to a MAINTAINED table instead of a
+    pass-through decoration).
+
+    Per batch: the stored join is re-decorated from the CURRENT dim
+    (dim updates propagate) and the batch's Δ⋈dim appends — the fact
+    history never rescans; per-batch cost is O(|stored| + |Δ|) with
+    the dim broadcast. Crash safety is the continuous_aggregate
+    temp-dir + swap; a checkpoint replay re-runs the same batch into
+    the same maintained state only when the batch carries distinct
+    fact keys — at-least-once upstreams should dedup the stream first
+    (``dropDuplicatesWithinWatermark``), the same contract as
+    stream_upsert_sink."""
+    import os
+    import shutil
+
+    from ffi_etl_spark.operators.ivm import maintain_fact_dim_join
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        dim = spark.read.parquet(dim_path)
+        if os.path.exists(target_path):
+            stored = spark.read.parquet(target_path)
+            merged = maintain_fact_dim_join(stored, batch_df, dim, keys=tuple(keys))
+        else:
+            merged = batch_df.join(F.broadcast(dim), keys)
+        tmp = target_path + ".__ivmj__"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target_path):
+            shutil.rmtree(target_path)
+        shutil.move(tmp, target_path)
+
+    writer = fact_stream.writeStream.foreachBatch(_merge_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q

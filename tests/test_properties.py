@@ -431,3 +431,50 @@ def test_padding_batch_accounting_matches_simulation(spark, toks, batch):
         real += sum(chunk)
         pad += max(chunk) * len(chunk)
     assert (got.real, got.pad) == (real, pad)
+
+
+@given(
+    facts=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 8)), min_size=0, max_size=24
+    ),
+    split=st.integers(0, 100),
+    dim_now=st.lists(
+        st.tuples(st.integers(0, 8), st.text("abc", min_size=1, max_size=3)),
+        min_size=0,
+        max_size=9,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(**_SETTINGS)
+def test_join_maintenance_identity_property(spark, facts, split, dim_now):
+    """maintain_fact_dim_join(stored, Δ, dim_now) ≡ (facts ⋈ dim_now)
+    for ANY fact split, ANY dim rewrite (updates, deletes, inserts)."""
+    from ffi_etl_spark.operators.ivm import maintain_fact_dim_join
+
+    facts = list({(fid, k) for fid, k in facts})  # unique fact keys
+    old = [(f, k) for f, k in facts if f % 101 <= split]
+    delta = [(f, k) for f, k in facts if f % 101 > split]
+    dim_old = [(k, "v%d" % k) for k in range(9)]
+
+    fact_schema = "fid long, k long"
+    dim_schema = "k long, attr string"
+    df_old = spark.createDataFrame(old, fact_schema)
+    df_delta = spark.createDataFrame(delta, fact_schema)
+    df_dim_old = spark.createDataFrame(dim_old, dim_schema)
+    df_dim_now = spark.createDataFrame(list(dim_now), dim_schema)
+
+    stored = df_old.join(df_dim_old, "k").select("fid", "k", "attr")
+    got = sorted(
+        (r["fid"], r["k"], r["attr"])
+        for r in maintain_fact_dim_join(
+            stored, df_delta, df_dim_now, keys=("k",)
+        ).collect()
+    )
+    want = sorted(
+        (r["fid"], r["k"], r["attr"])
+        for r in df_old.unionByName(df_delta)
+        .join(df_dim_now, "k")
+        .select("fid", "k", "attr")
+        .collect()
+    )
+    assert got == want

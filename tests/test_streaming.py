@@ -832,3 +832,45 @@ def test_stream_summary_compaction_preserves_answers(spark, sf_dir, tmp_path):
     after = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert after == before
     spark.catalog.clearCache()
+
+
+def test_stream_join_maintenance_tracks_dim_edits(spark, tmp_path):
+    """Fact micro-batches + an in-place dim edit between triggers:
+    the maintained join must equal a full recompute against the
+    CURRENT dim after every trigger, without rescanning fact history."""
+    from ffi_etl_spark.streaming.events import stream_join_maintenance
+
+    src = str(tmp_path / "facts")
+    dimp = str(tmp_path / "dim")
+    target = str(tmp_path / "joined")
+    ck = str(tmp_path / "ck")
+
+    dim1 = spark.createDataFrame([(10, "a"), (20, "b")], "k long, attr string")
+    dim1.write.mode("overwrite").parquet(dimp)
+    spark.createDataFrame([(1, 10), (2, 20)], "fid long, k long").write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("fid long, k long").parquet(src)
+    )
+    stream_join_maintenance(stream, dimp, target, keys=["k"], checkpoint=ck)
+    got1 = sorted(
+        (r["fid"], r["k"], r["attr"]) for r in spark.read.parquet(target).collect()
+    )
+    assert got1 == [(1, 10, "a"), (2, 20, "b")]
+
+    # edit the dim in place (10 -> a2, 20 deleted, 30 added) and land
+    # a second fact tranche
+    spark.createDataFrame(
+        [(10, "a2"), (30, "c")], "k long, attr string"
+    ).write.mode("overwrite").parquet(dimp)
+    spark.createDataFrame([(3, 10), (4, 30)], "fid long, k long").write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema("fid long, k long").parquet(src)
+    stream_join_maintenance(stream, dimp, target, keys=["k"], checkpoint=ck)
+    got2 = sorted(
+        (r["fid"], r["k"], r["attr"]) for r in spark.read.parquet(target).collect()
+    )
+    # full recompute: all facts x current dim (inner join drops k=20)
+    assert got2 == [(1, 10, "a2"), (3, 10, "a2"), (4, 30, "c")]
