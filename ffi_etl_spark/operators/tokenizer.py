@@ -391,6 +391,16 @@ def unigram_viterbi_segment(
     # results identical (round r emits only words with wlen == r)
     max_wlen = words.agg(F.max("wlen")).collect()[0][0] or 0
     n_rounds = min(UNI_MAX_WORD, int(max_wlen))
+    return _viterbi_dp(words, vocab, max_piece, n_rounds)
+
+
+def _viterbi_dp(
+    words: DataFrame, vocab: DataFrame, max_piece: int, n_rounds: int
+) -> DataFrame:
+    """The unrolled per-word DP over a (piece, score_q) vocabulary —
+    shared by the seed segmentation and the EM refit (same recurrence,
+    different scores). ``words``: (w, wlen); ``vocab`` must be pinned
+    (checkpointed) by the caller."""
     # state[j]: best segmentation of w[:j] — (w, wlen, score, n, path)
     state = {
         0: words.select(
@@ -466,3 +476,75 @@ def unigram_viterbi_segment(
         F.col("score").alias("score_q"),
         F.col("path").alias("segmentation"),
     )
+
+
+def unigram_em_refit(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_cap: int = UNI_VOCAB,
+    max_piece: int = UNI_MAX_PIECE,
+    word_cap: int = 5000,
+) -> DataFrame:
+    """ONE hard-EM (Viterbi-EM) round on top of the frequency seed —
+    the re-estimation step the SentencePiece unigram trainer iterates:
+
+    * E-step (hard): segment the lexicon under the current scores
+      (``_viterbi_dp``) and count PIECE USAGE, frequency-weighted —
+      Σ_w freq(w) · (occurrences of the piece in w's best split);
+    * M-step: re-score every vocabulary piece from its usage with
+      Laplace smoothing, ``floor(2^bits·ln((used+1)/(total+V)))`` —
+      quantized at the leaf like every ln in this engine;
+    * re-segment under the refit scores.
+
+    Hard EM (not soft posteriors) keeps every step integer-exact and
+    therefore differentially testable — the deterministic member of
+    the EM family, and the reason this is oracle-gateable at all.
+    Pieces the seed segmentation never uses crash toward the floor
+    score and stop winning ties — the self-pruning behavior the full
+    trainer relies on. Cost: exactly 2× the single Viterbi pass; both
+    DP chains share the lexicon/trim machinery.
+
+    Output: the REFIT segmentation (w, wlen, n_pieces, score_q,
+    segmentation), score_q now under the usage-based model.
+    """
+    lex = unigram_lexicon(df, text_col, word_cap).localCheckpoint(eager=True)
+    vocab1 = unigram_vocab(lex, vocab_cap, max_piece).localCheckpoint(eager=True)
+    words = lex.select("w", F.length("w").alias("wlen"))
+    max_wlen = words.agg(F.max("wlen")).collect()[0][0] or 0
+    n_rounds = min(UNI_MAX_WORD, int(max_wlen))
+    seg1 = _viterbi_dp(words, vocab1, max_piece, n_rounds).localCheckpoint(
+        eager=True
+    )
+    usage = (
+        seg1.join(lex, "w")
+        .select(
+            F.col("freq"),
+            F.explode(F.split(F.col("segmentation"), " ")).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("used"))
+        .localCheckpoint(eager=True)
+    )
+    tu = usage.agg(F.sum("used").cast("long").alias("tu"))
+    vsz = vocab1.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    scale = float(1 << UNI_SCALE_BITS)
+    vocab2 = (
+        vocab1.select("piece")
+        .join(usage, "piece", "left")
+        .crossJoin(F.broadcast(tu))
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "piece",
+            F.floor(
+                F.lit(scale)
+                * F.log(
+                    (F.coalesce(F.col("used"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.col("tu") + F.col("v")).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("score_q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return _viterbi_dp(words, vocab2, max_piece, n_rounds)

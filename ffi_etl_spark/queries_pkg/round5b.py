@@ -306,6 +306,42 @@ def _model_calibration_bins(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _uni_dp_chain(prefix: str, vocab_cte: str, base_cte: str) -> tuple[str, str]:
+    """(rounds_sql, finals_sql) for one unrolled Viterbi chain whose
+    round CTEs are named ``{prefix}{r}`` over the given vocab CTE —
+    shared by the seed oracle and the EM refit's second chain."""
+    from ffi_etl_spark.operators.tokenizer import UNI_MAX_PIECE, UNI_MAX_WORD
+
+    mp = UNI_MAX_PIECE
+    rounds = []
+    for r in range(1, UNI_MAX_WORD + 1):
+        branches = []
+        for j in range(max(0, r - mp), r):
+            src = f"{prefix}{j}" if j else base_cte
+            branches.append(f"""
+      SELECT {src}.w, {src}.wlen, {src}.score + v.score_q AS total,
+             {src}.n + 1 AS n2,
+             CASE WHEN {src}.path = '' THEN v.piece
+                  ELSE {src}.path || ' ' || v.piece END AS path2,
+             {j} AS j
+      FROM {src} JOIN {vocab_cte} v ON v.piece = substr({src}.w, {j + 1}, {r - j})
+      WHERE {src}.wlen >= {r}""")
+        union = "\n      UNION ALL".join(branches)
+        rounds.append(f"""{prefix}{r} AS MATERIALIZED (
+  SELECT w, wlen, total AS score, n2 AS n, path2 AS path FROM (
+    SELECT c.*, ROW_NUMBER() OVER (PARTITION BY w
+                                   ORDER BY total DESC, j DESC) AS rn
+    FROM ({union}
+    ) c
+  ) WHERE rn = 1
+)""")
+    finals = "\n  UNION ALL ".join(
+        f"SELECT * FROM {prefix}{r} WHERE wlen = {r}"
+        for r in range(1, UNI_MAX_WORD + 1)
+    )
+    return ",\n".join(rounds), finals
+
+
 def _unigram_oracle() -> str:
     from ffi_etl_spark.operators.tokenizer import (
         UNI_MAX_PIECE,
@@ -315,31 +351,7 @@ def _unigram_oracle() -> str:
     )
 
     s, mp, wcap, vcap = float(1 << UNI_SCALE_BITS), UNI_MAX_PIECE, 5000, UNI_VOCAB
-    rounds = []
-    for r in range(1, UNI_MAX_WORD + 1):
-        branches = []
-        for j in range(max(0, r - mp), r):
-            branches.append(f"""
-      SELECT s{j}.w, s{j}.wlen, s{j}.score + v.score_q AS total,
-             s{j}.n + 1 AS n2,
-             CASE WHEN s{j}.path = '' THEN v.piece
-                  ELSE s{j}.path || ' ' || v.piece END AS path2,
-             {j} AS j
-      FROM s{j} JOIN vocab v ON v.piece = substr(s{j}.w, {j + 1}, {r - j})
-      WHERE s{j}.wlen >= {r}""")
-        union = "\n      UNION ALL".join(branches)
-        rounds.append(f"""s{r} AS MATERIALIZED (
-  SELECT w, wlen, total AS score, n2 AS n, path2 AS path FROM (
-    SELECT c.*, ROW_NUMBER() OVER (PARTITION BY w
-                                   ORDER BY total DESC, j DESC) AS rn
-    FROM ({union}
-    ) c
-  ) WHERE rn = 1
-)""")
-    finals = "\n  UNION ALL ".join(
-        f"SELECT * FROM s{r} WHERE wlen = {r}" for r in range(1, UNI_MAX_WORD + 1)
-    )
-    rounds_sql = ",\n".join(rounds)
+    rounds_sql, finals = _uni_dp_chain("s", "vocab", "s0")
     return rf"""
 WITH raw AS (
   SELECT unnest(string_split_regex(trim(text), '\s+')) AS raw FROM documents
@@ -1896,3 +1908,93 @@ def _zipf_exponent_fit(spark, sf_dir):
             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM hard-EM refit (one Viterbi-EM round)
+# ---------------------------------------------------------------------------
+
+
+def _unigram_em_oracle() -> str:
+    from ffi_etl_spark.operators.tokenizer import (
+        UNI_MAX_PIECE,
+        UNI_MAX_WORD,
+        UNI_SCALE_BITS,
+        UNI_VOCAB,
+    )
+
+    s, mp, wcap, vcap = float(1 << UNI_SCALE_BITS), UNI_MAX_PIECE, 5000, UNI_VOCAB
+    rounds1, finals1 = _uni_dp_chain("s", "vocab", "s0")
+    rounds2, finals2 = _uni_dp_chain("t", "vocab2", "s0")
+    return rf"""
+WITH raw AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS raw FROM documents
+), lex AS MATERIALIZED (
+  SELECT substr(raw, 1, {UNI_MAX_WORD}) AS w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM raw WHERE raw <> '' GROUP BY 1
+  ORDER BY freq DESC, w LIMIT {wcap}
+), spans AS (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT l.freq, substr(l.w, j.j, s.l) AS piece
+    FROM lex l
+    CROSS JOIN (SELECT unnest(generate_series(1, {UNI_MAX_WORD})) AS j) j
+    CROSS JOIN (SELECT unnest(generate_series(1, {mp})) AS l) s
+    WHERE j.j + s.l - 1 <= length(l.w)
+  ) GROUP BY piece
+), topv AS MATERIALIZED (
+  SELECT piece, cnt FROM spans ORDER BY cnt DESC, piece LIMIT {vcap}
+), chars AS (
+  SELECT piece, cnt FROM spans WHERE length(piece) = 1
+), vocab0 AS (
+  SELECT piece, MAX(cnt) AS cnt
+  FROM (SELECT * FROM topv UNION ALL SELECT * FROM chars) GROUP BY piece
+), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab0),
+vocab AS MATERIALIZED (
+  SELECT piece,
+         CAST(FLOOR({s!r} * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)))
+              AS BIGINT) AS score_q
+  FROM vocab0 CROSS JOIN tot
+), s0 AS MATERIALIZED (
+  SELECT w, CAST(length(w) AS INT) AS wlen, CAST(0 AS BIGINT) AS score,
+         CAST(0 AS BIGINT) AS n, '' AS path
+  FROM lex
+), {rounds1}, res1 AS MATERIALIZED (
+  {finals1}
+), usage AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS used FROM (
+    SELECT l.freq, unnest(string_split(r.path, ' ')) AS piece
+    FROM res1 r JOIN lex l ON l.w = r.w
+  ) GROUP BY piece
+), tu AS (SELECT CAST(SUM(used) AS BIGINT) AS tu FROM usage),
+vsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+vocab2 AS MATERIALIZED (
+  SELECT vb.piece,
+         CAST(FLOOR({s!r} * ln(
+           CAST(COALESCE(u.used, 0) + 1 AS DOUBLE)
+           / CAST(tu.tu + vsz.v AS DOUBLE))) AS BIGINT) AS score_q
+  FROM vocab vb LEFT JOIN usage u ON u.piece = vb.piece
+  CROSS JOIN tu CROSS JOIN vsz
+), {rounds2}, res2 AS (
+  {finals2}
+)
+SELECT w, CAST(wlen AS INT) AS wlen, CAST(n AS BIGINT) AS n_pieces,
+       CAST(score AS BIGINT) AS score_q, path AS segmentation
+FROM res2
+"""
+
+
+@query("unigram_em_refit", oracle=_unigram_em_oracle())
+def _unigram_em_refit(spark, sf_dir):
+    """operators/tokenizer.py::unigram_em_refit — one HARD-EM
+    (Viterbi-EM) round on the unigram model: segment under the seed
+    scores, count frequency-weighted piece USAGE from the best splits,
+    re-score with Laplace smoothing (quantized ln at the leaf), and
+    re-segment. Hard EM keeps every step integer-exact, which is what
+    makes an EM iteration oracle-gateable at all — the oracle replays
+    BOTH unrolled DP chains plus the usage/M-step in one CTE program.
+    Unused pieces crash toward the floor score (self-pruning), the
+    behavior the full SentencePiece trainer iterates to convergence."""
+    from ffi_etl_spark.operators.tokenizer import unigram_em_refit
+
+    out = unigram_em_refit(table(spark, sf_dir, "documents"))
+    return out.withColumn("wlen", F.col("wlen").cast("int"))

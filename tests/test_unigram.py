@@ -67,3 +67,24 @@ def test_vocab_contains_single_chars_and_caps(spark):
         assert ch in rows
     assert all(r["score_q"] < 0 for r in rows.values())  # ln(p<1) < 0
     spark.catalog.clearCache()
+
+
+def test_em_refit_prunes_unused_pieces(spark):
+    """After one hard-EM round, a piece the seed segmentation never
+    uses scores near the floor, and frequently-used whole pieces keep
+    winning: 'abab' still segments as 'ab ab', and the refit score of
+    the used piece dominates."""
+    from ffi_etl_spark.operators.tokenizer import unigram_em_refit
+
+    df = spark.createDataFrame(
+        [(1, "ab ab ab ab ab ab ab ab abab"), (2, "ab ab cd")],
+        "doc_id long, text string",
+    )
+    out = {r["w"]: r for r in unigram_em_refit(df).collect()}
+    assert out["abab"]["segmentation"] == "ab ab"
+    assert out["ab"]["segmentation"] == "ab"
+    assert out["cd"]["segmentation"] == "cd"
+    # coverage invariant survives the refit
+    for r in out.values():
+        assert "".join(r["segmentation"].split(" ")) == r["w"]
+    spark.catalog.clearCache()
