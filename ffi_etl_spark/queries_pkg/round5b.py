@@ -1998,3 +1998,73 @@ def _unigram_em_refit(spark, sf_dir):
 
     out = unigram_em_refit(table(spark, sf_dir, "documents"))
     return out.withColumn("wlen", F.col("wlen").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (split by near-dup component)
+# ---------------------------------------------------------------------------
+
+
+def _lss_oracle() -> str:
+    from ffi_etl_spark.queries_pkg.extensions import _MINHASH_ORACLE
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_MINHASH_ORACLE})
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), verts AS (
+  SELECT DISTINCT a AS v FROM edges
+), reach(v, m) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.v
+), comp AS (
+  SELECT v AS doc_id, MIN(m) AS component FROM reach GROUP BY v
+), allc AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+), split AS (
+  SELECT doc_id, component,
+         CASE ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))::BIGINT % 10
+           WHEN 8 THEN 'val' WHEN 9 THEN 'test' ELSE 'train' END AS split
+  FROM allc
+)
+SELECT doc_id, component, split FROM split
+"""
+
+
+@query("leakage_safe_split", oracle=_lss_oracle())
+def _leakage_safe_split(spark, sf_dir):
+    """The PREVENTION completing split_leakage_audit's detection:
+    train/val/test assignment keyed on the near-dup COMPONENT id
+    (md5 mod 10 → 8/1/1), so an entire cluster of near-duplicates
+    lands in one split and eval contamination via templates is
+    impossible by construction — splitting by doc_id (the
+    train_val_test_split idiom) cannot guarantee that. Singleton docs
+    are their own component via the left join. Pairs → components is
+    the dedup_components machinery; the split is the deterministic-
+    sample idiom on the CANONICAL id."""
+    from ffi_etl_spark.functions.hashing import md5_int32
+    from ffi_etl_spark.operators.dedup import dedup_minhash_lsh
+    from ffi_etl_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(docs)
+    comp = connected_components(pairs).withColumnsRenamed(
+        {"vertex": "doc_id", "component": "component"}
+    )
+    allc = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    bucket = md5_int32(F.col("component").cast("string")) % 10
+    return allc.select(
+        "doc_id",
+        "component",
+        F.when(bucket == 8, F.lit("val"))
+        .when(bucket == 9, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

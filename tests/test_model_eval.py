@@ -5,6 +5,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from ffi_etl_spark.catalog import table
+
 
 def _report(spark, rows):
     from ffi_etl_spark.operators.inference import classification_report
@@ -543,3 +545,22 @@ def test_stump_finds_planted_split(spark):
     assert 29 <= best["bin"] <= 30      # the separating boundary
     assert best["g"] == 0.0             # pure split
     assert best["posl"] == best["nl"]   # left side all positive
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    """No near-dup pair may straddle splits — by construction."""
+    from ffi_etl_spark.queries import QUERIES
+    from ffi_etl_spark.operators.dedup import dedup_minhash_lsh
+
+    split = QUERIES["leakage_safe_split"](spark, sf_dir)
+    pairs = dedup_minhash_lsh(table(spark, sf_dir, "documents"))
+    a = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    b = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    straddle = (
+        pairs.join(a, "id_a").join(b, "id_b").where(F.col("sa") != F.col("sb")).count()
+    )
+    assert straddle == 0
+    # all three splits non-empty at sf0.01
+    got = {r["split"] for r in split.select("split").distinct().collect()}
+    assert got == {"train", "val", "test"}
+    spark.catalog.clearCache()
