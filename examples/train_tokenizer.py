@@ -66,6 +66,27 @@ def main() -> None:
     print(f"BPE tokens:          {stats['bpe']}")
     print(f"compression:         {raw / max(stats['bpe'], 1):.3f}x  -> {args.out}")
 
+    # the unigram-LM alternative over the same corpus: seed vocabulary
+    # -> Viterbi segmentation -> one hard-EM refit round
+    from ffi_etl_spark.operators.tokenizer import (
+        unigram_em_refit,
+        unigram_viterbi_segment,
+    )
+
+    seed = unigram_viterbi_segment(docs)
+    refit = unigram_em_refit(docs)
+    seed_pieces = seed.agg(F.sum("n_pieces").alias("p")).collect()[0]["p"]
+    refit_pieces = refit.agg(F.sum("n_pieces").alias("p")).collect()[0]["p"]
+    print(f"unigram seed pieces over the lexicon:  {seed_pieces}")
+    print(f"unigram after one hard-EM round:       {refit_pieces}")
+    changed = (
+        seed.select("w", F.col("segmentation").alias("a"))
+        .join(refit.select("w", F.col("segmentation").alias("b")), "w")
+        .where(F.col("a") != F.col("b"))
+        .count()
+    )
+    print(f"lexicon words whose split changed:     {changed}")
+
 
 if __name__ == "__main__":
     main()
