@@ -208,3 +208,98 @@ def extract_features_arrow(
     return spread(df, id_col).select(id_col, payload_col).mapInArrow(
         _extract, schema=_out_schema(df, id_col, FEATURE_COLS)
     )
+
+
+AHASH_BITS = 60  # 4 bands x 15 bits; stays clear of the sign bit
+
+
+def _ahash_int(text: str) -> int:
+    """60-bit average hash over 60 evenly-sampled character codes:
+    bit i set iff sample i is above the sample mean (strictly — ties
+    clear, via the exact integer cross-multiplication 60·p > Σp).
+    Pure integer arithmetic over codepoints, so a SQL oracle replays
+    it exactly (ascii(substr(...)) == ord)."""
+    n = len(text)
+    ps = [ord(text[(i * n) // AHASH_BITS]) for i in range(AHASH_BITS)]
+    s = sum(ps)
+    h = 0
+    for i, p in enumerate(ps):
+        if AHASH_BITS * p > s:
+            h |= 1 << i
+    return h
+
+
+def ahash_signatures(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual average-hash signatures computed THROUGH the
+    multimodal Arrow lane: payload bytes -> decoded text -> sampled
+    codepoint grid -> 60-bit threshold hash (the aHash shape a real
+    image pipeline applies to an 8x8 luma grid; here the deterministic
+    stand-in samples the decoded byte stream, so the full lane —
+    binary column in, Arrow batches, Python decode, integer hash out —
+    is exercised AND SQL-replayable). Empty payloads are dropped (no
+    samples to hash). Narrow (no shuffle)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                text = bytes(payload).decode("utf-8")
+                if not text:
+                    continue
+                rows.append(
+                    {id_col: doc_id, "n_chars": len(text), "ahash": _ahash_int(text)}
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "n_chars", "ahash"])
+
+    from ffi_etl_spark.operators.util import spread
+
+    return spread(df, id_col).select(id_col, payload_col).mapInPandas(
+        _hash, schema=_out_schema(df, id_col, "n_chars long, ahash long")
+    )
+
+
+def phash_neardup_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Hamming-banded near-dup pairs over aHash signatures: 4 bands of
+    15 bits (pigeonhole: any pair within Hamming ≤ 3 shares at least
+    one exact band), candidates deduped before the exact
+    ``bit_count(xor)`` verify — the dedup_simhash plan shape applied
+    to the multimodal perceptual hash."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("ahash"), 15 * b)
+                .bitwiseAND(F.lit(0x7FFF))
+                .alias("key"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("id"), F.col("ahash"), F.explode(bands).alias("b")
+    ).select("id", "ahash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a, bb = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -2068,3 +2068,44 @@ def _leakage_safe_split(spark, sf_dir):
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal perceptual hash (aHash through the Arrow lane)
+# ---------------------------------------------------------------------------
+
+_AHASH_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 1
+), samp AS (
+  SELECT doc_id, n, i, ascii(substr(text, (i * n) // 60 + 1, 1)) AS p
+  FROM (SELECT doc_id, text, n, unnest(generate_series(0, 59)) AS i FROM base)
+), tot AS (
+  SELECT doc_id, CAST(SUM(p) AS BIGINT) AS s FROM samp GROUP BY doc_id
+)
+SELECT samp.doc_id, CAST(samp.n AS BIGINT) AS n_chars,
+       CAST(SUM(CASE WHEN 60 * samp.p > t.s
+                     THEN 1::BIGINT << samp.i ELSE 0 END) AS BIGINT) AS ahash
+FROM samp JOIN tot t USING (doc_id)
+GROUP BY samp.doc_id, samp.n
+"""
+
+
+@query("multimodal_phash_sigs", oracle=_AHASH_ORACLE)
+def _multimodal_phash_sigs(spark, sf_dir):
+    """operators/multimodal.py::ahash_signatures — perceptual
+    average-hash signatures computed THROUGH the binary-payload Arrow
+    lane (mapInPandas decode -> sampled codepoint grid -> integer
+    threshold hash), differentially pinned by a pure-SQL replay: the
+    gate proves the Python/Arrow lane bit-equal to the relational
+    semantics, the same guarantee the other multimodal queries carry.
+    Pair generation (phash_neardup_pairs — dedup_simhash's banded
+    plan on this hash) is pytest-gated on planted near-identical
+    payloads; the natural corpus has no Hamming≤3 pairs."""
+    from ffi_etl_spark.operators.multimodal import (
+        ahash_signatures,
+        attach_binary_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return ahash_signatures(attach_binary_payload(docs))

@@ -211,3 +211,41 @@ def test_chunk_udtf_matches_native(spark):
     a = sorted(map(tuple, native.collect()))
     b = sorted(map(tuple, via_udtf.collect()))
     assert len(a) > 500 and a == b
+
+
+def test_phash_pairs_catch_planted_neardups(spark):
+    """Near-identical payloads land within Hamming<=3 and pair up;
+    unrelated payloads don't. Pigeonhole banding must not miss any
+    pair the exact verify accepts (subset check vs brute force)."""
+    from ffi_etl_spark.operators.multimodal import (
+        ahash_signatures,
+        attach_binary_payload,
+        phash_neardup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 12
+    rows = [
+        (1, base),
+        (2, base[:-6] + "cat 42"),     # tail edit -> few sample flips
+        (3, "completely different content stream " * 14),
+        (4, base.replace("quick", "quack")),  # tiny mid edit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = ahash_signatures(attach_binary_payload(df))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup_pairs(sigs).collect()
+    }
+    assert (1, 4) in pairs or (1, 2) in pairs  # at least one planted pair
+    assert all(3 not in k for k in pairs)       # the unrelated doc never pairs
+    # banding never admits a pair the verify rejects
+    assert all(h <= 3 for h in pairs.values())
+    # brute-force subset: every Hamming<=3 pair is found (pigeonhole)
+    sl = {r["doc_id"]: r["ahash"] for r in sigs.collect()}
+    import itertools
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sl), 2)
+        if bin(sl[a] ^ sl[b]).count("1") <= 3
+    }
+    assert set(pairs) == want
