@@ -2109,3 +2109,67 @@ def _multimodal_phash_sigs(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return ahash_signatures(attach_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join: next purchase after each view (time-to-convert)
+# ---------------------------------------------------------------------------
+
+_ASOF_FWD_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, ts,
+         CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events WHERE event_type IN ('view', 'purchase')
+), marked AS (
+  SELECT event_id, user_id, event_type, us,
+         MIN(CASE WHEN event_type = 'purchase' THEN us END) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+         ) AS next_purchase_us
+  FROM ev
+)
+SELECT event_id, user_id, us AS view_us, next_purchase_us,
+       next_purchase_us - us AS gap_us
+FROM marked WHERE event_type = 'view'
+"""
+
+
+@query("asof_forward_next_purchase", oracle=_ASOF_FWD_ORACLE)
+def _asof_forward_next_purchase(spark, sf_dir):
+    """FORWARD as-of join completing asof_join_last_purchase's
+    backward direction: for every view, the user's next purchase at or
+    after it (time-to-convert). Same union-the-streams trick, mirrored
+    — a conditional MIN over the FOLLOWING frame instead of LOCF over
+    PRECEDING — so both directions are one user-keyed shuffle + one
+    frame window, never a per-row subquery. NULL next_purchase marks
+    never-converting views (kept: the churn signal). Timestamps ride
+    as epoch-microsecond BIGINTs (the engine's sub-second rule)."""
+    from pyspark.sql import Window
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("us"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    nxt = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("us"))
+    ).over(w)
+    return (
+        ev.withColumn("next_purchase_us", nxt)
+        .where(F.col("event_type") == "view")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("us").alias("view_us"),
+            "next_purchase_us",
+            (F.col("next_purchase_us") - F.col("us")).alias("gap_us"),
+        )
+    )
