@@ -2173,3 +2173,105 @@ def _asof_forward_next_purchase(spark, sf_dir):
             (F.col("next_purchase_us") - F.col("us")).alias("gap_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# GDPR right-to-be-forgotten: APPLY the purge, prove completeness
+# ---------------------------------------------------------------------------
+
+_GDPR_APPLY_ORACLE = """
+WITH subjects AS (
+  SELECT DISTINCT user_id AS sid FROM events WHERE user_id % 97 = 0
+), t AS (
+  SELECT 'customer' AS table_name,
+         CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_before,
+         CAST((SELECT COUNT(*) FROM customer
+               WHERE c_custkey IN (SELECT sid FROM subjects)) AS BIGINT)
+           AS n_purged,
+         CAST((SELECT COUNT(*) FROM customer
+               WHERE c_custkey NOT IN (SELECT sid FROM subjects)) AS BIGINT)
+           AS n_after,
+         CAST((SELECT COUNT(*) FROM (
+               SELECT c_custkey FROM customer
+               WHERE c_custkey NOT IN (SELECT sid FROM subjects)
+         ) WHERE c_custkey IN (SELECT sid FROM subjects)) AS BIGINT)
+           AS residual_subject_rows
+  UNION ALL
+  SELECT 'events',
+         CAST((SELECT COUNT(*) FROM events) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM events
+               WHERE user_id IN (SELECT sid FROM subjects)) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM events
+               WHERE user_id NOT IN (SELECT sid FROM subjects)) AS BIGINT),
+         CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT 'orders',
+         CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM orders
+               WHERE o_custkey IN (SELECT sid FROM subjects)) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM orders
+               WHERE o_custkey NOT IN (SELECT sid FROM subjects)) AS BIGINT),
+         CAST(0 AS BIGINT)
+)
+SELECT table_name, n_before, n_purged, n_after, residual_subject_rows,
+       CAST(n_before - n_purged = n_after AS INT) AS conservation_ok
+FROM t ORDER BY table_name
+"""
+
+
+@query("gdpr_forget_apply", oracle=_GDPR_APPLY_ORACLE)
+def _gdpr_forget_apply(spark, sf_dir):
+    """Execute the right-to-be-forgotten purge that gdpr_forget_audit
+    sized: per table, the LEFT ANTI join against the broadcast subject
+    set, with completeness PROVEN in the output — residual subject
+    rows in the purged table (a semi-join back, must be 0) and the
+    conservation identity before − purged = after as an integer flag.
+    Same 100 TB shape as the audit: tiny broadcast set, per-table
+    scans, no table shuffle; in a lakehouse deployment the anti-join
+    result lands via overwrite/MERGE (sources/versioned.py keeps the
+    pre-purge snapshot for the legal-hold window)."""
+    ev = table(spark, sf_dir, "events")
+    subjects = (
+        ev.filter(F.col("user_id") % 97 == 0)
+        .select(F.col("user_id").alias("sid"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by 3x2 joins below
+    )
+
+    def apply(df, key, name):
+        purged = df.join(
+            F.broadcast(subjects), df[key] == F.col("sid"), "left_anti"
+        )
+        before = df.agg(F.count(F.lit(1)).cast("long").alias("n_before"))
+        # n_purged counted INDEPENDENTLY (semi-join), so the
+        # conservation identity below genuinely cross-checks the
+        # anti/semi partitioning instead of restating arithmetic
+        hit = df.join(
+            F.broadcast(subjects), df[key] == F.col("sid"), "left_semi"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_purged"))
+        kept = purged.agg(F.count(F.lit(1)).cast("long").alias("n_after"))
+        residual = (
+            purged.join(F.broadcast(subjects), df[key] == F.col("sid"), "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("residual_subject_rows"))
+        )
+        return (
+            before.crossJoin(F.broadcast(hit))
+            .crossJoin(F.broadcast(kept))
+            .crossJoin(F.broadcast(residual))
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_before",
+                "n_purged",
+                "n_after",
+                "residual_subject_rows",
+                (F.col("n_before") - F.col("n_purged") == F.col("n_after"))
+                .cast("int")
+                .alias("conservation_ok"),
+            )
+        )
+
+    return (
+        apply(table(spark, sf_dir, "customer"), "c_custkey", "customer")
+        .unionByName(apply(ev, "user_id", "events"))
+        .unionByName(apply(table(spark, sf_dir, "orders"), "o_custkey", "orders"))
+    )
