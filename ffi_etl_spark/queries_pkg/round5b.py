@@ -2275,3 +2275,60 @@ def _gdpr_forget_apply(spark, sf_dir):
         .unionByName(apply(ev, "user_id", "events"))
         .unionByName(apply(table(spark, sf_dir, "orders"), "o_custkey", "orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar dimension generator (warehouse utility table)
+# ---------------------------------------------------------------------------
+
+_CAL_ORACLE = """
+WITH span AS (
+  SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events
+), days AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d FROM span
+)
+SELECT d AS cal_date,
+       CAST(year(d) AS INT) AS year,
+       CAST(quarter(d) AS INT) AS quarter,
+       CAST(month(d) AS INT) AS month,
+       CAST(isoyear(d) AS INT) AS iso_year,
+       CAST(weekofyear(d) AS INT) AS iso_week,
+       CAST(isodow(d) AS INT) AS iso_dow,
+       CAST(isodow(d) >= 6 AS INT) AS is_weekend,
+       CAST(d = last_day(d) AS INT) AS is_month_end
+FROM days
+"""
+
+
+@query("calendar_dim", oracle=_CAL_ORACLE)
+def _calendar_dim(spark, sf_dir):
+    """Calendar dimension spanning the event range — the warehouse
+    utility every date-keyed star joins against: generated by one
+    sequence explode over a 1-row min/max broadcast (no source table
+    of days needed), with ISO attributes computed from integer date
+    math both engines agree on (probed: Spark weekofyear/dayofweek map
+    onto DuckDB weekofyear/isodow; ISO year via the Thursday rule).
+    Broadcast-sized output by construction (one row per day)."""
+    span = table(spark, sf_dir, "events").agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("cal_date")
+    )
+    d = F.col("cal_date")
+    iso_dow = (F.pmod(F.dayofweek(d) + F.lit(5), F.lit(7)) + F.lit(1)).cast("int")
+    # ISO year = year of this week's Thursday (the ISO-8601 rule),
+    # computed with pure date arithmetic
+    thursday = F.date_add(d, 4 - iso_dow)
+    return days.select(
+        "cal_date",
+        F.year(d).cast("int").alias("year"),
+        F.quarter(d).cast("int").alias("quarter"),
+        F.month(d).cast("int").alias("month"),
+        F.year(thursday).cast("int").alias("iso_year"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        iso_dow.alias("iso_dow"),
+        (iso_dow >= 6).cast("int").alias("is_weekend"),
+        (d == F.last_day(d)).cast("int").alias("is_month_end"),
+    )

@@ -564,3 +564,32 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
     got = {r["split"] for r in split.select("split").distinct().collect()}
     assert got == {"train", "val", "test"}
     spark.catalog.clearCache()
+
+
+def test_calendar_iso_attributes_at_year_boundaries(spark):
+    """The hard calendar cases: ISO week/year straddling Jan 1
+    (expected values cross-checked against DuckDB's isoyear/isodow)."""
+    import datetime as dt
+
+    days = [
+        (dt.date(2019, 12, 29), 2019, 52, 7),
+        (dt.date(2019, 12, 30), 2020, 1, 1),
+        (dt.date(2020, 12, 31), 2020, 53, 4),
+        (dt.date(2021, 1, 1), 2020, 53, 5),
+        (dt.date(2021, 1, 4), 2021, 1, 1),
+    ]
+    df = spark.createDataFrame([(d,) for d, *_ in days], "cal_date date")
+    d = F.col("cal_date")
+    iso_dow = (F.pmod(F.dayofweek(d) + F.lit(5), F.lit(7)) + F.lit(1)).cast("int")
+    thursday = F.date_add(d, 4 - iso_dow)
+    got = {
+        r["cal_date"]: (r["iso_year"], r["iso_week"], r["iso_dow"])
+        for r in df.select(
+            "cal_date",
+            F.year(thursday).cast("int").alias("iso_year"),
+            F.weekofyear(d).cast("int").alias("iso_week"),
+            iso_dow.alias("iso_dow"),
+        ).collect()
+    }
+    for day, iy, iw, dw in days:
+        assert got[day] == (iy, iw, dw), (day, got[day])
