@@ -2332,3 +2332,69 @@ def _calendar_dim(spark, sf_dir):
         (iso_dow >= 6).cast("int").alias("is_weekend"),
         (d == F.last_day(d)).cast("int").alias("is_month_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVM with retractions: maintain aggregates from a CDC insert/delete feed
+# ---------------------------------------------------------------------------
+
+_IVM_RETRACT_ORACLE = """
+WITH base AS (
+  SELECT * FROM orders WHERE o_orderkey % 10 <> 0
+), inserts AS (
+  SELECT * FROM orders WHERE o_orderkey % 10 = 0
+), deletes AS (
+  SELECT * FROM base WHERE o_orderkey % 7 = 0
+), final AS (
+  SELECT * FROM base WHERE o_orderkey % 7 <> 0
+  UNION ALL SELECT * FROM inserts
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM final GROUP BY o_custkey
+"""
+
+
+@query("incremental_agg_retractions", oracle=_IVM_RETRACT_ORACLE)
+def _incremental_agg_retractions(spark, sf_dir):
+    """IVM under a CDC feed WITH DELETES — the capability
+    incremental_agg_maintenance (insert-only partials) lacks: the
+    change batch aggregates with a ±1 sign (inserts add, deletes
+    retract), merges onto the stored aggregate through the SAME
+    merge_grouped_partials sum rule (a retraction is just a negative
+    partial), and groups whose count reaches zero DROP from the view
+    (a full recompute never shows them — the post-merge filter is part
+    of the contract). Sums use exact integer cents. Stated honestly:
+    only invertible aggregates (count/sum/avg-as-sum-and-count)
+    maintain under deletes — min/max need a rebuild when the extremum
+    is retracted, which is why they are absent here. O(groups + |Δ|),
+    base facts never rescanned."""
+    from ffi_etl_spark.operators.ivm import merge_grouped_partials
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = orders.where(F.col("o_orderkey") % 10 != 0)
+    inserts = orders.where(F.col("o_orderkey") % 10 == 0)
+    deletes = base.where(F.col("o_orderkey") % 7 == 0)
+
+    stored = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    cdc = inserts.withColumn("_sign", F.lit(1)).unionByName(
+        deletes.withColumn("_sign", F.lit(-1))
+    )
+    delta = cdc.groupBy("o_custkey").agg(
+        F.sum("_sign").cast("long").alias("n_orders"),
+        F.sum(F.col("_sign") * F.col("cents")).cast("long").alias("total_cents"),
+    )
+    merged = merge_grouped_partials(
+        stored, delta, keys=["o_custkey"], spec={"n_orders": "sum", "total_cents": "sum"}
+    )
+    return merged.where(F.col("n_orders") > 0).select(
+        "o_custkey", "n_orders", "total_cents"
+    )

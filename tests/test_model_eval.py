@@ -593,3 +593,32 @@ def test_calendar_iso_attributes_at_year_boundaries(spark):
     }
     for day, iy, iw, dw in days:
         assert got[day] == (iy, iw, dw), (day, got[day])
+
+
+def test_ivm_retractions_drop_emptied_groups(spark):
+    """A group whose every row is retracted must vanish from the
+    maintained view, exactly as a full recompute would show."""
+    from ffi_etl_spark.operators.ivm import merge_grouped_partials
+
+    base = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20)], "id long, k long"
+    ).withColumn("v", F.col("id") * 100)
+    stored = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+    )
+    # delete BOTH rows of k=10, insert one row of k=30
+    cdc = spark.createDataFrame(
+        [(1, 10, -1), (2, 10, -1), (9, 30, 1)], "id long, k long, _sign int"
+    ).withColumn("v", F.col("id") * 100)
+    delta = cdc.groupBy("k").agg(
+        F.sum("_sign").cast("long").alias("n"),
+        F.sum(F.col("_sign") * F.col("v")).cast("long").alias("s"),
+    )
+    out = {
+        r["k"]: (r["n"], r["s"])
+        for r in merge_grouped_partials(stored, delta, ["k"], {"n": "sum", "s": "sum"})
+        .where(F.col("n") > 0)
+        .collect()
+    }
+    assert out == {20: (1, 300), 30: (1, 900)}  # k=10 vanished
