@@ -2398,3 +2398,86 @@ def _incremental_agg_retractions(spark, sf_dir):
     return merged.where(F.col("n_orders") > 0).select(
         "o_custkey", "n_orders", "total_cents"
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov (fully exact — no quantization)
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH spanb AS (
+  SELECT (CAST(epoch_us(MIN(ts)) AS BIGINT)
+          + CAST(epoch_us(MAX(ts)) AS BIGINT)) // 2 AS half_us
+  FROM events
+), tagged AS (
+  SELECT value, CAST(CAST(epoch_us(e.ts) AS BIGINT) <= b.half_us AS INT) AS s1
+  FROM events e CROSS JOIN spanb b
+), per_value AS (
+  SELECT value, CAST(SUM(s1) AS BIGINT) AS c1, CAST(SUM(1 - s1) AS BIGINT) AS c2
+  FROM tagged GROUP BY value
+), cum AS (
+  SELECT value,
+         CAST(SUM(c1) OVER (ORDER BY value) AS BIGINT) AS f1,
+         CAST(SUM(c2) OVER (ORDER BY value) AS BIGINT) AS f2
+  FROM per_value
+), tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM per_value
+), d AS (
+  SELECT MAX(ABS(f1 * n2 - f2 * n1)) AS d_q FROM cum CROSS JOIN tot
+)
+SELECT n1, n2, d_q,
+       CAST(d_q AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks_d
+FROM d CROSS JOIN tot
+"""
+
+
+@query("ks_two_sample", oracle=_KS_ORACLE)
+def _ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov D between the value distributions
+    of the first and second time halves — the FULLY EXACT member of
+    the drift toolkit (beside quantized PSI/chi²): the CDF gap at
+    every distinct value is the integer ``|F1·n2 − F2·n1|``, the
+    statistic is an integer MAX, and D is ONE division at the very
+    end. No quantization, no flake budget anywhere. Shape: one scan,
+    one distinct-value aggregate, a K-row cumulative window over the
+    post-aggregate value table, 1-row reduce."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    span = ev.agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2)
+        .cast("long")
+        .alias("half_us")
+    )
+    tagged = ev.crossJoin(F.broadcast(span)).select(
+        "value",
+        (F.unix_micros(F.col("ts")) <= F.col("half_us")).cast("int").alias("s1"),
+    )
+    per_value = tagged.groupBy("value").agg(
+        F.sum("s1").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("s1")).cast("long").alias("c2"),
+    )
+    from pyspark import StorageLevel
+
+    per_value = per_value.persist(StorageLevel.MEMORY_AND_DISK)
+    w = Window.orderBy("value")
+    cum = per_value.select(
+        F.sum("c1").over(w).cast("long").alias("f1"),
+        F.sum("c2").over(w).cast("long").alias("f2"),
+    )
+    tot = per_value.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        ).alias("d_q")
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        "d_q",
+        (F.col("d_q").cast("double") / (F.col("n1") * F.col("n2")).cast("double"))
+        .alias("ks_d"),
+    )

@@ -622,3 +622,58 @@ def test_ivm_retractions_drop_emptied_groups(spark):
         .collect()
     }
     assert out == {20: (1, 300), 30: (1, 900)}  # k=10 vanished
+
+
+def test_ks_matches_scipyless_reference(spark):
+    """Crafted samples: KS D computed by direct Python CDF walk."""
+    import datetime as dt
+    from pyspark.sql import Window
+
+    base = dt.datetime(2024, 1, 1)
+    s1 = [1.0, 2.0, 3.0, 4.0, 5.0]          # first half
+    s2 = [3.5, 4.5, 5.5, 6.5]                # second half (shifted)
+    rows = [(i, base + dt.timedelta(hours=i), v) for i, v in enumerate(s1)]
+    rows += [
+        (100 + i, base + dt.timedelta(hours=200 + i), v) for i, v in enumerate(s2)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    span = df.agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2)
+        .cast("long")
+        .alias("half_us")
+    )
+    tagged = df.crossJoin(F.broadcast(span)).select(
+        "value",
+        (F.unix_micros(F.col("ts")) <= F.col("half_us")).cast("int").alias("s1"),
+    )
+    pv = tagged.groupBy("value").agg(
+        F.sum("s1").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("s1")).cast("long").alias("c2"),
+    )
+    w = Window.orderBy("value")
+    cum = pv.select(
+        F.sum("c1").over(w).alias("f1"), F.sum("c2").over(w).alias("f2")
+    )
+    tot = pv.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    got = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")))
+                .cast("double")
+                / (F.first("n1") * F.first("n2")).cast("double")
+            ).alias("d")
+        )
+        .collect()[0]["d"]
+    )
+    # direct reference: max |F1 - F2| over all sample points
+    import itertools
+    pts = sorted(set(s1 + s2))
+    want = max(
+        abs(
+            sum(v <= p for v in s1) / len(s1)
+            - sum(v <= p for v in s2) / len(s2)
+        )
+        for p in pts
+    )
+    assert abs(got - want) < 1e-12
