@@ -2481,3 +2481,111 @@ def _ks_two_sample(spark, sf_dir):
         (F.col("d_q").cast("double") / (F.col("n1") * F.col("n2")).cast("double"))
         .alias("ks_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation resampling (the LOCF gap-fill complement)
+# ---------------------------------------------------------------------------
+
+_INTERP_ORACLE = """
+WITH obs AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+              / COUNT(*) AS DOUBLE) AS v
+  FROM events GROUP BY event_type, CAST(epoch_us(ts) AS BIGINT) // 3600000000
+), span AS (
+  SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM obs GROUP BY event_type
+), grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM span
+), joined AS (
+  SELECT g.event_type, g.h, o.v FROM grid g
+  LEFT JOIN obs o ON o.event_type = g.event_type AND o.h = g.h
+), walls AS (
+  SELECT event_type, h, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM joined
+)
+SELECT event_type, h, CAST(v IS NOT NULL AS INT) AS is_observed,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              pv + (nv - pv) * (CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+       END AS value_i
+FROM walls
+"""
+
+
+@query("resample_interpolate", oracle=_INTERP_ORACLE)
+def _resample_interpolate(spark, sf_dir):
+    """Hourly resampling with LINEAR interpolation — the smooth
+    complement to resample_gapfill's LOCF: per event type, the hourly
+    mean series on a dense epoch-hour grid, gaps filled by
+    ``prev + (next−prev)·(h−hp)/(hn−hp)`` between the bracketing
+    observed hours (NULL outside the observed range — no
+    extrapolation). Bucket means are DECIMAL-exact sums (the
+    partition-order float-sum rule) divided once, and the interpolant
+    is a fixed chain of basic ops over those deterministic doubles —
+    bit-stable cross-engine. Shape: one bucket aggregate, a K-row
+    per-type grid explode, two frame windows."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts")) / 3600000000).cast("long").alias("h"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(24,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    span = obs.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    joined = grid.join(obs, ["event_type", "h"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    hcol = F.when(F.col("v").isNotNull(), F.col("h"))
+    walls = joined.select(
+        "event_type",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(hcol, ignorenulls=True).over(wb).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(hcol, ignorenulls=True).over(wf).alias("nh"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("h") - F.col("ph")).cast("double")
+        / (F.col("nh") - F.col("ph")).cast("double")
+    )
+    return walls.select(
+        "event_type",
+        "h",
+        F.col("v").isNotNull().cast("int").alias("is_observed"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .alias("value_i"),
+    )

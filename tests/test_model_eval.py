@@ -677,3 +677,34 @@ def test_ks_matches_scipyless_reference(spark):
         for p in pts
     )
     assert abs(got - want) < 1e-12
+
+
+def test_interpolation_fills_gap_linearly(spark):
+    """Planted series: observed hours 0 (v=10) and 4 (v=50); hours
+    1-3 must interpolate to 20/30/40; no extrapolation past the ends."""
+    import datetime as dt
+    from ffi_etl_spark.queries import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base + dt.timedelta(hours=0), "x", 10.0),
+        (1, base + dt.timedelta(hours=0, minutes=30), "x", 10.0),
+        (2, base + dt.timedelta(hours=4), "x", 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "events.parquet")
+        df.write.parquet(path)
+        out = {
+            r["h"]: r
+            for r in QUERIES["resample_interpolate"](spark, tmp).collect()
+        }
+    h0 = min(out)
+    vals = [out[h0 + i]["value_i"] for i in range(5)]
+    assert vals == [10.0, 20.0, 30.0, 40.0, 50.0]
+    flags = [out[h0 + i]["is_observed"] for i in range(5)]
+    assert flags == [1, 0, 0, 0, 1]
