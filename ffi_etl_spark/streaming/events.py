@@ -413,9 +413,19 @@ def stream_join_maintenance(
     (``dropDuplicatesWithinWatermark``), the same contract as
     stream_upsert_sink."""
     import os
+    import re
     import shutil
 
     from ffi_etl_spark.operators.ivm import maintain_fact_dim_join
+
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", target_path)
+    if m and not target_path.startswith("file://"):
+        raise ValueError(
+            f"stream_join_maintenance: target_path {target_path!r} is on a "
+            f"{m.group(0)} filesystem — the temp-dir+swap commit is only "
+            "atomic on the local filesystem (the profile.py rule). Use a "
+            "transactional table format for distributed stores."
+        )
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
