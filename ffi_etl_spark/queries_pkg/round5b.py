@@ -2589,3 +2589,125 @@ def _resample_interpolate(spark, sf_dir):
         .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
         .alias("value_i"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B assignment + sample-ratio-mismatch check; conversion-time quantiles
+# ---------------------------------------------------------------------------
+
+_SRM_ORACLE = """
+WITH assigned AS (
+  SELECT DISTINCT user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm
+  FROM events
+), counts AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+         CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b
+  FROM assigned
+)
+SELECT n_a, n_b,
+       CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+         / CAST(n_a + n_b AS DOUBLE) AS srm_stat,
+       CAST(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+            / CAST(n_a + n_b AS DOUBLE) > 3.841 AS INT) AS srm_flag
+FROM counts
+"""
+
+
+@query("ab_srm_check", oracle=_SRM_ORACLE)
+def _ab_srm_check(spark, sf_dir):
+    """Experiment-hygiene check every A/B readout runs FIRST: md5
+    coin-flip assignment of users to arms, then the sample-ratio-
+    mismatch statistic ``(n_A−n_B)²/(n_A+n_B)`` (the 1-df chi-square
+    against a 50/50 split, algebraically simplified to ONE division
+    of exact integers — no quantization needed) flagged at the 95%
+    critical value 3.841. An SRM flag means the assignment or logging
+    is broken and every downstream metric is suspect. One distinct
+    aggregate, 1-row output."""
+    assigned = (
+        table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+                ).cast("long")
+                % 2
+            ).alias("arm")
+        )
+    )
+    counts = assigned.agg(
+        F.count_if(F.col("arm") == 0).cast("long").alias("n_a"),
+        F.count_if(F.col("arm") == 1).cast("long").alias("n_b"),
+    )
+    stat = ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))).cast(
+        "double"
+    ) / (F.col("n_a") + F.col("n_b")).cast("double")
+    return counts.select(
+        "n_a",
+        "n_b",
+        stat.alias("srm_stat"),
+        (stat > F.lit(3.841)).cast("int").alias("srm_flag"),
+    )
+
+
+_CTQ_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events WHERE event_type IN ('view', 'purchase')
+), marked AS (
+  SELECT event_id, event_type, us,
+         MIN(CASE WHEN event_type = 'purchase' THEN us END) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+         ) AS next_purchase_us
+  FROM ev
+), gaps AS (
+  SELECT next_purchase_us - us AS gap_us FROM marked
+  WHERE event_type = 'view' AND next_purchase_us IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converting_views,
+       quantile_cont(gap_us, 0.50) AS p50_gap_us,
+       quantile_cont(gap_us, 0.90) AS p90_gap_us,
+       quantile_cont(gap_us, 0.99) AS p99_gap_us
+FROM gaps
+"""
+
+
+@query("conversion_time_quantiles", oracle=_CTQ_ORACLE)
+def _conversion_time_quantiles(spark, sf_dir):
+    """Latency profile of the view→purchase conversion: p50/p90/p99 of
+    the forward-as-of gap over converting views — the number a growth
+    team reads beside the funnel rate. Built on the
+    asof_forward_next_purchase machinery; quantiles via the bit-equal
+    F.percentile ≡ quantile_cont pair (TODO.md standing rule), gaps as
+    exact epoch-µs integers."""
+    from pyspark.sql import Window
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("us"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    nxt = F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).over(w)
+    gaps = (
+        ev.withColumn("npu", nxt)
+        .where((F.col("event_type") == "view") & F.col("npu").isNotNull())
+        .select((F.col("npu") - F.col("us")).alias("gap_us"))
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converting_views"),
+        F.percentile(F.col("gap_us"), F.lit(0.50)).alias("p50_gap_us"),
+        F.percentile(F.col("gap_us"), F.lit(0.90)).alias("p90_gap_us"),
+        F.percentile(F.col("gap_us"), F.lit(0.99)).alias("p99_gap_us"),
+    )
