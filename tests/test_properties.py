@@ -478,3 +478,59 @@ def test_join_maintenance_identity_property(spark, facts, split, dim_now):
         .collect()
     )
     assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(0, 1000), min_size=30, max_size=120),
+)
+@settings(**_SETTINGS)
+def test_quantile_compaction_error_bound_property(spark, vals):
+    """For ANY value multiset: answers from the COMPACTED summary stay
+    within k(parts−1) + k·stride of the target rank."""
+    from ffi_etl_spark.operators.sketches import (
+        compact_quantile_summary,
+        quantile_summary,
+        quantile_summary_query,
+    )
+
+    k, stride, shards = 4, 2, 4
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    summ = quantile_summary(df, n_shards=shards, k=k)
+    comp = compact_quantile_summary(summ, k=k, stride=stride)
+    n = df.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    res = quantile_summary_query(comp, n, [0.5], k=k, part_cols=("part",)).collect()
+    assert len(res) == 1
+    r = res[0]
+    true_rank = df.where(
+        (F.col("value") < r["est_value"])
+        | ((F.col("value") == r["est_value"]) & (F.col("event_id") <= r["est_id"]))
+    ).count()
+    band = k * (shards - 1) + k * stride
+    assert abs(true_rank - r["target_rank"]) <= band
+    spark.catalog.clearCache()
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3)), min_size=1, max_size=40
+    )
+)
+@settings(**_SETTINGS)
+def test_classification_report_invariants_property(spark, pairs):
+    """For ANY (label, prediction) multiset: tp+fn == support per
+    class, Σsupport == N, Σtp == Σ(correct), and 0 ≤ f1 ≤ 1."""
+    from ffi_etl_spark.operators.inference import classification_report
+
+    rows = [(i, y, p) for i, (y, p) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id long, label long, predicted long")
+    rep = classification_report(df).collect()
+    n = len(pairs)
+    assert sum(r["support"] for r in rep) == n
+    correct = sum(1 for y, p in pairs if y == p)
+    assert sum(r["tp"] for r in rep if r["support"] > 0 or r["tp"] > 0) >= 0
+    assert sum(r["tp"] for r in rep) == correct
+    for r in rep:
+        assert r["tp"] + r["fn"] == r["support"]
+        if r["f1"] is not None:
+            assert 0.0 <= r["f1"] <= 1.0

@@ -119,8 +119,14 @@ def driver_sort_probe(df: pd.DataFrame) -> None:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    report_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        report_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entry_mod
 
@@ -133,6 +139,7 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures, warns = [], []
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -142,12 +149,14 @@ def main():
             driver_sort_probe(spdf)
         except Exception as e:
             failures.append(name)
+            results[name] = "fail_spark"
             print(f"FAIL  {name}: spark/canon error: {e}")
             continue
         if name not in oracles:
             # rows-only queries still flow through the driver's
             # canonicalizer for the row compare — the sort probe above
             # already vetted the frame.
+            results[name] = "rows_only"
             print(f"ROWS  {name}: {len(spdf)} rows (no oracle)")
             continue
         try:
@@ -155,6 +164,7 @@ def main():
             driver_sort_probe(odf)
         except Exception as e:
             failures.append(name)
+            results[name] = "fail_oracle"
             print(f"FAIL  {name}: duckdb/canon error: {e}")
             continue
         ok_count = len(spdf) == len(odf)
@@ -164,12 +174,15 @@ def main():
             strict = frame_hash(spdf, "%.17g") == frame_hash(odf, "%.17g")
         except TypeError as e:
             failures.append(name)
+            results[name] = "fail_canon"
             print(f"FAIL  {name}: canon error: {e}")
             continue
         if ok_count and ok_cols and loose and strict:
+            results[name] = f"pass:{len(spdf)}"
             print(f"PASS  {name}: {len(spdf)} rows")
         elif ok_count and ok_cols and loose:
             warns.append(name)
+            results[name] = "warn_loose_only"
             print(
                 f"WARN  {name}: values agree at 6 sig figs but are NOT bit-equal "
                 "— raw accumulated floats in gated output; likely driver red "
@@ -178,6 +191,7 @@ def main():
             )
         else:
             failures.append(name)
+            results[name] = "fail_mismatch"
             print(
                 f"FAIL  {name}: rows {len(spdf)}/{len(odf)} cols_ok={ok_cols} "
                 f"loose_hash_ok={loose}"
@@ -201,6 +215,24 @@ def main():
     if warns:
         print(f"\n{len(warns)} warnings: {warns}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if report_path:
+        import json
+
+        with open(report_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "n_pass": sum(1 for v in results.values() if v.startswith("pass")),
+                    "n_fail": len(failures),
+                    "n_warn": len(warns),
+                    "results": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {report_path}")
     sys.exit(1 if failures else 0)
 
 
