@@ -2711,3 +2711,95 @@ def _conversion_time_quantiles(spark, sf_dir):
         F.percentile(F.col("gap_us"), F.lit(0.90)).alias("p90_gap_us"),
         F.percentile(F.col("gap_us"), F.lit(0.99)).alias("p99_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct via HLL register merges (sketch partials reused)
+# ---------------------------------------------------------------------------
+
+
+def _rolling_hll_oracle() -> str:
+    from ffi_etl_spark.operators.sketches import (
+        HLL_P,
+        HLL_TAIL_BITS,
+        hll_scale_constant,
+    )
+
+    m, b1 = 1 << HLL_P, HLL_TAIL_BITS + 1
+    return f"""
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS d,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+), rb AS (
+  SELECT d, hv % {m} AS bucket,
+         CASE WHEN hv // {m} = 0 THEN {b1}
+              ELSE {b1} - length(bin(hv // {m})) END AS r
+  FROM h
+), daily AS (
+  SELECT d, bucket, MAX(r) AS reg FROM rb GROUP BY d, bucket
+), days AS (
+  SELECT DISTINCT d FROM daily
+), win AS (
+  SELECT w.d, dy.bucket, MAX(dy.reg) AS reg
+  FROM days w JOIN daily dy
+    ON dy.d <= w.d AND dy.d > w.d - INTERVAL 7 DAY
+  GROUP BY w.d, dy.bucket
+), z AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS used,
+         CAST(SUM(1::BIGINT << CAST({b1} - reg AS INT)) AS BIGINT) AS zp
+  FROM win GROUP BY d
+), ex AS (
+  SELECT w.d, CAST(COUNT(DISTINCT h2.hv) AS BIGINT) AS exact_distinct
+  FROM days w JOIN h h2
+    ON CAST(h2.d AS DATE) <= w.d AND CAST(h2.d AS DATE) > w.d - INTERVAL 7 DAY
+  GROUP BY w.d
+)
+SELECT z.d AS day,
+       CAST(zp + ({m} - used) * (1::BIGINT << {b1}) AS BIGINT) AS z_scaled,
+       {hll_scale_constant()!r}
+         / CAST(zp + ({m} - used) * (1::BIGINT << {b1}) AS DOUBLE)
+         AS hll_estimate,
+       exact_distinct
+FROM z JOIN ex ON ex.d = z.d
+"""
+
+
+@query("rolling_distinct_hll", oracle=_rolling_hll_oracle())
+def _rolling_distinct_hll(spark, sf_dir):
+    """Trailing-7-day distinct users per day via HLL REGISTER MERGES —
+    the sketch-composition payoff beside rolling_distinct_users' exact
+    interval-merge: each day's 1024-register table is built ONCE, and
+    every overlapping window answers by MAX-merging seven tiny
+    register tables (at 100 TB the raw data is touched once per day,
+    not once per window — the partials-reuse property exact distinct
+    cannot have). All integers until the single final division; the
+    exact twin rides along to expose the estimate error honestly."""
+    from ffi_etl_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    )
+    daily = hll_registers(ev, "user_id", ("d",))
+    from pyspark import StorageLevel
+
+    daily = daily.persist(StorageLevel.MEMORY_AND_DISK)
+    days = daily.select("d").distinct().withColumnRenamed("d", "day")
+    win = (
+        days.join(
+            daily,
+            (F.col("d") <= F.col("day")) & (F.col("d") > F.date_sub(F.col("day"), 7)),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("reg").cast("int").alias("reg"))
+    )
+    est = hll_estimate(win, ("day",)).select("day", "z_scaled", "hll_estimate")
+    exact = (
+        days.join(
+            ev,
+            (F.col("d") <= F.col("day")) & (F.col("d") > F.date_sub(F.col("day"), 7)),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    return est.join(exact, "day")
