@@ -2803,3 +2803,65 @@ def _rolling_distinct_hll(spark, sf_dir):
         .agg(F.count_distinct("user_id").cast("long").alias("exact_distinct"))
     )
     return est.join(exact, "day")
+
+
+# ---------------------------------------------------------------------------
+# DSIR budget selection: importance-ranked keep under a token budget
+# ---------------------------------------------------------------------------
+
+_DSIR_BUDGET = 10_000
+
+
+def _dsir_budget_oracle() -> str:
+    from ffi_etl_spark.queries_pkg.round5 import _DSIR_ORACLE
+
+    return rf"""
+WITH w AS ({_DSIR_ORACLE}
+), tk AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok
+  FROM documents
+), ranked AS (
+  SELECT w.doc_id, w.weight_q, tk.ntok,
+         COALESCE(SUM(tk.ntok) OVER (
+           ORDER BY -w.weight_q, w.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM w JOIN tk USING (doc_id)
+)
+SELECT doc_id, weight_q, ntok, off + ntok AS cum_tokens
+FROM ranked WHERE off + ntok <= {_DSIR_BUDGET}
+"""
+
+
+@query("dsir_budget_selection", oracle=_dsir_budget_oracle())
+def _dsir_budget_selection(spark, sf_dir):
+    """The SELECTION completing dsir_importance's weighting: keep the
+    highest-importance documents until the token budget fills —
+    greedy by (weight_q DESC, doc_id), a document enters iff its
+    whole token count still fits (exclusive-prefix + own ≤ budget).
+    All integers. The global rank-order cumsum runs through
+    ``global_cumsum_exclusive`` (range partition + per-partition
+    window + broadcast offsets — the pack_sequences machinery), so no
+    single-task window touches the corpus at scale."""
+    from ffi_etl_spark.operators.textops import (
+        dsir_importance,
+        global_cumsum_exclusive,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    w = dsir_importance(docs, F.col("lang") == "en").select("doc_id", "weight_q")
+    tk = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("ntok"),
+    )
+    sel = w.join(tk, "doc_id").withColumn("negw", -F.col("weight_q"))
+    off = global_cumsum_exclusive(sel, ["negw", "doc_id"], "ntok", "off")
+    return (
+        off.where(F.col("off") + F.col("ntok") <= _DSIR_BUDGET)
+        .select(
+            "doc_id",
+            "weight_q",
+            "ntok",
+            (F.col("off") + F.col("ntok")).alias("cum_tokens"),
+        )
+    )
