@@ -30,3 +30,33 @@ def test_derive_against_real_artifacts():
     urgent = [n for n in d["latest_red"] + d["never_graded"] if n not in p]
     slots = GRADING_CAP - len(CANARIES)
     assert not urgent or len(d["latest_red"]) + len(d["never_graded"]) > slots
+
+
+def test_check_oracle_json_report(tmp_path):
+    """The --json flag writes a machine-readable per-query report
+    (the GATE_LOCAL artifact contract)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "report.json")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tools", "check_oracle.py"),
+            "/root/testdata/sf0.001",
+            "tpch_q1",
+            "--json",
+            out,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=repo,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    rep = json.load(open(out))
+    assert rep["n_queries"] == 1 and rep["n_fail"] == 0
+    assert rep["results"]["tpch_q1"].startswith("pass")
