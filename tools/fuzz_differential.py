@@ -203,6 +203,36 @@ def gen_query(rng: random.Random) -> str:
         where = " WHERE " + glue.join(preds)
 
     shape = rng.random()
+    if join_how is None and shape < 0.12 and frm in ("lineitem", "orders"):
+        # date-function rollup: year/month/day extraction + date-range
+        # predicates — the scalar-date surface engines disagree on
+        # first (epoch rules, week numbering, trunc boundaries). The
+        # testdata date columns are midnight-valued NTZ timestamps
+        # (TODO.md quirk), so year()/month()/day() are exact integers
+        # on both engines and TIMESTAMP literals compare cleanly.
+        dcol = {"lineitem": "l_shipdate", "orders": "o_orderdate"}[frm]
+        parts = [("year", f"year({dcol})"), ("month", f"month({dcol})")]
+        if rng.random() < 0.4:
+            parts.append(("day", f"day({dcol})"))
+        keys = ", ".join(f"CAST({e} AS BIGINT) AS {n}" for n, e in parts)
+        grp = ", ".join(e for _, e in parts)
+        okeys = ", ".join(n for n, _ in parts)
+        agg_col = rng.choice(t["ints"])
+        dpred = ""
+        if rng.random() < 0.6:
+            y = rng.choice([1993, 1994, 1995, 1996, 1997])
+            op = rng.choice([">=", "<"])
+            dpred = f"{dcol} {op} TIMESTAMP '{y}-01-01 00:00:00'"
+        wparts = [x for x in ([dpred] if dpred else [])]
+        if rng.random() < 0.4:
+            wparts.append(_int_pred(rng, rng.choice(t["ints"])))
+        w2 = (" WHERE " + " AND ".join(wparts)) if wparts else ""
+        return (
+            f"SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM(CAST({agg_col} AS BIGINT)) AS BIGINT) AS s "
+            f"FROM {frm}{w2} GROUP BY {grp} ORDER BY {okeys}"
+        )
+
     if shape < 0.2:
         # DISTINCT projection of low-cardinality columns — sometimes
         # composed through a set operation against a second predicate
