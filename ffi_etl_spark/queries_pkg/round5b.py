@@ -2865,3 +2865,140 @@ def _dsir_budget_selection(spark, sf_dir):
             (F.col("off") + F.col("ntok")).alias("cum_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling OLS trend + day-of-week seasonal index
+# ---------------------------------------------------------------------------
+
+_ROLL_OLS_DAYS = 14
+
+_ROLL_OLS_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), win AS (
+  SELECT event_type, x, y,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY x
+               RANGE BETWEEN {_ROLL_OLS_DAYS - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, x AS day_idx, y, n,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS slope_14d
+FROM win
+"""
+
+
+@query("rolling_ols_trend", oracle=_ROLL_OLS_ORACLE)
+def _rolling_ols_trend(spark, sf_dir):
+    """Per-day TRAILING-14-day OLS slope of daily volume per event
+    type — the rolling model fit a monitoring dashboard plots (is the
+    series accelerating TODAY?), beside daily_trend_ols' whole-series
+    fit. Every window aggregate is an exact integer moment sum over a
+    RANGE frame keyed on the integer day index; the slope is one
+    division per row; single-day windows yield NULL (degenerate
+    denominator). One K-row-per-type window after the daily rollup —
+    the time-keyed frame idiom of window_trailing_30d."""
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rangeBetween(-(_ROLL_OLS_DAYS - 1), Window.currentRow)
+    )
+    win = daily.select(
+        "event_type",
+        F.col("x").alias("day_idx"),
+        "y",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / den.cast("double")
+    return win.select(
+        "event_type",
+        "day_idx",
+        "y",
+        "n",
+        F.when(den != 0, slope).alias("slope_14d"),
+    )
+
+
+_DOW_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), dow AS (
+  SELECT event_type, CAST(isodow(d) AS INT) AS iso_dow,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(y) AS BIGINT) AS y_sum
+  FROM daily GROUP BY event_type, isodow(d)
+), tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd_all,
+         CAST(SUM(y) AS BIGINT) AS y_all
+  FROM daily GROUP BY event_type
+)
+SELECT dow.event_type, iso_dow, n_days, y_sum,
+       (CAST(y_sum AS DOUBLE) / CAST(n_days AS DOUBLE))
+         / (CAST(y_all AS DOUBLE) / CAST(nd_all AS DOUBLE)) AS dow_index
+FROM dow JOIN tot ON tot.event_type = dow.event_type
+"""
+
+
+@query("seasonal_dow_index", oracle=_DOW_ORACLE)
+def _seasonal_dow_index(spark, sf_dir):
+    """Day-of-week seasonal indices per event type: mean daily volume
+    on each ISO weekday divided by the overall mean daily volume —
+    the multiplicative seasonal profile a forecaster multiplies into
+    the trend (index > 1 = above-average weekday). Two divisions of
+    exact integers composed in a fixed order — bit-stable. Two K-row
+    aggregates off one daily rollup."""
+    from pyspark import StorageLevel
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    iso_dow = (
+        F.pmod(F.dayofweek(F.col("d")) + F.lit(5), F.lit(7)) + F.lit(1)
+    ).cast("int")
+    dow = daily.groupBy("event_type", iso_dow.alias("iso_dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("y_sum"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nd_all"),
+        F.sum("y").cast("long").alias("y_all"),
+    )
+    idx = (F.col("y_sum").cast("double") / F.col("n_days").cast("double")) / (
+        F.col("y_all").cast("double") / F.col("nd_all").cast("double")
+    )
+    return dow.join(tot, "event_type").select(
+        "event_type", "iso_dow", "n_days", "y_sum", idx.alias("dow_index")
+    )
