@@ -534,3 +534,103 @@ def test_classification_report_invariants_property(spark, pairs):
         assert r["tp"] + r["fn"] == r["support"]
         if r["f1"] is not None:
             assert 0.0 <= r["f1"] <= 1.0
+
+
+@given(
+    members=st.sets(st.integers(0, 400), min_size=0, max_size=60),
+    probes=st.sets(st.integers(0, 400), min_size=1, max_size=60),
+)
+@settings(**_SETTINGS)
+def test_bloom_never_false_negative_property(spark, members, probes):
+    """For ANY member/probe sets: every true member is claimed
+    (zero false negatives), with the engine's md5-salted bit scheme."""
+    from ffi_etl_spark.functions.hashing import md5_int32
+
+    M, K = 1 << 10, 3
+
+    def bit(col, j):
+        return md5_int32(F.concat(F.lit(f"bf{j}_"), col.cast("string"))) % M
+
+    mdf = spark.createDataFrame([(m,) for m in members] or [(None,)], "k long").where(
+        F.col("k").isNotNull()
+    )
+    bits = None
+    for j in range(K):
+        b = mdf.select(bit(F.col("k"), j).alias("bit"))
+        bits = b if bits is None else bits.unionByName(b)
+    bits = bits.distinct()
+    pdf = spark.createDataFrame([(p,) for p in probes], "k long")
+    probed = pdf
+    for j in range(K):
+        probed = probed.join(
+            F.broadcast(bits.withColumnRenamed("bit", f"_b{j}")),
+            bit(F.col("k"), j) == F.col(f"_b{j}"),
+            "left",
+        )
+    claimed_col = None
+    for j in range(K):
+        c = F.col(f"_b{j}").isNotNull()
+        claimed_col = c if claimed_col is None else (claimed_col & c)
+    got = {
+        r["k"]: r["c"]
+        for r in probed.select("k", claimed_col.alias("c")).collect()
+    }
+    for p in probes:
+        if p in members:
+            assert got[p] is True  # the Bloom guarantee
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=6),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_more_like_this_matches_bruteforce_property(spark, docs):
+    """For ANY tiny corpus: the engine's integer-weight cosine ranking
+    equals a brute-force Python computation with the same quantized
+    weights."""
+    import math
+    from collections import Counter
+
+    from ffi_etl_spark.operators.textops import more_like_this
+
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["id"]: r["cosine"] for r in more_like_this(df, query_id=0, k=50).collect()
+    }
+
+    # brute force with identical arithmetic
+    n_docs = len(texts)
+    tfs = [Counter(t.split()) for t in texts]
+    dfreq = Counter()
+    for tf in tfs:
+        for term in tf:
+            dfreq[term] += 1
+    bits = 10
+
+    def qidf(term):
+        return math.floor(
+            (1 << bits) * ((n_docs - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+        )
+
+    def vec(tf):
+        return {t: c * qidf(t) for t, c in tf.items()}
+
+    q = vec(tfs[0])
+    qn = sum(w * w for w in q.values())
+    for i in range(1, n_docs):
+        v = vec(tfs[i])
+        dot = sum(v[t] * q[t] for t in v if t in q)
+        if dot == 0:
+            assert i not in out or out[i] == 0.0
+            continue
+        vn = sum(w * w for w in v.values())
+        want = dot / (math.sqrt(vn) * math.sqrt(qn))
+        assert i in out and abs(out[i] - want) < 1e-12
+    spark.catalog.clearCache()
