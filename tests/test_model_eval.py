@@ -708,3 +708,74 @@ def test_interpolation_fills_gap_linearly(spark):
     assert vals == [10.0, 20.0, 30.0, 40.0, 50.0]
     flags = [out[h0 + i]["is_observed"] for i in range(5)]
     assert flags == [1, 0, 0, 0, 1]
+
+
+def test_rolling_ols_matches_numpy_windows(spark):
+    """Trailing-14d slope per day equals a per-window numpy polyfit."""
+    import datetime as dt
+
+    import numpy as np
+
+    base = dt.datetime(2024, 3, 1)
+    # quadratic-ish series: slope should vary by day
+    counts = [int(5 + 0.5 * d * d) for d in range(20)]
+    rows = []
+    for d, c in enumerate(counts):
+        for i in range(c):
+            rows.append((len(rows), base + dt.timedelta(days=d), "x"))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    import os
+    import tempfile
+
+    from ffi_etl_spark.queries import QUERIES
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+        out = {
+            r["day_idx"]: r["slope_14d"]
+            for r in QUERIES["rolling_ols_trend"](spark, tmp).collect()
+        }
+    x0 = min(out)
+    xs = np.arange(x0, x0 + 20)
+    for d in range(20):
+        lo = max(0, d - 13)
+        w_x, w_y = xs[lo : d + 1], np.array(counts[lo : d + 1], dtype=float)
+        if len(w_x) < 2:
+            assert out[xs[d]] is None
+            continue
+        want = np.polyfit(w_x.astype(float), w_y, 1)[0]
+        assert abs(out[xs[d]] - want) < 1e-9, (d, out[xs[d]], want)
+
+
+def test_seasonal_dow_index_planted_weekend_dip(spark):
+    """Weekends at half volume -> weekend indices < 1 < weekday
+    indices, and the day-weighted mean of indices is 1."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    rows = []
+    for d in range(28):  # 4 exact weeks
+        day = base + dt.timedelta(days=d)
+        vol = 4 if day.isoweekday() >= 6 else 8
+        for i in range(vol):
+            rows.append((len(rows), day, "x"))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    import os
+    import tempfile
+
+    from ffi_etl_spark.queries import QUERIES
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+        out = {
+            r["iso_dow"]: r for r in QUERIES["seasonal_dow_index"](spark, tmp).collect()
+        }
+    mean_daily = (5 * 8 + 2 * 4) / 7
+    for dow in range(1, 6):
+        assert abs(out[dow]["dow_index"] - 8 / mean_daily) < 1e-12
+    for dow in (6, 7):
+        assert abs(out[dow]["dow_index"] - 4 / mean_daily) < 1e-12
+    weighted = sum(r["n_days"] * r["dow_index"] for r in out.values()) / sum(
+        r["n_days"] for r in out.values()
+    )
+    assert abs(weighted - 1.0) < 1e-12
