@@ -197,6 +197,23 @@ def bpe_encode(
         F.array_sort(
             F.collect_list(F.struct("merge_rank", "left_sym", "right_sym"))
         ).alias("_m")
+    ).select(
+        # the unrolled fold below indexes rules 1..n_merges; a shorter
+        # table would make element_at return NULL and those rounds
+        # silently no-op (wrong tokenization) — enforce the "must
+        # match" contract JVM-side, no extra job (ADVICE r05)
+        F.when(F.size("_m") == F.lit(n_merges), F.col("_m"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("bpe_encode: merge table carries "),
+                    F.size("_m").cast("string"),
+                    F.lit(f" rules but n_merges={n_merges} — the unrolled"),
+                    F.lit(" fold requires an exact match"),
+                )
+            )
+        )
+        .alias("_m")
     )
     from pyspark import StorageLevel
 

@@ -389,6 +389,77 @@ def stream_interval_join(
     return l.join(r, cond).select(key_col, "l_event_id", "r_event_id", "l_ts", "r_ts")
 
 
+def merge_join_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    dim_path: str,
+    target_path: str,
+    keys: list[str],
+    app_id: str | None = None,
+) -> bool:
+    """Merge one fact microbatch into the maintained fact⋈dim table at
+    ``target_path``. Returns False (no-op) when the table's ledger
+    shows ``batch_id`` was already merged — a blind union is NOT
+    replay-idempotent (distinct fact keys within a batch don't help: a
+    replayed batch would append the same rows a second time), so the
+    (app_id, batch_id) ledger from ``profile.merge_batch_into_profile``
+    applies unchanged (ADVICE r05). Exposed as a plain function so the
+    replay contract is directly testable.
+
+    Crash safety reuses profile.py's aside→replace→drop swap with the
+    two torn-state recovery branches at batch start — the previous
+    rmtree(target)-then-move(tmp) left a window where a crash lost the
+    entire accumulated table (ADVICE r05)."""
+    import os
+
+    from ffi_etl_spark.operators.ivm import maintain_fact_dim_join
+    from ffi_etl_spark.streaming.profile import (
+        _LEDGER_APP_COL,
+        _LEDGER_COL,
+        _commit_swap,
+        _local_target,
+        _recover_torn_commit,
+    )
+
+    target_path = _local_target(target_path, "merge_join_batch")
+    spark = batch_df.sparkSession
+    _recover_torn_commit(target_path)
+
+    if not os.path.exists(target_path):
+        stored = None  # genuine first batch; a read error below must raise
+    else:
+        stored = spark.read.parquet(target_path)
+
+    if stored is not None:
+        row = stored.agg(
+            F.max(_LEDGER_COL).alias("through"),
+            F.max(_LEDGER_APP_COL).alias("app"),
+        ).collect()[0]
+        if app_id is not None and row["app"] is not None and row["app"] != app_id:
+            raise ValueError(
+                f"maintained join at {target_path} belongs to stream app "
+                f"{row['app']!r}, not {app_id!r} — a fresh checkpoint replays "
+                "the whole source, so merging would duplicate history. "
+                "Either reuse the original checkpoint or remove the table."
+            )
+        if row["through"] is not None and batch_id <= row["through"]:
+            return False
+
+    dim = spark.read.parquet(dim_path)
+    if stored is not None:
+        merged = maintain_fact_dim_join(
+            stored.drop(_LEDGER_COL, _LEDGER_APP_COL), batch_df, dim,
+            keys=tuple(keys),
+        )
+    else:
+        merged = batch_df.join(F.broadcast(dim), keys)
+    out = merged.withColumn(_LEDGER_COL, F.lit(batch_id).cast("long")).withColumn(
+        _LEDGER_APP_COL, F.lit(app_id).cast("string")
+    )
+    _commit_swap(out, target_path)
+    return True
+
+
 def stream_join_maintenance(
     fact_stream: DataFrame,
     dim_path: str,
@@ -406,40 +477,15 @@ def stream_join_maintenance(
     Per batch: the stored join is re-decorated from the CURRENT dim
     (dim updates propagate) and the batch's Δ⋈dim appends — the fact
     history never rescans; per-batch cost is O(|stored| + |Δ|) with
-    the dim broadcast. Crash safety is the continuous_aggregate
-    temp-dir + swap; a checkpoint replay re-runs the same batch into
-    the same maintained state only when the batch carries distinct
-    fact keys — at-least-once upstreams should dedup the stream first
-    (``dropDuplicatesWithinWatermark``), the same contract as
-    stream_upsert_sink."""
-    import os
-    import re
-    import shutil
-
-    from ffi_etl_spark.operators.ivm import maintain_fact_dim_join
-
-    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", target_path)
-    if m and not target_path.startswith("file://"):
-        raise ValueError(
-            f"stream_join_maintenance: target_path {target_path!r} is on a "
-            f"{m.group(0)} filesystem — the temp-dir+swap commit is only "
-            "atomic on the local filesystem (the profile.py rule). Use a "
-            "transactional table format for distributed stores."
-        )
+    the dim broadcast. Crash safety and replay idempotency are
+    ``merge_join_batch``'s swap + (app_id, batch_id) ledger; the
+    ledger app id is the checkpoint path (same checkpoint = same
+    batch-id sequence), matching ``stream_profile_merge``."""
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        dim = spark.read.parquet(dim_path)
-        if os.path.exists(target_path):
-            stored = spark.read.parquet(target_path)
-            merged = maintain_fact_dim_join(stored, batch_df, dim, keys=tuple(keys))
-        else:
-            merged = batch_df.join(F.broadcast(dim), keys)
-        tmp = target_path + ".__ivmj__"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(target_path):
-            shutil.rmtree(target_path)
-        shutil.move(tmp, target_path)
+        merge_join_batch(
+            batch_df, batch_id, dim_path, target_path, keys, app_id=checkpoint
+        )
 
     writer = fact_stream.writeStream.foreachBatch(_merge_batch).trigger(
         availableNow=True

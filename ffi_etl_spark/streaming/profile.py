@@ -30,6 +30,72 @@ _LEDGER_COL = "_merged_through_batch"
 _LEDGER_APP_COL = "_ledger_app_id"
 
 
+def _local_target(target_path: str, fn: str) -> str:
+    """Validate that *target_path* lives on the local filesystem and
+    return the plain OS path. ``file:`` URIs are blessed but STRIPPED,
+    so the ``os.path``/``shutil`` commit protocol and the Spark
+    reads/writes agree on one location — ``os.path.exists("file:///p")``
+    is always False, which would make the guard's carve-out crash on
+    the first batch and treat an existing table as absent (ADVICE r05).
+    Any other scheme (hdfs://, s3a://, …) raises: the os.rename swap is
+    only atomic on POSIX paths; distributed stores need a transactional
+    table format (Delta txnAppId/txnVersion)."""
+    import re
+    from urllib.parse import unquote, urlparse
+
+    if target_path.startswith("file:"):
+        p = urlparse(target_path)
+        if p.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"{fn}: file URI {target_path!r} names a remote host — the "
+                "local commit protocol cannot reach it."
+            )
+        return unquote(p.path)
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", target_path)
+    if m:
+        raise ValueError(
+            f"{fn}: target_path {target_path!r} is on a "
+            f"{m.group(0)} filesystem — the os.rename commit protocol is "
+            "only atomic on the local filesystem. Use a transactional table "
+            "format (Delta txnAppId/txnVersion) for distributed stores."
+        )
+    return target_path
+
+
+def _recover_torn_commit(target_path: str) -> None:
+    """Startup recovery for the two torn states of the aside→replace→
+    drop swap: aside-but-not-replaced restores the old table;
+    replaced-but-not-dropped clears the leftover aside dir."""
+    import os
+    import shutil
+
+    old_dir = target_path + ".__ivm_old__"
+    if not os.path.exists(target_path) and os.path.exists(old_dir):
+        os.rename(old_dir, target_path)  # crashed between aside and replace
+    elif os.path.exists(target_path) and os.path.exists(old_dir):
+        shutil.rmtree(old_dir)  # crashed between replace and cleanup
+
+
+def _commit_swap(out: DataFrame, target_path: str) -> None:
+    """Atomically (crash-safely) replace the table at *target_path*
+    with *out*: write to a new dir, shunt the current table aside,
+    move the new one in, drop the old. Paired with
+    ``_recover_torn_commit`` at batch start, no crash point loses the
+    accumulated table."""
+    import os
+    import shutil
+
+    new_dir = target_path + ".__ivm_new__"
+    old_dir = target_path + ".__ivm_old__"
+    out.write.mode("overwrite").parquet(new_dir)
+    if os.path.exists(target_path):
+        os.rename(target_path, old_dir)
+        os.rename(new_dir, target_path)
+        shutil.rmtree(old_dir)
+    else:
+        os.rename(new_dir, target_path)
+
+
 def merge_batch_into_profile(
     batch_df: DataFrame,
     batch_id: int,
@@ -66,29 +132,12 @@ def merge_batch_into_profile(
     ledger in table metadata: Delta's ``txnAppId``/``txnVersion`` pair
     is the exact counterpart of the (app_id, batch_id) ledger here."""
     import os
-    import re
-    import shutil
 
     from ffi_etl_spark.operators.ivm import merge_grouped_partials
 
-    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", target_path)
-    if m and not target_path.startswith("file://"):
-        raise ValueError(
-            f"merge_batch_into_profile: target_path {target_path!r} is on a "
-            f"{m.group(0)} filesystem — the os.rename commit protocol is "
-            "only atomic on the local filesystem. Use a transactional table "
-            "format (Delta txnAppId/txnVersion) for distributed stores."
-        )
-
+    target_path = _local_target(target_path, "merge_batch_into_profile")
     spark = batch_df.sparkSession
-    new_dir = target_path + ".__ivm_new__"
-    old_dir = target_path + ".__ivm_old__"
-
-    # startup recovery for a torn previous commit
-    if not os.path.exists(target_path) and os.path.exists(old_dir):
-        os.rename(old_dir, target_path)  # crashed between aside and replace
-    elif os.path.exists(target_path) and os.path.exists(old_dir):
-        shutil.rmtree(old_dir)  # crashed between replace and cleanup
+    _recover_torn_commit(target_path)
 
     if not os.path.exists(target_path):
         target = None  # genuine first batch; any read error below raises
@@ -122,13 +171,7 @@ def merge_batch_into_profile(
     out = merged.withColumn(_LEDGER_COL, F.lit(batch_id).cast("long")).withColumn(
         _LEDGER_APP_COL, F.lit(app_id).cast("string")
     )
-    out.write.mode("overwrite").parquet(new_dir)
-    if os.path.exists(target_path):
-        os.rename(target_path, old_dir)
-        os.rename(new_dir, target_path)
-        shutil.rmtree(old_dir)
-    else:
-        os.rename(new_dir, target_path)
+    _commit_swap(out, target_path)
     return True
 
 

@@ -323,6 +323,25 @@ def test_bpe_encode_empty_doc(spark):
     assert out[1]["tokens_md5"] == hashlib.md5(b"").hexdigest()
 
 
+def test_bpe_encode_rejects_rule_count_mismatch(spark):
+    """n_merges beyond the merge table's rows previously made the
+    extra unrolled rounds silent no-ops via element_at NULLs — a wrong
+    tokenization with no error (ADVICE r05). The packed-rules guard
+    must now raise instead."""
+    import pytest as _pytest
+
+    from ffi_etl_spark.operators.tokenizer import bpe_encode, bpe_learn_merges
+
+    df = spark.createDataFrame([(0, "ab ab ac")], "doc_id long, text string")
+    rules = bpe_learn_merges(df, n_merges=3)
+    with _pytest.raises(Exception, match="rules but n_merges"):
+        bpe_encode(df, rules, n_merges=5).collect()
+    with _pytest.raises(Exception, match="rules but n_merges"):
+        bpe_encode(df, rules.limit(2), n_merges=3).collect()
+    # exact match still encodes
+    assert bpe_encode(df, rules, n_merges=3).count() == 1
+
+
 def test_quantile_summary_answers_within_band(spark):
     """Planted uniform data: the summary answer's TRUE rank must sit
     within k*(S-1) + k (estimate error + sample spacing) of the

@@ -874,3 +874,102 @@ def test_stream_join_maintenance_tracks_dim_edits(spark, tmp_path):
     )
     # full recompute: all facts x current dim (inner join drops k=20)
     assert got2 == [(1, 10, "a2"), (3, 10, "a2"), (4, 30, "c")]
+
+
+def _join_rows(spark, target):
+    return sorted(
+        (r["fid"], r["k"], r["attr"]) for r in spark.read.parquet(target).collect()
+    )
+
+
+def test_merge_join_batch_replay_is_skipped(spark, tmp_path):
+    """A blind union is not replay-idempotent even with distinct fact
+    keys — the (app_id, batch_id) ledger must make an already-merged
+    batch a no-op instead of appending duplicates (ADVICE r05)."""
+    from ffi_etl_spark.streaming.events import merge_join_batch
+
+    dimp = str(tmp_path / "dim")
+    target = str(tmp_path / "joined")
+    spark.createDataFrame([(10, "a"), (20, "b")], "k long, attr string").write.parquet(dimp)
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "fid long, k long")
+
+    assert merge_join_batch(b0, 0, dimp, target, ["k"], app_id="ck")
+    first = _join_rows(spark, target)
+    # crash-after-landing replay of batch 0: must be skipped, no dup rows
+    assert not merge_join_batch(b0, 0, dimp, target, ["k"], app_id="ck")
+    assert _join_rows(spark, target) == first
+    # next batch id merges
+    b1 = spark.createDataFrame([(3, 10)], "fid long, k long")
+    assert merge_join_batch(b1, 1, dimp, target, ["k"], app_id="ck")
+    assert _join_rows(spark, target) == [(1, 10, "a"), (2, 20, "b"), (3, 10, "a")]
+    # fresh checkpoint (new app) against the existing table fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate history"):
+        merge_join_batch(b1, 0, dimp, target, ["k"], app_id="ck-NEW")
+
+
+def test_merge_join_batch_recovers_torn_commit(spark, tmp_path):
+    """Both torn states of the aside→replace→drop swap recover at the
+    next batch: aside-not-replaced restores the table (no history
+    loss — the old rmtree-then-move protocol lost it, ADVICE r05);
+    replaced-not-dropped clears the leftover and the ledger skips."""
+    import os
+    import shutil
+
+    from ffi_etl_spark.streaming.events import merge_join_batch
+
+    dimp = str(tmp_path / "dim")
+    target = str(tmp_path / "joined")
+    spark.createDataFrame([(10, "a")], "k long, attr string").write.parquet(dimp)
+    b0 = spark.createDataFrame([(1, 10)], "fid long, k long")
+    merge_join_batch(b0, 0, dimp, target, ["k"], app_id="ck")
+
+    # (a) crash between aside and replace: target missing, old present —
+    # batch 1 must see the RESTORED history, not rebuild from itself
+    os.rename(target, target + ".__ivm_old__")
+    b1 = spark.createDataFrame([(2, 10)], "fid long, k long")
+    assert merge_join_batch(b1, 1, dimp, target, ["k"], app_id="ck")
+    assert not os.path.exists(target + ".__ivm_old__")
+    assert _join_rows(spark, target) == [(1, 10, "a"), (2, 10, "a")]
+
+    # (b) crash between replace and cleanup: both present — old cleared,
+    # replayed batch 1 skipped via ledger
+    shutil.copytree(target, target + ".__ivm_old__")
+    assert not merge_join_batch(b1, 1, dimp, target, ["k"], app_id="ck")
+    assert not os.path.exists(target + ".__ivm_old__")
+    assert _join_rows(spark, target) == [(1, 10, "a"), (2, 10, "a")]
+
+
+def test_local_target_strips_file_scheme(spark, tmp_path):
+    """A blessed file:// target must WORK: the guard previously let the
+    URI through to os.path/shutil, where exists('file:///...') is
+    always False — first batch crashed at shutil.move and an existing
+    profile read as absent (ADVICE r05). Now the scheme is stripped so
+    os and Spark agree on the location; non-local schemes still raise."""
+    import os
+
+    import pytest as _pytest
+
+    from ffi_etl_spark.streaming.events import merge_join_batch
+    from ffi_etl_spark.streaming.profile import _local_target
+
+    assert _local_target("file:///x/y", "t") == "/x/y"
+    assert _local_target("file:/x/y", "t") == "/x/y"
+    assert _local_target("/x/y", "t") == "/x/y"
+    with _pytest.raises(ValueError, match="s3a://"):
+        _local_target("s3a://bucket/t", "t")
+    with _pytest.raises(ValueError, match="remote host"):
+        _local_target("file://nfs-box/t", "t")
+
+    dimp = str(tmp_path / "dim")
+    target_plain = str(tmp_path / "joined")
+    target_uri = "file://" + target_plain
+    spark.createDataFrame([(10, "a")], "k long, attr string").write.parquet(dimp)
+    b0 = spark.createDataFrame([(1, 10)], "fid long, k long")
+    assert merge_join_batch(b0, 0, dimp, target_uri, ["k"], app_id="ck")
+    assert os.path.exists(target_plain)
+    # second batch sees the existing table through the URI form too
+    b1 = spark.createDataFrame([(2, 10)], "fid long, k long")
+    assert merge_join_batch(b1, 1, dimp, target_uri, ["k"], app_id="ck")
+    assert _join_rows(spark, target_plain) == [(1, 10, "a"), (2, 10, "a")]
