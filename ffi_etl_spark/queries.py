@@ -78,54 +78,54 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "dedup_minhash",
     "tpch_q1",
     "pretraining_corpus",
-    # -- latest-red rows, all upgraded to full oracles: re-grade --
-    "dedup_minhash_fast",
-    "dedup_simhash_fast",
-    "ann_brp_lsh",
-    "kmeans_clusters",
-    "token_entropy",
-    "pagerank_centrality",
-    # -- never driver-graded (rotation.py order) --
-    "countmin_frequency",
-    "random_projection",
-    "lm_transition_anomaly",
-    "dedup_cluster_profile",
-    "knn_int8_codes",
-    "label_propagation_communities",
-    "mode_agg",
-    "percent_change_mom",
-    "activity_gaps",
-    "vocab_growth",
-    "similarity_histogram",
-    "weekly_engagement",
-    "power_users_pareto",
-    "dedup_containment",
-    "k_anonymity_audit",
-    "top_user_paths",
-    "token_budget_mixture",
-    "padding_efficiency",
-    "daily_autocorr",
-    "ccnet_quality_tiers",
-    "vocab_coverage",
-    "rfm_features",
-    "lang_confusion",
-    "constraint_audit",
-    "split_leakage_audit",
-    "corr_matrix",
-    "mixture_curriculum",
-    "dedup_semantic",
-    "doc_lm_fluency",
-    "l_diversity_audit",
-    "join_cardinality_probe",
-    "incremental_agg_maintenance",
-    "dp_noised_release",
-    "rendezvous_resharding",
-    "kmv_set_algebra",
-    "clustering_coefficient",
-    "market_basket_lift",
-    "zorder_locality",
-    # -- round-5 addition --
-    "dedup_span_scrub",
+    # -- round-5/5b additions, never driver-graded (rotation.py
+    # order; VERDICT r05 item 1: clear the grading debt). The one
+    # overflow query, seasonal_dow_index, heads round 7's window. --
+    "hybrid_rrf_fusion",
+    "dsir_importance",
+    "woe_iv_encoding",
+    "repetition_span_scrub",
+    "bpe_learn_merges",
+    "bpe_encode_corpus",
+    "quantile_summary_merge",
+    "tree_ensemble_score",
+    "model_auc_exact",
+    "model_classification_report",
+    "nb_lang_train_score",
+    "hll_distinct_sketch",
+    "model_calibration_bins",
+    "unigram_lm_segment",
+    "quantile_summary_compact",
+    "model_isotonic_calibration",
+    "sparse_cosine_mlt",
+    "entity_resolution_golden",
+    "forecast_backtest_wape",
+    "daily_trend_ols",
+    "bloom_filter_audit",
+    "conversion_wilson_ci",
+    "chi2_independence",
+    "incremental_join_maintenance",
+    "mmr_diverse_topk",
+    "cv_auc_folds",
+    "feature_drift_psi",
+    "train_decision_stump",
+    "contrastive_negatives",
+    "ppmi_associations",
+    "zipf_exponent_fit",
+    "unigram_em_refit",
+    "leakage_safe_split",
+    "multimodal_phash_sigs",
+    "asof_forward_next_purchase",
+    "gdpr_forget_apply",
+    "calendar_dim",
+    "incremental_agg_retractions",
+    "ks_two_sample",
+    "resample_interpolate",
+    "ab_srm_check",
+    "conversion_time_quantiles",
+    "rolling_distinct_hll",
+    "dsir_budget_selection",
+    "rolling_ols_trend",
 )
 
 
