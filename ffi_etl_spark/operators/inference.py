@@ -118,6 +118,115 @@ def ensemble_to_sql(trees: list[dict], threshold: float = 0.0) -> tuple[str, str
     return margin, f"CAST(({margin}) > {float(threshold)!r} AS INT)"
 
 
+def train_decision_stump(
+    df: DataFrame, bin_col: str = "bin", label_col: str = "y"
+) -> DataFrame:
+    """In-database model TRAINING: the optimal 1-split decision stump
+    over a pre-binned feature, by exhaustive Gini scan over the bin
+    thresholds (the ``train_decision_stump`` gated query extracted as
+    a reusable operator so examples/tests can wire training straight
+    into ``score_ensemble`` — VERDICT r05 item 4).
+
+    Input: a frame with an integer ``bin_col`` (the binned feature —
+    binning is the caller's feature engineering) and a 0/1
+    ``label_col``. Split semantics: ``bin <= t`` goes left.
+
+    All split statistics are cumulative-window BIGINTs; each
+    candidate's Gini cost is a fixed op sequence over exact integers
+    (deterministic double, no accumulation), and the argmin ties to
+    the smaller threshold — the TRAINED MODEL is bit-identical
+    cross-engine. Shape: one scan, one K-bin aggregate, K-row window +
+    1-row argmin (the corpus shuffles once, keyed by bin).
+
+    Output (1 row): threshold_bin, n_left, pos_left, n_right,
+    pos_right, gini_cost, stump_acc."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    binned = df.select(
+        F.col(bin_col).cast("long").alias("bin"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
+    w = Window.orderBy("bin")
+    cum = cells.select(
+        "bin",
+        F.sum("n").over(w).cast("long").alias("nl"),
+        F.sum("pos").over(w).cast("long").alias("posl"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nt"), F.sum("pos").cast("long").alias("pt")
+    )
+    negl = F.col("nl") - F.col("posl")
+    nr = F.col("nt") - F.col("nl")
+    posr = F.col("pt") - F.col("posl")
+    negr = nr - posr
+    gini = (
+        F.col("nl").cast("double")
+        - (
+            (F.col("posl") * F.col("posl")).cast("double")
+            + (negl * negl).cast("double")
+        )
+        / F.col("nl").cast("double")
+    ) + (
+        nr.cast("double")
+        - ((posr * posr).cast("double") + (negr * negr).cast("double"))
+        / nr.cast("double")
+    )
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .where((F.col("nl") > 0) & (nr > 0))
+        .select(
+            "bin",
+            "nl",
+            "posl",
+            nr.alias("nr"),
+            posr.alias("posr"),
+            gini.alias("gini_cost"),
+            "nt",
+        )
+    )
+    best = cand.agg(
+        F.min(
+            F.struct("gini_cost", "bin", "nl", "posl", "nr", "posr", "nt")
+        ).alias("_b")
+    )
+    acc = (
+        F.greatest(F.col("_b.posl"), F.col("_b.nl") - F.col("_b.posl"))
+        + F.greatest(F.col("_b.posr"), F.col("_b.nr") - F.col("_b.posr"))
+    ).cast("double") / F.col("_b.nt").cast("double")
+    return best.select(
+        F.col("_b.bin").alias("threshold_bin"),
+        F.col("_b.nl").alias("n_left"),
+        F.col("_b.posl").alias("pos_left"),
+        F.col("_b.nr").alias("n_right"),
+        F.col("_b.posr").alias("pos_right"),
+        F.col("_b.gini_cost").alias("gini_cost"),
+        acc.alias("stump_acc"),
+    )
+
+
+def stump_to_tree(stump_row, feature: str = "bin") -> dict:
+    """Convert a ``train_decision_stump`` result row into a
+    ``score_ensemble`` tree spec — the train→score bridge. The stump
+    split is ``bin <= threshold_bin``, so the tree scores the SAME
+    binned feature column; leaves emit each side's empirical positive
+    RATE, so the margin is a probability estimate (use
+    ``threshold=0.5`` in score_ensemble for the majority-vote
+    prediction). One correctly-rounded division per leaf — the model
+    stays bit-deterministic."""
+    return {
+        "feature": feature,
+        "threshold": float(stump_row["threshold_bin"]),
+        "left": {"value": stump_row["pos_left"] / stump_row["n_left"]},
+        "right": {"value": stump_row["pos_right"] / stump_row["n_right"]},
+    }
+
+
 def classification_report(
     scored: DataFrame,
     label_col: str = "label",
@@ -281,7 +390,8 @@ def auc_exact(
     gcols = list(group_cols)
     per_score = scored.groupBy(*gcols, F.col(score_col).alias("_s")).agg(
         F.count(F.lit(1)).alias("_n"),
-        F.count_if(F.col(label_col)).alias("_np"),
+        # cast so 0/1 integer labels work as well as booleans
+        F.count_if(F.col(label_col).cast("boolean")).alias("_np"),
     )
     w = (
         Window.partitionBy(*gcols)

