@@ -57,6 +57,7 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
     round4c,
     round5,
     round5b,
+    round6,
 )
 
 # The driver's correctness gate grades a bounded prefix of the registry
