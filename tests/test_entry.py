@@ -174,15 +174,18 @@ def test_registry_priority_prefix(spark):
     expected = [n for n in PRIORITY_PREFIX if n in names]
     assert names[: len(expected)] == expected
     assert len(expected) == 50  # the graded prefix is exactly full
-    # round-5 rotation: continuity canaries + the 6 latest-red rows
-    # (all upgraded to full oracles) + the 38 never-driver-graded
-    # registrations + the round-5 addition sit inside the first 50
-    # (every earlier-green query already banked its row)
+    # round-6 rotation (VERDICT r05 item 1): continuity canaries + the
+    # first 45 of the never-driver-graded set, in rotation.py's order
+    # (queries banked green in an earlier round rotate OUT — e.g.
+    # dedup_minhash_fast graded green r05 and correctly leaves the
+    # window). Spot-check the canaries and both ends of the debt block.
     for must in ("survey_pipeline", "census_merge", "dedup_minhash",
-                 "dedup_minhash_fast", "dedup_simhash_fast", "ann_brp_lsh",
-                 "kmeans_clusters", "token_entropy", "pagerank_centrality",
-                 "dedup_semantic", "incremental_agg_maintenance",
-                 "zorder_locality", "dedup_span_scrub"):
+                 "tpch_q1", "pretraining_corpus",
+                 "hybrid_rrf_fusion", "dsir_importance",
+                 "repetition_span_scrub", "bpe_learn_merges",
+                 "model_auc_exact", "unigram_lm_segment",
+                 "leakage_safe_split", "gdpr_forget_apply",
+                 "rolling_ols_trend"):
         assert names.index(must) < 50, must
 
 

@@ -33,6 +33,16 @@ Bit-safe grammar, by the house parity rules:
   (WHERE restricted to the preserved side, or absent for FULL);
   NULL-skipping COUNT(col) beside COUNT(*); IS NULL / IS NOT NULL
   probes on the NULL-extensible side's key;
+- GROUP BY ROLLUP / CUBE / GROUPING SETS (round-6 grammar): NULL
+  grouping keys on the super-aggregate rows, GROUPING() flags cast to
+  BIGINT on both engines, exact-integer aggregates only; HAVING
+  COUNT(*) > 0 normalizes a REAL engine divergence the sweep found —
+  Spark's Expand rewrite drops the ANSI grand-total row on empty
+  input (see the production's QUIRK comment);
+- correlated subqueries (round-6 grammar): scalar-in-SELECT /
+  scalar-in-WHERE / [NOT] EXISTS over the FK key map — the
+  decorrelation surface (COUNT-on-empty-group, NULL vs 0) pinned with
+  exact BIGINT outputs;
 - windows OVER joins: the full-tuple-order argument survives a join —
   order by EVERY integer column of the joined row with explicit
   NULLS FIRST (Spark defaults NULLS FIRST ASC, DuckDB NULLS LAST:
@@ -118,6 +128,16 @@ _SEMI = {
     "l_partkey": ("part", "p_partkey"),
     "l_suppkey": ("supplier", "s_suppkey"),
     "o_custkey": ("customer", "c_custkey"),
+}
+
+# correlated-subquery productions: parent table -> (parent key, child
+# table, child FK) — the subquery correlates on key equality, the shape
+# Spark's decorrelation and DuckDB's subquery flattening must agree on
+_CORR = {
+    "orders": ("o_orderkey", "lineitem", "l_orderkey"),
+    "customer": ("c_custkey", "orders", "o_custkey"),
+    "part": ("p_partkey", "lineitem", "l_partkey"),
+    "supplier": ("s_suppkey", "lineitem", "l_suppkey"),
 }
 
 
@@ -231,6 +251,91 @@ def gen_query(rng: random.Random) -> str:
             f"SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n, "
             f"CAST(SUM(CAST({agg_col} AS BIGINT)) AS BIGINT) AS s "
             f"FROM {frm}{w2} GROUP BY {grp} ORDER BY {okeys}"
+        )
+
+    if join_how is None and 0.45 <= shape < 0.53:
+        # GROUP BY ROLLUP / CUBE / GROUPING SETS (round-6 grammar): the
+        # super-aggregate rows carry NULL grouping keys — exactly where
+        # engines next disagree (NULL-key representation, GROUPING()
+        # typing, whether the empty set emits on empty input). The
+        # GROUPING() flag is selected alongside each key so a data NULL
+        # could never alias a rollup NULL (testdata has none, but the
+        # disambiguation is part of the shape under test); all outputs
+        # are exact ints/strings, canon sorts rows.
+        #
+        # QUIRK (found by this sweep, seeds 20425/20481/31107/...):
+        # when the WHERE empties the input, the () grouping set emits
+        # ONE grand-total row in DuckDB (ANSI: a global aggregate over
+        # empty input yields one row) but ZERO rows in Spark — its
+        # Expand+groupBy rewrite turns the empty-set branch into an
+        # ordinary grouped aggregate over zero rows.  Spark's plain
+        # `SELECT COUNT(*) FROM empty` DOES emit the row, so this is
+        # Expand-rewrite-specific.  Normalized with HAVING COUNT(*) > 0
+        # — drops only the divergent empty-input row (n=0 can occur in
+        # no other group), a no-op on every non-empty input.
+        gs = rng.sample(t["groups"], min(2, len(t["groups"])))
+        agg_col = rng.choice(t["ints"])
+        kind = rng.choice(["ROLLUP", "CUBE", "GROUPING SETS"])
+        if kind == "GROUPING SETS":
+            sets = f"(({', '.join(gs)}), ({gs[0]}), ())"
+            grp = f"GROUP BY GROUPING SETS {sets}"
+        else:
+            grp = f"GROUP BY {kind}({', '.join(gs)})"
+        keys = ", ".join(gs)
+        flags = ", ".join(
+            f"CAST(GROUPING({g}) AS BIGINT) AS grp{i}" for i, g in enumerate(gs)
+        )
+        return (
+            f"SELECT {keys}, {flags}, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM(CAST({agg_col} AS BIGINT)) AS BIGINT) AS s "
+            f"FROM {frm}{where} {grp} HAVING COUNT(*) > 0 "
+            f"ORDER BY {', '.join(f'{g} NULLS FIRST' for g in gs)}"
+        )
+
+    if join_how is None and 0.53 <= shape < 0.61 and frm in _CORR:
+        # correlated subqueries (round-6 grammar): scalar-in-SELECT,
+        # scalar-in-WHERE, and [NOT] EXISTS — the decorrelation surface
+        # (Spark rewrites to an aggregate + left outer join; DuckDB
+        # flattens) where empty-group NULL vs 0 and duplicate-key
+        # handling genuinely differ. Correlation is FK-key equality;
+        # every scalar output is an exact BIGINT (or NULL).
+        pk, child, ck = _CORR[frm]
+        inner_pred = ""
+        if rng.random() < 0.6:
+            inner_pred = f" AND {_int_pred(rng, rng.choice(TABLES[child]['ints']))}"
+        sub_kind = rng.random()
+        if sub_kind < 0.4:
+            inner_agg = rng.choice(
+                [
+                    "CAST(COUNT(*) AS BIGINT)",
+                    f"CAST(SUM(CAST({rng.choice(TABLES[child]['ints'])} AS BIGINT)) AS BIGINT)",
+                    f"MIN({rng.choice(TABLES[child]['ints'])})",
+                    f"MAX({rng.choice(TABLES[child]['ints'])})",
+                ]
+            )
+            sub = f"SELECT {inner_agg} FROM {child} WHERE {ck} = {pk}{inner_pred}"
+            return (
+                f"SELECT {pk}, ({sub}) AS sub FROM {frm}{where} ORDER BY {pk}"
+            )
+        if sub_kind < 0.7:
+            sub = (
+                f"SELECT CAST(COUNT(*) AS BIGINT) FROM {child} "
+                f"WHERE {ck} = {pk}{inner_pred}"
+            )
+            cmp_lit = rng.choice([1, 2, 3, 5])
+            op = rng.choice([">=", "=", "<"])
+            glue = " AND " if where else " WHERE "
+            return (
+                f"SELECT {pk} FROM {frm}{where}{glue}"
+                f"({sub}) {op} {cmp_lit} ORDER BY {pk}"
+            )
+        neg = "NOT " if rng.random() < 0.4 else ""
+        sub = f"SELECT 1 FROM {child} WHERE {ck} = {pk}{inner_pred}"
+        glue = " AND " if where else " WHERE "
+        return (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(COUNT(DISTINCT {pk}) AS BIGINT) AS nk "
+            f"FROM {frm}{where}{glue}{neg}EXISTS ({sub})"
         )
 
     if shape < 0.2:
@@ -354,10 +459,30 @@ def run_case(spark, con, sql: str):
     return True, f"{len(spdf)} rows"
 
 
+def _is_round6_shape(sql: str) -> bool:
+    """True when the query exercises the round-6 grammar (rollup/cube/
+    grouping-sets or a correlated subquery) — used by the ``new`` filter
+    mode so a sweep can be quoted as N cases OF the new shapes rather
+    than N seeds that mostly hit the old grammar (~11% hit rate)."""
+    return (
+        "ROLLUP(" in sql
+        or "CUBE(" in sql
+        or "GROUPING SETS" in sql
+        or " AS sub" in sql
+        or "EXISTS (" in sql
+        or "(SELECT CAST(COUNT(*) AS BIGINT) FROM" in sql
+    )
+
+
 def main() -> int:
+    # Usage: fuzz_differential.py [sf_dir] [n_cases] [seed0] [new]
+    # With the optional 4th arg ``new``, seeds are consumed until
+    # n_cases queries matching the round-6 grammar have been RUN;
+    # non-matching seeds are skipped unexecuted.
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     n_cases = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     seed0 = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    only_new = len(sys.argv) > 4 and sys.argv[4] == "new"
 
     import duckdb
 
@@ -372,9 +497,14 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
         )
 
-    bad = 0
-    for seed in range(seed0, seed0 + n_cases):
+    bad = ran = 0
+    seed = seed0
+    while ran < n_cases:
         sql = gen_query(random.Random(seed))
+        seed += 1
+        if only_new and not _is_round6_shape(sql):
+            continue
+        ran += 1
         try:
             ok, detail = run_case(spark, con, sql)
         except Exception as e:  # noqa: BLE001 — a crash on either engine is a finding
@@ -382,10 +512,11 @@ def main() -> int:
         status = "PASS" if ok else "FAIL"
         if not ok:
             bad += 1
-            print(f"{status} seed={seed}: {detail}\n      {sql}")
+            print(f"{status} seed={seed - 1}: {detail}\n      {sql}")
         else:
-            print(f"{status} seed={seed}: {detail}")
-    print(f"{bad}/{n_cases} mismatches")
+            print(f"{status} seed={seed - 1}: {detail}")
+    mode = " (round-6 shapes only)" if only_new else ""
+    print(f"{bad}/{n_cases} mismatches{mode}, seeds {seed0}..{seed - 1}")
     return 1 if bad else 0
 
 
