@@ -56,3 +56,59 @@ def tune_bands(
             best, best_err = (bands, rows), e
     assert best is not None
     return best
+
+
+def choose_minhash_split(
+    ambient: float,
+    threshold: float,
+    dup_sim: float = 0.9,
+    recall_floor: float = 0.95,
+    num_perms: tuple[int, ...] = (12, 24, 36),
+    ambient_budget: float = 1e-3,
+) -> tuple[int, int, int]:
+    """(num_perm, bands, rows) for a corpus whose random-pair (ambient)
+    shingle similarity is known — the self-tuning companion to
+    ``tune_bands`` (round 6; BASELINE.md §scaling has the measurement
+    that motivated it).
+
+    On a low-ambient corpus (real text: ambient ≈ 0) the cheapest
+    signature wins — if the default split's ambient collision
+    probability is already ≤ ``ambient_budget`` (≤0.1% of random pairs
+    become candidates), keep it and pay nothing extra. On a
+    high-ambient corpus the verify bill is candidate-count-dominated
+    and grows ~n² × P(collide | ambient), so instead pick, over the
+    offered signature widths and their divisor splits, the one that
+    MINIMIZES ambient collision probability subject to keeping S-curve
+    recall ≥ ``recall_floor`` at ``dup_sim`` — the similarity your true
+    duplicates actually live at (template clones sit ≥0.9; Lee et al.
+    style near-dup dedup uses 0.8), which is where recall is owed.
+    Pairs in the (threshold, dup_sim) ambient band lose recall — that
+    is the documented LSH trade for bounded verify cost, the same
+    contract class as any banding change.
+
+    Measured at synthetic sf1 (31-word-vocab testdata, ambient ≈0.35):
+    the chosen (24, 4, 6) emits 12× fewer band candidates than the
+    default (12, 3, 4) with the identical found set at j ≥ 0.9, and
+    turns the 0.1→1 wall-clock ratio from 21.8× into 1.4×.
+
+    Driver-side pure math, O(Σ divisors); falls back to the default
+    split when no offered split can meet the recall floor."""
+    base = num_perms[0]
+    b0, r0 = tune_bands(base, threshold, fp_weight=5)
+    if candidate_probability(ambient, b0, r0) <= ambient_budget:
+        return base, b0, r0
+    best: tuple[tuple[float, int, int], tuple[int, int, int]] | None = None
+    for num_perm in num_perms:
+        for bands in range(1, num_perm + 1):
+            if num_perm % bands:
+                continue
+            rows = num_perm // bands
+            if candidate_probability(dup_sim, bands, rows) < recall_floor:
+                continue
+            amb = candidate_probability(ambient, bands, rows)
+            key = (amb, num_perm, bands)
+            if best is None or key < best[0]:
+                best = (key, (num_perm, bands, rows))
+    if best is None:
+        return base, b0, r0
+    return best[1]

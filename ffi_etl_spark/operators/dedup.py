@@ -253,6 +253,117 @@ def dedup_minhash_lsh(
     return verified
 
 
+def estimate_ambient_jaccard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    sample_docs: int = 256,
+    probe_perm: int = 32,
+) -> float:
+    """Median MinHash-estimated Jaccard over ~``sample_docs`` random
+    document pairs — the "how similar are two UNRELATED docs in this
+    corpus" probe that sizes the LSH banding (see
+    ``choose_minhash_split``).
+
+    Deterministic and cheap at any scale: docs are ranked by
+    xxhash64(id) with orderBy+limit — Spark plans that as
+    TakeOrderedAndProject (per-partition top-K + driver merge of K-row
+    heads, never a full sort), so at 100 TB the probe reads one
+    column-pruned pass and keeps ``sample_docs`` rows. Hash-adjacent
+    docs are then paired (hash order ≡ random pairing) and each pair's
+    similarity is estimated as the fraction of matching signature
+    slots; the MEDIAN over pairs is returned so the ~1% of sampled
+    pairs that happen to be true near-dups cannot drag the estimate —
+    exactly the robustness argument of ``salted_join_adaptive``'s
+    probe (olap.py), applied to similarity instead of key skew."""
+    ranked = (
+        df.select(F.col(id_col), F.col(text_col))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(sample_docs)
+    )
+    sigs = _shingle_sets(ranked, text_col, id_col, shingle_k, True, probe_perm).select(
+        F.col(id_col), F.col("_sig")
+    )
+    from pyspark.sql import Window
+
+    # K sampled rows only — the single-partition window is the point
+    w = Window.orderBy(F.xxhash64(F.col(id_col).cast("string")))
+    paired = sigs.withColumn("_sig2", F.lead("_sig").over(w)).filter(
+        F.col("_sig2").isNotNull()
+    )
+    est = paired.select(
+        (
+            F.aggregate(
+                F.zip_with(
+                    "_sig", "_sig2", lambda x, y: (x == y).cast("int")
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("double")
+            / F.lit(probe_perm)
+        ).alias("_est")
+    )
+    row = est.agg(F.expr("percentile(_est, 0.5)").alias("_m")).collect()[0]
+    return float(row["_m"] or 0.0)
+
+
+def dedup_minhash_adaptive(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    dup_sim: float = 0.9,
+    recall_floor: float = 0.95,
+    fast: bool = True,
+    broadcast_verify: bool = True,
+    sample_docs: int = 256,
+) -> DataFrame:
+    """Self-tuning ``dedup_minhash_lsh``: probe the corpus's ambient
+    shingle similarity (``estimate_ambient_jaccard``), pick the
+    signature width and band split with ``choose_minhash_split``, run
+    the standard banded LSH + exact-Jaccard verify with it.
+
+    Why: BASELINE.md §scaling measured the failure mode this closes —
+    on a high-ambient corpus the default split's candidate list grows
+    ~n² × P(collide | ambient) and the verify join becomes THE cost at
+    scale (7.68M band candidates at synthetic sf1 vs 631k for the
+    tuned split, 21.8× vs 1.4× wall-clock scaling 0.1→1). On a normal
+    corpus (ambient ≈ 0) the probe keeps the cheaper default
+    signature, so uniform inputs never pay the wider-signature tax —
+    the same probe-then-branch shape as ``salted_join_adaptive``.
+
+    Contract: returns verified pairs with exact Jaccard ≥ ``threshold``
+    among LSH candidates, like every minhash tier here; the adaptive
+    split preserves S-curve recall ≥ ``recall_floor`` at ``dup_sim``
+    and trades recall in the (threshold, dup_sim) band for bounded
+    verify cost. Engine-seeded xxhash64 probe ⇒ reproducible within an
+    engine; no cross-engine oracle for the probe itself (fast-tier
+    hashes are engine-private) — correctness of the OUTPUT contract is
+    gated through the md5 tier's oracle, which shares every stage but
+    the hash function."""
+    ambient = estimate_ambient_jaccard(
+        df, text_col, id_col, shingle_k, sample_docs=sample_docs
+    )
+    from ffi_etl_spark.functions.lsh_tuning import choose_minhash_split
+
+    num_perm, bands, _rows = choose_minhash_split(
+        ambient, threshold, dup_sim=dup_sim, recall_floor=recall_floor
+    )
+    return dedup_minhash_lsh(
+        df,
+        text_col,
+        id_col,
+        shingle_k,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+        fast=fast,
+        broadcast_verify=broadcast_verify,
+    )
+
+
 def minhash_signature_table(
     df: DataFrame,
     text_col: str = "text",

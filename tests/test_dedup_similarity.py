@@ -290,3 +290,73 @@ def test_incremental_dedup_equals_filtered_full(spark):
     for (a, b), (_, t) in inc.items():
         want = "new_new" if (a % 10 == 0 and b % 10 == 0) else "new_old"
         assert t == want, (a, b, t)
+
+
+def test_choose_minhash_split_branches():
+    """The adaptive banding chooser (round 6, BASELINE.md §scaling):
+    high ambient similarity widens the signature and sharpens the
+    bands; low ambient keeps the cheap default; an unreachable recall
+    floor falls back to the default instead of returning nothing."""
+    from ffi_etl_spark.functions.lsh_tuning import (
+        candidate_probability,
+        choose_minhash_split,
+    )
+
+    # the measured testdata regime (ambient ~0.35) -> (24, 4, 6)
+    assert choose_minhash_split(0.35, 0.5) == (24, 4, 6)
+    # a real-corpus regime (ambient ~0) -> the default (12, 3, 4)
+    assert choose_minhash_split(0.02, 0.5) == (12, 3, 4)
+    # no split of a 4-slot signature reaches 0.99 recall at dup_sim=0.5
+    # (best is b=4/r=1 at 0.9375) -> fall back to that width's default
+    from ffi_etl_spark.functions.lsh_tuning import tune_bands
+
+    b0, r0 = tune_bands(4, 0.5, fp_weight=5)
+    assert choose_minhash_split(
+        0.35, 0.5, dup_sim=0.5, recall_floor=0.99, num_perms=(4,)
+    ) == (4, b0, r0)
+    # the chosen high-ambient split honors the recall floor at dup_sim
+    np_, b, r = choose_minhash_split(0.35, 0.5)
+    assert candidate_probability(0.9, b, r) >= 0.95
+    # and strictly beats the default on ambient collision probability
+    assert candidate_probability(0.35, b, r) < candidate_probability(0.35, 3, 4)
+
+
+def test_ambient_probe_high_vs_low(spark, sf_dir):
+    """estimate_ambient_jaccard separates the 31-word-vocab driver
+    corpus (ambient ~0.35) from a disjoint-vocabulary corpus
+    (ambient ~0), and is deterministic across calls."""
+    from ffi_etl_spark.operators.dedup import estimate_ambient_jaccard
+
+    docs = table(spark, sf_dir, "documents")
+    amb = estimate_ambient_jaccard(docs)
+    assert 0.15 < amb < 0.6
+    assert estimate_ambient_jaccard(docs) == amb  # seedless-hash determinism
+
+    disjoint = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=" ".join(str(i * 7919 + j * 104729) for j in range(12)))
+            for i in range(120)
+        ]
+    )
+    assert estimate_ambient_jaccard(disjoint) < 0.1
+
+
+def test_dedup_minhash_adaptive_matches_default_on_true_dups(spark, sf_dir):
+    """The adaptive tier must keep the default tier's found set at the
+    true-duplicate similarity (recall floor 0.95 at dup_sim=0.9) while
+    honoring the verify-threshold contract on every emitted pair."""
+    from ffi_etl_spark.operators.dedup import dedup_minhash_adaptive
+
+    docs = table(spark, sf_dir, "documents")
+    default_hi = {
+        (r.id_a, r.id_b)
+        for r in dedup_minhash_lsh(docs, fast=True).filter(
+            F.col("jaccard_sim") >= 0.9
+        ).collect()
+    }
+    adaptive = dedup_minhash_adaptive(docs).collect()
+    assert all(r.jaccard_sim >= 0.5 for r in adaptive)
+    adaptive_hi = {(r.id_a, r.id_b) for r in adaptive if r.jaccard_sim >= 0.9}
+    # identical true-dup found set on this corpus (the sf1 measurement
+    # saw the wider signature recover MORE, never fewer)
+    assert adaptive_hi >= default_hi
