@@ -422,7 +422,6 @@ def _bpe_chain(n_merges: int, cap: int) -> tuple[str, str]:
     WHERE k2.i IS NULL
   ) q GROUP BY q.w, q.freq
 )""")
-        pass
     chain = ",\n".join(rounds)
     finals = "\nUNION ALL ".join(
         f"SELECT {r} AS merge_rank, a AS left_sym, b AS right_sym, cnt AS pair_count FROM b{r}"
