@@ -199,3 +199,47 @@ def read_csv_lenient(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.csv(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the ``spark-avro`` module is on the session's JVM
+    classpath. Avro ships as an EXTERNAL Spark module (the jar is not
+    in this container — SCALING.md documents the skip), so the reader
+    below probes capability instead of assuming it. The probe is
+    Spark's OWN resolution path (``DataSource.lookupDataSource``), not
+    a bare ``Class.forName``: the pip pyspark distribution ships some
+    ``sql.avro`` classes (from_avro/to_avro support) while the actual
+    file source is still absent, so a class lookup false-positives —
+    only the data-source registry answer matches what ``spark.read``
+    will do. No read is attempted."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — capability probe needs the JVM
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()  # noqa: SLF001
+        )
+        return True
+    except Exception:  # noqa: BLE001 — any JVM lookup failure == absent
+        return False
+
+
+def read_avro(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """Avro scan, gated on ``avro_available``. On a cluster with the
+    external module (``--packages org.apache.spark:spark-avro_2.13``)
+    this is the same explicit-schema reader pattern as every other
+    format here; without it, fail at the API boundary with the remedy
+    in the message rather than deep in a job submit. Avro is row-major
+    — fine as an INGEST format (Kafka/CDC lineage), but convert to
+    parquet/ORC at the bronze layer for scan-heavy analytics (no
+    column pruning or min/max skipping on Avro)."""
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro is not on this cluster's classpath; add the external "
+            "module (e.g. spark.jars.packages=org.apache.spark:spark-avro_2.13:"
+            "<spark version>) and retry. See SCALING.md 'Format coverage'."
+        )
+    reader = spark.read.format("avro")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

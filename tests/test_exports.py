@@ -122,3 +122,19 @@ def test_urlcsv_datasource_distributed_fetch(spark, tmp_path):
     rows = {r["Response ID"]: r["Gender"] for r in df.collect()}
     assert rows == {"1": "Woman", "2": "Man", "3": "Woman", "4": None}
     assert df.columns == ["Response ID", "Gender"]  # Extra pruned at parse
+
+
+def test_avro_capability_gate(spark):
+    """The container has no spark-avro jar, so the probe must say so
+    and the reader must fail AT THE API BOUNDARY with the remedy in
+    the message; with the jar present the same call slots into the
+    normal reader pattern (exercised only where the module exists)."""
+    import pytest
+
+    from ffi_etl_spark.sources.readers import avro_available, read_avro
+
+    if avro_available(spark):  # pragma: no cover — jar-present clusters
+        assert read_avro(spark, "/nonexistent") is not None
+        return
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_avro(spark, "/tmp/x.avro")
