@@ -575,22 +575,23 @@ def dedup_simhash(
     """Near-dup pairs by SimHash: band on 4 × 15-bit chunks (pigeonhole:
     ≤3 differing bits ⇒ ≥1 identical chunk), verify Hamming distance."""
     fp = _pin(simhash_fingerprints(df, text_col, id_col, fast=fast))
+    # band key = chunk_idx*2^15 + chunk_value, one INT per band: the
+    # chunk index rides in bits 15-16 so cross-chunk values can never
+    # collide, and the join key stays a codegen integer compare/hash
+    # (the original string "i:chunk" keys paid concat_ws + string
+    # hashing, plus a no-op interpreted transform() pass — measured
+    # ~5-8% of the operator at sf0.1 for zero semantic content)
     chunks = F.array(
         *[
-            F.concat_ws(
-                ":",
-                F.lit(str(i)),
-                F.shiftright(F.col("simhash"), 15 * i).bitwiseAND(F.lit((1 << 15) - 1)).cast("string"),
-            )
+            F.shiftright(F.col("simhash"), 15 * i).bitwiseAND(F.lit((1 << 15) - 1))
+            + F.lit(i << 15)
             for i in range(4)
         ]
     )
-    banded = fp.withColumn("_bands", F.transform(chunks, lambda x: x))
-    # reuse the band join; band_idx is embedded in the chunk string
-    bands = banded.select(
+    bands = fp.select(
         F.col(id_col).alias("_id"),
         F.col("simhash"),
-        F.explode("_bands").alias("_band_key"),
+        F.explode(chunks).alias("_band_key"),
     )
     left = bands.alias("l")
     right = bands.alias("r")
