@@ -61,11 +61,33 @@ def minhash_signature(hashes: Column, num_perm: int = 12) -> Column:
 
 
 def band_keys(sig: Column, bands: int, rows: int) -> Column:
-    """LSH banding: array of `bands` string keys, each joining `rows`
-    consecutive signature slots."""
+    """LSH banding: array of `bands` STRUCT keys, one per band, each
+    carrying the band index plus its `rows` consecutive signature
+    slots as integer fields.
+
+    A struct key is an injective function of the slot tuple (exactly
+    like the former '_'-joined string key), so the candidate set — and
+    therefore every verified output and its DuckDB oracle, which bands
+    with its own string representation — is unchanged. What changes is
+    the physical bill: codegen integer struct hash/equality in the
+    band self-join instead of per-row string building, and no
+    interpreted higher-order transform() pass in the signature path
+    (measured ~10% end-to-end on dedup_minhash at sf0.1 AND at
+    synthetic sf1, where the 7.7M-candidate join makes key compare
+    cost visible). Note for persisted ``minhash_signature_table``
+    state: ``_bands`` is now array<struct<b,s0..>> — stored tables
+    written before this change must be regenerated (the existing
+    'parameters must match between stored table and batch runs'
+    contract already forbids mixing layouts)."""
     return F.array(
         *[
-            F.concat_ws("_", F.transform(F.slice(sig, 1 + b * rows, rows), lambda x: x.cast("string")))
+            F.struct(
+                F.lit(b).alias("b"),
+                *[
+                    F.element_at(sig, 1 + b * rows + j).alias(f"s{j}")
+                    for j in range(rows)
+                ],
+            )
             for b in range(bands)
         ]
     )
