@@ -634,3 +634,58 @@ def test_more_like_this_matches_bruteforce_property(spark, docs):
         want = dot / (math.sqrt(vn) * math.sqrt(qn))
         assert i in out and abs(out[i] - want) < 1e-12
     spark.catalog.clearCache()
+
+
+_PURE_SETTINGS = dict(max_examples=300, deadline=None)  # no Spark involved
+
+
+@given(
+    ambient=st.floats(0.0, 0.8),
+    threshold=st.floats(0.1, 0.9),
+    dup_sim=st.floats(0.5, 0.99),
+    recall_floor=st.floats(0.5, 0.99),
+)
+@settings(**_PURE_SETTINGS)
+def test_choose_minhash_split_invariants(ambient, threshold, dup_sim, recall_floor):
+    """Structural invariants of the adaptive banding chooser: the split
+    always divides the signature; whenever it moves off the default it
+    must (a) satisfy the recall floor at dup_sim and (b) never be worse
+    than the default on ambient collisions when the default itself is
+    feasible; and raising ambient never loosens the chosen split's
+    ambient collision probability."""
+    from ffi_etl_spark.functions.lsh_tuning import (
+        candidate_probability,
+        choose_minhash_split,
+        tune_bands,
+    )
+
+    num_perm, bands, rows = choose_minhash_split(
+        ambient, threshold, dup_sim=dup_sim, recall_floor=recall_floor
+    )
+    assert bands * rows == num_perm
+    assert num_perm in (12, 24, 36)
+
+    b0, r0 = tune_bands(12, threshold, fp_weight=5)
+    default = (12, b0, r0)
+    if (num_perm, bands, rows) != default:
+        assert candidate_probability(dup_sim, bands, rows) >= recall_floor
+        if candidate_probability(dup_sim, b0, r0) >= recall_floor:
+            assert candidate_probability(ambient, bands, rows) <= candidate_probability(
+                ambient, b0, r0
+            )
+    # monotone-in-ambient, but only once BOTH calls are in the search
+    # branch: if this call already searched (pick != default), a
+    # higher-ambient call searches too (its budget check can only be
+    # harder) and minimizes the same recall-feasible set, so its pick
+    # can never collide more at hi than ours does. When this call took
+    # the default-budget branch instead, the default need not be
+    # recall-feasible and the comparison is meaningless.
+    if (num_perm, bands, rows) != default:
+        hi = min(ambient + 0.1, 0.9)
+        nh, bh, rh = choose_minhash_split(
+            hi, threshold, dup_sim=dup_sim, recall_floor=recall_floor
+        )
+        assert (
+            candidate_probability(hi, bh, rh)
+            <= candidate_probability(hi, bands, rows) + 1e-12
+        )
