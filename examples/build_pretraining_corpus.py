@@ -50,7 +50,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from ffi_etl_spark.operators.corpus import pretraining_corpus
-    from ffi_etl_spark.operators.dedup import dedup_minhash_lsh
+    from ffi_etl_spark.operators.dedup import dedup_minhash_adaptive
     from ffi_etl_spark.operators.textops import (
         decontaminate,
         dsir_importance,
@@ -78,7 +78,10 @@ def main() -> None:
     n_gated = gated.count()
 
     # 3. dedup: exact + near-dup components -> canonical survivors
-    pairs = dedup_minhash_lsh(gated).count()
+    # (the adaptive tier probes ambient similarity and re-splits the
+    # LSH bands on high-ambient corpora — the production default; see
+    # BASELINE.md §scaling for the measured candidate-blowup fix)
+    pairs = dedup_minhash_adaptive(gated).count()
     survivors = pretraining_corpus(gated)
     n_dedup = survivors.count()
 
