@@ -17,6 +17,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -243,3 +244,34 @@ def read_avro(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented raw-text scan (``text`` source): one row per line,
+    single ``value`` string column. The ingest shape for line-delimited
+    corpora (one document per line, the common crawl-dump export
+    layout) — splits follow HDFS block boundaries, so a 100 TB text
+    dump parallelizes like any table scan."""
+    return spark.read.text(path)
+
+
+def read_text_docs(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Whole-file raw-text ingest: one row per FILE with
+    (doc_id = file path, text = full contents) — the `documents`-table
+    shape the dedup/quality/tokenizer operators consume, straight from
+    a directory of .txt/.md files.
+
+    Uses ``wholetext=True``, so each file must fit an executor's task
+    memory (fine for documents; use ``read_binary_files`` +
+    a decode step for large media payloads). Files never pass through
+    the driver, and ``glob`` filters names BEFORE any read.
+
+    Both options ride the ``.text()`` call itself: pyspark's reader
+    wrapper re-sets its keyword defaults over any earlier
+    ``option()`` calls, so ``spark.read.option("wholetext", True)
+    .text(p)`` silently reads per-line."""
+    return spark.read.text(path, wholetext=True, pathGlobFilter=glob).select(
+        F.input_file_name().alias("doc_id"), F.col("value").alias("text")
+    )

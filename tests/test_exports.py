@@ -138,3 +138,26 @@ def test_avro_capability_gate(spark):
         return
     with pytest.raises(RuntimeError, match="spark-avro"):
         read_avro(spark, "/tmp/x.avro")
+
+
+def test_text_readers_land_documents_shape(spark, tmp_path):
+    """read_text_lines: one row per line; read_text_docs: one row per
+    FILE in the (doc_id, text) documents shape, glob applied before
+    the read, multi-line contents kept whole."""
+    from ffi_etl_spark.sources.readers import read_text_docs, read_text_lines
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha line one\nalpha line two\n")
+    (d / "b.txt").write_text("bravo only line\n")
+    (d / "ignore.md").write_text("not a txt\n")
+
+    lines = read_text_lines(spark, str(d))
+    assert lines.columns == ["value"]
+    assert lines.count() == 4  # 2 + 1 + 1 lines across all files
+
+    docs = read_text_docs(spark, str(d), glob="*.txt")
+    rows = {r.doc_id.rsplit("/", 1)[-1]: r.text for r in docs.collect()}
+    assert set(rows) == {"a.txt", "b.txt"}
+    assert rows["a.txt"].strip() == "alpha line one\nalpha line two"
+    assert docs.columns == ["doc_id", "text"]
