@@ -95,7 +95,14 @@ def choose_minhash_split(
     split when no offered split can meet the recall floor."""
     base = num_perms[0]
     b0, r0 = tune_bands(base, threshold, fp_weight=5)
-    if candidate_probability(ambient, b0, r0) <= ambient_budget:
+    if (
+        candidate_probability(ambient, b0, r0) <= ambient_budget
+        and candidate_probability(dup_sim, b0, r0) >= recall_floor
+    ):
+        # fast path: the default split is cheap enough AND honors the
+        # caller's recall contract at dup_sim (ADVICE r06: a stricter
+        # recall_floor than the default split provides must fall into
+        # the search loop even on a low-ambient corpus)
         return base, b0, r0
     best: tuple[tuple[float, int, int], tuple[int, int, int]] | None = None
     for num_perm in num_perms:

