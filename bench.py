@@ -32,6 +32,11 @@ HEADLINE = [
     "rollup_demographic",
     "dedup_minhash",
     "dedup_minhash_incremental",
+    # round-7: the self-tuning tier (probe -> choose_minhash_split ->
+    # banded verify) — benched beside the default tier so the measured
+    # 1.4x-at-sf1 scaling claim (BASELINE.md §scaling) is guarded
+    # round-over-round
+    "dedup_minhash_adaptive",
     "dedup_simhash",
     "knn_bruteforce",
     "ann_ivf_topk",

@@ -58,6 +58,7 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
     round5,
     round5b,
     round6,
+    round7,
 )
 
 # The driver's correctness gate grades a bounded prefix of the registry
@@ -65,13 +66,13 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
 # therefore a grading decision; `tools/rotation.py` machine-derives the
 # graded/green/never-graded sets from CORRECTNESS_r*.json and proposes
 # the next prefix (VERDICT r04 item 6 — no more hand-counted TODO
-# lists). Round-5 rotation = 5 continuity canaries + the 6 latest-red
-# rows (the 4 rows-only reds, all upgraded to full oracles this round,
-# plus the token_entropy / pagerank_centrality oracle-upgrade
-# re-grades) + the 38 never-graded round-4b/4c-era registrations +
-# the 1 round-5 addition = exactly 50. If all grade green, EVERY
-# registered query has a green driver row across rounds and the
-# coverage claim is proven, not asserted.
+# lists). Round-7 rotation = 5 continuity canaries + the r06 red
+# (dsir_budget_selection, re-graded after the global_cumsum_exclusive
+# determinism fix) + the 2 r06-overflow never-graded queries + the 3
+# round-7 registrations (adaptive minhash + the two raw-text source
+# roundtrips) + 39 oldest-graded greens as freshness fill = exactly
+# 50. If all grade green, every registered query has a green driver
+# row across rounds and the grading debt is zero entering round 8.
 PRIORITY_PREFIX: tuple[str, ...] = (
     # -- canaries: green every prior round, kept for continuity --
     "survey_pipeline",
@@ -79,54 +80,56 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "dedup_minhash",
     "tpch_q1",
     "pretraining_corpus",
-    # -- round-5/5b additions, never driver-graded (rotation.py
-    # order; VERDICT r05 item 1: clear the grading debt). The one
-    # overflow query, seasonal_dow_index, heads round 7's window. --
-    "hybrid_rrf_fusion",
-    "dsir_importance",
-    "woe_iv_encoding",
-    "repetition_span_scrub",
-    "bpe_learn_merges",
-    "bpe_encode_corpus",
-    "quantile_summary_merge",
-    "tree_ensemble_score",
-    "model_auc_exact",
-    "model_classification_report",
-    "nb_lang_train_score",
-    "hll_distinct_sketch",
-    "model_calibration_bins",
-    "unigram_lm_segment",
-    "quantile_summary_compact",
-    "model_isotonic_calibration",
-    "sparse_cosine_mlt",
-    "entity_resolution_golden",
-    "forecast_backtest_wape",
-    "daily_trend_ols",
-    "bloom_filter_audit",
-    "conversion_wilson_ci",
-    "chi2_independence",
-    "incremental_join_maintenance",
-    "mmr_diverse_topk",
-    "cv_auc_folds",
-    "feature_drift_psi",
-    "train_decision_stump",
-    "contrastive_negatives",
-    "ppmi_associations",
-    "zipf_exponent_fit",
-    "unigram_em_refit",
-    "leakage_safe_split",
-    "multimodal_phash_sigs",
-    "asof_forward_next_purchase",
-    "gdpr_forget_apply",
-    "calendar_dim",
-    "incremental_agg_retractions",
-    "ks_two_sample",
-    "resample_interpolate",
-    "ab_srm_check",
-    "conversion_time_quantiles",
-    "rolling_distinct_hll",
+    # -- the one r06 red (global_cumsum_exclusive determinism fix,
+    # this round) re-graded first --
     "dsir_budget_selection",
-    "rolling_ols_trend",
+    # -- last round's overflow (judge-verified green in the r06
+    # session) + the round-7 registrations --
+    "seasonal_dow_index",
+    "stump_score_report",
+    "dedup_minhash_adaptive",
+    "text_lines_roundtrip",
+    "documents_whole_roundtrip",
+    # -- freshness fill: oldest-graded greens (rotation.py order) --
+    "tpch_q5",
+    "salted_group_count",
+    "upsert_merge",
+    "semi_anti_join",
+    "tpch_q18_top",
+    "simhash_fingerprints",
+    "dedup_simhash",
+    "ann_embedding_pairs",
+    "dedup_embedding",
+    "lang_id",
+    "doc_fingerprint",
+    "tumbling_agg",
+    "sliding_agg",
+    "resample_gapfill",
+    "latest_per_key",
+    "multimodal_resize",
+    "ann_ivf_nprobe2",
+    "quantiles_exact",
+    "rollup_demographic",
+    "clean_text",
+    "likert_scores",
+    "bucket_balance",
+    "validity_cascade",
+    "valid_split",
+    "invalid_split",
+    "project_rename_prefix",
+    "global_stats",
+    "window_backfill_first",
+    "window_rownum_order",
+    "timestamp_roundtrip",
+    "union_rollup_multi",
+    "tpch_q3_top10",
+    "catalog_tables",
+    "merge_nan_outer_join",
+    "csv_roundtrip",
+    "json_roundtrip",
+    "sql_tpch_q6",
+    "dedup_exact",
+    "dedup_components",
 )
 
 

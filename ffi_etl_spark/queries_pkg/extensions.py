@@ -74,10 +74,16 @@ def _bands_sql(bands: int, rows: int) -> str:
     return f"[{keys}]"
 
 
-def _minhash_pairs_cte(source: str = "documents") -> str:
+def _minhash_pairs_cte(
+    source: str = "documents", num_perm: int = 12, bands: int = 3
+) -> str:
     """The MinHash-LSH pair pipeline as a flat CTE list over ``source``
     (must expose doc_id, text) ending in a ``verified`` relation —
-    reusable standalone and inside composed oracles."""
+    reusable standalone and inside composed oracles. Parametric in the
+    signature width and band split so non-default tiers (the adaptive
+    chooser's (24, 4, 6) on this corpus — queries_pkg/round7.py) share
+    the same bit-exact md5 mirror."""
+    rows = num_perm // bands
     return f"""hashed AS (
   SELECT doc_id,
          list_distinct([
@@ -86,10 +92,10 @@ def _minhash_pairs_cte(source: str = "documents") -> str:
          ]) AS hashes
   FROM {source}
 ), sigs AS (
-  SELECT doc_id, hashes, {_sig_sql(12)} AS sig FROM hashed
+  SELECT doc_id, hashes, {_sig_sql(num_perm)} AS sig FROM hashed
 ), banded AS (
-  SELECT doc_id, hashes, unnest({_bands_sql(3, 4)}) AS band_key,
-         unnest(generate_series(0, 2)) AS band_idx
+  SELECT doc_id, hashes, unnest({_bands_sql(bands, rows)}) AS band_key,
+         unnest(generate_series(0, {bands - 1})) AS band_idx
   FROM sigs
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

