@@ -364,6 +364,55 @@ def dedup_minhash_adaptive(
     )
 
 
+def check_signature_layout(stored: DataFrame, num_perm: int, bands: int) -> None:
+    """Fail fast on stale persisted MinHash state (ADVICE r06 / VERDICT
+    r06 item 6). Round 6 changed ``_bands`` from array<string> to
+    array<struct<b, s0..>> (functions/hashing.py::band_keys), which
+    silently invalidates any ``minhash_signature_table`` written before
+    it: a raw unionByName/join over the old layout dies with a type
+    mismatch far from the cause — or worse, a future layout could
+    unify and silently miss duplicates. The stored SCHEMA is the
+    version stamp (each layout change alters it injectively — no
+    separate version column to drift out of sync with the data), so
+    this probe is metadata-only: no scan, no job."""
+    from pyspark.sql.types import ArrayType, LongType, StructType
+
+    names = set(stored.columns)
+    missing = {"_hashes", "_sig", "_bands"} - names
+    if missing:
+        raise ValueError(
+            f"stored signature table is missing column(s) {sorted(missing)} — "
+            "not a minhash_signature_table output; regenerate the state with "
+            "minhash_signature_table(corpus, ...)"
+        )
+    bt = stored.schema["_bands"].dataType
+    elem = bt.elementType if isinstance(bt, ArrayType) else None
+    if not isinstance(elem, StructType):
+        got = elem.simpleString() if elem is not None else bt.simpleString()
+        raise ValueError(
+            "stored signature table uses the pre-round-6 _bands layout "
+            f"(array element type {got}, expected struct<b,s0..>): the "
+            "integer-struct band-key change (functions/hashing.py::band_keys) "
+            "is not read-compatible — regenerate the signature table with "
+            "minhash_signature_table(corpus, ...) before the next ingest"
+        )
+    rows = num_perm // bands
+    if len(elem.fields) != rows + 1:
+        raise ValueError(
+            f"stored signature table was built with {len(elem.fields) - 1} "
+            f"rows per band, but this run is configured for {rows} "
+            f"(num_perm={num_perm}, bands={bands}) — parameters must match "
+            "between the stored table and batch runs; regenerate the state "
+            "or pass the original parameters"
+        )
+    st = stored.schema["_sig"].dataType
+    if not (isinstance(st, ArrayType) and isinstance(st.elementType, LongType)):
+        raise ValueError(
+            f"stored signature table's _sig has type {st.simpleString()}, "
+            "expected array<bigint> — regenerate the state"
+        )
+
+
 def minhash_signature_table(
     df: DataFrame,
     text_col: str = "text",
@@ -460,6 +509,11 @@ def dedup_minhash_incremental(
             "(both sides must share one signature parameterization)"
         )
     rows = num_perm // bands
+    if corpus_hashed is not None:
+        # metadata-only layout gate: a pre-round-6 stored table (string
+        # band keys) or a parameter-mismatched one must name the remedy
+        # here, not die in the union/join below
+        check_signature_layout(corpus_hashed, num_perm, bands)
     if corpus is not None:
         union = corpus.select(id_col, text_col).unionByName(
             batch.select(id_col, text_col)

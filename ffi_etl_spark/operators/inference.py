@@ -136,11 +136,12 @@ def train_decision_stump(
     (deterministic double, no accumulation), and the argmin ties to
     the smaller threshold — the TRAINED MODEL is bit-identical
     cross-engine. Shape: one scan, one K-bin aggregate, K-row window +
-    1-row argmin (the corpus shuffles once, keyed by bin).
-
-    Output (1 row): threshold_bin, n_left, pos_left, n_right,
-    pos_right, gini_cost, stump_acc."""
-    from pyspark import StorageLevel
+    1-row argmin (the corpus shuffles once, keyed by bin). The grand
+    totals ride the SAME single-partition window pass as the
+    cumulatives (unbounded-following frame), so ``cells`` is consumed
+    exactly once — no persist to leak across repeated trainings
+    (ADVICE r06: CV folds accumulated cached partitions for the
+    session's lifetime) and no crossJoin."""
     from pyspark.sql import Window
 
     binned = df.select(
@@ -151,15 +152,16 @@ def train_decision_stump(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("pos"),
     )
-    cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
     w = Window.orderBy("bin")
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = cells.select(
         "bin",
         F.sum("n").over(w).cast("long").alias("nl"),
         F.sum("pos").over(w).cast("long").alias("posl"),
-    )
-    tot = cells.agg(
-        F.sum("n").cast("long").alias("nt"), F.sum("pos").cast("long").alias("pt")
+        F.sum("n").over(w_all).cast("long").alias("nt"),
+        F.sum("pos").over(w_all).cast("long").alias("pt"),
     )
     negl = F.col("nl") - F.col("posl")
     nr = F.col("nt") - F.col("nl")
@@ -178,8 +180,7 @@ def train_decision_stump(
         / nr.cast("double")
     )
     cand = (
-        cum.crossJoin(F.broadcast(tot))
-        .where((F.col("nl") > 0) & (nr > 0))
+        cum.where((F.col("nl") > 0) & (nr > 0))
         .select(
             "bin",
             "nl",

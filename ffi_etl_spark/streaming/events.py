@@ -396,6 +396,7 @@ def merge_join_batch(
     target_path: str,
     keys: list[str],
     app_id: str | None = None,
+    adopt_unowned: bool = False,
 ) -> bool:
     """Merge one fact microbatch into the maintained fact⋈dim table at
     ``target_path``. Returns False (no-op) when the table's ledger
@@ -418,6 +419,7 @@ def merge_join_batch(
         _LEDGER_COL,
         _commit_swap,
         _local_target,
+        _read_ledger,
         _recover_torn_commit,
     )
 
@@ -431,18 +433,10 @@ def merge_join_batch(
         stored = spark.read.parquet(target_path)
 
     if stored is not None:
-        row = stored.agg(
-            F.max(_LEDGER_COL).alias("through"),
-            F.max(_LEDGER_APP_COL).alias("app"),
-        ).collect()[0]
-        if app_id is not None and row["app"] is not None and row["app"] != app_id:
-            raise ValueError(
-                f"maintained join at {target_path} belongs to stream app "
-                f"{row['app']!r}, not {app_id!r} — a fresh checkpoint replays "
-                "the whole source, so merging would duplicate history. "
-                "Either reuse the original checkpoint or remove the table."
-            )
-        if row["through"] is not None and batch_id <= row["through"]:
+        through, _app = _read_ledger(
+            stored, target_path, app_id, "maintained join", adopt_unowned
+        )
+        if through is not None and batch_id <= through:
             return False
 
     dim = spark.read.parquet(dim_path)

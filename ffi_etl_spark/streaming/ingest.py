@@ -176,6 +176,18 @@ def stream_dedup_ingest(
             # id-level anti-join only runs when the counts disagree, so
             # a healthy steady-state batch never pays a corpus scan.
             corpus_hashed = _read_or_none(spark, sigs_path)
+            if corpus_hashed is not None:
+                # fail the batch BEFORE reconcile would append new-layout
+                # rows onto a pre-round-6 stored table (VERDICT r06 item
+                # 6): stale state must error with the remedy, not
+                # accumulate a mixed-layout table that misses duplicates
+                from ffi_etl_spark.operators.dedup import check_signature_layout
+
+                check_signature_layout(
+                    corpus_hashed,
+                    num_perm=sig_kwargs.get("num_perm", 12),
+                    bands=sig_kwargs.get("bands", 3),
+                )
             n_sigs = corpus_hashed.count() if corpus_hashed is not None else 0
             if corpus.count() != n_sigs:
                 missing = (

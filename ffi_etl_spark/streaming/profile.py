@@ -96,6 +96,53 @@ def _commit_swap(out: DataFrame, target_path: str) -> None:
         os.rename(new_dir, target_path)
 
 
+def _read_ledger(
+    stored: DataFrame,
+    target_path: str,
+    app_id: str | None,
+    what: str,
+    adopt_unowned: bool = False,
+):
+    """Validate + read the (app_id, batch_id) ledger of a maintained
+    table. Raises with the remedy when (a) the table predates the
+    ledger protocol — no ledger columns, so replay idempotence cannot
+    be verified (ADVICE r06: the previous code died at F.max with an
+    unresolved-column AnalysisException far from the cause) — or (b)
+    the table has no recorded owner (written with app_id=None) and an
+    owned stream tries to resume onto it without ``adopt_unowned``: a
+    NULL owner must not silently satisfy the fresh-checkpoint guard.
+    Returns (through_batch, app) on success."""
+    missing = {_LEDGER_COL, _LEDGER_APP_COL} - set(stored.columns)
+    if missing:
+        raise ValueError(
+            f"{what} at {target_path} has no merge ledger (missing "
+            f"column(s) {sorted(missing)}): it was written by the "
+            "pre-ledger maintenance protocol, whose replay idempotence "
+            "cannot be verified — regenerate the table from the source "
+            "(or backfill the ledger columns) before resuming."
+        )
+    row = stored.agg(
+        F.max(_LEDGER_COL).alias("through"),
+        F.max(_LEDGER_APP_COL).alias("app"),
+    ).collect()[0]
+    if app_id is not None and row["app"] is not None and row["app"] != app_id:
+        raise ValueError(
+            f"{what} at {target_path} belongs to stream app "
+            f"{row['app']!r}, not {app_id!r} — a fresh checkpoint replays "
+            "the whole source, so merging would double-count history. "
+            "Either reuse the original checkpoint or remove the table."
+        )
+    if app_id is not None and row["app"] is None and not adopt_unowned:
+        raise ValueError(
+            f"{what} at {target_path} has no recorded owner (it was "
+            "maintained with app_id=None), so this stream's batch-id "
+            "sequence cannot be checked against its history — pass "
+            "adopt_unowned=True to claim it (only safe if its batches "
+            "and this checkpoint's are one sequence), or remove it."
+        )
+    return row["through"], row["app"]
+
+
 def merge_batch_into_profile(
     batch_df: DataFrame,
     batch_id: int,
@@ -104,6 +151,7 @@ def merge_batch_into_profile(
     agg_builder: Callable[[DataFrame], DataFrame],
     spec: Mapping[str, str],
     app_id: str | None = None,
+    adopt_unowned: bool = False,
 ) -> bool:
     """Merge one microbatch's partial aggregate into the profile table
     at ``target_path``. Returns False (no-op) when the table's ledger
@@ -147,18 +195,10 @@ def merge_batch_into_profile(
         target = spark.read.parquet(target_path)
 
     if target is not None:
-        row = target.agg(
-            F.max(_LEDGER_COL).alias("through"),
-            F.max(_LEDGER_APP_COL).alias("app"),
-        ).collect()[0]
-        if app_id is not None and row["app"] is not None and row["app"] != app_id:
-            raise ValueError(
-                f"profile table at {target_path} belongs to stream app "
-                f"{row['app']!r}, not {app_id!r} — a fresh checkpoint replays "
-                "the whole source, so merging would double-count history. "
-                "Either reuse the original checkpoint or remove the table."
-            )
-        if row["through"] is not None and batch_id <= row["through"]:
+        through, _app = _read_ledger(
+            target, target_path, app_id, "profile table", adopt_unowned
+        )
+        if through is not None and batch_id <= through:
             return False
 
     part = agg_builder(batch_df)

@@ -134,7 +134,12 @@ def test_avro_capability_gate(spark):
     from ffi_etl_spark.sources.readers import avro_available, read_avro
 
     if avro_available(spark):  # pragma: no cover — jar-present clusters
-        assert read_avro(spark, "/nonexistent") is not None
+        # the capability gate passed; the read reaches Spark's own
+        # source and fails on the MISSING PATH, not on the gate
+        # (ADVICE r06: asserting a DataFrame from .load("/nonexistent")
+        # failed on exactly the clusters this branch covers)
+        with pytest.raises(Exception, match="PATH_NOT_FOUND|/nonexistent"):
+            read_avro(spark, "/nonexistent")
         return
     with pytest.raises(RuntimeError, match="spark-avro"):
         read_avro(spark, "/tmp/x.avro")

@@ -86,6 +86,90 @@ def test_documents_whole_roundtrip_content(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_signature_layout_gate_detects_old_state(spark, sf_dir):
+    """VERDICT r06 item 6: pre-round-6 persisted MinHash state (string
+    band keys) must error with the regenerate remedy, not die in a
+    union type-mismatch or silently miss duplicates."""
+    import pytest
+
+    from ffi_etl_spark.operators.dedup import (
+        check_signature_layout,
+        dedup_minhash_incremental,
+        minhash_signature_table,
+    )
+
+    docs = table(spark, sf_dir, "documents").limit(50)
+    good = minhash_signature_table(docs, fast=True)
+    check_signature_layout(good, 12, 3)  # current layout passes
+
+    # simulate the pre-round-6 layout: '_'-joined string band keys
+    old = good.withColumn(
+        "_bands",
+        F.transform(
+            "_bands",
+            lambda s: F.concat_ws(
+                "_", s["s0"].cast("string"), s["s1"].cast("string")
+            ),
+        ),
+    )
+    with pytest.raises(ValueError, match="pre-round-6"):
+        check_signature_layout(old, 12, 3)
+
+    batch = (
+        table(spark, sf_dir, "documents")
+        .limit(60)
+        .join(good.select("doc_id"), "doc_id", "left_anti")
+    )
+    with pytest.raises(ValueError, match="regenerate"):
+        dedup_minhash_incremental(None, batch, corpus_hashed=old, fast=True)
+
+    # parameter mismatch: a (12, 3) table consumed as (12, 4)
+    with pytest.raises(ValueError, match="parameters must match"):
+        check_signature_layout(good, 12, 4)
+
+
+def test_stream_ingest_fails_fast_on_old_layout_state(spark, tmp_path):
+    """The streaming reconcile must refuse to append new-layout rows
+    onto an old-layout stored signature table: the batch errors with
+    the remedy instead of accumulating a mixed-layout table."""
+    import json
+
+    import pytest
+
+    from ffi_etl_spark.operators.dedup import minhash_signature_table
+    from ffi_etl_spark.streaming.ingest import stream_dedup_ingest
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    corpus_path = str(tmp_path / "corpus")
+    pairs_path = str(tmp_path / "pairs")
+    sigs_path = str(tmp_path / "sigs")
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
+    seed = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    seed.write.parquet(corpus_path)
+    # old-layout state on disk for the same corpus doc
+    minhash_signature_table(seed).withColumn(
+        "_bands",
+        F.transform("_bands", lambda s: s["s0"].cast("string")),
+    ).write.parquet(sigs_path)
+
+    with open(in_dir / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 2, "text": "totally new words " * 20}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(in_dir))
+    q = (
+        stream_dedup_ingest(
+            stream, corpus_path, pairs_path, str(tmp_path / "ckpt"), sigs_path=sigs_path
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="pre-round-6"):
+        q.awaitTermination(120)
+    # nothing was appended onto the stale state
+    assert spark.read.parquet(sigs_path).count() == 1
+
+
 def test_whole_roundtrip_cleans_stale_files(spark, sf_dir):
     """A stale file from a previous run (different subset) must not
     leak extra rows into the roundtrip output."""

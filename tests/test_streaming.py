@@ -905,8 +905,53 @@ def test_merge_join_batch_replay_is_skipped(spark, tmp_path):
     # fresh checkpoint (new app) against the existing table fails loudly
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="duplicate history"):
+    with _pytest.raises(ValueError, match="double-count history"):
         merge_join_batch(b1, 0, dimp, target, ["k"], app_id="ck-NEW")
+
+
+def test_merge_ledger_guards_pre_ledger_and_unowned_tables(spark, tmp_path):
+    """ADVICE r06: (a) a maintained table written by the pre-ledger
+    protocol (no _merged_through_batch/_ledger_app_id columns) raises a
+    migration message, not an unresolved-column AnalysisException; (b)
+    a table first written with app_id=None is UNOWNED — an owned stream
+    resuming onto it must be rejected unless adopt_unowned=True."""
+    import pytest
+
+    from ffi_etl_spark.streaming.events import merge_join_batch
+    from ffi_etl_spark.streaming.profile import merge_batch_into_profile
+
+    dimp = str(tmp_path / "dim")
+    spark.createDataFrame([(10, "a")], "k long, attr string").write.parquet(dimp)
+    b0 = spark.createDataFrame([(1, 10)], "fid long, k long")
+
+    # (a) pre-ledger table: plain joined rows, no ledger columns
+    legacy = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [(1, 10, "a")], "fid long, k long, attr string"
+    ).write.parquet(legacy)
+    with pytest.raises(ValueError, match="pre-ledger"):
+        merge_join_batch(b0, 1, dimp, legacy, ["k"], app_id="ck")
+
+    profile_legacy = str(tmp_path / "plegacy")
+    spark.createDataFrame([(1, "x", 2)], "user_id long, event_type string, n_events long").write.parquet(profile_legacy)
+    with pytest.raises(ValueError, match="pre-ledger"):
+        merge_batch_into_profile(
+            table(spark, "/root/testdata/sf0.001", "events").limit(10), 1, profile_legacy,
+            _PROFILE_KEYS, _profile_agg, _PROFILE_SPEC, app_id="ck",
+        )
+
+    # (b) unowned table (app_id=None history) + owned resume
+    target = str(tmp_path / "joined")
+    assert merge_join_batch(b0, 0, dimp, target, ["k"])  # unowned write
+    with pytest.raises(ValueError, match="no recorded owner"):
+        merge_join_batch(b0, 1, dimp, target, ["k"], app_id="ck")
+    # explicit adoption is allowed, and the table is owned from then on
+    b1 = spark.createDataFrame([(2, 10)], "fid long, k long")
+    assert merge_join_batch(
+        b1, 1, dimp, target, ["k"], app_id="ck", adopt_unowned=True
+    )
+    with pytest.raises(ValueError, match="double-count history"):
+        merge_join_batch(b1, 2, dimp, target, ["k"], app_id="ck-OTHER")
 
 
 def test_merge_join_batch_recovers_torn_commit(spark, tmp_path):
