@@ -43,6 +43,12 @@ Bit-safe grammar, by the house parity rules:
   scalar-in-WHERE / [NOT] EXISTS over the FK key map — the
   decorrelation surface (COUNT-on-empty-group, NULL vs 0) pinned with
   exact BIGINT outputs;
+- UNPIVOT (round-7 grammar): the standard wide-to-long syntax both
+  engines parse, over derived non-null BIGINT measures with the name
+  label selected — passthrough key + (nm, v) exactness;
+- bag-semantics set operations (round-7 grammar): INTERSECT ALL /
+  EXCEPT ALL / UNION ALL between two differently-predicated
+  projections of one table (per-tuple multiplicity arithmetic);
 - windows OVER joins: the full-tuple-order argument survives a join —
   order by EVERY integer column of the joined row with explicit
   NULLS FIRST (Spark defaults NULLS FIRST ASC, DuckDB NULLS LAST:
@@ -338,6 +344,51 @@ def gen_query(rng: random.Random) -> str:
             f"FROM {frm}{where}{glue}{neg}EXISTS ({sub})"
         )
 
+    if join_how is None and 0.61 <= shape < 0.67:
+        # UNPIVOT (round-7 grammar): the standard SQL syntax both
+        # engines accept — wide-to-long over derived BIGINT measure
+        # columns, name labels carried in `nm`. The measures are
+        # arithmetic derivations of int columns so every (nm, v) pair
+        # is exact; NULL measures can't occur (base ints are non-null),
+        # sidestepping the engines' (matching) NULL-row exclusion
+        # default. The key column rides through as the passthrough.
+        key = t["ints"][0]
+        srcs = t["ints"][1:] or t["ints"]
+        n_meas = rng.randint(2, 3)
+        meas = []
+        for i in range(n_meas):
+            c = rng.choice(srcs)
+            form = rng.choice(
+                [f"CAST({c} AS BIGINT)", f"CAST({c} % {rng.choice([7, 13, 97])} AS BIGINT)",
+                 f"CAST({c} + {rng.choice([0, 1, 100])} AS BIGINT)"]
+            )
+            meas.append(f"{form} AS m{i}")
+        names = ", ".join(f"m{i}" for i in range(n_meas))
+        inner = f"SELECT {key}, {', '.join(meas)} FROM {frm}{where}"
+        return (
+            f"SELECT {key}, nm, v FROM ({inner}) "
+            f"UNPIVOT (v FOR nm IN ({names})) ORDER BY {key}, nm"
+        )
+
+    if join_how is None and 0.67 <= shape < 0.73:
+        # set operations under BAG semantics (round-7 grammar):
+        # INTERSECT ALL / EXCEPT ALL / UNION ALL between two
+        # differently-predicated projections of one table — multiplicity
+        # arithmetic (min / difference / sum of per-tuple counts) is
+        # where engines diverge next after the DISTINCT set ops the
+        # round-1 grammar already pins; outputs are exact int/string
+        # tuples and the canon sorts rows, so multiset equality is the
+        # whole comparison.
+        cols = rng.sample(t["groups"], rng.randint(1, min(2, len(t["groups"]))))
+        sel = ", ".join(cols)
+        w1 = f" WHERE {_int_pred(rng, rng.choice(t['ints']))}"
+        w2 = f" WHERE {_int_pred(rng, rng.choice(t['ints']))}"
+        setop = rng.choice(["INTERSECT ALL", "EXCEPT ALL", "UNION ALL"])
+        return (
+            f"SELECT {sel} FROM {frm}{w1} {setop} "
+            f"SELECT {sel} FROM {frm}{w2} ORDER BY {sel}"
+        )
+
     if shape < 0.2:
         # DISTINCT projection of low-cardinality columns — sometimes
         # composed through a set operation against a second predicate
@@ -474,6 +525,17 @@ def _is_round6_shape(sql: str) -> bool:
     )
 
 
+def _is_round7_shape(sql: str) -> bool:
+    """Round-7 grammar: standard-syntax UNPIVOT and bag-semantics set
+    operations (``new7`` filter mode). VARIANT/JSON paths stay
+    ungrammared: the two engines share NO function or operator spelling
+    for path extraction (Spark variant_get/get_json_object vs DuckDB
+    json_extract/->>), and this fuzzer's contract is the SAME string on
+    both engines — the props_map key surface is pinned by the
+    handwritten props_map_explode oracle instead."""
+    return "UNPIVOT" in sql or " ALL SELECT" in sql
+
+
 def main() -> int:
     # Usage: fuzz_differential.py [sf_dir] [n_cases] [seed0] [new]
     # With the optional 4th arg ``new``, seeds are consumed until
@@ -482,7 +544,9 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     n_cases = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     seed0 = int(sys.argv[3]) if len(sys.argv) > 3 else 0
-    only_new = len(sys.argv) > 4 and sys.argv[4] == "new"
+    mode_arg = sys.argv[4] if len(sys.argv) > 4 else ""
+    only_new = mode_arg == "new"
+    only_new7 = mode_arg == "new7"
 
     import duckdb
 
@@ -504,6 +568,8 @@ def main() -> int:
         seed += 1
         if only_new and not _is_round6_shape(sql):
             continue
+        if only_new7 and not _is_round7_shape(sql):
+            continue
         ran += 1
         try:
             ok, detail = run_case(spark, con, sql)
@@ -515,7 +581,11 @@ def main() -> int:
             print(f"{status} seed={seed - 1}: {detail}\n      {sql}")
         else:
             print(f"{status} seed={seed - 1}: {detail}")
-    mode = " (round-6 shapes only)" if only_new else ""
+    mode = (
+        " (round-6 shapes only)"
+        if only_new
+        else " (round-7 shapes only)" if only_new7 else ""
+    )
     print(f"{bad}/{n_cases} mismatches{mode}, seeds {seed0}..{seed - 1}")
     return 1 if bad else 0
 
