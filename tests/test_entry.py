@@ -174,18 +174,19 @@ def test_registry_priority_prefix(spark):
     expected = [n for n in PRIORITY_PREFIX if n in names]
     assert names[: len(expected)] == expected
     assert len(expected) == 50  # the graded prefix is exactly full
-    # round-6 rotation (VERDICT r05 item 1): continuity canaries + the
-    # first 45 of the never-driver-graded set, in rotation.py's order
-    # (queries banked green in an earlier round rotate OUT — e.g.
-    # dedup_minhash_fast graded green r05 and correctly leaves the
-    # window). Spot-check the canaries and both ends of the debt block.
+    # round-7 rotation: continuity canaries + the r06 red re-grade +
+    # the 2 overflow never-graded + the 3 round-7 registrations +
+    # oldest-graded-green freshness fill, in rotation.py's order
+    # (queries banked green in a recent round rotate OUT). Spot-check
+    # the canaries, the debt block, and both ends of the fill.
     for must in ("survey_pipeline", "census_merge", "dedup_minhash",
                  "tpch_q1", "pretraining_corpus",
-                 "hybrid_rrf_fusion", "dsir_importance",
-                 "repetition_span_scrub", "bpe_learn_merges",
-                 "model_auc_exact", "unigram_lm_segment",
-                 "leakage_safe_split", "gdpr_forget_apply",
-                 "rolling_ols_trend"):
+                 "dsir_budget_selection", "seasonal_dow_index",
+                 "stump_score_report", "dedup_minhash_adaptive",
+                 "text_lines_roundtrip", "documents_whole_roundtrip",
+                 "tpch_q5", "dedup_simhash", "lang_id",
+                 "rollup_demographic", "csv_roundtrip",
+                 "dedup_components"):
         assert names.index(must) < 50, must
 
 

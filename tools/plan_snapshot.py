@@ -32,7 +32,7 @@ SNAPSHOT = [
     ("dataset_diff", "both sides reduced to (id, md5) before the full-outer SMJ; bodies never shuffle"),
     ("dedup_minhash_incremental", "persisted signatures reused 4x, broadcast batch ids + new-bands side, corpus never self-joins"),
     ("skyline_pareto", "two-phase window skyline: per-partition prune then survivor pass — no dominance self-join, no nested loop"),
-    ("histogram_equidepth", "two-phase global rank (rangepartitioning + pid-keyed windows + broadcast offsets) + integer NTILE replay — no single-partition window over raw rows"),
+    ("histogram_equidepth", "two-phase global rank (deterministic-cutpoint pid buckets + pid-keyed windows + broadcast offsets; no sampled range exchange — r7 determinism fix) + integer NTILE replay — no single-partition window over raw rows"),
     ("bm25_rank", "one (doc,term) shuffle for tf over query terms only, broadcast df + 1-row corpus stats, TakeOrderedAndProject top-k"),
     ("countmin_frequency", "d-way slot explode into one map-side-combinable agg; d x w sketch broadcast into the probe join"),
     ("star_denormalize", "pushed shipdate filter on the fact scan, 6 BroadcastHashJoins, no SortMergeJoin at test scale"),
