@@ -63,7 +63,9 @@ SNAPSHOT = [
     ("quantile_summary_compact", "summary x summary below-count join (quadratic in the SUMMARY only), K-row global window for the stride filter, broadcast targets — corpus touched only by the initial shard-rank pass"),
     ("mmr_diverse_topk", "candidate pool + pairwise table checkpointed once; each of k rounds = anti-join + broadcast semi-join + 1-row struct argmin — no corpus work past the initial kNN"),
     ("incremental_join_maintenance", "stored rows re-decorated via ONE broadcast dim join + delta broadcast-joined and unioned — zero fact-table rescans in the maintenance path"),
-    ("train_decision_stump", "one scan to 100 bin rows, K-row cumulative window + 1-row broadcast totals, struct argmin — the whole training job is one aggregate tree"),
+    ("train_decision_stump", "one scan to 100 bin rows, grand totals ride the SAME K-row window pass as the cumulatives (unbounded-following frame — no persist, no crossJoin, r7), struct argmin — the whole training job is one aggregate tree"),
+    ("dedup_minhash_adaptive", "probe (TakeOrderedAndProject sample + K-row median) chooses the band split driver-side; then the standard banded plan at (24,4,6) on this corpus — signature pin, band self-join as the only wide shuffle, broadcast verify; the 24-slot signature buys 12x fewer ambient candidates (BASELINE.md §scaling)"),
+    ("text_lines_roundtrip", "distributed text scan (one row per line, splits at block boundaries) into one 4-aggregate reduce — the whole roundtrip check is a single narrow pass"),
 ]
 
 
