@@ -371,10 +371,17 @@ def check_signature_layout(stored: DataFrame, num_perm: int, bands: int) -> None
     silently invalidates any ``minhash_signature_table`` written before
     it: a raw unionByName/join over the old layout dies with a type
     mismatch far from the cause — or worse, a future layout could
-    unify and silently miss duplicates. The stored SCHEMA is the
-    version stamp (each layout change alters it injectively — no
-    separate version column to drift out of sync with the data), so
-    this probe is metadata-only: no scan, no job."""
+    unify and silently miss duplicates. The stored SCHEMA carries the
+    layout version (no separate version column to drift out of sync
+    with the data), so the schema probe is metadata-only; a final
+    1-row LIMIT probe pins
+    the widths the schema cannot carry (signature length and band
+    count are array SIZES, invisible to the type) — so equal-ratio
+    mismatches like a (24, 6) table consumed as (12, 3) (both rows=4)
+    also fail fast instead of silently degrading recall. The one
+    mismatch no probe can see is the ``fast`` hash tier: md5- and
+    xxhash64-built tables are value- and schema-identical in shape, so
+    tier agreement stays a documented caller contract."""
     from pyspark.sql.types import ArrayType, LongType, StructType
 
     names = set(stored.columns)
@@ -410,6 +417,17 @@ def check_signature_layout(stored: DataFrame, num_perm: int, bands: int) -> None
         raise ValueError(
             f"stored signature table's _sig has type {st.simpleString()}, "
             "expected array<bigint> — regenerate the state"
+        )
+    probe = stored.select(
+        F.size("_sig").alias("_np"), F.size("_bands").alias("_nb")
+    ).limit(1).collect()
+    if probe and (probe[0]["_np"] != num_perm or probe[0]["_nb"] != bands):
+        raise ValueError(
+            f"stored signature table was built with num_perm="
+            f"{probe[0]['_np']}, bands={probe[0]['_nb']}, but this run is "
+            f"configured for num_perm={num_perm}, bands={bands} — "
+            "parameters must match between the stored table and batch "
+            "runs; regenerate the state or pass the original parameters"
         )
 
 

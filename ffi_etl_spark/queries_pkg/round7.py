@@ -84,9 +84,10 @@ FROM documents
 def _text_lines_roundtrip(spark, sf_dir):
     """Line-delimited corpus export + ``read_text_lines`` re-ingest:
     the engine writes documents.text one-per-line (the crawl-dump
-    layout; this corpus has no embedded newlines — asserted by the
-    filter below, which would shift n_lines and fail the gate if the
-    testdata ever grew any) and reads it back with the raw-text
+    layout; this corpus has no embedded newlines — if the testdata
+    ever grew any, the written line count would exceed the oracle's
+    document count and the gate itself fails, so the invariant is
+    enforced by the comparison) and reads it back with the raw-text
     source. Order-free content summary on both sides: line count,
     distinct count, char mass, and an md5-prefix checksum so a
     truncated or mangled line cannot cancel out."""
@@ -139,7 +140,11 @@ def _documents_whole_roundtrip(spark, sf_dir):
     shutil.rmtree(root, ignore_errors=True)  # stale files would add rows
     os.makedirs(root)
     for r in subset.collect():  # bounded fixture write, justified above
-        with open(os.path.join(root, f"doc_{r['doc_id']}.txt"), "w") as f:
+        # utf-8 explicitly: Spark's text reader decodes UTF-8, and a
+        # locale-default open() would diverge on non-ASCII documents
+        with open(
+            os.path.join(root, f"doc_{r['doc_id']}.txt"), "w", encoding="utf-8"
+        ) as f:
             f.write(r["text"])
     back = read_text_docs(spark, root, glob="*.txt")
     return back.select(

@@ -125,6 +125,13 @@ def _read_ledger(
         F.max(_LEDGER_COL).alias("through"),
         F.max(_LEDGER_APP_COL).alias("app"),
     ).collect()[0]
+    if row["through"] is None:
+        # zero-row table (e.g. a first batch whose join/aggregate was
+        # legitimately empty): there is no history to double-count and
+        # no recorded batch sequence to clash with — both guards below
+        # would misfire on max()-over-no-rows NULLs, poisoning an
+        # owned stream after an empty first commit
+        return None, None
     if app_id is not None and row["app"] is not None and row["app"] != app_id:
         raise ValueError(
             f"{what} at {target_path} belongs to stream app "

@@ -20,7 +20,7 @@ def test_adaptive_split_pinned_on_testdata(spark):
     from ffi_etl_spark.functions.lsh_tuning import choose_minhash_split
     from ffi_etl_spark.operators.dedup import estimate_ambient_jaccard
 
-    for sf in ("0.001", "0.01"):
+    for sf in ("0.001", "0.01", "0.1"):  # every SF the driver gates at
         docs = spark.read.parquet(f"/root/testdata/sf{sf}/documents.parquet")
         amb = estimate_ambient_jaccard(docs)
         assert choose_minhash_split(amb, 0.5) == (24, 4, 6), (sf, amb)
@@ -126,6 +126,14 @@ def test_signature_layout_gate_detects_old_state(spark, sf_dir):
     # parameter mismatch: a (12, 3) table consumed as (12, 4)
     with pytest.raises(ValueError, match="parameters must match"):
         check_signature_layout(good, 12, 4)
+
+    # EQUAL-RATIO mismatch (review finding): a (24, 6) table consumed
+    # as (12, 3) has the same rows-per-band struct shape — only the
+    # 1-row size probe can catch it
+    wide = minhash_signature_table(docs, num_perm=24, bands=6, fast=True)
+    check_signature_layout(wide, 24, 6)
+    with pytest.raises(ValueError, match="parameters must match"):
+        check_signature_layout(wide, 12, 3)
 
 
 def test_stream_ingest_fails_fast_on_old_layout_state(spark, tmp_path):

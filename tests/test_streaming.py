@@ -954,6 +954,25 @@ def test_merge_ledger_guards_pre_ledger_and_unowned_tables(spark, tmp_path):
         merge_join_batch(b1, 2, dimp, target, ["k"], app_id="ck-OTHER")
 
 
+def test_merge_ledger_empty_first_commit_does_not_poison_owner(spark, tmp_path):
+    """A first batch whose join is legitimately empty commits a
+    zero-row table; its ledger max() is NULL-over-no-rows, which must
+    NOT read as 'unowned with history' — the same owned stream resumes
+    normally on batch 1 (review finding on the r7 unowned guard)."""
+    from ffi_etl_spark.streaming.events import merge_join_batch
+
+    dimp = str(tmp_path / "dim")
+    spark.createDataFrame([(10, "a")], "k long, attr string").write.parquet(dimp)
+    no_match = spark.createDataFrame([(1, 99)], "fid long, k long")
+
+    target = str(tmp_path / "joined")
+    assert merge_join_batch(no_match, 0, dimp, target, ["k"], app_id="ck")
+    assert spark.read.parquet(target).count() == 0  # empty commit landed
+    b1 = spark.createDataFrame([(2, 10)], "fid long, k long")
+    assert merge_join_batch(b1, 1, dimp, target, ["k"], app_id="ck")
+    assert spark.read.parquet(target).count() == 1
+
+
 def test_merge_join_batch_recovers_torn_commit(spark, tmp_path):
     """Both torn states of the aside→replace→drop swap recover at the
     next batch: aside-not-replaced restores the table (no history
