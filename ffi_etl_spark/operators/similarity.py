@@ -355,6 +355,14 @@ def ann_ivf_topk(
     else:
         q = assign_to_centroid(queries, cents, id_col, vec_col)
     q = q.withColumnsRenamed({id_col: "query_id", vec_col: "_qv", "vec_norm": "_qn"})
+    return _ivf_probe_topk(c, q, k)
+
+
+def _ivf_probe_topk(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """The IVF candidate join + per-query top-k shared by every IVF
+    tier: equi-join on centroid_id (never a cross product), exact
+    cosine on the prenormed vectors, WindowGroupLimit top-k with the
+    deterministic (sim DESC, neighbor ASC) tie-break."""
     scored = (
         c.join(q, "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -371,6 +379,98 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def choose_ivf_cells(n: int) -> int:
+    """The √n cell-count rule: with cells ≈ √n, expected per-cell
+    membership is also ≈ √n, so an nprobe-cell probe scores
+    ~nprobe·√n candidates per query and the WHOLE probe join is
+    ~q·nprobe·√n — the balanced point of the IVF cost curve. A FIXED
+    cell count degrades super-linearly as the corpus grows (measured:
+    BASELINE.md §scaling sf3 — ann_ivf_topk at its standing k went
+    4.6× for 3× data because per-cell membership grew linearly).
+    Driver-side pure math."""
+    import math
+
+    return max(2, math.isqrt(max(n, 0)))
+
+
+def ann_ivf_autok(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int = 64,
+    k: int = 10,
+    nprobe: int = 1,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize_bits: int | None = None,
+    cells: int | None = None,
+) -> DataFrame:
+    """Self-scaling IVF top-k: the cell count comes from the corpus
+    size (``choose_ivf_cells`` — the √n rule) and the coarse quantizer
+    is TRAINED on the corpus (``kmeans_lloyd``) instead of borrowed
+    from a label column — the probe-then-branch posture of
+    ``dedup_minhash_adaptive`` and ``salted_join_adaptive`` applied to
+    the ANN tier, closing the fixed-k scale caveat the sf3 ladder
+    measured (BASELINE.md §scaling).
+
+    Flow: count probe (metadata-cheap, justified in-line) → Lloyd
+    rounds over a TRAINING SAMPLE of ≤ ``sample_per_cell``·cells
+    vectors (deterministic smallest-xxhash64 subset; FAISS trains its
+    coarse quantizer the same way — full-corpus Lloyd at k=√n costs
+    n^1.5 PER ROUND, which the first ladder measurement of this
+    operator paid and the sample cuts to O(n)) → ONE final centroid
+    update becomes THE model → corpus and queries are both assigned
+    against that single table, which is what makes the cell join valid
+    (mixing models would probe cells that were never assigned under
+    them). The one n·√n pass that remains is the single full-corpus
+    assignment — the irreducible IVF BUILD cost, paid once per index
+    and amortized over every query batch thereafter; the per-batch
+    QUERY cost is q·nprobe·√n. ``quantize_bits`` selects the
+    exact-integer centroid mode, making the whole pipeline
+    bit-deterministic and DuckDB-oracleable (the ``kmeans_clusters``
+    precedent — the gated query's 500-vector slice is smaller than the
+    sample cap, so the oracle replays training over the exact slice);
+    the float default keeps full precision for production.
+
+    Output and semantics match ``ann_ivf_topk``: per query the exact
+    top-k among vectors sharing its ``nprobe`` probed cells."""
+    # one column-pruned count — the same class of driver-side probe
+    # as estimate_ambient_jaccard; at 100 TB this is a parquet
+    # footer statistic, not a scan
+    n = corpus.count()
+    if cells is None:
+        cells = choose_ivf_cells(n)
+    sample_per_cell = 64
+    train = corpus
+    if n > sample_per_cell * cells:
+        train = (
+            corpus.orderBy(F.xxhash64(F.col(id_col).cast("string")))
+            .limit(sample_per_cell * cells)
+        )
+    assigned = kmeans_lloyd(
+        train, k=cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        quantize_bits=quantize_bits,
+    )
+    if quantize_bits is not None:
+        cents = quantized_centroid_sums(
+            assigned, label_col="centroid_id", vec_col=vec_col,
+            scale_bits=quantize_bits,
+        )
+    else:
+        cents = compute_centroids(assigned, 0, label_col="centroid_id", vec_col=vec_col)
+    c = assign_to_centroid(corpus, cents, id_col, vec_col).withColumnsRenamed(
+        {id_col: "neighbor_id", vec_col: "_cv", "vec_norm": "_cn"}
+    )
+    if nprobe > 1:
+        q = assign_top_centroids(queries, cents, nprobe, id_col, vec_col).drop(
+            "probe_rank"
+        )
+    else:
+        q = assign_to_centroid(queries, cents, id_col, vec_col)
+    q = q.withColumnsRenamed({id_col: "query_id", vec_col: "_qv", "vec_norm": "_qn"})
+    return _ivf_probe_topk(c, q, k)
 
 
 def brp_hyperplanes(num_hash_tables: int, dim: int) -> list[list[float]]:

@@ -68,10 +68,10 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
 # the next prefix (VERDICT r04 item 6 — no more hand-counted TODO
 # lists). Round-7 rotation = 5 continuity canaries + the r06 red
 # (dsir_budget_selection, re-graded after the global_cumsum_exclusive
-# determinism fix) + the 2 r06-overflow never-graded queries + the 3
-# round-7 registrations (adaptive minhash + the two raw-text source
-# roundtrips) + 39 oldest-graded greens as freshness fill = exactly
-# 50. If all grade green, every registered query has a green driver
+# determinism fix) + the 2 r06-overflow never-graded queries + the 4
+# round-7 registrations (adaptive minhash, the two raw-text source
+# roundtrips, self-scaling IVF) + 38 oldest-graded greens as
+# freshness fill = exactly 50. If all grade green, every registered query has a green driver
 # row across rounds and the grading debt is zero entering round 8.
 PRIORITY_PREFIX: tuple[str, ...] = (
     # -- canaries: green every prior round, kept for continuity --
@@ -90,6 +90,7 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "dedup_minhash_adaptive",
     "text_lines_roundtrip",
     "documents_whole_roundtrip",
+    "ann_ivf_autok",
     # -- freshness fill: oldest-graded greens (rotation.py order) --
     "tpch_q5",
     "salted_group_count",
@@ -129,7 +130,6 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "json_roundtrip",
     "sql_tpch_q6",
     "dedup_exact",
-    "dedup_components",
 )
 
 

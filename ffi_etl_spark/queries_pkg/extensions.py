@@ -1236,7 +1236,10 @@ def _concurrent_sessions(spark, sf_dir):
     )
 
 
-def _kmeans_det_cte(k: int, n_iter: int, dim: int = 64, scale_bits: int = 20) -> str:
+def _kmeans_det_cte(
+    k: int, n_iter: int, dim: int = 64, scale_bits: int = 20,
+    source: str = "embeddings",
+) -> str:
     """Unrolled deterministic-Lloyd CTE chain (the pagerank_centrality
     recipe applied to k-means, VERDICT r04 recipe a): ends in relation
     ``a{n_iter}`` = (vec_id, v, centroid_id). Legal as a differential
@@ -1270,7 +1273,7 @@ def _kmeans_det_cte(k: int, n_iter: int, dim: int = 64, scale_bits: int = 20) ->
 )""")
     chain = ",\n".join(steps)
     return f"""e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM {source}
 ), a0 AS (
   SELECT vec_id, v, CAST(vec_id % {k} AS INT) AS centroid_id FROM e
 ),

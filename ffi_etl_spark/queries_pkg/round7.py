@@ -107,6 +107,95 @@ def _text_lines_roundtrip(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Self-scaling IVF: count probe -> sqrt(n) cells -> trained quantizer -> probe
+# ---------------------------------------------------------------------------
+
+# Gate slice: the first 500 embeddings — the full table at sf0.001 and
+# sf0.01 and a prefix at sf0.1 — so the count probe is CONSTANT at
+# every gate SF and the auto-picked cell count (choose_ivf_cells(500)
+# = 22) can be pinned in a static oracle, exactly like the adaptive
+# minhash split pin. The operator itself scales (cells tracks sqrt(n))
+# — the sf1/sf3 ladder measures it on full corpora (BASELINE.md).
+_AUTOK_SLICE = 500
+_AUTOK_CELLS = 22  # isqrt(500); pytest-pinned against choose_ivf_cells
+_AUTOK_ROUNDS = 2
+_AUTOK_BITS = 20
+_AUTOK_QMOD = 25  # 20 query vectors
+
+
+def _ivf_autok_oracle() -> str:
+    from ffi_etl_spark.queries_pkg.extensions import _COS, _kmeans_det_cte
+
+    scale = f"{1 << _AUTOK_BITS}.0"
+    src = f"(SELECT * FROM embeddings WHERE vec_id < {_AUTOK_SLICE})"
+    cos_ec = _COS.format(a="e.v", b="c.centroid")
+    cos_qn = _COS.format(a="qa.qv", b="ca.cv")
+    return f"""
+WITH {_kmeans_det_cte(_AUTOK_CELLS, _AUTOK_ROUNDS, source=src)},
+cf AS (
+  SELECT centroid_id, list(CAST(sx AS DOUBLE) ORDER BY i) AS centroid
+  FROM (
+    SELECT centroid_id, i, SUM(CAST(FLOOR(v[i] * {scale}) AS BIGINT)) AS sx
+    FROM a{_AUTOK_ROUNDS} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY centroid_id, i
+  ) GROUP BY centroid_id
+), ca AS (
+  SELECT vec_id AS neighbor_id, v AS cv, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, c.centroid_id ASC
+           ) AS rk
+    FROM e CROSS JOIN cf c
+  ) WHERE rk = 1
+), qa AS (
+  SELECT neighbor_id AS query_id, cv AS qv, centroid_id
+  FROM ca WHERE neighbor_id % {_AUTOK_QMOD} = 0
+), scored AS (
+  SELECT qa.query_id, ca.neighbor_id, {cos_qn} AS cosine_sim
+  FROM ca JOIN qa USING (centroid_id)
+  WHERE ca.neighbor_id <> qa.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank::INT AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("ann_ivf_autok", oracle=_ivf_autok_oracle())
+def _ann_ivf_autok(spark, sf_dir):
+    """Self-scaling IVF (operators/similarity.py::ann_ivf_autok): the
+    cell count comes from a count probe (√n rule), the coarse
+    quantizer is TRAINED by deterministic integer-centroid Lloyd
+    rounds (the kmeans_clusters machinery), and corpus + queries are
+    assigned against ONE final model before the standard cell-join
+    top-k. Exact-integer centroid mode (quantize_bits) keeps every
+    round bit-stable, so the oracle replays the full program: unrolled
+    Lloyd chain → final centroid step → both assignments → top-k.
+
+    The oracle pins cells=22 — what choose_ivf_cells deterministically
+    returns for the 500-vector gate slice at every SF (pytest-pinned
+    in tests/test_round7.py so a rule change breaks a test before this
+    oracle). Queries reuse the corpus assignment in the oracle (they
+    are a subset of the corpus and the model is shared — assignment is
+    a pure function of (vector, model), which the engine computes
+    independently and identically)."""
+    from ffi_etl_spark.operators.similarity import ann_ivf_autok
+
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _AUTOK_SLICE
+    )
+    queries = emb.filter(F.col("vec_id") % _AUTOK_QMOD == 0)
+    return ann_ivf_autok(
+        emb, queries, dim=64, n_iter=_AUTOK_ROUNDS, quantize_bits=_AUTOK_BITS
+    )
+
+
 _WHOLE_DOC_MOD = 25  # 20 files at sf0.01, 200 at sf0.1 — whole-file scale
 
 

@@ -184,9 +184,10 @@ def test_registry_priority_prefix(spark):
                  "dsir_budget_selection", "seasonal_dow_index",
                  "stump_score_report", "dedup_minhash_adaptive",
                  "text_lines_roundtrip", "documents_whole_roundtrip",
+                 "ann_ivf_autok",
                  "tpch_q5", "dedup_simhash", "lang_id",
                  "rollup_demographic", "csv_roundtrip",
-                 "dedup_components"):
+                 "dedup_exact"):
         assert names.index(must) < 50, must
 
 

@@ -53,6 +53,42 @@ def test_adaptive_found_set_supersets_default_at_dup_sim(spark, sf_dir):
         assert adaptive[p] == default[p]
 
 
+def test_ivf_autok_cells_pinned_and_scaling():
+    """The ann_ivf_autok ORACLE (queries_pkg/round7.py) hard-codes
+    cells=22 because choose_ivf_cells(500) == 22 for the fixed gate
+    slice; and the rule itself is the √n curve the docstring claims."""
+    import math
+
+    from ffi_etl_spark.operators.similarity import choose_ivf_cells
+    from ffi_etl_spark.queries_pkg.round7 import _AUTOK_CELLS, _AUTOK_SLICE
+
+    assert choose_ivf_cells(_AUTOK_SLICE) == _AUTOK_CELLS
+    for n in (0, 1, 4, 500, 20_000, 60_000):
+        assert choose_ivf_cells(n) == max(2, math.isqrt(max(n, 0)))
+    # monotone non-decreasing in n — a bigger corpus never gets fewer cells
+    picks = [choose_ivf_cells(n) for n in (100, 1_000, 10_000, 100_000)]
+    assert picks == sorted(picks)
+
+
+def test_ivf_autok_matches_fixed_cells_and_trains_real_cells(spark, sf_dir):
+    """ann_ivf_autok with cells passed explicitly equals the auto pick
+    (the probe only chooses the number), and the trained quantizer
+    actually spreads the corpus over many cells (a degenerate 1-cell
+    training would silently turn IVF into brute force)."""
+    from ffi_etl_spark.operators.similarity import ann_ivf_autok
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    auto = ann_ivf_autok(emb, queries, quantize_bits=20)
+    fixed = ann_ivf_autok(emb, queries, quantize_bits=20, cells=22)
+    a = sorted(map(tuple, auto.collect()))
+    b = sorted(map(tuple, fixed.collect()))
+    assert a == b and len(a) > 0
+    # every query got some neighbors and ranks are within k
+    assert max(r[3] for r in a) <= 10
+    spark.catalog.clearCache()
+
+
 def test_text_lines_roundtrip_counts(spark, sf_dir):
     from ffi_etl_spark.queries import QUERIES
 
