@@ -66,6 +66,7 @@ SNAPSHOT = [
     ("train_decision_stump", "one scan to 100 bin rows, grand totals ride the SAME K-row window pass as the cumulatives (unbounded-following frame — no persist, no crossJoin, r7), struct argmin — the whole training job is one aggregate tree"),
     ("dedup_minhash_adaptive", "probe (TakeOrderedAndProject sample + K-row median) chooses the band split driver-side; then the standard banded plan at (24,4,6) on this corpus — signature pin, band self-join as the only wide shuffle, broadcast verify; the 24-slot signature buys 12x fewer ambient candidates (BASELINE.md §scaling)"),
     ("text_lines_roundtrip", "distributed text scan (one row per line, splits at block boundaries) into one 4-aggregate reduce — the whole roundtrip check is a single narrow pass"),
+    ("ann_ivf_autok", "count probe + sample-trained integer-Lloyd quantizer driver-side (per-round LogicalRDD pins), then ONE packed 1-row broadcast model for both assignments and the cell equi-join top-k — the corpus never self-joins, the probe join is the only wide stage"),
 ]
 
 
