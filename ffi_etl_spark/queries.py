@@ -59,6 +59,7 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
     round5b,
     round6,
     round7,
+    round8,
 )
 
 # The driver's correctness gate grades a bounded prefix of the registry
@@ -66,13 +67,14 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
 # therefore a grading decision; `tools/rotation.py` machine-derives the
 # graded/green/never-graded sets from CORRECTNESS_r*.json and proposes
 # the next prefix (VERDICT r04 item 6 — no more hand-counted TODO
-# lists). Round-7 rotation = 5 continuity canaries + the r06 red
-# (dsir_budget_selection, re-graded after the global_cumsum_exclusive
-# determinism fix) + the 2 r06-overflow never-graded queries + the 4
-# round-7 registrations (adaptive minhash, the two raw-text source
-# roundtrips, self-scaling IVF) + 38 oldest-graded greens as
-# freshness fill = exactly 50. If all grade green, every registered query has a green driver
-# row across rounds and the grading debt is zero entering round 8.
+# lists). Round-8 rotation (VERDICT r07 items 1+4) = 5 continuity
+# canaries + the three dsir bisection probes (queries_pkg/round8.py)
+# placed IMMEDIATELY BEFORE the two-round red `dsir_budget_selection`
+# (whose oracle's HUGEINT output column was fixed this round) + 41
+# oldest-graded greens from rotation.py's freshness proposal = exactly
+# 50. If the window grades green the red is closed and graded-ever debt
+# stays zero; if the composed query stays red, whichever probe reds
+# names the diverging stage.
 PRIORITY_PREFIX: tuple[str, ...] = (
     # -- canaries: green every prior round, kept for continuity --
     "survey_pipeline",
@@ -80,56 +82,53 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "dedup_minhash",
     "tpch_q1",
     "pretraining_corpus",
-    # -- the one r06 red (global_cumsum_exclusive determinism fix,
-    # this round) re-graded first --
+    # -- the dsir bisection probes, then the re-graded composed query --
+    "dsir_budget_inputs",
+    "dsir_budget_offsets",
+    "dsir_budget_cutpoints",
     "dsir_budget_selection",
-    # -- last round's overflow (judge-verified green in the r06
-    # session) + the round-7 registrations --
-    "seasonal_dow_index",
-    "stump_score_report",
-    "dedup_minhash_adaptive",
-    "text_lines_roundtrip",
-    "documents_whole_roundtrip",
-    "ann_ivf_autok",
     # -- freshness fill: oldest-graded greens (rotation.py order) --
-    "tpch_q5",
-    "salted_group_count",
-    "upsert_merge",
-    "semi_anti_join",
-    "tpch_q18_top",
-    "simhash_fingerprints",
-    "dedup_simhash",
-    "ann_embedding_pairs",
-    "dedup_embedding",
-    "lang_id",
-    "doc_fingerprint",
-    "tumbling_agg",
-    "sliding_agg",
-    "resample_gapfill",
-    "latest_per_key",
-    "multimodal_resize",
-    "ann_ivf_nprobe2",
-    "quantiles_exact",
-    "rollup_demographic",
-    "clean_text",
-    "likert_scores",
-    "bucket_balance",
-    "validity_cascade",
-    "valid_split",
-    "invalid_split",
-    "project_rename_prefix",
-    "global_stats",
-    "window_backfill_first",
-    "window_rownum_order",
-    "timestamp_roundtrip",
-    "union_rollup_multi",
-    "tpch_q3_top10",
-    "catalog_tables",
-    "merge_nan_outer_join",
-    "csv_roundtrip",
-    "json_roundtrip",
-    "sql_tpch_q6",
-    "dedup_exact",
+    "dedup_components",
+    "dedup_ngram_jaccard",
+    "knn_bruteforce",
+    "text_stats",
+    "sessionize",
+    "multimodal_features",
+    "multimodal_frames",
+    "ann_ivf_topk",
+    "asof_join_last_purchase",
+    "pivot_status",
+    "tpch_q9_profit",
+    "window_lead_lag",
+    "window_rank_ntile",
+    "tpch_q13_custdist",
+    "grouping_sets_agg",
+    "stratified_sample",
+    "decontaminate",
+    "pack_sequences",
+    "profile_columns",
+    "funnel_conversion",
+    "retention_cohorts",
+    "shard_assignment",
+    "mixture_balance",
+    "markov_transitions",
+    "fk_integrity_audit",
+    "approx_distinct_users",
+    "range_join_follows",
+    "cube_agg",
+    "rollup_agg",
+    "doc_quality_filter",
+    "concurrent_sessions",
+    "graph_triangles",
+    "json_extract_agg",
+    "token_topk",
+    "window_first_last_nth",
+    "props_map_explode",
+    "window_percent_rank",
+    "window_trailing_30d",
+    "pii_redact",
+    "repetition_filter",
+    "keyword_tfidf",
 )
 
 

@@ -2763,11 +2763,11 @@ WITH w AS ({_DSIR_ORACLE}
 ), ranked AS (
   SELECT w.doc_id, w.weight_q, tk.ntok,
          COALESCE(SUM(tk.ntok) OVER (
-           ORDER BY -w.weight_q, w.doc_id
+           ORDER BY w.weight_q DESC, w.doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
   FROM w JOIN tk USING (doc_id)
 )
-SELECT doc_id, weight_q, ntok, off + ntok AS cum_tokens
+SELECT doc_id, weight_q, ntok, CAST(off + ntok AS BIGINT) AS cum_tokens
 FROM ranked WHERE off + ntok <= {_DSIR_BUDGET}
 """
 
@@ -2781,7 +2781,14 @@ def _dsir_budget_selection(spark, sf_dir):
     All integers. The global rank-order cumsum runs through
     ``global_cumsum_exclusive`` (range partition + per-partition
     window + broadcast offsets — the pack_sequences machinery), so no
-    single-task window touches the corpus at scale."""
+    single-task window touches the corpus at scale.
+
+    Driver-red r06+r07 post-mortem (round 8): the oracle's
+    ``cum_tokens`` was ``off + ntok`` with ``off`` an UNCAST windowed
+    SUM — HUGEINT, the registry's only int-on-Spark/float-through-
+    pandas-on-DuckDB gated output; now CAST AS BIGINT (standing
+    HUGEINT rule). See queries_pkg/round8.py for the full analysis and
+    the three stage-bisection probes that ride in the r08 window."""
     from ffi_etl_spark.operators.textops import (
         dsir_importance,
         global_cumsum_exclusive,

@@ -174,21 +174,26 @@ def test_registry_priority_prefix(spark):
     expected = [n for n in PRIORITY_PREFIX if n in names]
     assert names[: len(expected)] == expected
     assert len(expected) == 50  # the graded prefix is exactly full
-    # round-7 rotation: continuity canaries + the r06 red re-grade +
-    # the 2 overflow never-graded + the 3 round-7 registrations +
-    # oldest-graded-green freshness fill, in rotation.py's order
-    # (queries banked green in a recent round rotate OUT). Spot-check
-    # the canaries, the debt block, and both ends of the fill.
+    # round-8 rotation (VERDICT r07 items 1+4): continuity canaries +
+    # the 3 dsir bisection probes IMMEDIATELY BEFORE the re-graded
+    # composed red + oldest-graded-green freshness fill, in
+    # rotation.py's order (queries banked green in a recent round
+    # rotate OUT). Spot-check the canaries, the probe block (order
+    # matters: probes must grade before the composed query), and both
+    # ends of the fill.
     for must in ("survey_pipeline", "census_merge", "dedup_minhash",
                  "tpch_q1", "pretraining_corpus",
-                 "dsir_budget_selection", "seasonal_dow_index",
-                 "stump_score_report", "dedup_minhash_adaptive",
-                 "text_lines_roundtrip", "documents_whole_roundtrip",
-                 "ann_ivf_autok",
-                 "tpch_q5", "dedup_simhash", "lang_id",
-                 "rollup_demographic", "csv_roundtrip",
-                 "dedup_exact"):
+                 "dsir_budget_inputs", "dsir_budget_offsets",
+                 "dsir_budget_cutpoints", "dsir_budget_selection",
+                 "dedup_components", "text_stats", "pack_sequences",
+                 "mixture_balance", "rollup_agg", "token_topk",
+                 "keyword_tfidf"):
         assert names.index(must) < 50, must
+    probes = ["dsir_budget_inputs", "dsir_budget_offsets",
+              "dsir_budget_cutpoints"]
+    assert all(
+        names.index(p) < names.index("dsir_budget_selection") for p in probes
+    ), "bisection probes must grade before the composed query"
 
 
 def test_sql_surface_plans(spark):

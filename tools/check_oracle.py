@@ -107,6 +107,25 @@ def frame_hash(df: pd.DataFrame, fmt: str) -> str:
     return h.hexdigest()[:16]
 
 
+def dtype_kind_mismatches(spdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Columns where one engine lands in pandas as integer-kind and the
+    other as float-kind. The local float canon (%g) collapses ``94.0``
+    to ``"94"`` so the value hash here still matches — but the DRIVER's
+    canonicalizer need not (dsir_budget_selection r06+r07: the oracle's
+    lone uncast windowed SUM surfaced as HUGEINT → float64 against
+    Spark's int64 and hash-mismatched every row ON THE DRIVER ONLY).
+    Any such asymmetry is therefore a probable driver red even when the
+    hashes below agree: CAST the oracle output (or emit a double on the
+    Spark side) until the dtypes agree in kind."""
+    out = []
+    for c in sorted(set(spdf.columns) & set(odf.columns)):
+        k1, k2 = spdf[c].dtype.kind, odf[c].dtype.kind
+        ints, flts = {"i", "u"}, {"f"}
+        if (k1 in ints and k2 in flts) or (k1 in flts and k2 in ints):
+            out.append(f"{c}: spark={spdf[c].dtype} oracle={odf[c].dtype}")
+    return out
+
+
 def driver_sort_probe(df: pd.DataFrame) -> None:
     """The driver's canon step verbatim: sort rows by every column.
 
@@ -177,7 +196,16 @@ def main():
             results[name] = "fail_canon"
             print(f"FAIL  {name}: canon error: {e}")
             continue
-        if ok_count and ok_cols and loose and strict:
+        kind_mism = dtype_kind_mismatches(spdf, odf) if ok_cols else []
+        if ok_count and ok_cols and loose and strict and kind_mism:
+            failures.append(name)
+            results[name] = "fail_dtype_kind"
+            print(
+                f"FAIL  {name}: values hash equal but dtype KINDS disagree "
+                f"(int-vs-float) — probable driver red "
+                f"(dsir_budget_selection r06/r07 failure mode): {kind_mism}"
+            )
+        elif ok_count and ok_cols and loose and strict:
             results[name] = f"pass:{len(spdf)}"
             print(f"PASS  {name}: {len(spdf)} rows")
         elif ok_count and ok_cols and loose:
