@@ -343,13 +343,15 @@ def dedup_minhash_adaptive(
     hashes are engine-private) — correctness of the OUTPUT contract is
     gated through the md5 tier's oracle, which shares every stage but
     the hash function."""
-    ambient = estimate_ambient_jaccard(
-        df, text_col, id_col, shingle_k, sample_docs=sample_docs
-    )
-    from ffi_etl_spark.functions.lsh_tuning import choose_minhash_split
-
-    num_perm, bands, _rows = choose_minhash_split(
-        ambient, threshold, dup_sim=dup_sim, recall_floor=recall_floor
+    num_perm, bands = resolve_minhash_split(
+        df,
+        text_col,
+        id_col,
+        shingle_k,
+        threshold=threshold,
+        dup_sim=dup_sim,
+        recall_floor=recall_floor,
+        sample_docs=sample_docs,
     )
     return dedup_minhash_lsh(
         df,
@@ -364,24 +366,53 @@ def dedup_minhash_adaptive(
     )
 
 
-def check_signature_layout(stored: DataFrame, num_perm: int, bands: int) -> None:
-    """Fail fast on stale persisted MinHash state (ADVICE r06 / VERDICT
-    r06 item 6). Round 6 changed ``_bands`` from array<string> to
-    array<struct<b, s0..>> (functions/hashing.py::band_keys), which
-    silently invalidates any ``minhash_signature_table`` written before
-    it: a raw unionByName/join over the old layout dies with a type
-    mismatch far from the cause — or worse, a future layout could
-    unify and silently miss duplicates. The stored SCHEMA carries the
-    layout version (no separate version column to drift out of sync
-    with the data), so the schema probe is metadata-only; a final
-    1-row LIMIT probe pins
-    the widths the schema cannot carry (signature length and band
-    count are array SIZES, invisible to the type) — so equal-ratio
-    mismatches like a (24, 6) table consumed as (12, 3) (both rows=4)
-    also fail fast instead of silently degrading recall. The one
-    mismatch no probe can see is the ``fast`` hash tier: md5- and
-    xxhash64-built tables are value- and schema-identical in shape, so
-    tier agreement stays a documented caller contract."""
+def resolve_minhash_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    dup_sim: float = 0.9,
+    recall_floor: float = 0.95,
+    sample_docs: int = 256,
+) -> tuple[int, int]:
+    """The one probe-then-choose step every adaptive tier shares:
+    estimate the corpus's ambient shingle similarity from a
+    deterministic ``sample_docs`` sample, pick the (num_perm, bands)
+    split with ``choose_minhash_split``. On a normal low-ambient corpus
+    this returns the cheap default split; on a high-ambient corpus it
+    returns the split that bounds the verify bill subject to recall ≥
+    ``recall_floor`` at ``dup_sim`` (BASELINE.md §scaling: 21.8× → 1.8×
+    wall-clock scaling for 10× data on the measured-bad corpus).
+
+    Wired as the DEFAULT for ``dedup_minhash_adaptive``,
+    ``minhash_signature_table``, ``dedup_minhash_incremental`` and the
+    streaming ingest (VERDICT r07 item 2): a user who does not hand-tune
+    gets the probe's pick, not the measured-bad fixed split."""
+    ambient = estimate_ambient_jaccard(
+        df, text_col, id_col, shingle_k, sample_docs=sample_docs
+    )
+    from ffi_etl_spark.functions.lsh_tuning import choose_minhash_split
+
+    num_perm, bands, _rows = choose_minhash_split(
+        ambient, threshold, dup_sim=dup_sim, recall_floor=recall_floor
+    )
+    return num_perm, bands
+
+
+def _require_full_split(num_perm: int | None, bands: int | None) -> None:
+    if (num_perm is None) != (bands is None):
+        raise ValueError(
+            "pass BOTH num_perm and bands (a pinned split), or NEITHER "
+            "(the adaptive default probes the corpus / adopts the stored "
+            "signature layout) — a half-specified split is ambiguous"
+        )
+
+
+def _check_signature_structure(stored: DataFrame) -> int:
+    """Structural half of the layout gate (schema only, no data touch):
+    required columns, post-round-6 struct band keys, bigint signatures.
+    Returns the rows-per-band the ``_bands`` struct pins."""
     from pyspark.sql.types import ArrayType, LongType, StructType
 
     names = set(stored.columns)
@@ -403,20 +434,70 @@ def check_signature_layout(stored: DataFrame, num_perm: int, bands: int) -> None
             "is not read-compatible — regenerate the signature table with "
             "minhash_signature_table(corpus, ...) before the next ingest"
         )
-    rows = num_perm // bands
-    if len(elem.fields) != rows + 1:
-        raise ValueError(
-            f"stored signature table was built with {len(elem.fields) - 1} "
-            f"rows per band, but this run is configured for {rows} "
-            f"(num_perm={num_perm}, bands={bands}) — parameters must match "
-            "between the stored table and batch runs; regenerate the state "
-            "or pass the original parameters"
-        )
     st = stored.schema["_sig"].dataType
     if not (isinstance(st, ArrayType) and isinstance(st.elementType, LongType)):
         raise ValueError(
             f"stored signature table's _sig has type {st.simpleString()}, "
             "expected array<bigint> — regenerate the state"
+        )
+    return len(elem.fields) - 1
+
+
+def infer_signature_layout(stored: DataFrame) -> tuple[int, int]:
+    """(num_perm, bands) a stored ``minhash_signature_table`` was built
+    with — the stored state IS the parameter record (schema carries
+    rows-per-band, a 1-row size probe carries the widths), so adaptive
+    callers ADOPT the pinned split instead of forcing the consumer to
+    re-specify it (VERDICT r07 item 2: the incremental/streaming tiers
+    must do the right thing by default). Pre-round-6 layouts fail here
+    with the same regenerate remedy as ``check_signature_layout``."""
+    rows = _check_signature_structure(stored)
+    probe = stored.select(
+        F.size("_sig").alias("_np"), F.size("_bands").alias("_nb")
+    ).limit(1).collect()
+    if not probe:
+        raise ValueError(
+            "stored signature table is empty — cannot infer its (num_perm, "
+            "bands) split; regenerate the state with "
+            "minhash_signature_table(corpus, ...) or pass the split explicitly"
+        )
+    num_perm, bands = int(probe[0]["_np"]), int(probe[0]["_nb"])
+    if bands <= 0 or num_perm <= 0 or num_perm % bands or num_perm // bands != rows:
+        raise ValueError(
+            f"stored signature table is internally inconsistent: _sig width "
+            f"{num_perm}, {bands} bands, schema rows-per-band {rows} — "
+            "regenerate the state with minhash_signature_table(corpus, ...)"
+        )
+    return num_perm, bands
+
+
+def check_signature_layout(stored: DataFrame, num_perm: int, bands: int) -> None:
+    """Fail fast on stale persisted MinHash state (ADVICE r06 / VERDICT
+    r06 item 6). Round 6 changed ``_bands`` from array<string> to
+    array<struct<b, s0..>> (functions/hashing.py::band_keys), which
+    silently invalidates any ``minhash_signature_table`` written before
+    it: a raw unionByName/join over the old layout dies with a type
+    mismatch far from the cause — or worse, a future layout could
+    unify and silently miss duplicates. The stored SCHEMA carries the
+    layout version (no separate version column to drift out of sync
+    with the data), so the schema probe is metadata-only; a final
+    1-row LIMIT probe pins
+    the widths the schema cannot carry (signature length and band
+    count are array SIZES, invisible to the type) — so equal-ratio
+    mismatches like a (24, 6) table consumed as (12, 3) (both rows=4)
+    also fail fast instead of silently degrading recall. The one
+    mismatch no probe can see is the ``fast`` hash tier: md5- and
+    xxhash64-built tables are value- and schema-identical in shape, so
+    tier agreement stays a documented caller contract."""
+    schema_rows = _check_signature_structure(stored)
+    rows = num_perm // bands
+    if schema_rows != rows:
+        raise ValueError(
+            f"stored signature table was built with {schema_rows} "
+            f"rows per band, but this run is configured for {rows} "
+            f"(num_perm={num_perm}, bands={bands}) — parameters must match "
+            "between the stored table and batch runs; regenerate the state "
+            "or pass the original parameters"
         )
     probe = stored.select(
         F.size("_sig").alias("_np"), F.size("_bands").alias("_nb")
@@ -436,9 +517,12 @@ def minhash_signature_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 5,
-    num_perm: int = 12,
-    bands: int = 3,
+    num_perm: int | None = None,
+    bands: int | None = None,
     fast: bool = False,
+    threshold: float = 0.5,
+    dup_sim: float = 0.9,
+    recall_floor: float = 0.95,
 ) -> DataFrame:
     """The persistable MinHash state for a corpus: one row per doc with
     its distinct shingle-hash set (``_hashes``), signature (``_sig``),
@@ -447,7 +531,21 @@ def minhash_signature_table(
     ``dedup_minhash_incremental(corpus_hashed=...)`` so each ingest pays
     only |batch| signatures plus the probe join, never a corpus rescan.
     Parameters must match between the stored table and the batch runs
-    (same shingle_k / num_perm / bands / fast)."""
+    (same shingle_k / num_perm / bands / fast).
+
+    Default split = ``resolve_minhash_split``'s probe pick (VERDICT r07
+    item 2): the state is built ONCE, so this is exactly where the
+    measured-bad fixed split used to get frozen into a pipeline —
+    BASELINE.md sf3: 34.6s/batch under the default (12, 3) vs 15.5s
+    under the probe's (24, 4) at the identical true-dup found set.
+    Downstream consumers adopt the stored layout automatically
+    (``infer_signature_layout``); pass num_perm AND bands to pin a
+    split by hand."""
+    _require_full_split(num_perm, bands)
+    if num_perm is None:
+        num_perm, bands = resolve_minhash_split(
+            df, text_col, id_col, shingle_k, threshold, dup_sim, recall_floor
+        )
     rows = num_perm // bands
     hashed = _shingle_sets(df, text_col, id_col, shingle_k, fast, num_perm)
     return hashed.withColumn("_bands", band_keys(F.col("_sig"), bands, rows))
@@ -459,13 +557,15 @@ def dedup_minhash_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 5,
-    num_perm: int = 12,
-    bands: int = 3,
+    num_perm: int | None = None,
+    bands: int | None = None,
     threshold: float = 0.5,
     fast: bool = False,
     broadcast_verify: bool = True,
     corpus_hashed: DataFrame | None = None,
     batch_hashed: DataFrame | None = None,
+    dup_sim: float = 0.9,
+    recall_floor: float = 0.95,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an existing corpus (plus
     batch-internal pairs) — corpus×corpus pairs are never generated.
@@ -501,7 +601,15 @@ def dedup_minhash_incremental(
     Ids must be disjoint across the two inputs — enforced with a cheap
     semi-join probe (limit-1, so it short-circuits on the first hit)
     because a violated precondition would not fail loudly: a duplicated
-    id would silently mislabel its pairs on both sides."""
+    id would silently mislabel its pairs on both sides.
+
+    Default split (VERDICT r07 item 2): with ``corpus_hashed``, the
+    stored table's pinned layout is ADOPTED (``infer_signature_layout``
+    — the schema + a 1-row size probe are the parameter record); with a
+    raw ``corpus``, the standing distribution is probed and
+    ``resolve_minhash_split`` picks the split. Pass num_perm AND bands
+    to pin one explicitly — the layout gate then enforces it against
+    any stored state."""
     if (corpus is None) == (corpus_hashed is None):
         raise ValueError(
             "dedup_minhash_incremental: pass exactly one of corpus "
@@ -526,12 +634,30 @@ def dedup_minhash_incremental(
             "dedup_minhash_incremental: batch_hashed requires corpus_hashed "
             "(both sides must share one signature parameterization)"
         )
+    _require_full_split(num_perm, bands)
+    if num_perm is None:
+        # adaptive default (VERDICT r07 item 2): a stored signature
+        # table PINS the split — adopt it (re-specifying it was the
+        # silent-mismatch footgun the layout gate exists for); with a
+        # raw corpus, probe the STANDING distribution once per call and
+        # pick the split that bounds the verify bill (BASELINE.md sf3:
+        # 34.6s default vs 15.5s probe pick, identical true-dup set).
+        if corpus_hashed is not None:
+            num_perm, bands = infer_signature_layout(corpus_hashed)
+        else:
+            num_perm, bands = resolve_minhash_split(
+                corpus, text_col, id_col, shingle_k, threshold, dup_sim, recall_floor
+            )
     rows = num_perm // bands
     if corpus_hashed is not None:
         # metadata-only layout gate: a pre-round-6 stored table (string
         # band keys) or a parameter-mismatched one must name the remedy
         # here, not die in the union/join below
         check_signature_layout(corpus_hashed, num_perm, bands)
+    if batch_hashed is not None:
+        # both sides of the band join must share one parameterization —
+        # previously a documented contract, now the same cheap gate
+        check_signature_layout(batch_hashed, num_perm, bands)
     if corpus is not None:
         union = corpus.select(id_col, text_col).unionByName(
             batch.select(id_col, text_col)

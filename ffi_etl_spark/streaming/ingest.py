@@ -119,6 +119,15 @@ def stream_dedup_ingest(
     parquet (simpler, fine for small corpora). Both paths return
     bit-identical pairs (locked by the operator's parity test).
 
+    Split default (VERDICT r07 item 2): unless num_perm AND bands are
+    passed, the first batch probes the available corpus (or itself)
+    and every later batch ADOPTS the layout pinned in the stored
+    state — an untuned user on a high-ambient corpus gets the
+    probe-chosen split (BASELINE.md sf3: 15.5s/batch) instead of the
+    measured-bad fixed (12, 3) (34.6s/batch, same true-dup found set).
+    The pick is sticky once materialized; re-materialize the state
+    with ``minhash_signature_table(corpus)`` to retune a grown corpus.
+
     Exactly-once posture: foreachBatch is at-least-once — a batch can
     replay after a failure that landed some sinks but not the
     checkpoint. The CORPUS is the primary artifact and is replay-
@@ -156,6 +165,44 @@ def stream_dedup_ingest(
         except AnalysisException:
             return None
 
+    def _resolve_split(corpus, corpus_hashed, batch):
+        """The effective (num_perm, bands) for this batch (VERDICT r07
+        item 2 — the ingest must not silently run the measured-bad
+        fixed split): explicit kwargs win; else the STORED state's
+        pinned layout is adopted; else the standing corpus (first
+        batch: the batch itself) is probed once and the chooser picks.
+        Note the adoption rule makes the split sticky: the first
+        batch's pick is pinned into the state — re-materialize with
+        minhash_signature_table(corpus) to retune a grown corpus."""
+        from ffi_etl_spark.operators.dedup import (
+            check_signature_layout,
+            infer_signature_layout,
+            resolve_minhash_split,
+        )
+
+        if "num_perm" in lsh_kwargs or "bands" in lsh_kwargs:
+            num_perm = lsh_kwargs.get("num_perm")
+            bands = lsh_kwargs.get("bands")
+            if corpus_hashed is not None:
+                # fail the batch BEFORE anything would append new-layout
+                # rows onto a pre-round-6 or mismatched stored table
+                # (VERDICT r06 item 6): stale state must error with the
+                # remedy, not accumulate a mixed-layout table
+                check_signature_layout(corpus_hashed, num_perm, bands)
+            return num_perm, bands
+        if corpus_hashed is not None:
+            # infer_signature_layout re-runs the structural gate, so a
+            # pre-round-6 layout still fails here with the remedy
+            return infer_signature_layout(corpus_hashed)
+        src = corpus if corpus is not None else batch
+        return resolve_minhash_split(
+            src,
+            text_col,
+            id_col,
+            shingle_k=lsh_kwargs.get("shingle_k", 5),
+            threshold=lsh_kwargs.get("threshold", 0.5),
+        )
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if not batch_df.take(1):
@@ -166,7 +213,25 @@ def stream_dedup_ingest(
             batch = batch.join(corpus.select(id_col), id_col, "left_anti")
         batch = batch.localCheckpoint(eager=True)
 
-        corpus_hashed = None
+        # read (and layout-gate) the stored signature state whenever it
+        # exists, INDEPENDENT of whether the corpus read succeeded
+        # (ADVICE r07: a missing corpus beside an old-layout sigs table
+        # must not reach the final append)
+        corpus_hashed = (
+            _read_or_none(spark, sigs_path) if sigs_path is not None else None
+        )
+        if corpus_hashed is not None and corpus is None:
+            raise ValueError(
+                f"signature state exists at {sigs_path} but the corpus at "
+                f"{corpus_path} is missing — the stored signatures describe "
+                "documents this ingest cannot see, so every future batch "
+                "would be deduped against ghosts; restore the corpus or "
+                "delete the stale signature table before ingesting"
+            )
+        num_perm, bands = _resolve_split(corpus, corpus_hashed, batch)
+        batch_sig_kwargs = dict(sig_kwargs, num_perm=num_perm, bands=bands)
+        lsh_split = dict(lsh_kwargs, num_perm=num_perm, bands=bands)
+
         if sigs_path is not None and corpus is not None:
             # reconcile BEFORE the empty-batch return: a replayed batch
             # whose corpus rows landed but whose signature append was
@@ -175,19 +240,6 @@ def stream_dedup_ingest(
             # parquet COUNTs (footer metadata, no data scan) — the
             # id-level anti-join only runs when the counts disagree, so
             # a healthy steady-state batch never pays a corpus scan.
-            corpus_hashed = _read_or_none(spark, sigs_path)
-            if corpus_hashed is not None:
-                # fail the batch BEFORE reconcile would append new-layout
-                # rows onto a pre-round-6 stored table (VERDICT r06 item
-                # 6): stale state must error with the remedy, not
-                # accumulate a mixed-layout table that misses duplicates
-                from ffi_etl_spark.operators.dedup import check_signature_layout
-
-                check_signature_layout(
-                    corpus_hashed,
-                    num_perm=sig_kwargs.get("num_perm", 12),
-                    bands=sig_kwargs.get("bands", 3),
-                )
             n_sigs = corpus_hashed.count() if corpus_hashed is not None else 0
             if corpus.count() != n_sigs:
                 missing = (
@@ -196,7 +248,7 @@ def stream_dedup_ingest(
                     else corpus
                 )
                 minhash_signature_table(
-                    missing, text_col, id_col, **sig_kwargs
+                    missing, text_col, id_col, **batch_sig_kwargs
                 ).write.mode("append").parquet(sigs_path)
                 corpus_hashed = spark.read.parquet(sigs_path)
 
@@ -210,7 +262,7 @@ def stream_dedup_ingest(
             from ffi_etl_spark.operators.dedup import _pin
 
             batch_hashed = _pin(
-                minhash_signature_table(batch, text_col, id_col, **sig_kwargs)
+                minhash_signature_table(batch, text_col, id_col, **batch_sig_kwargs)
             )
         else:
             corpus_for_dedup = corpus
@@ -221,7 +273,7 @@ def stream_dedup_ingest(
             id_col,
             corpus_hashed=corpus_hashed,
             batch_hashed=batch_hashed,
-            **lsh_kwargs,
+            **lsh_split,
         )
         survivors = survivors.localCheckpoint(eager=True)  # feeds 2-3 sinks
         pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
@@ -235,7 +287,7 @@ def stream_dedup_ingest(
                 )
             else:
                 new_state = minhash_signature_table(
-                    survivors, text_col, id_col, **sig_kwargs
+                    survivors, text_col, id_col, **batch_sig_kwargs
                 )
             new_state.write.mode("append").parquet(sigs_path)
 

@@ -284,6 +284,13 @@ def test_incremental_dedup_equals_filtered_full(spark):
         for r in dedup_minhash_incremental(
             d.filter(F.col("doc_id") % 10 != 0),
             d.filter(F.col("doc_id") % 10 == 0),
+            # pin the split to the full-tier's default: this test is
+            # about the ≥1-batch-side FILTER property, which only holds
+            # pairwise when both runs band identically (the round-8
+            # adaptive default would pick (24, 4) on this corpus while
+            # dedup_minhash_lsh above runs its fixed (12, 3))
+            num_perm=12,
+            bands=3,
         ).collect()
     }
     assert {p: v[0] for p, v in inc.items()} == expected

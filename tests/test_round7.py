@@ -135,7 +135,9 @@ def test_signature_layout_gate_detects_old_state(spark, sf_dir):
     )
 
     docs = table(spark, sf_dir, "documents").limit(50)
-    good = minhash_signature_table(docs, fast=True)
+    # explicit split: this test exercises the layout GATE mechanics;
+    # the round-8 adaptive default would pick (24, 4) on this corpus
+    good = minhash_signature_table(docs, num_perm=12, bands=3, fast=True)
     check_signature_layout(good, 12, 3)  # current layout passes
 
     # simulate the pre-round-6 layout: '_'-joined string band keys
