@@ -35,11 +35,18 @@ HEADLINE = [
     # round-7: the self-tuning tier (probe -> choose_minhash_split ->
     # banded verify) — benched beside the default tier so the measured
     # 1.4x-at-sf1 scaling claim (BASELINE.md §scaling) is guarded
-    # round-over-round
+    # round-over-round. NOTE (ADVICE r07): the registered query is
+    # md5-pinned (fast=False) for oracle parity; the production
+    # fast=True tier is benched separately as
+    # dedup_minhash_adaptive_fast below (EXTRA_BENCH).
     "dedup_minhash_adaptive",
     "dedup_simhash",
     "knn_bruteforce",
     "ann_ivf_topk",
+    # round-8 (VERDICT r07 item 3): the self-scaling IVF — guards the
+    # build-n^1.5 / query-sqrt(n) split round-over-round instead of a
+    # one-time BASELINE.md §autok record
+    "ann_ivf_autok",
     "text_stats",
     "sessionize",
     "multimodal_frames",
@@ -58,6 +65,41 @@ HEADLINE = [
     "unigram_lm_segment",
     "nb_lang_train_score",
 ]
+
+
+def _adaptive_fast(spark, sf_dir):
+    """The PRODUCTION adaptive-MinHash tier (fast=True: engine-private
+    xxhash64 signatures, ~2-4× cheaper than md5) — benched beside the
+    md5-pinned registered query so the configuration the scaling claim
+    is about is the one the guard measures (ADVICE r07 item 3)."""
+    from ffi_etl_spark.catalog import table
+    from ffi_etl_spark.operators.dedup import dedup_minhash_adaptive
+
+    return dedup_minhash_adaptive(table(spark, sf_dir, "documents"))
+
+
+# non-registry bench lines (no DuckDB oracle by design: engine-private
+# hash tiers); timed with the same median-of-N machinery as HEADLINE
+EXTRA_BENCH = {
+    "dedup_minhash_adaptive_fast": _adaptive_fast,
+}
+
+# Host-floor reference (VERDICT r07 item 5): a pinned scan+agg plan
+# timed FIRST each run; its ratio to the recorded base separates
+# host/co-tenant drift from plan regressions when comparing rounds
+# (BENCH_r07's raw total read 1.3x worse than the same-session
+# median-of-3 purely from floor swing). Base = median floor_sec at
+# sf0.1 on this container, recorded round 8.
+_FLOOR_BASE_SF01 = 0.35  # round-8 session: median floor 0.30-0.42s across 4 fresh sessions
+
+
+def _floor_probe(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return df.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c")
+    )
 
 
 def main() -> None:
@@ -110,7 +152,8 @@ def main() -> None:
     # optional subset: `python bench.py dedup_minhash tpch_q1` while
     # iterating on one line's plan
     only = set(sys.argv[1:])
-    timed = [n for n in HEADLINE if not only or n in only]
+    all_lines = HEADLINE + list(EXTRA_BENCH)
+    timed = [n for n in all_lines if not only or n in only]
 
     # median-of-N (default 3): single draws shipped a 2.4x skew-line
     # outlier in BENCH_r04 that the repo's own >=3-run-median rule would
@@ -135,10 +178,23 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
+    # host-floor reference line: timed first, after warmup, outside the
+    # headline total — pure scan+agg whose plan never changes round to
+    # round, so its drift is the HOST's, not the engine's
+    floor_draws = [
+        _timed_count(lambda: _floor_probe(spark, sf_dir)) for _ in range(runs)
+    ]
+    floor_sec = _median(floor_draws)
+    print(
+        f"# host_floor: median {floor_sec:.3f}s of "
+        f"{[round(d, 3) for d in floor_draws]}",
+        file=sys.stderr,
+    )
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in timed:
-        fn = qs.get(name)
+        fn = qs.get(name) or EXTRA_BENCH.get(name)
         if fn is None:
             continue
         draws = [_timed_count(lambda: fn(spark, sf_dir)) for _ in range(runs)]
@@ -166,17 +222,20 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "floor_sec": round(floor_sec, 3),
+    }
+    if sf == 0.1 and _FLOOR_BASE_SF01:
+        # >1 means the host is slower than the recorded base today:
+        # divide the round's totals by this before cross-round reads
+        out["floor_base_sec"] = _FLOOR_BASE_SF01
+        out["floor_ratio"] = round(floor_sec / _FLOOR_BASE_SF01, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

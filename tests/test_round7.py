@@ -86,6 +86,34 @@ def test_ivf_autok_matches_fixed_cells_and_trains_real_cells(spark, sf_dir):
     assert a == b and len(a) > 0
     # every query got some neighbors and ranks are within k
     assert max(r[3] for r in a) <= 10
+    # ADVICE r07: enforce the docstring's spread claim — replay the
+    # training the operator runs (500 vectors < 64·cells, so the
+    # training sample IS the corpus) and assert the corpus lands in
+    # many cells with no mega-cell: a degenerate near-1-cell quantizer
+    # would silently turn IVF into brute force while the auto==fixed
+    # and rank assertions above still pass.
+    from ffi_etl_spark.operators.similarity import (
+        assign_to_centroid,
+        kmeans_lloyd,
+        quantized_centroid_sums,
+    )
+
+    assigned = kmeans_lloyd(emb, k=22, n_iter=2, quantize_bits=20)
+    cents = quantized_centroid_sums(
+        assigned, label_col="centroid_id", vec_col="embedding", scale_bits=20
+    )
+    per_cell = (
+        assign_to_centroid(emb, cents, "vec_id", "embedding")
+        .groupBy("centroid_id")
+        .count()
+        .collect()
+    )
+    n_corpus = emb.count()
+    assert len(per_cell) >= 8, "quantizer collapsed to too few cells"
+    assert max(r["count"] for r in per_cell) <= n_corpus // 2, (
+        "a single cell holds most of the corpus — probe joins would "
+        "degrade toward brute force"
+    )
     spark.catalog.clearCache()
 
 
