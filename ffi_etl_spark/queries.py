@@ -56,7 +56,10 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
     round4b,
     round4c,
     round5,
-    round5b,
+    fam_modeleval,
+    fam_sketches,
+    fam_textsel,
+    fam_retrieval_events,
     round6,
     round7,
     round8,

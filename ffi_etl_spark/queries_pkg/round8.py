@@ -15,7 +15,7 @@ green — the exact observed signature — and the local replica's ``%g``
 float formatting collapses ``94.0`` to ``"94"``, which is exactly why
 the red never reproduced here. It also explains the green
 ``dsir_importance`` in the same r06 window: all ITS outputs are CAST AS
-BIGINT. The composed oracle is fixed in round5b.py; tools/check_oracle.py
+BIGINT. The composed oracle is fixed in fam_textsel.py (ex-round5b.py); tools/check_oracle.py
 now fails on any int-vs-float dtype-kind disagreement so this class
 cannot pass the local gate again.
 
@@ -41,7 +41,7 @@ from ffi_etl_spark.queries import query
 from ffi_etl_spark.queries_pkg.round5 import _DSIR_ORACLE
 
 # Shared CTE text: whitespace token counts per document — identical to
-# the composed dsir_budget_selection oracle's tk CTE (round5b.py).
+# the composed dsir_budget_selection oracle's tk CTE (fam_textsel.py).
 _TK_CTE = r"""tk AS (
   SELECT doc_id,
          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok
