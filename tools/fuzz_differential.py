@@ -49,6 +49,22 @@ Bit-safe grammar, by the house parity rules:
 - bag-semantics set operations (round-7 grammar): INTERSECT ALL /
   EXCEPT ALL / UNION ALL between two differently-predicated
   projections of one table (per-tuple multiplicity arithmetic);
+- RANGE-framed windows (round-8 grammar): value-based frames over the
+  date columns with INTERVAL bounds, and over integer keys with
+  integer bounds — PEER-based frames are a pure function of the order
+  VALUE, so the multiset is deterministic even under ties (no
+  full-tuple order needed, unlike ROWS frames);
+- INTERVAL arithmetic (round-8 grammar): date keys shifted by
+  `+ INTERVAL n DAY|MONTH` before year/month/day extraction
+  (end-of-month clamping under test) and interval-shifted TIMESTAMP
+  literals in range predicates — both engines parse the bare
+  `INTERVAL n UNIT` spelling (probed);
+- GROUPING SETS × outer join (round-8 grammar): super-aggregates
+  grouped on one preserved-side and one NULL-extended-side column, so
+  data NULLs meet rollup NULLs in the same key — GROUPING() flags
+  disambiguate and both engines' rewrites must agree under
+  NULL-extended input; COUNT(col) rides beside COUNT(*) for the
+  NULL-skipping edge;
 - windows OVER joins: the full-tuple-order argument survives a join —
   order by EVERY integer column of the joined row with explicit
   NULLS FIRST (Spark defaults NULLS FIRST ASC, DuckDB NULLS LAST:
@@ -237,9 +253,19 @@ def gen_query(rng: random.Random) -> str:
         # (TODO.md quirk), so year()/month()/day() are exact integers
         # on both engines and TIMESTAMP literals compare cleanly.
         dcol = {"lineitem": "l_shipdate", "orders": "o_orderdate"}[frm]
-        parts = [("year", f"year({dcol})"), ("month", f"month({dcol})")]
+        # INTERVAL arithmetic (round-8 grammar): shift the date key
+        # before extraction — month arithmetic's end-of-month clamping
+        # and day arithmetic across year boundaries are where the
+        # engines' date kernels must agree; both parse the bare
+        # `INTERVAL n UNIT` literal (probed round 8).
+        key_expr = dcol
+        if rng.random() < 0.5:
+            n_units = rng.choice([1, 7, 30, 45, 90])
+            unit = rng.choice(["DAY", "DAY", "MONTH"])
+            key_expr = f"({dcol} + INTERVAL {n_units} {unit})"
+        parts = [("year", f"year({key_expr})"), ("month", f"month({key_expr})")]
         if rng.random() < 0.4:
-            parts.append(("day", f"day({dcol})"))
+            parts.append(("day", f"day({key_expr})"))
         keys = ", ".join(f"CAST({e} AS BIGINT) AS {n}" for n, e in parts)
         grp = ", ".join(e for _, e in parts)
         okeys = ", ".join(n for n, _ in parts)
@@ -248,7 +274,13 @@ def gen_query(rng: random.Random) -> str:
         if rng.random() < 0.6:
             y = rng.choice([1993, 1994, 1995, 1996, 1997])
             op = rng.choice([">=", "<"])
-            dpred = f"{dcol} {op} TIMESTAMP '{y}-01-01 00:00:00'"
+            lit = f"TIMESTAMP '{y}-01-01 00:00:00'"
+            if rng.random() < 0.5:
+                # INTERVAL arithmetic on the literal side of the range
+                # predicate (round-8 grammar)
+                sign = rng.choice(["+", "-"])
+                lit = f"{lit} {sign} INTERVAL {rng.choice([30, 90, 180])} DAY"
+            dpred = f"{dcol} {op} {lit}"
         wparts = [x for x in ([dpred] if dpred else [])]
         if rng.random() < 0.4:
             wparts.append(_int_pred(rng, rng.choice(t["ints"])))
@@ -257,6 +289,72 @@ def gen_query(rng: random.Random) -> str:
             f"SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n, "
             f"CAST(SUM(CAST({agg_col} AS BIGINT)) AS BIGINT) AS s "
             f"FROM {frm}{w2} GROUP BY {grp} ORDER BY {okeys}"
+        )
+
+    if (
+        join_how in ("LEFT JOIN", "RIGHT JOIN", "FULL JOIN")
+        and null_side is not None
+        and 0.45 <= shape < 0.60
+    ):
+        # GROUPING SETS × outer join (round-8 grammar): super-aggregate
+        # NULL keys MEET data NULLs from the join's NULL-extended side —
+        # grouping on one preserved-side and one NULL-side column, a
+        # data-NULL group key (GROUPING()=0) must never alias a rollup
+        # NULL (GROUPING()=1) and both engines must agree on the
+        # Expand-vs-flatten rewrite under NULL-extended input rows.
+        # HAVING COUNT(*) > 0 keeps the round-6 empty-input quirk
+        # normalization (a no-op on non-empty input).
+        gs = [rng.choice(t["groups"]), rng.choice(null_side["groups"])]
+        if gs[0] == gs[1]:
+            gs = gs[:1]
+        agg_col = rng.choice(t["ints"])
+        kind = rng.choice(["ROLLUP", "CUBE", "GROUPING SETS"])
+        if kind == "GROUPING SETS" and len(gs) == 2:
+            grp = f"GROUP BY GROUPING SETS (({gs[0]}, {gs[1]}), ({gs[1]}), ())"
+        else:
+            kind = kind if kind != "GROUPING SETS" else "ROLLUP"
+            grp = f"GROUP BY {kind}({', '.join(gs)})"
+        keys = ", ".join(gs)
+        flags = ", ".join(
+            f"CAST(GROUPING({g}) AS BIGINT) AS grp{i}" for i, g in enumerate(gs)
+        )
+        return (
+            f"SELECT {keys}, {flags}, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(COUNT({agg_col}) AS BIGINT) AS nc, "
+            f"CAST(SUM(CAST({agg_col} AS BIGINT)) AS BIGINT) AS s "
+            f"FROM {frm}{where} {grp} HAVING COUNT(*) > 0 "
+            f"ORDER BY {', '.join(f'{g} NULLS FIRST' for g in gs)}, "
+            f"{', '.join(f'grp{i}' for i in range(len(gs)))}"
+        )
+
+    if join_how is None and 0.73 <= shape < 0.80 and frm in ("lineitem", "orders"):
+        # RANGE-framed windows over the date columns (round-8 grammar):
+        # value-based frames are PEER-based — each row's aggregate is a
+        # pure function of its (partition, order-key value), so the
+        # output multiset is engine-independent even under ties (unlike
+        # ROWS frames, which need a total order). Bounds mix INTERVAL
+        # literals over the date key and integer offsets over an
+        # integer key; both spellings probed shared (round 8).
+        dcol = {"lineitem": "l_shipdate", "orders": "o_orderdate"}[frm]
+        pcol = rng.choice(t["groups"])
+        agg_col = rng.choice(t["ints"])
+        fn = rng.choice(["COUNT(*)", f"SUM({agg_col})", f"MIN({agg_col})", f"MAX({agg_col})"])
+        if rng.random() < 0.6:
+            okey, lo_n, hi_n = dcol, rng.choice([7, 30, 90]), rng.choice([7, 30])
+            lo = f"INTERVAL {lo_n} DAY PRECEDING"
+            hi = rng.choice(["CURRENT ROW", f"INTERVAL {hi_n} DAY FOLLOWING"])
+        else:
+            okey = agg_col
+            lo = f"{rng.choice([10, 100, 1000])} PRECEDING"
+            hi = rng.choice(["CURRENT ROW", f"{rng.choice([10, 100])} FOLLOWING"])
+        over = f"OVER (PARTITION BY {pcol} ORDER BY {okey} RANGE BETWEEN {lo} AND {hi})"
+        key_ints = ", ".join(t["ints"])
+        sel_p = pcol if pcol not in t["ints"] else ""
+        sel_cols = ", ".join(x for x in [key_ints, sel_p] if x)
+        return (
+            f"SELECT {sel_cols}, CAST(year({dcol}) AS BIGINT) AS y, "
+            f"CAST({fn} {over} AS BIGINT) AS wv "
+            f"FROM {frm}{where} ORDER BY {key_ints}"
         )
 
     if join_how is None and 0.45 <= shape < 0.53:
@@ -525,6 +623,18 @@ def _is_round6_shape(sql: str) -> bool:
     )
 
 
+def _is_round8_shape(sql: str) -> bool:
+    """Round-8 grammar (``new8`` filter mode): RANGE-framed windows
+    (INTERVAL or integer value bounds), INTERVAL arithmetic in date
+    keys/predicates, and GROUPING()-flagged super-aggregates over an
+    outer join."""
+    return (
+        "RANGE BETWEEN" in sql
+        or "INTERVAL" in sql
+        or ("GROUPING(" in sql and " JOIN " in sql)
+    )
+
+
 def _is_round7_shape(sql: str) -> bool:
     """Round-7 grammar: standard-syntax UNPIVOT and bag-semantics set
     operations (``new7`` filter mode). VARIANT/JSON paths stay
@@ -547,6 +657,7 @@ def main() -> int:
     mode_arg = sys.argv[4] if len(sys.argv) > 4 else ""
     only_new = mode_arg == "new"
     only_new7 = mode_arg == "new7"
+    only_new8 = mode_arg == "new8"
 
     import duckdb
 
@@ -570,6 +681,8 @@ def main() -> int:
             continue
         if only_new7 and not _is_round7_shape(sql):
             continue
+        if only_new8 and not _is_round8_shape(sql):
+            continue
         ran += 1
         try:
             ok, detail = run_case(spark, con, sql)
@@ -584,7 +697,9 @@ def main() -> int:
     mode = (
         " (round-6 shapes only)"
         if only_new
-        else " (round-7 shapes only)" if only_new7 else ""
+        else " (round-7 shapes only)"
+        if only_new7
+        else " (round-8 shapes only)" if only_new8 else ""
     )
     print(f"{bad}/{n_cases} mismatches{mode}, seeds {seed0}..{seed - 1}")
     return 1 if bad else 0
