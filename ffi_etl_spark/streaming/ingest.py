@@ -181,8 +181,13 @@ def stream_dedup_ingest(
         )
 
         if "num_perm" in lsh_kwargs or "bands" in lsh_kwargs:
+            from ffi_etl_spark.operators.dedup import _require_full_split
+
             num_perm = lsh_kwargs.get("num_perm")
             bands = lsh_kwargs.get("bands")
+            # a half-specified split must fail with the remedy here,
+            # not as a TypeError inside the layout gate's division
+            _require_full_split(num_perm, bands)
             if corpus_hashed is not None:
                 # fail the batch BEFORE anything would append new-layout
                 # rows onto a pre-round-6 or mismatched stored table

@@ -111,6 +111,33 @@ def test_half_specified_split_raises(spark, sf_dir):
         ), bands=4)
 
 
+def test_stream_half_split_raises_cleanly(spark, tmp_path):
+    """A half-specified split through the streaming kwargs must surface
+    the BOTH-or-NEITHER remedy, not a TypeError from the layout gate."""
+    import json
+
+    from ffi_etl_spark.streaming.ingest import stream_dedup_ingest
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    with open(in_dir / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "some words here " * 10}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(in_dir))
+    q = (
+        stream_dedup_ingest(
+            stream,
+            str(tmp_path / "corpus"),
+            str(tmp_path / "pairs"),
+            str(tmp_path / "ckpt"),
+            num_perm=24,  # bands deliberately missing
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="BOTH num_perm and bands"):
+        q.awaitTermination(120)
+
+
 def test_batch_hashed_layout_mismatch_fails_fast(spark, sf_dir):
     """Both sides of the band join must share one parameterization —
     now enforced with the same metadata gate, not just documented."""
