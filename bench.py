@@ -200,9 +200,15 @@ def main() -> None:
         draws = [_timed_count(lambda: fn(spark, sf_dir)) for _ in range(runs)]
         dt = _median(draws)
         timings[name] = round(dt, 3)
-        total += dt
+        # EXTRA_BENCH lines are tier twins of queries already in
+        # HEADLINE — recorded per-line but EXCLUDED from the total, so
+        # cross-round total comparisons aren't inflated by a
+        # metric-definition change (review r08)
+        if name not in EXTRA_BENCH:
+            total += dt
         print(
-            f"# {name}: median {dt:.3f}s of {[round(d, 3) for d in draws]}",
+            f"# {name}: median {dt:.3f}s of {[round(d, 3) for d in draws]}"
+            + (" (excluded from total)" if name in EXTRA_BENCH else ""),
             file=sys.stderr,
         )
 

@@ -409,6 +409,31 @@ def _require_full_split(num_perm: int | None, bands: int | None) -> None:
         )
 
 
+def resolve_or_adopt_split(
+    corpus: DataFrame | None,
+    corpus_hashed: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    dup_sim: float = 0.9,
+    recall_floor: float = 0.95,
+) -> tuple[int, int]:
+    """The one default-split cascade every adaptive consumer shares
+    (review r08: the incremental operator and the streaming ingest had
+    forked copies that drifted on tuning knobs): a stored signature
+    table PINS the split — adopt it (``infer_signature_layout``, which
+    also re-runs the structural layout gate, so a pre-round-6 table
+    fails here with the remedy); otherwise probe the standing corpus
+    (or whatever frame the caller designates) and let the chooser pick.
+    Exactly one of ``corpus`` / ``corpus_hashed`` must be non-None."""
+    if corpus_hashed is not None:
+        return infer_signature_layout(corpus_hashed)
+    return resolve_minhash_split(
+        corpus, text_col, id_col, shingle_k, threshold, dup_sim, recall_floor
+    )
+
+
 def _check_signature_structure(stored: DataFrame) -> int:
     """Structural half of the layout gate (schema only, no data touch):
     required columns, post-round-6 struct band keys, bigint signatures.
@@ -635,6 +660,7 @@ def dedup_minhash_incremental(
             "(both sides must share one signature parameterization)"
         )
     _require_full_split(num_perm, bands)
+    adopted = False
     if num_perm is None:
         # adaptive default (VERDICT r07 item 2): a stored signature
         # table PINS the split — adopt it (re-specifying it was the
@@ -642,17 +668,19 @@ def dedup_minhash_incremental(
         # raw corpus, probe the STANDING distribution once per call and
         # pick the split that bounds the verify bill (BASELINE.md sf3:
         # 34.6s default vs 15.5s probe pick, identical true-dup set).
-        if corpus_hashed is not None:
-            num_perm, bands = infer_signature_layout(corpus_hashed)
-        else:
-            num_perm, bands = resolve_minhash_split(
-                corpus, text_col, id_col, shingle_k, threshold, dup_sim, recall_floor
-            )
+        num_perm, bands = resolve_or_adopt_split(
+            corpus, corpus_hashed, text_col, id_col, shingle_k,
+            threshold, dup_sim, recall_floor,
+        )
+        adopted = corpus_hashed is not None
     rows = num_perm // bands
-    if corpus_hashed is not None:
+    if corpus_hashed is not None and not adopted:
         # metadata-only layout gate: a pre-round-6 stored table (string
         # band keys) or a parameter-mismatched one must name the remedy
-        # here, not die in the union/join below
+        # here, not die in the union/join below. Skipped when the split
+        # was just INFERRED from this same table (review r08: the gate
+        # re-run can never fail there — one probe job saved per call in
+        # the ingest hot path).
         check_signature_layout(corpus_hashed, num_perm, bands)
     if batch_hashed is not None:
         # both sides of the band join must share one parameterization —

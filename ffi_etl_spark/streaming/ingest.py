@@ -149,6 +149,18 @@ def stream_dedup_ingest(
 
     from ffi_etl_spark.operators.dedup import minhash_signature_table
 
+    # probe-tuning knobs are consumed by the split resolution below and
+    # must NOT reach dedup_minhash_lsh (review r08: forwarding them made
+    # the first batch of a fresh stream die in TypeError, and dropping
+    # them from the probe silently ignored a caller's recall contract)
+    probe_kwargs = {
+        k: lsh_kwargs.pop(k) for k in ("dup_sim", "recall_floor") if k in lsh_kwargs
+    }
+    # an explicit num_perm=None/bands=None means "use the adaptive
+    # default", not "pin the split None" (review r08)
+    for k in ("num_perm", "bands"):
+        if k in lsh_kwargs and lsh_kwargs[k] is None:
+            del lsh_kwargs[k]
     sig_kwargs = {
         k: v
         for k, v in lsh_kwargs.items()
@@ -165,24 +177,31 @@ def stream_dedup_ingest(
         except AnalysisException:
             return None
 
+    # sticky probe pick for the no-stored-state mode (review r08): with
+    # sigs_path=None there is no layout record, so without this cache
+    # every micro-batch would re-probe the growing corpus (a per-batch
+    # TakeOrdered + signature job) and the pick could DRIFT between
+    # batches, silently mixing bandings in the pairs audit. Cached per
+    # sink instance — a process restart re-probes once, which is the
+    # stored-state mode's adoption semantics minus the persistence.
+    _sticky_pick: dict = {}
+
     def _resolve_split(corpus, corpus_hashed, batch):
         """The effective (num_perm, bands) for this batch (VERDICT r07
         item 2 — the ingest must not silently run the measured-bad
         fixed split): explicit kwargs win; else the STORED state's
         pinned layout is adopted; else the standing corpus (first
-        batch: the batch itself) is probed once and the chooser picks.
-        Note the adoption rule makes the split sticky: the first
-        batch's pick is pinned into the state — re-materialize with
-        minhash_signature_table(corpus) to retune a grown corpus."""
+        batch: the batch itself) is probed ONCE per sink and the
+        chooser picks. The adoption rule makes the split sticky: the
+        first batch's pick is pinned into the state — re-materialize
+        with minhash_signature_table(corpus) to retune a grown corpus."""
         from ffi_etl_spark.operators.dedup import (
+            _require_full_split,
             check_signature_layout,
-            infer_signature_layout,
-            resolve_minhash_split,
+            resolve_or_adopt_split,
         )
 
         if "num_perm" in lsh_kwargs or "bands" in lsh_kwargs:
-            from ffi_etl_spark.operators.dedup import _require_full_split
-
             num_perm = lsh_kwargs.get("num_perm")
             bands = lsh_kwargs.get("bands")
             # a half-specified split must fail with the remedy here,
@@ -196,17 +215,22 @@ def stream_dedup_ingest(
                 check_signature_layout(corpus_hashed, num_perm, bands)
             return num_perm, bands
         if corpus_hashed is not None:
-            # infer_signature_layout re-runs the structural gate, so a
-            # pre-round-6 layout still fails here with the remedy
-            return infer_signature_layout(corpus_hashed)
-        src = corpus if corpus is not None else batch
-        return resolve_minhash_split(
-            src,
-            text_col,
-            id_col,
-            shingle_k=lsh_kwargs.get("shingle_k", 5),
-            threshold=lsh_kwargs.get("threshold", 0.5),
-        )
+            # adopt the stored layout (resolve_or_adopt_split re-runs
+            # the structural gate, so a pre-round-6 layout still fails
+            # here with the remedy); authoritative over the cache
+            return resolve_or_adopt_split(None, corpus_hashed)
+        if "pick" not in _sticky_pick:
+            src = corpus if corpus is not None else batch
+            _sticky_pick["pick"] = resolve_or_adopt_split(
+                src,
+                None,
+                text_col,
+                id_col,
+                shingle_k=lsh_kwargs.get("shingle_k", 5),
+                threshold=lsh_kwargs.get("threshold", 0.5),
+                **probe_kwargs,
+            )
+        return _sticky_pick["pick"]
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -138,6 +138,47 @@ def test_stream_half_split_raises_cleanly(spark, tmp_path):
         q.awaitTermination(120)
 
 
+def test_stream_probe_knobs_and_explicit_none_accepted(spark, tmp_path):
+    """Review r08 regressions: (a) dup_sim/recall_floor must reach the
+    split probe and must NOT be forwarded into dedup_minhash_lsh (the
+    fresh-stream first batch died in TypeError); (b) an explicit
+    num_perm=None/bands=None means 'adaptive default', not a pinned
+    None split."""
+    import json
+
+    from ffi_etl_spark.streaming.ingest import stream_dedup_ingest
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    for sub, kwargs in (
+        ("a", {"dup_sim": 0.9, "recall_floor": 0.99}),
+        ("b", {"num_perm": None, "bands": None}),
+    ):
+        d = tmp_path / sub
+        in_dir = d / "in"
+        in_dir.mkdir(parents=True)
+        with open(in_dir / "b1.json", "w") as f:
+            f.write(json.dumps({"doc_id": 1, "text": base}) + "\n")
+            f.write(json.dumps({"doc_id": 2, "text": base + "!"}) + "\n")
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(in_dir)
+        )
+        q = (
+            stream_dedup_ingest(
+                stream,
+                str(d / "corpus"),
+                str(d / "pairs"),
+                str(d / "ckpt"),
+                sigs_path=str(d / "sigs"),
+                **kwargs,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        corpus = spark.read.parquet(str(d / "corpus"))
+        assert corpus.count() == 1  # the near-dup pair collapsed
+
+
 def test_batch_hashed_layout_mismatch_fails_fast(spark, sf_dir):
     """Both sides of the band join must share one parameterization —
     now enforced with the same metadata gate, not just documented."""
