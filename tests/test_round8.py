@@ -283,3 +283,49 @@ def test_stream_ingest_first_batch_probe_then_adoption(spark, tmp_path):
     corpus = spark.read.parquet(corpus_path)
     ids = {r.doc_id for r in corpus.select("doc_id").collect()}
     assert 3 not in ids and {1, 2, 4} <= ids  # near-dup of 1 died vs corpus
+
+
+def test_chooser_contract_property_sweep():
+    """Hypothesis sweep over the whole tuning surface (round 8): for ANY
+    (ambient, threshold, dup_sim, recall_floor) in the meaningful
+    ranges, choose_minhash_split must return a divisor split from the
+    offered widths, and EITHER honor the recall floor at dup_sim or be
+    exactly the documented fallback default (no offered split reaches
+    the floor). Pure driver-side math — no Spark session."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ffi_etl_spark.functions.lsh_tuning import (
+        candidate_probability,
+        choose_minhash_split,
+        tune_bands,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        ambient=st.floats(0.0, 0.8),
+        threshold=st.floats(0.2, 0.9),
+        dup_sim_off=st.floats(0.0, 0.3),
+        recall_floor=st.floats(0.5, 0.999),
+    )
+    def check(ambient, threshold, dup_sim_off, recall_floor):
+        dup_sim = min(0.99, threshold + dup_sim_off)
+        num_perms = (12, 24, 36)
+        n, b, r = choose_minhash_split(
+            ambient, threshold, dup_sim=dup_sim,
+            recall_floor=recall_floor, num_perms=num_perms,
+        )
+        assert n in num_perms and b >= 1 and n % b == 0 and r == n // b
+        if candidate_probability(dup_sim, b, r) < recall_floor:
+            # only legal as the documented fallback: NO offered split
+            # meets the floor, and the result is the base default
+            assert all(
+                candidate_probability(dup_sim, bb, np_ // bb) < recall_floor
+                for np_ in num_perms
+                for bb in range(1, np_ + 1)
+                if np_ % bb == 0
+            ), (ambient, threshold, dup_sim, recall_floor, (n, b, r))
+            b0, r0 = tune_bands(num_perms[0], threshold, fp_weight=5)
+            assert (n, b, r) == (num_perms[0], b0, r0)
+
+    check()
