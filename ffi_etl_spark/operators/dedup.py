@@ -416,8 +416,8 @@ def resolve_or_adopt_split(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     threshold: float = 0.5,
-    dup_sim: float = 0.9,
-    recall_floor: float = 0.95,
+    dup_sim: float | None = None,
+    recall_floor: float | None = None,
 ) -> tuple[int, int]:
     """The one default-split cascade every adaptive consumer shares
     (review r08: the incremental operator and the streaming ingest had
@@ -426,12 +426,63 @@ def resolve_or_adopt_split(
     also re-runs the structural layout gate, so a pre-round-6 table
     fails here with the remedy); otherwise probe the standing corpus
     (or whatever frame the caller designates) and let the chooser pick.
-    Exactly one of ``corpus`` / ``corpus_hashed`` must be non-None."""
+    Exactly one of ``corpus`` / ``corpus_hashed`` must be non-None
+    (enforced — ADVICE r08: passing both silently ignored ``corpus``).
+
+    ``dup_sim`` / ``recall_floor`` default to the family's (0.9, 0.95)
+    when probing. Passing them EXPLICITLY states a recall contract, and
+    an adopted split is validated against it (ADVICE r08): a caller
+    demanding recall_floor=0.99 from state pinned at a split whose
+    S-curve cannot meet it gets a ValueError naming the re-materialize
+    remedy, not silent degradation."""
+    if (corpus is None) == (corpus_hashed is None):
+        raise ValueError(
+            "resolve_or_adopt_split: pass exactly one of corpus (probe "
+            "it) or corpus_hashed (adopt its pinned layout) — passing "
+            "both would silently ignore corpus; neither is ambiguous"
+        )
     if corpus_hashed is not None:
-        return infer_signature_layout(corpus_hashed)
+        num_perm, bands = infer_signature_layout(corpus_hashed)
+        _validate_adopted_recall(num_perm, bands, dup_sim, recall_floor)
+        return num_perm, bands
     return resolve_minhash_split(
-        corpus, text_col, id_col, shingle_k, threshold, dup_sim, recall_floor
+        corpus,
+        text_col,
+        id_col,
+        shingle_k,
+        threshold,
+        0.9 if dup_sim is None else dup_sim,
+        0.95 if recall_floor is None else recall_floor,
     )
+
+
+def _validate_adopted_recall(
+    num_perm: int,
+    bands: int,
+    dup_sim: float | None,
+    recall_floor: float | None,
+) -> None:
+    """When a stored layout is ADOPTED but the caller explicitly stated
+    a recall contract, check the pinned split's S-curve actually meets
+    it (ADVICE r08). Skipped entirely when neither knob was supplied —
+    adoption of a probe-chosen split needs no re-check (the probe
+    already enforced the default floor when the state was built)."""
+    if dup_sim is None and recall_floor is None:
+        return
+    from ffi_etl_spark.functions.lsh_tuning import candidate_probability
+
+    ds = 0.9 if dup_sim is None else dup_sim
+    rf = 0.95 if recall_floor is None else recall_floor
+    got = candidate_probability(ds, bands, num_perm // bands)
+    if got < rf:
+        raise ValueError(
+            f"stored signature state pins split (num_perm={num_perm}, "
+            f"bands={bands}), whose S-curve recall at dup_sim={ds} is "
+            f"{got:.4f} — below the explicitly requested recall_floor="
+            f"{rf}. Re-materialize the state with minhash_signature_table"
+            f"(corpus, dup_sim={ds}, recall_floor={rf}) to retune, or "
+            "drop the explicit knobs to accept the pinned split"
+        )
 
 
 def _check_signature_structure(stored: DataFrame) -> int:
@@ -537,6 +588,73 @@ def check_signature_layout(stored: DataFrame, num_perm: int, bands: int) -> None
         )
 
 
+# Default band-bucket count for the persisted band index. 64 keeps the
+# per-batch bucket list trivially collectable (it is bounded by this
+# constant) while giving a small micro-batch real partition pruning:
+# a 100-doc batch at bands=4 touches ≤400 band keys ≈ ≤64 buckets, but
+# a 10-doc trickle touches ≤40 — reading ≤40/64 of the state instead of
+# all of it. The count is pinned INTO the stored index (the `_nbkt`
+# column) so readers adopt it instead of trusting this constant.
+BAND_INDEX_BUCKETS = 64
+
+
+def band_bucket_expr(n_buckets: int):
+    """Partition bucket of one exploded band row:
+    pmod(xxhash64(_band_idx, _band_key), n_buckets). A deterministic
+    function of the band coordinates ONLY, so two rows that can ever
+    band-collide (equal idx AND key) always share a bucket — pruning a
+    corpus read to the batch's buckets can never lose a candidate."""
+    return F.pmod(F.xxhash64("_band_idx", "_band_key"), F.lit(n_buckets)).cast("int")
+
+
+def minhash_band_index(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    n_buckets: int = BAND_INDEX_BUCKETS,
+) -> DataFrame:
+    """The band-bucketed PROBE INDEX for a signature table (VERDICT r08
+    item 1): one row per (doc, band_idx, band_key) with its bucket.
+    Persist it ``.write.partitionBy("_bkt")`` beside the doc-level
+    signature state; a micro-batch then reads ONLY the partition
+    directories its own band keys hash into, so the per-batch probe
+    join's input tracks the BATCH's bucket coverage instead of scanning
+    and shuffling the full corpus state (BASELINE.md round-8 ingest
+    curve: the full-state band join was the 7.7→13.2s/batch slope).
+
+    Layout is self-describing like the signature table's: ``_nbkt`` (a
+    constant column, ~free in parquet) records the bucket count the
+    rows were hashed with, so readers ADOPT it — recomputing buckets
+    with a different modulus would prune away true candidates."""
+    return (
+        hashed.select(
+            F.col(id_col), F.posexplode("_bands").alias("_band_idx", "_band_key")
+        )
+        .withColumn("_nbkt", F.lit(n_buckets))
+        .withColumn("_bkt", band_bucket_expr(n_buckets))
+    )
+
+
+def infer_band_index_buckets(index: DataFrame) -> int:
+    """Bucket count a stored band index was written with (its ``_nbkt``
+    column — the index is the parameter record, same rule as
+    ``infer_signature_layout``). Fails with the rebuild remedy on a
+    frame that is not a ``minhash_band_index`` output."""
+    missing = {"_band_idx", "_band_key", "_nbkt", "_bkt"} - set(index.columns)
+    if missing:
+        raise ValueError(
+            f"stored band index is missing column(s) {sorted(missing)} — "
+            "not a minhash_band_index output; rebuild it with "
+            "minhash_band_index(signature_table).write.partitionBy('_bkt')"
+        )
+    probe = index.select("_nbkt").limit(1).collect()
+    if not probe:
+        raise ValueError(
+            "stored band index is empty — cannot infer its bucket count; "
+            "rebuild it from the signature table"
+        )
+    return int(probe[0]["_nbkt"])
+
+
 def minhash_signature_table(
     df: DataFrame,
     text_col: str = "text",
@@ -589,8 +707,10 @@ def dedup_minhash_incremental(
     broadcast_verify: bool = True,
     corpus_hashed: DataFrame | None = None,
     batch_hashed: DataFrame | None = None,
-    dup_sim: float = 0.9,
-    recall_floor: float = 0.95,
+    dup_sim: float | None = None,
+    recall_floor: float | None = None,
+    corpus_band_index: DataFrame | None = None,
+    trust_layout: bool = False,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an existing corpus (plus
     batch-internal pairs) — corpus×corpus pairs are never generated.
@@ -634,7 +754,25 @@ def dedup_minhash_incremental(
     raw ``corpus``, the standing distribution is probed and
     ``resolve_minhash_split`` picks the split. Pass num_perm AND bands
     to pin one explicitly — the layout gate then enforces it against
-    any stored state."""
+    any stored state.
+
+    ``corpus_band_index`` (requires ``corpus_hashed``): a
+    ``minhash_band_index`` frame giving the corpus side of the band
+    probe join directly (VERDICT r08 item 1). The caller may — and the
+    streaming ingest does — prune it to the batch's buckets
+    (``band_bucket_expr`` with the index's OWN ``_nbkt``), which is
+    lossless because bucket is a function of the band coordinates: the
+    per-batch probe input then tracks the batch, not the corpus. With
+    an index, the wide doc-level state is touched only by the verify
+    stage, and only for candidate ids (broadcast semi-join) — never
+    scanned for bands and never broadcast corpus-wide.
+
+    ``trust_layout``: skip the stored-state layout gates when the
+    CALLER already ran them this batch (ADVICE r08 — the streaming
+    ingest gates once in its split resolution and builds batch_hashed
+    itself, so re-gating here was 2-3 redundant 1-row probe jobs per
+    micro-batch). Leave False anywhere the frames' provenance is not
+    this-process-just-checked."""
     if (corpus is None) == (corpus_hashed is None):
         raise ValueError(
             "dedup_minhash_incremental: pass exactly one of corpus "
@@ -659,6 +797,12 @@ def dedup_minhash_incremental(
             "dedup_minhash_incremental: batch_hashed requires corpus_hashed "
             "(both sides must share one signature parameterization)"
         )
+    if corpus_band_index is not None and corpus_hashed is None:
+        raise ValueError(
+            "dedup_minhash_incremental: corpus_band_index requires "
+            "corpus_hashed (the index carries band keys only; the verify "
+            "stage still needs the doc-level state's _hashes)"
+        )
     _require_full_split(num_perm, bands)
     adopted = False
     if num_perm is None:
@@ -674,17 +818,20 @@ def dedup_minhash_incremental(
         )
         adopted = corpus_hashed is not None
     rows = num_perm // bands
-    if corpus_hashed is not None and not adopted:
+    if corpus_hashed is not None and not adopted and not trust_layout:
         # metadata-only layout gate: a pre-round-6 stored table (string
         # band keys) or a parameter-mismatched one must name the remedy
         # here, not die in the union/join below. Skipped when the split
         # was just INFERRED from this same table (review r08: the gate
         # re-run can never fail there — one probe job saved per call in
-        # the ingest hot path).
+        # the ingest hot path), or when the caller pre-gated
+        # (trust_layout, ADVICE r08).
         check_signature_layout(corpus_hashed, num_perm, bands)
-    if batch_hashed is not None:
+    if batch_hashed is not None and not trust_layout:
         # both sides of the band join must share one parameterization —
-        # previously a documented contract, now the same cheap gate
+        # previously a documented contract, now the same cheap gate.
+        # trust_layout skips it for frames the caller just built with
+        # these exact parameters (the streaming ingest's own batch).
         check_signature_layout(batch_hashed, num_perm, bands)
     if corpus is not None:
         union = corpus.select(id_col, text_col).unionByName(
@@ -705,40 +852,100 @@ def dedup_minhash_incremental(
                     batch, text_col, id_col, shingle_k, num_perm, bands, fast
                 )
             )
-        hashed = corpus_hashed.select(id_col, "_hashes", "_sig", "_bands").unionByName(
-            batch_hashed.select(id_col, "_hashes", "_sig", "_bands")
-        )
+        hashed = None
 
-    all_bands = hashed.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode("_bands").alias("_band_idx", "_band_key"),
-    )
     # the batch id list rides the same broadcast-vs-shuffle switch as
     # the verify table: broadcastable for a daily batch, shuffle-join
     # fallback when the batch itself outgrows the driver
     new_ids = batch.select(F.col(id_col).alias("_id")).distinct()
     if broadcast_verify:
         new_ids = F.broadcast(new_ids)
-    new_bands = all_bands.join(new_ids, "_id")
 
-    n, c = new_bands.alias("n"), all_bands.alias("c")
-    pairs = (
-        n.join(
-            c,
-            (F.col("n._band_idx") == F.col("c._band_idx"))
-            & (F.col("n._band_key") == F.col("c._band_key"))
-            & (F.col("n._id") != F.col("c._id")),
+    if corpus_band_index is not None:
+        # pruned probe join (VERDICT r08 item 1): the corpus side of
+        # the band join is the persisted index — already exploded,
+        # already bucket-partitioned, possibly pruned by the caller to
+        # the batch's buckets — read with only (id, band) columns. The
+        # batch side is |batch|·bands rows: broadcast it so the corpus
+        # read is a map-side hash probe, never shuffled. Ids are
+        # disjoint (gated above), so every hit is a new×old candidate.
+        batch_bands = batch_hashed.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode("_bands").alias("_band_idx", "_band_key"),
         )
-        # new×new collisions arrive twice (once from each side) —
-        # canonicalize then distinct; new×old arrives exactly once
-        .select(
+        corpus_bands = corpus_band_index.select(
+            F.col(id_col).alias("_id"), "_band_idx", "_band_key"
+        )
+        b, c = batch_bands.alias("n"), corpus_bands.alias("c")
+        new_old_cands = c.join(
+            F.broadcast(b) if broadcast_verify else b,
+            (F.col("n._band_idx") == F.col("c._band_idx"))
+            & (F.col("n._band_key") == F.col("c._band_key")),
+        ).select(
             F.least(F.col("n._id"), F.col("c._id")).alias("id_a"),
             F.greatest(F.col("n._id"), F.col("c._id")).alias("id_b"),
         )
-        .distinct()
-    )
+        # batch-internal candidates: the standard band self-join over
+        # the (small) batch signatures only
+        pairs = new_old_cands.unionByName(
+            _candidate_pairs(batch_hashed, id_col)
+        ).distinct()
+    else:
+        if hashed is not None:
+            bands_src = hashed
+        else:
+            # bands-only union: column pruning keeps the wide _hashes
+            # out of the stored-state scan that feeds the band join
+            bands_src = corpus_hashed.select(id_col, "_bands").unionByName(
+                batch_hashed.select(id_col, "_bands")
+            )
+        all_bands = bands_src.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode("_bands").alias("_band_idx", "_band_key"),
+        )
+        new_bands = all_bands.join(new_ids, "_id")
 
-    sets = hashed.select(F.col(id_col), F.col("_hashes"))
+        n, c = new_bands.alias("n"), all_bands.alias("c")
+        pairs = (
+            n.join(
+                c,
+                (F.col("n._band_idx") == F.col("c._band_idx"))
+                & (F.col("n._band_key") == F.col("c._band_key"))
+                & (F.col("n._id") != F.col("c._id")),
+            )
+            # new×new collisions arrive twice (once from each side) —
+            # canonicalize then distinct; new×old arrives exactly once
+            .select(
+                F.least(F.col("n._id"), F.col("c._id")).alias("id_a"),
+                F.greatest(F.col("n._id"), F.col("c._id")).alias("id_b"),
+            )
+            .distinct()
+        )
+
+    if corpus_hashed is not None:
+        # candidate-restricted verify (VERDICT r08 item 1's second
+        # term): the wide per-doc hash sets used to be pulled — and
+        # under broadcast_verify, COLLECTED AND BROADCAST — for the
+        # ENTIRE corpus every call, an O(corpus·set_width) per-batch
+        # bill. Only candidate ids ever reach the verify lookups, so
+        # semi-join the stored state down to them first (candidates are
+        # batch-scale by the incremental design) and union the batch's
+        # own sets; what gets broadcast is then candidate-scale. The
+        # pairs frame feeds both the id list and the verify probe — pin
+        # it so the band join computes once.
+        pairs = _pin(pairs)
+        cand = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sets = corpus_hashed.select(id_col, "_hashes").join(
+            F.broadcast(cand) if broadcast_verify else cand,
+            id_col,
+            "left_semi",
+        ).unionByName(batch_hashed.select(id_col, "_hashes"))
+    else:
+        sets = hashed.select(F.col(id_col), F.col("_hashes"))
     flags = new_ids.withColumn("_is_new", F.lit(True))
     verified = (
         _verify_join(pairs, sets, id_col, broadcast_verify)

@@ -147,13 +147,31 @@ def _dedup_minhash_incremental(spark, sf_dir):
     runs the full pair pipeline and filters to ≥1-new-side pairs, which
     is the same set because band collision is pairwise. Called with the
     DEFAULT split, which since round 8 is the adaptive probe's pick —
-    the gate covers the configuration an untuned user actually runs."""
-    from ffi_etl_spark.operators.dedup import dedup_minhash_incremental
+    the gate covers the configuration an untuned user actually runs.
+
+    The probe's pick is asserted against the oracle's (24, 4) pin HERE,
+    at query-run time (ADVICE r08): a chooser / probe / testdata drift
+    at ANY gate SF now fails loudly with this message instead of
+    surfacing as an opaque driver hash mismatch (the pytest pin in
+    tests/test_round8.py only covers the three known SFs). The resolved
+    split is then passed explicitly so the probe runs once, not twice."""
+    from ffi_etl_spark.operators.dedup import (
+        dedup_minhash_incremental,
+        resolve_minhash_split,
+    )
 
     d = table(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     batch = d.filter(F.col("doc_id") % 10 == 0)
-    return dedup_minhash_incremental(corpus, batch)
+    split = resolve_minhash_split(corpus)
+    if split != (24, 4):
+        raise AssertionError(
+            f"adaptive default resolved {split} on this corpus subset, but "
+            "the DuckDB oracle is pinned at (24, 4) — re-pin the oracle's "
+            "_minhash_pairs_cte(num_perm, bands) to the new pick (and "
+            "tests/test_round8.py::test_incremental_default_split_pinned)"
+        )
+    return dedup_minhash_incremental(corpus, batch, num_perm=24, bands=4)
 
 
 _COMPONENTS_ORACLE = f"""

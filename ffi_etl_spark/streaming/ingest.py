@@ -36,6 +36,8 @@ def _batch_survivors(
     id_col: str,
     corpus_hashed: DataFrame | None = None,
     batch_hashed: DataFrame | None = None,
+    corpus_band_index: DataFrame | None = None,
+    trust_layout: bool = False,
     **lsh_kwargs,
 ) -> tuple[DataFrame, DataFrame]:
     """(survivors, pairs) for one micro-batch against the corpus —
@@ -68,6 +70,8 @@ def _batch_survivors(
             id_col,
             corpus_hashed=corpus_hashed,
             batch_hashed=batch_hashed,
+            corpus_band_index=corpus_band_index,
+            trust_layout=trust_layout,
             **lsh_kwargs,
         )
     pairs = pairs.localCheckpoint(eager=True)  # pairs feed 3 consumers + audit
@@ -104,6 +108,7 @@ def stream_dedup_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     sigs_path: str | None = None,
+    band_index_path: str | None = None,
     **lsh_kwargs,
 ):
     """foreachBatch sink: maintain ``corpus_path`` as a near-dup-free
@@ -118,6 +123,23 @@ def stream_dedup_ingest(
     None, each batch recomputes corpus signatures from the corpus
     parquet (simpler, fine for small corpora). Both paths return
     bit-identical pairs (locked by the operator's parity test).
+
+    ``band_index_path`` (requires ``sigs_path``; VERDICT r08 item 1):
+    where to maintain the band-bucketed probe index
+    (operators/dedup.py::minhash_band_index, written
+    ``partitionBy("_bkt")``). Without it, every micro-batch's band join
+    reads the FULL stored state — the measured O(corpus) slope
+    (BASELINE.md round-8 ingest curve: 7.7→13.2s/batch while the corpus
+    grew 9×). With it, each batch computes its own band buckets (a
+    bounded ≤``_nbkt``-element list) and reads ONLY those partition
+    directories, so the probe join's corpus input tracks the batch's
+    bucket coverage; the wide doc-level state is then touched only by
+    the candidate-restricted verify. The index is DERIVED state: it
+    self-heals by recompute from the signature table whenever its row
+    count disagrees (torn append, wiped directory), the same
+    count-probe trigger as the signature reconcile. Pairs are
+    bit-identical with and without the index (parity-tested) — the
+    index changes the plan, never the answer.
 
     Split default (VERDICT r07 item 2): unless num_perm AND bands are
     passed, the first batch probes the available corpus (or itself)
@@ -147,7 +169,19 @@ def stream_dedup_ingest(
     """
     from pyspark.errors import AnalysisException
 
-    from ffi_etl_spark.operators.dedup import minhash_signature_table
+    from ffi_etl_spark.operators.dedup import (
+        BAND_INDEX_BUCKETS,
+        infer_band_index_buckets,
+        minhash_band_index,
+        minhash_signature_table,
+    )
+
+    if band_index_path is not None and sigs_path is None:
+        raise ValueError(
+            "band_index_path requires sigs_path — the band index is a "
+            "derived projection of the stored signature table; without "
+            "one there is nothing to index or reconcile against"
+        )
 
     # probe-tuning knobs are consumed by the split resolution below and
     # must NOT reach dedup_minhash_lsh (review r08: forwarding them made
@@ -217,8 +251,11 @@ def stream_dedup_ingest(
         if corpus_hashed is not None:
             # adopt the stored layout (resolve_or_adopt_split re-runs
             # the structural gate, so a pre-round-6 layout still fails
-            # here with the remedy); authoritative over the cache
-            return resolve_or_adopt_split(None, corpus_hashed)
+            # here with the remedy); authoritative over the cache. The
+            # caller's EXPLICIT recall knobs ride along so an adopted
+            # split that cannot meet them fails with the re-materialize
+            # remedy instead of silently degrading (ADVICE r08)
+            return resolve_or_adopt_split(None, corpus_hashed, **probe_kwargs)
         if "pick" not in _sticky_pick:
             src = corpus if corpus is not None else batch
             _sticky_pick["pick"] = resolve_or_adopt_split(
@@ -280,10 +317,40 @@ def stream_dedup_ingest(
                     missing, text_col, id_col, **batch_sig_kwargs
                 ).write.mode("append").parquet(sigs_path)
                 corpus_hashed = spark.read.parquet(sigs_path)
+                n_sigs = corpus_hashed.count()
+
+        band_index, n_bkt = None, BAND_INDEX_BUCKETS
+        if band_index_path is not None:
+            band_index = _read_or_none(spark, band_index_path)
+            if band_index is not None and corpus_hashed is None:
+                raise ValueError(
+                    f"band index exists at {band_index_path} but the "
+                    f"signature state at {sigs_path} is missing — the "
+                    "index describes state this ingest cannot see; "
+                    "restore the signature table or delete the stale "
+                    "index before ingesting"
+                )
+            if corpus_hashed is not None:
+                # the index is DERIVED state: reconcile by the same
+                # count-probe rule as the signature table (footer
+                # metadata only on the healthy path), heal by full
+                # recompute — it is one narrow projection of the state,
+                # and torn appends are rare enough that an id-level
+                # anti-join would optimize the wrong case
+                if band_index is not None:
+                    n_bkt = infer_band_index_buckets(band_index)
+                if band_index is None or band_index.count() != n_sigs * bands:
+                    minhash_band_index(
+                        corpus_hashed, id_col, n_bkt
+                    ).write.partitionBy("_bkt").mode("overwrite").parquet(
+                        band_index_path
+                    )
+                    band_index = spark.read.parquet(band_index_path)
 
         if not batch.take(1):
             return
         batch_hashed = None
+        pruned_index = None
         if sigs_path is not None and corpus_hashed is not None:
             corpus_for_dedup = None
             # one shingle+signature pass per batch: these rows feed the
@@ -293,6 +360,21 @@ def stream_dedup_ingest(
             batch_hashed = _pin(
                 minhash_signature_table(batch, text_col, id_col, **batch_sig_kwargs)
             )
+            if band_index is not None:
+                # the batch's bucket list is bounded by the index's own
+                # _nbkt (≤64 by default) — a collectable constant, not
+                # a data-scale collect. Filtering on the PARTITION
+                # column prunes the read to those directories: the
+                # probe join's corpus input now tracks the batch's
+                # bucket coverage, not the corpus (VERDICT r08 item 1).
+                bkts = [
+                    r["_bkt"]
+                    for r in minhash_band_index(batch_hashed, id_col, n_bkt)
+                    .select("_bkt")
+                    .distinct()
+                    .collect()
+                ]
+                pruned_index = band_index.filter(F.col("_bkt").isin(bkts))
         else:
             corpus_for_dedup = corpus
         survivors, pairs = _batch_survivors(
@@ -302,12 +384,21 @@ def stream_dedup_ingest(
             id_col,
             corpus_hashed=corpus_hashed,
             batch_hashed=batch_hashed,
+            corpus_band_index=pruned_index,
+            # every stored frame above was layout-gated (or just built)
+            # by this function — re-gating in the operator would re-run
+            # 2-3 one-row probe jobs per micro-batch (ADVICE r08)
+            trust_layout=True,
             **lsh_split,
         )
         survivors = survivors.localCheckpoint(eager=True)  # feeds 2-3 sinks
-        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            pairs_path
-        )
+        # the audit rows carry the split that produced them (ADVICE r08:
+        # with sigs_path=None the sticky pick dies with the process, so
+        # a restart's re-probe could silently switch bandings mid-stream
+        # — the stamp makes any regime mix detectable on read)
+        pairs.withColumn("batch_id", F.lit(batch_id)).withColumn(
+            "num_perm", F.lit(num_perm)
+        ).withColumn("bands", F.lit(bands)).write.mode("append").parquet(pairs_path)
         survivors.write.mode("append").parquet(corpus_path)
         if sigs_path is not None:
             if batch_hashed is not None:
@@ -318,7 +409,16 @@ def stream_dedup_ingest(
                 new_state = minhash_signature_table(
                     survivors, text_col, id_col, **batch_sig_kwargs
                 )
+            if band_index_path is not None:
+                # both writes derive from the pinned batch signatures;
+                # a crash between them leaves a count mismatch the next
+                # batch's reconcile heals by recompute
+                new_state = new_state.localCheckpoint(eager=True)
             new_state.write.mode("append").parquet(sigs_path)
+            if band_index_path is not None:
+                minhash_band_index(new_state, id_col, n_bkt).write.partitionBy(
+                    "_bkt"
+                ).mode("append").parquet(band_index_path)
 
     return docs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint

@@ -1,0 +1,269 @@
+"""Round-9 tests: the band-bucketed probe index (VERDICT r08 item 1 —
+per-batch ingest cost must track the batch, not the corpus), the
+exactly-one / recall-contract guards on split adoption (ADVICE r08),
+and the split stamp on the pairs audit.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ffi_etl_spark.catalog import table
+
+
+def _docs_split(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    return corpus, batch
+
+
+def test_band_index_pruned_parity(spark, sf_dir):
+    """The contract the whole layout change rests on: the incremental
+    operator returns BIT-IDENTICAL pairs whether the corpus side comes
+    from the stored doc-level state (full band scan) or from the
+    bucket-PRUNED band index — pruning is lossless because a band
+    collision implies equal band coordinates implies equal bucket."""
+    from ffi_etl_spark.operators.dedup import (
+        band_bucket_expr,
+        dedup_minhash_incremental,
+        minhash_band_index,
+        minhash_signature_table,
+    )
+
+    corpus, batch = _docs_split(spark, sf_dir)
+    sigs = minhash_signature_table(corpus).localCheckpoint(eager=True)
+    batch_hashed = minhash_signature_table(
+        batch, num_perm=24, bands=4
+    ).localCheckpoint(eager=True)
+
+    base = dedup_minhash_incremental(
+        None, batch, corpus_hashed=sigs, batch_hashed=batch_hashed
+    )
+    index = minhash_band_index(sigs)
+
+    # prune exactly the way the ingest does: batch buckets only
+    bkts = sorted(
+        r["_bkt"]
+        for r in minhash_band_index(batch_hashed).select("_bkt").distinct().collect()
+    )
+    pruned = index.filter(F.col("_bkt").isin(bkts))
+    got = dedup_minhash_incremental(
+        None,
+        batch,
+        corpus_hashed=sigs,
+        batch_hashed=batch_hashed,
+        corpus_band_index=pruned,
+    )
+
+    key = lambda r: (r.id_a, r.id_b)  # noqa: E731
+    b_rows = sorted(base.collect(), key=key)
+    g_rows = sorted(got.collect(), key=key)
+    assert [tuple(r) for r in b_rows] == [tuple(r) for r in g_rows]
+    assert len(b_rows) > 0  # the parity is over a non-trivial pair set
+
+    # and the bucket function is what makes pruning lossless: every
+    # corpus row colliding with a batch band key shares its bucket
+    recomputed = index.withColumn(
+        "_re", band_bucket_expr(64)
+    ).filter(F.col("_re") != F.col("_bkt"))
+    assert recomputed.count() == 0
+
+
+def test_band_index_self_describing_buckets(spark, sf_dir):
+    """_nbkt rides in the index rows; inference adopts it, and frames
+    that are not an index fail with the rebuild remedy."""
+    from ffi_etl_spark.operators.dedup import (
+        infer_band_index_buckets,
+        minhash_band_index,
+        minhash_signature_table,
+    )
+
+    corpus, _ = _docs_split(spark, sf_dir)
+    sigs = minhash_signature_table(corpus.limit(50))
+    idx = minhash_band_index(sigs, n_buckets=16)
+    assert infer_band_index_buckets(idx) == 16
+    # one row per (doc, band): docs x bands
+    assert idx.count() == sigs.count() * 4
+
+    with pytest.raises(ValueError, match="missing column"):
+        infer_band_index_buckets(sigs)
+    with pytest.raises(ValueError, match="empty"):
+        infer_band_index_buckets(idx.filter(F.lit(False)))
+
+
+def test_resolve_or_adopt_split_exactly_one(spark, sf_dir):
+    """ADVICE r08: passing both corpus and corpus_hashed silently
+    ignored corpus; passing neither died far from the cause."""
+    from ffi_etl_spark.operators.dedup import (
+        minhash_signature_table,
+        resolve_or_adopt_split,
+    )
+
+    corpus, _ = _docs_split(spark, sf_dir)
+    sigs = minhash_signature_table(corpus.limit(20), num_perm=12, bands=3)
+    with pytest.raises(ValueError, match="exactly one"):
+        resolve_or_adopt_split(corpus, sigs)
+    with pytest.raises(ValueError, match="exactly one"):
+        resolve_or_adopt_split(None, None)
+
+
+def test_adopted_split_validates_explicit_recall_contract(spark, sf_dir):
+    """ADVICE r08: state pinned at a split that cannot meet an
+    EXPLICITLY demanded recall floor must raise with the re-materialize
+    remedy; the same adoption with no explicit knobs stays silent."""
+    from ffi_etl_spark.operators.dedup import (
+        dedup_minhash_incremental,
+        minhash_signature_table,
+        resolve_or_adopt_split,
+    )
+
+    corpus, batch = _docs_split(spark, sf_dir)
+    # bands=1, rows=12: S-curve recall at 0.9 is 0.9^12 ~ 0.28
+    weak = minhash_signature_table(corpus.limit(30), num_perm=12, bands=1)
+
+    assert resolve_or_adopt_split(None, weak) == (12, 1)  # no contract: fine
+    with pytest.raises(ValueError, match="recall_floor"):
+        resolve_or_adopt_split(None, weak, recall_floor=0.95)
+    with pytest.raises(ValueError, match="Re-materialize|re-materialize"):
+        dedup_minhash_incremental(
+            None,
+            batch.limit(5),
+            corpus_hashed=weak,
+            dup_sim=0.9,
+            recall_floor=0.95,
+        )
+
+
+def _land(in_dir, name, rows):
+    with open(in_dir / name, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _drain(spark, in_dir, ckpt, **kwargs):
+    from ffi_etl_spark.streaming.ingest import stream_dedup_ingest
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(in_dir))
+    q = stream_dedup_ingest(stream, **kwargs).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+
+def test_stream_ingest_band_index_parity_and_heal(spark, tmp_path):
+    """band_index_path mode reproduces the sigs-mode corpus decisions
+    batch for batch, keeps the index 1:bands with the signature state,
+    self-heals a wiped index by recompute, and stamps the split onto
+    the pairs audit (ADVICE r08)."""
+    base = (
+        "key agg row scan slow fast table value part hash value table part "
+        "a row fast merge batch part value fast spark a a the line sort "
+    ) * 4
+    uniq = "completely different content about rivers mountains weather " * 12
+    extra = "entirely novel astronomy telescopes and planetary orbits data " * 12
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    paths = dict(
+        corpus_path=str(tmp_path / "corpus"),
+        pairs_path=str(tmp_path / "pairs"),
+        sigs_path=str(tmp_path / "sigs"),
+        band_index_path=str(tmp_path / "bands"),
+    )
+
+    _land(in_dir, "b1.json", [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": uniq},
+        {"doc_id": 3, "text": uniq + "tiny tail change"},  # dies vs 2 (new_new)
+    ])
+    _drain(spark, in_dir, None, checkpoint=str(tmp_path / "c1"), **paths)
+    assert {r.doc_id for r in spark.read.parquet(paths["corpus_path"]).collect()} == {1, 2}
+
+    _land(in_dir, "b2.json", [
+        {"doc_id": 5, "text": base + "small suffix drift"},  # dies vs corpus 1
+        {"doc_id": 6, "text": extra},                        # survives
+    ])
+    _drain(spark, in_dir, None, checkpoint=str(tmp_path / "c2"), **paths)
+    assert {r.doc_id for r in spark.read.parquet(paths["corpus_path"]).collect()} == {1, 2, 6}
+
+    sigs = spark.read.parquet(paths["sigs_path"])
+    idx = spark.read.parquet(paths["band_index_path"])
+    from ffi_etl_spark.operators.dedup import infer_signature_layout
+
+    num_perm, bands = infer_signature_layout(sigs)
+    assert idx.count() == sigs.count() * bands  # 1:bands invariant
+    assert "_bkt" in idx.columns  # partition column survives the roundtrip
+
+    # the audit rows carry the split that produced them
+    pairs = spark.read.parquet(paths["pairs_path"])
+    stamps = {(r.num_perm, r.bands) for r in pairs.select("num_perm", "bands").collect()}
+    assert stamps == {(num_perm, bands)}
+    kinds = {r.pair_type for r in pairs.collect()}
+    assert kinds == {"new_new", "new_old"}
+
+    # crash simulation: the DERIVED index is wiped; the next batch's
+    # count-probe reconcile rebuilds it before deduping
+    shutil.rmtree(paths["band_index_path"])
+    _land(in_dir, "b3.json", [
+        {"doc_id": 7, "text": extra + "minor trailing edit"},  # dies vs 6
+        {"doc_id": 8, "text": "fresh topic entirely about oceanic currents " * 12},
+    ])
+    _drain(spark, in_dir, None, checkpoint=str(tmp_path / "c3"), **paths)
+    assert {r.doc_id for r in spark.read.parquet(paths["corpus_path"]).collect()} == {1, 2, 6, 8}
+    idx = spark.read.parquet(paths["band_index_path"])
+    sigs = spark.read.parquet(paths["sigs_path"])
+    assert idx.count() == sigs.count() * bands  # healed + extended
+
+
+def test_stream_ingest_band_index_requires_sigs(spark, tmp_path):
+    from ffi_etl_spark.streaming.ingest import stream_dedup_ingest
+
+    (tmp_path / "in").mkdir()
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(tmp_path / "in")
+    )
+    with pytest.raises(ValueError, match="requires sigs_path"):
+        stream_dedup_ingest(
+            stream,
+            str(tmp_path / "corpus"),
+            str(tmp_path / "pairs"),
+            str(tmp_path / "ckpt"),
+            band_index_path=str(tmp_path / "bands"),
+        )
+
+
+def test_stream_ingest_rejects_orphaned_band_index(spark, tmp_path):
+    """A band index with no signature table beside it describes state
+    the ingest cannot see — fail the batch loudly, like the orphaned
+    signature gate (ADVICE r07)."""
+    from ffi_etl_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_signature_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon " * 20)], "doc_id long, text string"
+    )
+    sigs = minhash_signature_table(docs, num_perm=12, bands=3)
+    minhash_band_index(sigs).write.partitionBy("_bkt").parquet(
+        str(tmp_path / "bands")
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _land(in_dir, "b1.json", [{"doc_id": 9, "text": "some novel words " * 20}])
+
+    with pytest.raises(Exception, match="band index exists"):
+        _drain(
+            spark,
+            in_dir,
+            None,
+            checkpoint=str(tmp_path / "ckpt"),
+            corpus_path=str(tmp_path / "corpus"),
+            pairs_path=str(tmp_path / "pairs"),
+            sigs_path=str(tmp_path / "sigs"),
+            band_index_path=str(tmp_path / "bands"),
+        )

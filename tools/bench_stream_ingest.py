@@ -1,4 +1,4 @@
-"""Per-batch cost curve of the streaming dedup ingest (round 8).
+"""Per-batch cost curve of the streaming dedup ingest (rounds 8-9).
 
 The 100 TB question for `stream_dedup_ingest` is not one batch's wall
 clock — it is the SHAPE of per-batch cost as the standing corpus grows:
@@ -18,11 +18,21 @@ re-implementation:
   * per-batch wall time, corpus size, state size and found pairs print
     as one JSON line per batch.
 
-Usage: python tools/bench_stream_ingest.py [docs_parquet] [n_batches]
+Round 9: measures BOTH state layouts back to back — `sigs` (doc-level
+signature state only; the round-8 baseline whose measured slope was the
+full-state band scan + corpus-wide verify broadcast) and `index` (plus
+the band-bucketed probe index, VERDICT r08 item 1) — and can write the
+two curves as one JSON artifact (`--out INGEST_r9.json`) so the loop is
+guarded round-over-round like the headline bench.
+
+Usage:
+  python tools/bench_stream_ingest.py [docs_parquet] [n_batches] \
+      [--modes sigs,index] [--out INGEST_rN.json]
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import shutil
@@ -33,27 +43,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "testdata_local/sf1/documents.parquet"
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-
+def run_mode(spark, docs, n_batches: int, mode: str) -> list[dict]:
     from pyspark.sql import functions as F
 
-    from ffi_etl_spark.session import get_session
     from ffi_etl_spark.streaming.ingest import stream_dedup_ingest
 
-    spark = get_session("bench-stream-ingest")
-    docs = spark.read.parquet(src).select("doc_id", "text")
     n = docs.count()
     per = (n + n_batches - 1) // n_batches
 
-    root = tempfile.mkdtemp(prefix="stream_ingest_bench_")
+    root = tempfile.mkdtemp(prefix=f"stream_ingest_bench_{mode}_")
     inbox = os.path.join(root, "inbox")
     os.makedirs(inbox)
     corpus_path = os.path.join(root, "corpus")
     pairs_path = os.path.join(root, "pairs")
     sigs_path = os.path.join(root, "sigs")
+    band_index_path = os.path.join(root, "bands") if mode == "index" else None
 
+    out: list[dict] = []
     try:
         for b in range(n_batches):
             lo, hi = b * per, (b + 1) * per
@@ -74,6 +80,7 @@ def main() -> None:
                     pairs_path,
                     os.path.join(root, "ckpt"),
                     sigs_path=sigs_path,
+                    band_index_path=band_index_path,
                     fast=True,
                 )
                 .trigger(availableNow=True)
@@ -87,21 +94,58 @@ def main() -> None:
                 pairs_n = spark.read.parquet(pairs_path).count()
             except Exception:
                 pairs_n = 0
-            print(
-                json.dumps(
-                    {
-                        "batch": b,
-                        "batch_docs": len(rows),
-                        "sec": round(dt, 2),
-                        "corpus_docs": corpus_n,
-                        "state_rows": sigs_n,
-                        "pairs_total": pairs_n,
-                    }
-                ),
-                flush=True,
-            )
+            rec = {
+                "mode": mode,
+                "batch": b,
+                "batch_docs": len(rows),
+                "sec": round(dt, 2),
+                "corpus_docs": corpus_n,
+                "state_rows": sigs_n,
+                "pairs_total": pairs_n,
+            }
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("src", nargs="?", default="testdata_local/sf1/documents.parquet")
+    ap.add_argument("n_batches", nargs="?", type=int, default=10)
+    ap.add_argument(
+        "--modes",
+        default="sigs,index",
+        help="comma list of state layouts to measure: sigs (round-8 "
+        "baseline), index (band-bucketed probe index)",
+    )
+    ap.add_argument("--out", default=None, help="write curves as one JSON artifact")
+    args = ap.parse_args()
+
+    from ffi_etl_spark.session import get_session
+
+    spark = get_session("bench-stream-ingest")
+    docs = spark.read.parquet(args.src).select("doc_id", "text")
+
+    artifact: dict = {"src": args.src, "n_batches": args.n_batches, "curves": {}}
+    for mode in args.modes.split(","):
+        mode = mode.strip()
+        artifact["curves"][mode] = run_mode(spark, docs, args.n_batches, mode)
+
+    # slope summary: mean of last-3 per-batch seconds over mean of
+    # first-3 — the number the round-over-round guard reads (a flat
+    # curve sits near 1.0; round 8's sigs curve measured ~1.7)
+    for mode, curve in artifact["curves"].items():
+        secs = [r["sec"] for r in curve]
+        if len(secs) >= 6:
+            head = sum(secs[:3]) / 3
+            tail = sum(secs[-3:]) / 3
+            artifact.setdefault("slope", {})[mode] = round(tail / head, 3)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+    print(json.dumps({k: v for k, v in artifact.items() if k != "curves"}))
 
 
 if __name__ == "__main__":

@@ -84,10 +84,25 @@ def _doc_vocab() -> list[str]:
     return [r[0] for r in rows if r[0]]
 
 
-def generate(sf: float, out_dir: str) -> None:
+def generate(sf: float, out_dir: str, only: set[str] | None = None) -> None:
+    """``only``: restrict to {"documents", "embeddings"} (the two
+    tables the dedup/ANN scaling ladders read) — the big-SF ladder
+    points (sf10, round 9) don't need 60M lineitem rows. The TPC-H
+    block is all-or-nothing because its tables share generated keys
+    (lineitem reads orders' dates). NOTE: a filtered run draws from a
+    different RNG stream position than a full run at the same sf — a
+    ladder dir is its own dataset, not a subset of a full dir."""
     rng = np.random.default_rng(42)
     os.makedirs(out_dir, exist_ok=True)
     n = {t: max(1, int(c * sf)) for t, c in COUNTS.items()}
+    if only is not None and only - {"documents", "embeddings"}:
+        raise ValueError(
+            "only= supports exactly the ladder tables documents/embeddings; "
+            f"got {sorted(only)}"
+        )
+    if only is not None:
+        _ladder_tables(sf, out_dir, n, rng, only)
+        return
 
     # fixed-size dims: copy the driver's files verbatim
     for t in ("region", "nation"):
@@ -168,7 +183,18 @@ def generate(sf: float, out_dir: str) -> None:
         ),
     }))
 
-    nd = n["documents"]
+    _gen_documents(out_dir, n["documents"], rng)
+    _gen_embeddings(out_dir, n["embeddings"], rng)
+
+
+def _ladder_tables(sf, out_dir, n, rng, only: set[str]) -> None:
+    if "documents" in only:
+        _gen_documents(out_dir, n["documents"], rng)
+    if "embeddings" in only:
+        _gen_embeddings(out_dir, n["embeddings"], rng)
+
+
+def _gen_documents(out_dir: str, nd: int, rng) -> None:
     vocab = np.array(_doc_vocab())
     lengths = rng.integers(8, 105, nd)  # words per doc → n_chars ~44..577
     texts = [
@@ -193,7 +219,8 @@ def generate(sf: float, out_dir: str) -> None:
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     }))
 
-    nv = n["embeddings"]
+
+def _gen_embeddings(out_dir: str, nv: int, rng) -> None:
     labels = rng.integers(0, 10, nv)
     centers = rng.normal(0, 1, (10, 64))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
@@ -212,6 +239,7 @@ def generate(sf: float, out_dir: str) -> None:
 if __name__ == "__main__":
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     out = sys.argv[2] if len(sys.argv) > 2 else f"testdata_local/sf{sf:g}"
-    print(f"generating sf={sf} -> {out}")
-    generate(sf, out)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    print(f"generating sf={sf} -> {out}" + (f" (only {sorted(only)})" if only else ""))
+    generate(sf, out, only)
     print("done")
