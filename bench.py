@@ -84,6 +84,21 @@ EXTRA_BENCH = {
     "dedup_minhash_adaptive_fast": _adaptive_fast,
 }
 
+# VERDICT r08 item 6: lines whose round-over-round draws have spanned
+# >1.5x on an UNCHANGED plan (nb_lang_train_score 1.13-2.69s across
+# r06-r08; the MinHash tiers document 2-4x co-tenant swings in
+# BASELINE.md). These take median-of-5 instead of the default 3 — they
+# are 1-4s lines, so the extra draws cost ~20s total and buy bands
+# tight enough that a real 1.5x regression is distinguishable from
+# noise. Everything else stays at the default (SPARK_GRAFT_BENCH_RUNS).
+HIGH_VARIANCE = {
+    "nb_lang_train_score",
+    "dedup_minhash",
+    "dedup_minhash_incremental",
+    "dedup_minhash_adaptive",
+    "dedup_minhash_adaptive_fast",
+}
+
 # Host-floor reference (VERDICT r07 item 5): a pinned scan+agg plan
 # timed FIRST each run; its ratio to the recorded base separates
 # host/co-tenant drift from plan regressions when comparing rounds
@@ -197,7 +212,8 @@ def main() -> None:
         fn = qs.get(name) or EXTRA_BENCH.get(name)
         if fn is None:
             continue
-        draws = [_timed_count(lambda: fn(spark, sf_dir)) for _ in range(runs)]
+        n_draws = max(runs, 5) if name in HIGH_VARIANCE else runs
+        draws = [_timed_count(lambda: fn(spark, sf_dir)) for _ in range(n_draws)]
         dt = _median(draws)
         timings[name] = round(dt, 3)
         # EXTRA_BENCH lines are tier twins of queries already in

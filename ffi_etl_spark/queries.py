@@ -63,6 +63,7 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
     round6,
     round7,
     round8,
+    round9,
 )
 
 # The driver's correctness gate grades a bounded prefix of the registry
@@ -70,14 +71,12 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
 # therefore a grading decision; `tools/rotation.py` machine-derives the
 # graded/green/never-graded sets from CORRECTNESS_r*.json and proposes
 # the next prefix (VERDICT r04 item 6 — no more hand-counted TODO
-# lists). Round-8 rotation (VERDICT r07 items 1+4) = 5 continuity
-# canaries + the three dsir bisection probes (queries_pkg/round8.py)
-# placed IMMEDIATELY BEFORE the two-round red `dsir_budget_selection`
-# (whose oracle's HUGEINT output column was fixed this round) + 41
-# oldest-graded greens from rotation.py's freshness proposal = exactly
-# 50. If the window grades green the red is closed and graded-ever debt
-# stays zero; if the composed query stays red, whichever probe reds
-# names the diverging stage.
+# lists). Round-9 rotation (VERDICT r08 item 2): the dsir red is CLOSED
+# (all four rows green in r08 — HUGEINT theory confirmed), so the three
+# bisection probes leave the prefix (they stay registered and in the
+# 250-query local gate) and the window is FRESHNESS-ONLY: 5 continuity
+# canaries + the 3 never-graded domain-curation queries (round9.py) +
+# 42 oldest-graded greens, exactly rotation.py's proposal at HEAD.
 PRIORITY_PREFIX: tuple[str, ...] = (
     # -- canaries: green every prior round, kept for continuity --
     "survey_pipeline",
@@ -85,53 +84,53 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "dedup_minhash",
     "tpch_q1",
     "pretraining_corpus",
-    # -- the dsir bisection probes, then the re-graded composed query --
-    "dsir_budget_inputs",
-    "dsir_budget_offsets",
-    "dsir_budget_cutpoints",
-    "dsir_budget_selection",
+    # -- never-graded: the round-9 domain-curation family --
+    "domain_cap_sample",
+    "domain_blocklist_filter",
+    "domain_mix_report",
     # -- freshness fill: oldest-graded greens (rotation.py order) --
-    "dedup_components",
-    "dedup_ngram_jaccard",
-    "knn_bruteforce",
-    "text_stats",
-    "sessionize",
-    "multimodal_features",
-    "multimodal_frames",
-    "ann_ivf_topk",
-    "asof_join_last_purchase",
-    "pivot_status",
-    "tpch_q9_profit",
-    "window_lead_lag",
-    "window_rank_ntile",
-    "tpch_q13_custdist",
-    "grouping_sets_agg",
-    "stratified_sample",
-    "decontaminate",
-    "pack_sequences",
-    "profile_columns",
-    "funnel_conversion",
-    "retention_cohorts",
-    "shard_assignment",
-    "mixture_balance",
-    "markov_transitions",
-    "fk_integrity_audit",
-    "approx_distinct_users",
-    "range_join_follows",
-    "cube_agg",
-    "rollup_agg",
-    "doc_quality_filter",
-    "concurrent_sessions",
-    "graph_triangles",
-    "json_extract_agg",
-    "token_topk",
-    "window_first_last_nth",
-    "props_map_explode",
-    "window_percent_rank",
-    "window_trailing_30d",
-    "pii_redact",
-    "repetition_filter",
-    "keyword_tfidf",
+    "salted_join_agg",
+    "histogram_equiwidth",
+    "histogram_equidepth",
+    "chunk_documents",
+    "term_collocations",
+    "variant_extract_agg",
+    "session_window_agg",
+    "recursive_org_depth",
+    "lateral_topk_orders",
+    "zscore_normalize",
+    "fuzzy_match_blocked",
+    "skew_probe",
+    "scd2_compress",
+    "dedup_sorted_neighborhood",
+    "reservoir_sample",
+    "rolling_distinct_users",
+    "dup_span_profile",
+    "inverted_index",
+    "source_ngram_overlap",
+    "dedup_minhash_incremental",
+    "tpch_q7_volume",
+    "tpch_q10_returns",
+    "tpch_q12_priority",
+    "tpch_q14_promo",
+    "tpch_q22_idle_rich",
+    "tpch_q2_min_cost",
+    "deterministic_sample",
+    "weighted_sample",
+    "tpch_q4_priority",
+    "tpch_q8_share",
+    "tpch_q11_important",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunct",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting",
+    "running_total",
+    "set_ops_retention",
+    "unpivot_metrics",
+    "stats_moments",
+    "grouped_list_agg",
 )
 
 

@@ -100,6 +100,17 @@ def _batch_survivors(
     return survivors, pairs
 
 
+def _write_band_index(index_rows: DataFrame, path: str, mode: str) -> None:
+    """One file per bucket per write: without the repartition, every
+    upstream task writes its own file into every bucket directory it
+    touches — up to tasks×buckets tiny files PER BATCH (measured: the
+    round-9 first cut appended ~2k files/batch and the per-batch read
+    cost grew ~3s/batch from parquet footer opens alone). The shuffle
+    this adds is batch-scale band rows — noise next to the file-count
+    blowup it prevents."""
+    index_rows.repartition("_bkt").write.partitionBy("_bkt").mode(mode).parquet(path)
+
+
 def stream_dedup_ingest(
     docs: DataFrame,
     corpus_path: str,
@@ -109,6 +120,7 @@ def stream_dedup_ingest(
     id_col: str = "doc_id",
     sigs_path: str | None = None,
     band_index_path: str | None = None,
+    n_band_buckets: int | None = None,
     **lsh_kwargs,
 ):
     """foreachBatch sink: maintain ``corpus_path`` as a near-dup-free
@@ -140,6 +152,15 @@ def stream_dedup_ingest(
     count-probe trigger as the signature reconcile. Pairs are
     bit-identical with and without the index (parity-tested) — the
     index changes the plan, never the answer.
+
+    ``n_band_buckets``: bucket count for a FRESHLY created index (an
+    existing index's own ``_nbkt`` always wins — recomputing buckets
+    with a different modulus would prune away true candidates).
+    Pruning bites when |batch|·bands is small relative to the bucket
+    count (the trickle regime: tools/bench_stream_ingest.py
+    ``--trickle``); the default 64 suits steady thousands-of-docs
+    batches where the index's win is the narrow pre-exploded,
+    join-key-partitioned probe side rather than directory pruning.
 
     Split default (VERDICT r07 item 2): unless num_perm AND bands are
     passed, the first batch probes the available corpus (or itself)
@@ -319,7 +340,8 @@ def stream_dedup_ingest(
                 corpus_hashed = spark.read.parquet(sigs_path)
                 n_sigs = corpus_hashed.count()
 
-        band_index, n_bkt = None, BAND_INDEX_BUCKETS
+        band_index = None
+        n_bkt = BAND_INDEX_BUCKETS if n_band_buckets is None else n_band_buckets
         if band_index_path is not None:
             band_index = _read_or_none(spark, band_index_path)
             if band_index is not None and corpus_hashed is None:
@@ -336,14 +358,27 @@ def stream_dedup_ingest(
                 # metadata only on the healthy path), heal by full
                 # recompute — it is one narrow projection of the state,
                 # and torn appends are rare enough that an id-level
-                # anti-join would optimize the wrong case
+                # anti-join would optimize the wrong case. The same
+                # rebuild doubles as COMPACTION: append-only writes add
+                # one file per bucket per batch, and a thousand-batch
+                # index would pay a thousand parquet footers per bucket
+                # read — so when the file count passes a small multiple
+                # of the bucket count, rewrite the index in one narrow
+                # pass (amortized O(corpus/16) rows per batch; the
+                # per-bucket incremental merge a table format would do
+                # is the 100 TB refinement, same trigger).
                 if band_index is not None:
                     n_bkt = infer_band_index_buckets(band_index)
-                if band_index is None or band_index.count() != n_sigs * bands:
-                    minhash_band_index(
-                        corpus_hashed, id_col, n_bkt
-                    ).write.partitionBy("_bkt").mode("overwrite").parquet(
-                        band_index_path
+                needs_rebuild = (
+                    band_index is None or band_index.count() != n_sigs * bands
+                )
+                if not needs_rebuild and len(band_index.inputFiles()) > 16 * n_bkt:
+                    needs_rebuild = True
+                if needs_rebuild:
+                    _write_band_index(
+                        minhash_band_index(corpus_hashed, id_col, n_bkt),
+                        band_index_path,
+                        "overwrite",
                     )
                     band_index = spark.read.parquet(band_index_path)
 
@@ -416,9 +451,11 @@ def stream_dedup_ingest(
                 new_state = new_state.localCheckpoint(eager=True)
             new_state.write.mode("append").parquet(sigs_path)
             if band_index_path is not None:
-                minhash_band_index(new_state, id_col, n_bkt).write.partitionBy(
-                    "_bkt"
-                ).mode("append").parquet(band_index_path)
+                _write_band_index(
+                    minhash_band_index(new_state, id_col, n_bkt),
+                    band_index_path,
+                    "append",
+                )
 
     return docs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint

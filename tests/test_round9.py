@@ -267,3 +267,68 @@ def test_stream_ingest_rejects_orphaned_band_index(spark, tmp_path):
             sigs_path=str(tmp_path / "sigs"),
             band_index_path=str(tmp_path / "bands"),
         )
+
+
+# ---- domain-curation family (VERDICT r08 item 2) ----
+
+
+def test_domain_cap_boundary_and_plan(spark):
+    """Cap boundary: a domain at exactly the cap keeps everything, an
+    over-cap domain keeps exactly cap with dense ranks 1..cap; the
+    keep-set is partitioning-independent; and the physical plan runs
+    the skew-safe two-phase top-k (partial WindowGroupLimit BEFORE the
+    exchange — the property that bounds a mega-domain's shuffle volume
+    at 100 TB)."""
+    from ffi_etl_spark.operators.domains import domain_cap
+
+    rows = [(i, "at_cap") for i in range(3)] + [(100 + i, "over_cap") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = domain_cap(df, cap=3, domain_col="source")
+    per = {
+        r.source: r.n for r in got.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per == {"at_cap": 3, "over_cap": 3}
+    ranks = sorted(r.domain_rank for r in got.filter(F.col("source") == "over_cap").collect())
+    assert ranks == [1, 2, 3]
+
+    keep1 = {r.doc_id for r in got.collect()}
+    keep2 = {r.doc_id for r in domain_cap(df.repartition(7), cap=3, domain_col="source").collect()}
+    assert keep1 == keep2  # md5-rank keep-set is partitioning-independent
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+
+
+def test_short_doc_domains_threshold(spark):
+    from ffi_etl_spark.operators.domains import (
+        domain_blocklist_filter,
+        short_doc_domains,
+    )
+
+    rows = (
+        [(i, "farm", 50) for i in range(2)] + [(10 + i, "farm", 500) for i in range(3)]  # 2/5 short
+        + [(20 + i, "ok", 50) for i in range(1)] + [(30 + i, "ok", 500) for i in range(4)]  # 1/5 short
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    blocked = {r.source for r in short_doc_domains(df, max_short_share=0.3).collect()}
+    assert blocked == {"farm"}
+    kept = domain_blocklist_filter(df, short_doc_domains(df, max_short_share=0.3).select("source"))
+    assert {r.source for r in kept.collect()} == {"ok"}
+
+
+def test_domain_mix_report_exact_shares(spark):
+    from ffi_etl_spark.operators.domains import domain_mix_report
+
+    rows = [
+        (1, "a", "one two three four"),   # 4 tokens
+        (2, "a", "five six"),             # 2
+        (3, "b", "seven eight nine"),     # 3
+        (4, "c", "ten"),                  # 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.source: r for r in domain_mix_report(df).collect()}
+    assert got["a"].n_tokens == 6 and got["a"].mix_rank == 1
+    assert got["a"].token_share == 6 / 10
+    assert got["b"].cum_tokens == 9 and got["b"].cum_token_share == 9 / 10
+    assert got["c"].cum_tokens == 10 and got["c"].cum_token_share == 1.0

@@ -43,13 +43,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_mode(spark, docs, n_batches: int, mode: str) -> list[dict]:
+def run_mode(
+    spark,
+    docs,
+    n_batches: int,
+    mode: str,
+    trickle: bool = False,
+    n_band_buckets: int | None = None,
+) -> list[dict]:
+    """``trickle=False``: n_batches equal slices (the steady-ingest
+    curve). ``trickle=True``: ONE big batch lands all but 100 docs,
+    then five 20-doc micro-batches — the regime VERDICT r08 item 1
+    names ("a 100 TB corpus with small micro-batches"), where the band
+    index's partition pruning actually bites: a 20-doc batch touches
+    ≤ 20·bands band keys, a small fraction of a 256-bucket index."""
     from pyspark.sql import functions as F
 
     from ffi_etl_spark.streaming.ingest import stream_dedup_ingest
 
     n = docs.count()
-    per = (n + n_batches - 1) // n_batches
+    if trickle:
+        bounds = [(0, n - 100)] + [
+            (n - 100 + i * 20, n - 100 + (i + 1) * 20) for i in range(5)
+        ]
+    else:
+        per = (n + n_batches - 1) // n_batches
+        bounds = [(b * per, (b + 1) * per) for b in range(n_batches)]
 
     root = tempfile.mkdtemp(prefix=f"stream_ingest_bench_{mode}_")
     inbox = os.path.join(root, "inbox")
@@ -61,8 +80,7 @@ def run_mode(spark, docs, n_batches: int, mode: str) -> list[dict]:
 
     out: list[dict] = []
     try:
-        for b in range(n_batches):
-            lo, hi = b * per, (b + 1) * per
+        for b, (lo, hi) in enumerate(bounds):
             rows = (
                 docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
                 .toPandas()
@@ -81,6 +99,7 @@ def run_mode(spark, docs, n_batches: int, mode: str) -> list[dict]:
                     os.path.join(root, "ckpt"),
                     sigs_path=sigs_path,
                     band_index_path=band_index_path,
+                    n_band_buckets=n_band_buckets,
                     fast=True,
                 )
                 .trigger(availableNow=True)
@@ -121,6 +140,12 @@ def main() -> None:
         "baseline), index (band-bucketed probe index)",
     )
     ap.add_argument("--out", default=None, help="write curves as one JSON artifact")
+    ap.add_argument(
+        "--trickle",
+        action="store_true",
+        help="one big build batch then five 20-doc micro-batches "
+        "(256-bucket index) — the pruning regime",
+    )
     args = ap.parse_args()
 
     from ffi_etl_spark.session import get_session
@@ -128,10 +153,22 @@ def main() -> None:
     spark = get_session("bench-stream-ingest")
     docs = spark.read.parquet(args.src).select("doc_id", "text")
 
-    artifact: dict = {"src": args.src, "n_batches": args.n_batches, "curves": {}}
+    artifact: dict = {
+        "src": args.src,
+        "n_batches": args.n_batches,
+        "trickle": args.trickle,
+        "curves": {},
+    }
     for mode in args.modes.split(","):
         mode = mode.strip()
-        artifact["curves"][mode] = run_mode(spark, docs, args.n_batches, mode)
+        artifact["curves"][mode] = run_mode(
+            spark,
+            docs,
+            args.n_batches,
+            mode,
+            trickle=args.trickle,
+            n_band_buckets=256 if args.trickle else None,
+        )
 
     # slope summary: mean of last-3 per-batch seconds over mean of
     # first-3 — the number the round-over-round guard reads (a flat

@@ -65,6 +65,16 @@ Bit-safe grammar, by the house parity rules:
   disambiguate and both engines' rewrites must agree under
   NULL-extended input; COUNT(col) rides beside COUNT(*) for the
   NULL-skipping edge;
+- string functions inside group keys (round-9 grammar): substr /
+  lower / upper / '||' concat as the GROUP BY expression itself —
+  derived-key value agreement plus expression-grouping resolution
+  (concat() deliberately avoided: DuckDB's skips NULL args, Spark's
+  propagates — '||' NULL-propagates on both);
+- EXISTS ∧/∨ NOT EXISTS pairs (round-9 grammar): the tpch_q4/q21
+  decorrelation shape with independent child predicates, including
+  the disjunctive spelling (probed on both engines);
+- real HAVING over GROUPING SETS (round-9 grammar): COUNT/SUM
+  comparisons and GROUPING() flags filtering super-aggregate rows;
 - windows OVER joins: the full-tuple-order argument survives a join —
   order by EVERY integer column of the joined row with explicit
   NULLS FIRST (Spark defaults NULLS FIRST ASC, DuckDB NULLS LAST:
@@ -357,6 +367,57 @@ def gen_query(rng: random.Random) -> str:
             f"FROM {frm}{where} ORDER BY {key_ints}"
         )
 
+    if join_how is None and 0.80 <= shape < 0.86:
+        # string functions INSIDE group keys (round-9 grammar): the
+        # expression-valued grouping surface — substr / lower / upper
+        # and '||' concat over the string pools. Both engines must
+        # agree on the derived key VALUES (1-based substr indexing,
+        # ASCII case mapping, NULL-propagating ||; concat() is avoided
+        # because DuckDB's skips NULL arguments where Spark's
+        # propagates) and on grouping by an expression repeated
+        # verbatim across SELECT / GROUP BY.
+        c = rng.choice(t["strs"])
+        kind = rng.random()
+        if kind < 0.35:
+            key = f"substr({c}, 1, {rng.choice([1, 2, 3])})"
+        elif kind < 0.6:
+            key = f"{rng.choice(['lower', 'upper'])}({c})"
+        elif kind < 0.8:
+            c2 = rng.choice(t["strs"])
+            key = f"({c} || '_' || {c2})"
+        else:
+            key = (
+                f"substr({rng.choice(['lower', 'upper'])}({c}), 1, "
+                f"{rng.choice([2, 3])})"
+            )
+        agg_col = rng.choice(t["ints"])
+        return (
+            f"SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM(CAST({agg_col} AS BIGINT)) AS BIGINT) AS s "
+            f"FROM {frm}{where} GROUP BY {key} ORDER BY k"
+        )
+
+    if join_how is None and 0.86 <= shape < 0.92 and frm in _CORR:
+        # EXISTS ∧/∨ NOT EXISTS on the same child (round-9 grammar):
+        # the gated tpch_q4/q21 decorrelation shape, fuzzed — one
+        # correlated EXISTS with a child predicate and one NOT EXISTS
+        # with a DIFFERENT predicate must decorrelate into independent
+        # semi/anti joins, not share one rewritten subtree; the OR
+        # spelling exercises Spark's disjunctive-subquery rewrite
+        # (probed: both engines accept it).
+        pk, child, ck = _CORR[frm]
+        p1 = _int_pred(rng, rng.choice(TABLES[child]["ints"]))
+        p2 = _int_pred(rng, rng.choice(TABLES[child]["ints"]))
+        e1 = f"EXISTS (SELECT 1 FROM {child} WHERE {ck} = {pk} AND {p1})"
+        e2 = f"NOT EXISTS (SELECT 1 FROM {child} WHERE {ck} = {pk} AND {p2})"
+        both = f"{e1} {'AND' if rng.random() < 0.7 else 'OR'} {e2}"
+        glue = " AND " if where else " WHERE "
+        return (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(COUNT(DISTINCT {pk}) AS BIGINT) AS nk "
+            f"FROM {frm}{where}{glue}{both}"
+        )
+
     if join_how is None and 0.45 <= shape < 0.53:
         # GROUP BY ROLLUP / CUBE / GROUPING SETS (round-6 grammar): the
         # super-aggregate rows carry NULL grouping keys — exactly where
@@ -389,10 +450,26 @@ def gen_query(rng: random.Random) -> str:
         flags = ", ".join(
             f"CAST(GROUPING({g}) AS BIGINT) AS grp{i}" for i, g in enumerate(gs)
         )
+        having = "HAVING COUNT(*) > 0"
+        if rng.random() < 0.5:
+            # HAVING over GROUPING SETS (round-9 grammar): a REAL
+            # aggregate/flag predicate filtering the super-aggregate
+            # rows — beyond the empty-input normalizer above — where
+            # both engines' Expand/flatten rewrites must resolve the
+            # HAVING against the post-grouping row (probed: GROUPING()
+            # in HAVING parses on both)
+            having += " AND " + rng.choice(
+                [
+                    f"COUNT(*) >= {rng.choice([2, 5, 10])}",
+                    f"SUM(CAST({agg_col} AS BIGINT)) > "
+                    f"{rng.choice([0, 100, 10000])}",
+                    f"GROUPING({gs[0]}) = {rng.choice([0, 1])}",
+                ]
+            )
         return (
             f"SELECT {keys}, {flags}, CAST(COUNT(*) AS BIGINT) AS n, "
             f"CAST(SUM(CAST({agg_col} AS BIGINT)) AS BIGINT) AS s "
-            f"FROM {frm}{where} {grp} HAVING COUNT(*) > 0 "
+            f"FROM {frm}{where} {grp} {having} "
             f"ORDER BY {', '.join(f'{g} NULLS FIRST' for g in gs)}"
         )
 
@@ -646,6 +723,18 @@ def _is_round7_shape(sql: str) -> bool:
     return "UNPIVOT" in sql or " ALL SELECT" in sql
 
 
+def _is_round9_shape(sql: str) -> bool:
+    """Round-9 grammar (``new9`` filter mode): string functions inside
+    group keys, the q4/q21-style EXISTS∧NOT-EXISTS pair, and real
+    HAVING predicates over GROUPING SETS rollup rows."""
+    return (
+        ("GROUP BY substr(" in sql or "GROUP BY lower(" in sql
+         or "GROUP BY upper(" in sql or "|| '_' ||" in sql)
+        or ("EXISTS (" in sql and "NOT EXISTS (" in sql)
+        or ("GROUPING(" in sql and ("HAVING COUNT(*) > 0 AND" in sql))
+    )
+
+
 def main() -> int:
     # Usage: fuzz_differential.py [sf_dir] [n_cases] [seed0] [new]
     # With the optional 4th arg ``new``, seeds are consumed until
@@ -658,6 +747,7 @@ def main() -> int:
     only_new = mode_arg == "new"
     only_new7 = mode_arg == "new7"
     only_new8 = mode_arg == "new8"
+    only_new9 = mode_arg == "new9"
 
     import duckdb
 
@@ -683,6 +773,8 @@ def main() -> int:
             continue
         if only_new8 and not _is_round8_shape(sql):
             continue
+        if only_new9 and not _is_round9_shape(sql):
+            continue
         ran += 1
         try:
             ok, detail = run_case(spark, con, sql)
@@ -699,7 +791,9 @@ def main() -> int:
         if only_new
         else " (round-7 shapes only)"
         if only_new7
-        else " (round-8 shapes only)" if only_new8 else ""
+        else " (round-8 shapes only)"
+        if only_new8
+        else " (round-9 shapes only)" if only_new9 else ""
     )
     print(f"{bad}/{n_cases} mismatches{mode}, seeds {seed0}..{seed - 1}")
     return 1 if bad else 0
