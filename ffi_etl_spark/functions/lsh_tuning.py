@@ -58,6 +58,15 @@ def tune_bands(
     return best
 
 
+# Expected ambient band-candidates per document the budget tolerates
+# when the corpus size is known (round 9): the verify bill is
+# ~1.5× the per-doc-slot signature cost per candidate (both measured,
+# operators/dedup.py::WIDE_CORPUS_DOCS derivation), so keeping
+# candidates-per-doc at the order of the signature width keeps the
+# quadratic term from ever dominating the linear one.
+AMBIENT_CANDS_PER_DOC = 32.0
+
+
 def choose_minhash_split(
     ambient: float,
     threshold: float,
@@ -65,6 +74,7 @@ def choose_minhash_split(
     recall_floor: float = 0.95,
     num_perms: tuple[int, ...] = (12, 24, 36),
     ambient_budget: float = 1e-3,
+    n_docs: int | None = None,
 ) -> tuple[int, int, int]:
     """(num_perm, bands, rows) for a corpus whose random-pair (ambient)
     shingle similarity is known — the self-tuning companion to
@@ -92,7 +102,21 @@ def choose_minhash_split(
     turns the 0.1→1 wall-clock ratio from 21.8× into 1.4×.
 
     Driver-side pure math, O(Σ divisors); falls back to the default
-    split when no offered split can meet the recall floor."""
+    split when no offered split can meet the recall floor.
+
+    ``n_docs`` (round 9, the sf10 ladder cliff): a FIXED probability
+    budget is scale-blind — P=4.5e-4 is "cheap" at 50k docs (~560k
+    candidates) and a 65M-candidate disaster at 494k docs, because
+    candidates grow n²·P while everything else grows n·num_perm. With
+    the corpus size known, the budget becomes "≤ AMBIENT_CANDS_PER_DOC
+    expected ambient candidates per document", i.e. P ≤ 2·C/n — the
+    quantity that actually prices the verify stage. At gate-scale
+    corpora (n ≤ 64k) this is looser than the 1e-3 default, so every
+    pinned small-scale pick is unchanged."""
+    if n_docs is not None and n_docs > 1:
+        ambient_budget = min(
+            ambient_budget, 2.0 * AMBIENT_CANDS_PER_DOC / n_docs
+        )
     base = num_perms[0]
     b0, r0 = tune_bands(base, threshold, fp_weight=5)
     if (

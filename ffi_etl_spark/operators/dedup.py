@@ -366,6 +366,21 @@ def dedup_minhash_adaptive(
     )
 
 
+# Corpus size past which the probe offers WIDER signatures to the
+# chooser (round-9 ladder finding, BASELINE.md §sf10): with a fixed
+# split, ambient band candidates grow ~n²·P(collide | ambient) while
+# signature cost grows ~n·num_perm — measured at synthetic sf10
+# (494k docs, ambient 0.22) the (24,4,6) split's candidates hit 65M
+# (11× sf3, exactly (10/3)²) and the verify bill made the tier scale
+# 6.7× for 3.3× data. The crossover where the quadratic term passes
+# the linear one at that ambient is n ≈ 1.4e5 docs (sig ≈ 1.4e-6
+# s/doc·slot vs verify ≈ 2.2e-6 s/candidate, both measured); above it
+# a wider signature buys sharper rows-per-band (0.22⁸ vs 0.22⁶) at
+# linear cost. Below it the wide menu would only tax small corpora.
+WIDE_CORPUS_DOCS = 150_000
+WIDE_NUM_PERMS = (24, 36, 48, 64)
+
+
 def resolve_minhash_split(
     df: DataFrame,
     text_col: str = "text",
@@ -388,14 +403,29 @@ def resolve_minhash_split(
     Wired as the DEFAULT for ``dedup_minhash_adaptive``,
     ``minhash_signature_table``, ``dedup_minhash_incremental`` and the
     streaming ingest (VERDICT r07 item 2): a user who does not hand-tune
-    gets the probe's pick, not the measured-bad fixed split."""
+    gets the probe's pick, not the measured-bad fixed split.
+
+    Scale-aware menu (round 9): past ``WIDE_CORPUS_DOCS`` the offered
+    signature widths extend to 48/64 slots — the chooser's
+    min-ambient-collision objective then buys rows-per-band the narrow
+    menu cannot express (e.g. (48, 6, 8) ≈ 14× fewer ambient candidates
+    than (24, 4, 6) at ambient 0.22, for 2× the linear signature cost —
+    the right trade exactly when candidates grow n² past the crossover;
+    see the constant's derivation above). Below the threshold the menu
+    is unchanged, so small-corpus picks — including every gate SF's
+    pinned (24, 4) — are bit-identical to round 8. The corpus count is
+    one column-pruned job (footer metadata on plain parquet scans)."""
     ambient = estimate_ambient_jaccard(
         df, text_col, id_col, shingle_k, sample_docs=sample_docs
     )
     from ffi_etl_spark.functions.lsh_tuning import choose_minhash_split
 
+    n_docs = df.count()
+    kwargs: dict = {"n_docs": n_docs}
+    if n_docs >= WIDE_CORPUS_DOCS:
+        kwargs["num_perms"] = WIDE_NUM_PERMS
     num_perm, bands, _rows = choose_minhash_split(
-        ambient, threshold, dup_sim=dup_sim, recall_floor=recall_floor
+        ambient, threshold, dup_sim=dup_sim, recall_floor=recall_floor, **kwargs
     )
     return num_perm, bands
 

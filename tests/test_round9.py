@@ -332,3 +332,37 @@ def test_domain_mix_report_exact_shares(spark):
     assert got["a"].token_share == 6 / 10
     assert got["b"].cum_tokens == 9 and got["b"].cum_token_share == 9 / 10
     assert got["c"].cum_tokens == 10 and got["c"].cum_token_share == 1.0
+
+
+def test_chooser_scale_aware_budget():
+    """Round-9 ladder cliff (BASELINE.md §sf10): a fixed probability
+    budget is scale-blind — the chooser must tighten it to ≤
+    AMBIENT_CANDS_PER_DOC expected ambient candidates per doc when the
+    corpus size is known, and the wide signature menu must buy the
+    sharper rows-per-band at sf10 scale while every gate-scale pick
+    stays bit-identical to round 8."""
+    from ffi_etl_spark.functions.lsh_tuning import (
+        candidate_probability,
+        choose_minhash_split,
+    )
+
+    wide = (24, 36, 48, 64)
+    # sf10 regime: 494k docs at ambient 0.22 -> the 48-slot split
+    assert choose_minhash_split(0.22, 0.5, num_perms=wide, n_docs=494_000) == (48, 6, 8)
+    # the pick must still honor the recall floor at dup_sim
+    assert candidate_probability(0.9, 6, 8) >= 0.95
+    # gate-scale corpora: n_docs loosens nothing, picks unchanged
+    for n in (450, 4500, 45_000, 49_448):
+        assert choose_minhash_split(0.22, 0.5, n_docs=n) == (24, 4, 6), n
+    # and without n_docs the round-8 contract is untouched
+    assert choose_minhash_split(0.22, 0.5) == (24, 4, 6)
+
+
+def test_resolve_split_wide_menu_threshold(spark, sf_dir):
+    """resolve_minhash_split passes the corpus count through: below
+    WIDE_CORPUS_DOCS the menu (and thus every gate pick) is the
+    round-8 one — the sf0.001..0.1 pins in test_round8 cover the real
+    corpora; this locks the threshold constant itself."""
+    from ffi_etl_spark.operators.dedup import WIDE_CORPUS_DOCS
+
+    assert WIDE_CORPUS_DOCS > 50_000  # all driver gate SFs stay narrow

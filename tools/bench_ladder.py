@@ -23,9 +23,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT = [
     "dedup_minhash_adaptive_fast",
-    "dedup_minhash_incremental",
+    "dedup_minhash_incremental_default",
     "ann_ivf_autok",
 ]
+
+
+def _incremental_default(spark, sf_dir):
+    """The gated `dedup_minhash_incremental` asserts the oracle's
+    (24, 4) pin, which correctly FAILS at ladder SFs where the
+    scale-aware probe picks a wider split (sf10 → (48, 6)) — the ladder
+    measures the DEFAULT configuration itself (md5 tier, adopted/probed
+    split, same %10 corpus/batch cut as the gate)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ffi_etl_spark.operators.dedup import dedup_minhash_incremental
+
+    d = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    return dedup_minhash_incremental(corpus, batch)
+
+
+LOCAL = {"dedup_minhash_incremental_default": _incremental_default}
 
 
 def main() -> None:
@@ -43,7 +64,7 @@ def main() -> None:
     spark.range(256).repartition(8).mapInPandas(lambda it: it, schema="id long").count()
 
     for name in names:
-        fn = qs.get(name) or EXTRA_BENCH.get(name)
+        fn = qs.get(name) or EXTRA_BENCH.get(name) or LOCAL.get(name)
         if fn is None:
             print(json.dumps({"query": name, "err": "unknown"}), flush=True)
             continue

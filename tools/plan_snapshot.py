@@ -67,6 +67,9 @@ SNAPSHOT = [
     ("dedup_minhash_adaptive", "probe (TakeOrderedAndProject sample + K-row median) chooses the band split driver-side; then the standard banded plan at (24,4,6) on this corpus — signature pin, band self-join as the only wide shuffle, broadcast verify; the 24-slot signature buys 12x fewer ambient candidates (BASELINE.md §scaling)"),
     ("text_lines_roundtrip", "distributed text scan (one row per line, splits at block boundaries) into one 4-aggregate reduce — the whole roundtrip check is a single narrow pass"),
     ("ann_ivf_autok", "count probe + sample-trained integer-Lloyd quantizer driver-side (per-round LogicalRDD pins), then ONE packed 1-row broadcast model for both assignments and the cell equi-join top-k — the corpus never self-joins, the probe join is the only wide stage"),
+    ("domain_cap_sample", "two-phase top-k per domain: partial WindowGroupLimit BEFORE the exchange bounds a mega-domain's shuffle volume at cap x tasks rows, final WindowGroupLimit + rank filter after — no full per-domain sort ships"),
+    ("domain_blocklist_filter", "domain-cardinality blocklist aggregate broadcast into a LEFT ANTI join — the corpus side never shuffles for the filter; one partial+final count agg after"),
+    ("domain_mix_report", "one partial-aggregated groupBy to domain cardinality, then K-row windows (rank + cumulative + total) over the post-agg rows — the single-partition window is K-row by construction"),
 ]
 
 
