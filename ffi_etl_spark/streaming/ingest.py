@@ -111,6 +111,52 @@ def _write_band_index(index_rows: DataFrame, path: str, mode: str) -> None:
     index_rows.repartition("_bkt").write.partitionBy("_bkt").mode(mode).parquet(path)
 
 
+# Files a single bucket directory may accumulate before that bucket is
+# compacted. Appends add one file per touched bucket per batch, so a
+# long-lived trickle stream would otherwise pay one parquet footer per
+# historical batch on every read of the bucket.
+_COMPACT_FILES_PER_BUCKET = 16
+
+
+def _crowded_buckets(index: DataFrame) -> list[int]:
+    """Buckets whose directory holds more than the per-bucket file
+    threshold — derived from the read's own file listing (driver-side,
+    already computed for planning; no extra FS walk)."""
+    import re
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for f in index.inputFiles():
+        m = re.search(r"_bkt=(\d+)/", f)
+        if m:
+            counts[int(m.group(1))] += 1
+    return sorted(b for b, c in counts.items() if c > _COMPACT_FILES_PER_BUCKET)
+
+
+def _compact_band_index(spark, band_index: DataFrame, path: str) -> DataFrame:
+    """Per-bucket incremental compaction — the 100 TB refinement over
+    whole-index rebuild: read ONLY the crowded buckets (partition-
+    pruned), pin the rows (the source files are about to be replaced),
+    and dynamic-partition-overwrite exactly those buckets back as one
+    file each. Buckets the stream hasn't crowded are never read or
+    rewritten, so compaction cost tracks the crowded fraction, not the
+    corpus. Returns the (possibly re-read) index frame."""
+    from pyspark.sql import functions as F
+
+    crowded = _crowded_buckets(band_index)
+    if not crowded:
+        return band_index
+    rows = band_index.filter(F.col("_bkt").isin(crowded)).localCheckpoint(eager=True)
+    (
+        rows.repartition("_bkt")
+        .write.partitionBy("_bkt")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)
+
+
 def stream_dedup_ingest(
     docs: DataFrame,
     corpus_path: str,
@@ -358,29 +404,27 @@ def stream_dedup_ingest(
                 # metadata only on the healthy path), heal by full
                 # recompute — it is one narrow projection of the state,
                 # and torn appends are rare enough that an id-level
-                # anti-join would optimize the wrong case. The same
-                # rebuild doubles as COMPACTION: append-only writes add
-                # one file per bucket per batch, and a thousand-batch
-                # index would pay a thousand parquet footers per bucket
-                # read — so when the file count passes a small multiple
-                # of the bucket count, rewrite the index in one narrow
-                # pass (amortized O(corpus/16) rows per batch; the
-                # per-bucket incremental merge a table format would do
-                # is the 100 TB refinement, same trigger).
+                # anti-join would optimize the wrong case. Healthy
+                # batches instead run per-bucket COMPACTION: append-only
+                # writes add one file per touched bucket per batch, and
+                # a thousand-batch index would pay a thousand parquet
+                # footers per bucket read — buckets past
+                # _COMPACT_FILES_PER_BUCKET files are read (pruned),
+                # pinned, and dynamic-partition-overwritten back as one
+                # file each; untouched buckets are never read.
                 if band_index is not None:
                     n_bkt = infer_band_index_buckets(band_index)
-                needs_rebuild = (
-                    band_index is None or band_index.count() != n_sigs * bands
-                )
-                if not needs_rebuild and len(band_index.inputFiles()) > 16 * n_bkt:
-                    needs_rebuild = True
-                if needs_rebuild:
+                if band_index is None or band_index.count() != n_sigs * bands:
                     _write_band_index(
                         minhash_band_index(corpus_hashed, id_col, n_bkt),
                         band_index_path,
                         "overwrite",
                     )
                     band_index = spark.read.parquet(band_index_path)
+                else:
+                    band_index = _compact_band_index(
+                        spark, band_index, band_index_path
+                    )
 
         if not batch.take(1):
             return

@@ -174,26 +174,25 @@ def test_registry_priority_prefix(spark):
     expected = [n for n in PRIORITY_PREFIX if n in names]
     assert names[: len(expected)] == expected
     assert len(expected) == 50  # the graded prefix is exactly full
-    # round-8 rotation (VERDICT r07 items 1+4): continuity canaries +
-    # the 3 dsir bisection probes IMMEDIATELY BEFORE the re-graded
-    # composed red + oldest-graded-green freshness fill, in
-    # rotation.py's order (queries banked green in a recent round
-    # rotate OUT). Spot-check the canaries, the probe block (order
-    # matters: probes must grade before the composed query), and both
-    # ends of the fill.
+    # round-9 rotation (VERDICT r08 item 2): the dsir red is CLOSED
+    # (all four rows green in r08), the bisection probes leave the
+    # prefix (they stay registered), and the window is FRESHNESS-ONLY:
+    # continuity canaries + the never-graded domain-curation family +
+    # oldest-graded greens in rotation.py's order. Spot-check the
+    # canaries, the new family, and both ends of the fill.
     for must in ("survey_pipeline", "census_merge", "dedup_minhash",
                  "tpch_q1", "pretraining_corpus",
-                 "dsir_budget_inputs", "dsir_budget_offsets",
-                 "dsir_budget_cutpoints", "dsir_budget_selection",
-                 "dedup_components", "text_stats", "pack_sequences",
-                 "mixture_balance", "rollup_agg", "token_topk",
-                 "keyword_tfidf"):
+                 "domain_cap_sample", "domain_blocklist_filter",
+                 "domain_mix_report",
+                 "salted_join_agg", "histogram_equiwidth",
+                 "dedup_minhash_incremental", "tpch_q21_waiting",
+                 "stats_moments", "grouped_list_agg"):
         assert names.index(must) < 50, must
-    probes = ["dsir_budget_inputs", "dsir_budget_offsets",
-              "dsir_budget_cutpoints"]
-    assert all(
-        names.index(p) < names.index("dsir_budget_selection") for p in probes
-    ), "bisection probes must grade before the composed query"
+    # the probes stay registered and locally gated, just out of the
+    # graded window
+    for probe in ("dsir_budget_inputs", "dsir_budget_offsets",
+                  "dsir_budget_cutpoints", "dsir_budget_selection"):
+        assert probe in names, probe
 
 
 def test_sql_surface_plans(spark):

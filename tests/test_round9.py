@@ -366,3 +366,40 @@ def test_resolve_split_wide_menu_threshold(spark, sf_dir):
     from ffi_etl_spark.operators.dedup import WIDE_CORPUS_DOCS
 
     assert WIDE_CORPUS_DOCS > 50_000  # all driver gate SFs stay narrow
+
+
+def test_band_index_per_bucket_compaction(spark, sf_dir, tmp_path):
+    """Per-bucket compaction: crowded buckets (> threshold files) are
+    rewritten to one file each via dynamic partition overwrite with NO
+    row lost or changed; buckets under the threshold are untouched."""
+    from ffi_etl_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_signature_table,
+    )
+    from ffi_etl_spark.streaming.ingest import (
+        _COMPACT_FILES_PER_BUCKET,
+        _compact_band_index,
+        _crowded_buckets,
+    )
+
+    corpus, _ = _docs_split(spark, sf_dir)
+    sigs = minhash_signature_table(
+        corpus.limit(40), num_perm=12, bands=3
+    ).localCheckpoint(eager=True)
+    idx_rows = minhash_band_index(sigs, n_buckets=4).localCheckpoint(eager=True)
+    path = str(tmp_path / "bands")
+    for _ in range(_COMPACT_FILES_PER_BUCKET + 3):
+        idx_rows.repartition("_bkt").write.partitionBy("_bkt").mode(
+            "append"
+        ).parquet(path)
+
+    idx = spark.read.parquet(path)
+    before = sorted(tuple(r) for r in idx.select("doc_id", "_band_idx").collect())
+    assert _crowded_buckets(idx)  # the setup actually crowded something
+
+    compacted = _compact_band_index(spark, idx, path)
+    after = sorted(
+        tuple(r) for r in compacted.select("doc_id", "_band_idx").collect()
+    )
+    assert after == before  # compaction moves bytes, never rows
+    assert not _crowded_buckets(compacted)

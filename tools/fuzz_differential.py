@@ -441,7 +441,12 @@ def gen_query(rng: random.Random) -> str:
         gs = rng.sample(t["groups"], min(2, len(t["groups"])))
         agg_col = rng.choice(t["ints"])
         kind = rng.choice(["ROLLUP", "CUBE", "GROUPING SETS"])
+        dup_sets = False
         if kind == "GROUPING SETS":
+            # single-group tables make (({g}), ({g}), ()) — a DUPLICATE
+            # grouping set, legal ANSI (both engines emit the group
+            # twice; swept green since round 6)
+            dup_sets = len(gs) == 1
             sets = f"(({', '.join(gs)}), ({gs[0]}), ())"
             grp = f"GROUP BY GROUPING SETS {sets}"
         else:
@@ -457,15 +462,27 @@ def gen_query(rng: random.Random) -> str:
             # rows — beyond the empty-input normalizer above — where
             # both engines' Expand/flatten rewrites must resolve the
             # HAVING against the post-grouping row (probed: GROUPING()
-            # in HAVING parses on both)
-            having += " AND " + rng.choice(
-                [
-                    f"COUNT(*) >= {rng.choice([2, 5, 10])}",
-                    f"SUM(CAST({agg_col} AS BIGINT)) > "
-                    f"{rng.choice([0, 100, 10000])}",
-                    f"GROUPING({gs[0]}) = {rng.choice([0, 1])}",
-                ]
-            )
+            # in HAVING parses on both).
+            #
+            # QUIRK (found by this sweep, seed 205370): Spark 4.1.2
+            # REJECTS GROUPING(col) in HAVING — "can only be used with
+            # GroupingSets/Cube/Rollup" — when and only when the
+            # GROUPING SETS list contains a DUPLICATE set (((g), (g),
+            # ())): the duplicate-set analysis path loses the grouping
+            # context for HAVING resolution, while the identical query
+            # with GROUPING in SELECT only, or with unique sets, works,
+            # and DuckDB accepts all four spellings. Engine analyzer
+            # divergence on a legal-ANSI spelling — normalized by not
+            # pairing the GROUPING() HAVING term with a duplicate set
+            # list (the other HAVING terms still cover dup sets).
+            terms = [
+                f"COUNT(*) >= {rng.choice([2, 5, 10])}",
+                f"SUM(CAST({agg_col} AS BIGINT)) > "
+                f"{rng.choice([0, 100, 10000])}",
+            ]
+            if not dup_sets:
+                terms.append(f"GROUPING({gs[0]}) = {rng.choice([0, 1])}")
+            having += " AND " + rng.choice(terms)
         return (
             f"SELECT {keys}, {flags}, CAST(COUNT(*) AS BIGINT) AS n, "
             f"CAST(SUM(CAST({agg_col} AS BIGINT)) AS BIGINT) AS s "
