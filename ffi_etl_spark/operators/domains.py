@@ -90,6 +90,47 @@ def short_doc_domains(
     return per.filter(F.col("short_share") > max_short_share)
 
 
+def domain_token_cap(
+    df: DataFrame,
+    token_budget: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain TOKEN budget (the unit a pretraining mix is actually
+    specified in, where ``domain_cap`` counts documents): walk each
+    domain's docs in the same deterministic md5-of-id order and keep
+    the greedy prefix whose whitespace-token total stays within
+    ``token_budget``. A doc is kept iff its EXCLUSIVE running total
+    plus its own tokens fits — all integer arithmetic, so the keep set
+    is bit-reproducible on any engine.
+
+    Scale shape: every doc has ≥1 token, so the kept prefix can never
+    exceed ``token_budget`` DOCUMENTS — ``domain_cap(df, token_budget)``
+    is therefore a LOSSLESS pre-prune, and it plans as the two-phase
+    WindowGroupLimit top-k (partial before the exchange). The exact
+    token cumsum then runs over ≤ budget rows per domain instead of the
+    domain's full volume — the same bounded-shuffle property as the doc
+    cap, for a budget rule a bare cumsum window could not bound."""
+    pruned = domain_cap(df, cap=token_budget, domain_col=domain_col, id_col=id_col)
+    ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    key = F.md5(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_cum = pruned.withColumn("_ntok", ntok).withColumn(
+        "_cum_excl", F.coalesce(F.sum("_ntok").over(w), F.lit(0)).cast("bigint")
+    )
+    return (
+        with_cum.filter(F.col("_cum_excl") + F.col("_ntok") <= token_budget)
+        .withColumn("cum_tokens", (F.col("_cum_excl") + F.col("_ntok")).cast("bigint"))
+        .withColumnRenamed("_ntok", "n_tokens")
+        .drop("_cum_excl")
+    )
+
+
 def domain_mix_report(
     df: DataFrame,
     domain_col: str = "source",

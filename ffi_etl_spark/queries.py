@@ -74,9 +74,9 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
 # lists). Round-9 rotation (VERDICT r08 item 2): the dsir red is CLOSED
 # (all four rows green in r08 — HUGEINT theory confirmed), so the three
 # bisection probes leave the prefix (they stay registered and in the
-# 250-query local gate) and the window is FRESHNESS-ONLY: 5 continuity
-# canaries + the 3 never-graded domain-curation queries (round9.py) +
-# 42 oldest-graded greens, exactly rotation.py's proposal at HEAD.
+# 251-query local gate) and the window is FRESHNESS-ONLY: 5 continuity
+# canaries + the 4 never-graded domain-curation queries (round9.py) +
+# 41 oldest-graded greens, exactly rotation.py's proposal at HEAD.
 PRIORITY_PREFIX: tuple[str, ...] = (
     # -- canaries: green every prior round, kept for continuity --
     "survey_pipeline",
@@ -88,6 +88,7 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "domain_cap_sample",
     "domain_blocklist_filter",
     "domain_mix_report",
+    "domain_token_cap",
     # -- freshness fill: oldest-graded greens (rotation.py order) --
     "salted_join_agg",
     "histogram_equiwidth",
@@ -130,7 +131,6 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "set_ops_retention",
     "unpivot_metrics",
     "stats_moments",
-    "grouped_list_agg",
 )
 
 

@@ -2,8 +2,7 @@ r"""Round-9 gated queries: the domain-curation family (VERDICT r08
 item 2 — the C4/RefinedWeb axis the pipeline lacked).
 
 Doc-level quality gates, source-level mixtures and split governance
-exist; these three queries govern the DOMAIN axis over
-``documents.source``:
+exist; these queries govern the DOMAIN axis over ``documents.source``:
 
 * ``domain_cap_sample``      — per-domain deterministic document cap
   (md5-rank ≤ cap over a domain-keyed window; WindowGroupLimit plans a
@@ -11,12 +10,16 @@ exist; these three queries govern the DOMAIN axis over
 * ``domain_blocklist_filter`` — survivors-by-domain after dropping
   domains whose short-document share exceeds a threshold (derived
   blocklist → broadcast anti join).
+* ``domain_token_cap``       — per-domain TOKEN budget: the greedy
+  md5-ordered prefix whose whitespace-token total fits the budget,
+  with the document cap as a lossless WindowGroupLimit pre-prune
+  (every doc has ≥1 token, so the kept prefix is ≤ budget docs).
 * ``domain_mix_report``      — per-domain doc/token counts, token
   share, and cumulative share down the ranking (exact-integer sums,
   divided once — no running float accumulation to drift across
   engines).
 
-All three are full-oracle: the md5 rank key, the short-doc rule and the
+All four are full-oracle: the md5 rank key, the short-doc rule and the
 whitespace token split are spelled identically in Spark and DuckDB, and
 every SUM-derived integer is CAST AS BIGINT on the DuckDB side (the
 standing HUGEINT rule, locked by tests/test_oracle_types.py).
@@ -29,6 +32,7 @@ from ffi_etl_spark.operators.domains import (
     domain_blocklist_filter,
     domain_cap,
     domain_mix_report,
+    domain_token_cap,
     short_doc_domains,
 )
 from ffi_etl_spark.queries import query
@@ -86,6 +90,42 @@ def _domain_blocklist_filter(spark, sf_dir):
     bl = short_doc_domains(d, short_chars=200, max_short_share=0.3).select("source")
     return domain_blocklist_filter(d, bl).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+_TOKEN_BUDGET = 800
+
+_TOKEN_CAP_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS rk
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY rk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_excl
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum_excl + n_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_excl + n_tokens <= {_TOKEN_BUDGET}
+"""
+
+
+@query("domain_token_cap", oracle=_TOKEN_CAP_ORACLE)
+def _domain_token_cap(spark, sf_dir):
+    """Per-domain token budget (operators/domains.py::domain_token_cap):
+    greedy md5-ordered prefix whose whitespace-token total fits the
+    budget — the unit pretraining mixes are specified in. The engine
+    side pre-prunes losslessly with the document cap (WindowGroupLimit
+    two-phase top-k) before the exact integer cumsum; the oracle runs
+    the plain cumsum, same keep set."""
+    d = table(spark, sf_dir, "documents")
+    return domain_token_cap(d, token_budget=_TOKEN_BUDGET).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
     )
 
 

@@ -183,10 +183,10 @@ def test_registry_priority_prefix(spark):
     for must in ("survey_pipeline", "census_merge", "dedup_minhash",
                  "tpch_q1", "pretraining_corpus",
                  "domain_cap_sample", "domain_blocklist_filter",
-                 "domain_mix_report",
+                 "domain_mix_report", "domain_token_cap",
                  "salted_join_agg", "histogram_equiwidth",
                  "dedup_minhash_incremental", "tpch_q21_waiting",
-                 "stats_moments", "grouped_list_agg"):
+                 "stats_moments"):
         assert names.index(must) < 50, must
     # the probes stay registered and locally gated, just out of the
     # graded window

@@ -403,3 +403,47 @@ def test_band_index_per_bucket_compaction(spark, sf_dir, tmp_path):
     )
     assert after == before  # compaction moves bytes, never rows
     assert not _crowded_buckets(compacted)
+
+
+def test_domain_token_cap_boundary_and_preprune(spark, sf_dir):
+    """Token-budget boundary: the kept set is the greedy md5-ordered
+    prefix whose inclusive cumsum fits; a doc exactly filling the
+    budget is kept, the next is cut. The document-cap pre-prune is
+    LOSSLESS: same keep set as a plain cumsum over the unpruned frame
+    (every doc has >=1 token, so the prefix is <= budget docs)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ffi_etl_spark.operators.domains import domain_token_cap
+
+    docs = table(spark, sf_dir, "documents").limit(200)
+    budget = 300
+    got = domain_token_cap(docs, token_budget=budget)
+    rows = got.collect()
+    assert rows, "budget keeps a non-trivial set"
+    # per-domain inclusive totals never exceed the budget
+    per = got.groupBy("source").agg(F.max("cum_tokens").alias("m")).collect()
+    assert all(r.m <= budget for r in per)
+
+    # plain-cumsum reference over the UNPRUNED frame
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = (
+        docs.withColumn("_n", ntok)
+        .withColumn("_c", F.sum("_n").over(w))
+        .filter(F.col("_c") <= budget)
+    )
+    assert {r.doc_id for r in rows} == {r.doc_id for r in ref.collect()}
+
+    # boundary: a crafted domain where doc 2 exactly fills the budget
+    crafted = spark.createDataFrame(
+        [(i, "d", "w " * 10) for i in range(1, 6)],
+        "doc_id long, source string, text string",
+    )  # 10 tokens each ("w "*10 strips to 10 words)
+    kept = domain_token_cap(crafted, token_budget=20).collect()
+    assert len(kept) == 2 and all(r.cum_tokens <= 20 for r in kept)
+    assert max(r.cum_tokens for r in kept) == 20  # exact fill kept

@@ -70,6 +70,7 @@ SNAPSHOT = [
     ("domain_cap_sample", "two-phase top-k per domain: partial WindowGroupLimit BEFORE the exchange bounds a mega-domain's shuffle volume at cap x tasks rows, final WindowGroupLimit + rank filter after — no full per-domain sort ships"),
     ("domain_blocklist_filter", "domain-cardinality blocklist aggregate broadcast into a LEFT ANTI join — the corpus side never shuffles for the filter; one partial+final count agg after"),
     ("domain_mix_report", "one partial-aggregated groupBy to domain cardinality, then K-row windows (rank + cumulative + total) over the post-agg rows — the single-partition window is K-row by construction"),
+    ("domain_token_cap", "lossless WindowGroupLimit pre-prune (doc cap = token budget, partial top-k before the exchange) bounds the shuffle, then the exact integer cumsum + budget filter runs over <= budget rows per domain"),
 ]
 
 
