@@ -5,6 +5,9 @@ The full LLM-data composition, end to end and lazy per stage:
   1. hygiene  — PII redaction (textops.redact_pii)
   2. quality  — rejection cascade + Gopher repetition gate
                (textops.quality_filter / repetition_filter)
+  2.5 domains — blocklist boilerplate-farm domains (short-doc share)
+               and cap any one domain's contribution
+               (operators/domains.py — the C4/RefinedWeb axis)
   3. dedup    — exact → MinHash near-dup components, one canonical doc
                per cluster (operators/corpus.pretraining_corpus)
   4. decontam — drop docs sharing word-5-grams with a held-out eval
@@ -51,6 +54,11 @@ def main() -> None:
 
     from ffi_etl_spark.operators.corpus import pretraining_corpus
     from ffi_etl_spark.operators.dedup import dedup_minhash_adaptive
+    from ffi_etl_spark.operators.domains import (
+        domain_blocklist_filter,
+        domain_cap,
+        short_doc_domains,
+    )
     from ffi_etl_spark.operators.textops import (
         decontaminate,
         dsir_importance,
@@ -76,6 +84,20 @@ def main() -> None:
     r_ok = repetition_filter(clean).filter(F.col("keep")).select("doc_id")
     gated = clean.join(q_ok, "doc_id").join(r_ok, "doc_id")
     n_gated = gated.count()
+
+    # 2.5 domain curation (round 9 — the C4/RefinedWeb axis): drop
+    # boilerplate-farm domains (short-document share over the ORIGINAL
+    # metadata, before redaction changed lengths), then cap any single
+    # domain's contribution with the deterministic md5-rank cap
+    # (domains.domain_token_cap is the token-budget variant)
+    meta = docs.select("doc_id", "source", "n_chars")
+    blocked = short_doc_domains(meta).select("source")
+    with_domain = gated.join(meta.select("doc_id", "source"), "doc_id")
+    curated = domain_cap(
+        domain_blocklist_filter(with_domain, blocked), cap=20
+    )
+    gated = curated.select("doc_id", "text")
+    n_curated = gated.count()
 
     # 3. dedup: exact + near-dup components -> canonical survivors
     # (the adaptive tier probes ambient similarity and re-splits the
@@ -125,6 +147,7 @@ def main() -> None:
 
     print(f"input docs:            {n0}")
     print(f"pass quality gates:    {n_gated}")
+    print(f"after domain curation: {n_curated}")
     print(f"near-dup pairs:        {pairs}")
     print(f"dedup survivors:       {n_dedup}")
     print(f"after decontamination: {n_final}")
