@@ -447,3 +447,38 @@ def test_domain_token_cap_boundary_and_preprune(spark, sf_dir):
     kept = domain_token_cap(crafted, token_budget=20).collect()
     assert len(kept) == 2 and all(r.cum_tokens <= 20 for r in kept)
     assert max(r.cum_tokens for r in kept) == 20  # exact fill kept
+
+
+def test_chooser_scale_contract_property_sweep():
+    """Hypothesis-style sweep (deterministic grid, like round 8's
+    chooser sweep): for any ambient/corpus-size/menu combination the
+    returned split is structurally valid (num_perm from the menu,
+    bands divides it) and — whenever ANY offered split can meet the
+    recall floor at dup_sim — the returned one meets it too (the
+    n-aware budget may trade candidate cost, never the recall
+    contract)."""
+    from ffi_etl_spark.functions.lsh_tuning import (
+        candidate_probability,
+        choose_minhash_split,
+    )
+
+    menus = [(12, 24, 36), (24, 36, 48, 64)]
+    ambients = [i / 40 for i in range(0, 25)]  # 0.0 .. 0.6
+    sizes = [None, 100, 5_000, 50_000, 150_000, 500_000, 5_000_000]
+    for menu in menus:
+        feasible_exists = any(
+            candidate_probability(0.9, b, p // b) >= 0.95
+            for p in menu
+            for b in range(1, p + 1)
+            if p % b == 0
+        )
+        for amb in ambients:
+            for n in sizes:
+                num_perm, bands, rows = choose_minhash_split(
+                    amb, 0.5, num_perms=menu, n_docs=n
+                )
+                assert num_perm in menu
+                assert bands * rows == num_perm
+                if feasible_exists:
+                    assert candidate_probability(0.9, bands, rows) >= 0.95, (
+                        menu, amb, n)
