@@ -58,6 +58,13 @@ def main() -> None:
     ap.add_argument("--sigs", default="./sigs_state",
                     help="MinHash state table: batches probe stored "
                          "signatures instead of re-hashing the corpus")
+    ap.add_argument("--band-index", default=None,
+                    help="optional band-bucketed probe index path "
+                         "(round 9): partition-pruned per-batch band "
+                         "reads — the layout for corpus-state sizes "
+                         "where a full per-batch scan dominates; at "
+                         "measured single-node scales the default "
+                         "(off) is faster (BASELINE.md sf10 addendum)")
     args = ap.parse_args()
 
     from ffi_etl_spark.session import get_session
@@ -69,7 +76,8 @@ def main() -> None:
     docs = spark.readStream.schema("doc_id long, text string").json(args.inbox)
     query = (
         stream_dedup_ingest(docs, args.corpus, args.pairs, args.checkpoint,
-                            sigs_path=args.sigs)
+                            sigs_path=args.sigs,
+                            band_index_path=args.band_index)
         .trigger(availableNow=True)  # drain the backlog once, then exit
         .start()
     )
