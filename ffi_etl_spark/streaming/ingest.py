@@ -117,6 +117,44 @@ def _write_band_index(index_rows: DataFrame, path: str, mode: str) -> None:
 # historical batch on every read of the bucket.
 _COMPACT_FILES_PER_BUCKET = 16
 
+# Stored-signature size past which the ingest auto-enables the band
+# index when the caller has not decided (band_index_path=None). The
+# measured verdict (INGEST_r9.json, both at sf1 and the sf10 trickle
+# addendum) is that the index LOSES at every single-node scale we can
+# generate — the candidate-restricted verify leaves only a narrow
+# column-pruned band scan that stays cheaper than the index's per-batch
+# bookkeeping up through ~500k docs (~hundreds of MB of state). Its
+# regime is state large enough that a full per-batch scan is genuinely
+# unaffordable (multi-TB state / 1000-executor clusters). 64 GiB is two
+# orders of magnitude above the largest state measured still favoring
+# the plain scan — an extrapolated floor for "the scan now dominates",
+# deliberately conservative because enabling early costs real per-batch
+# overhead while enabling late costs only the scan's linear term.
+BAND_INDEX_AUTO_STATE_BYTES = 64 * 1024**3
+
+
+def _hadoop_fs_path(spark, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _auto_band_index(spark, sigs_path: str, threshold_bytes: int) -> str | None:
+    """The derived index path iff auto-enablement should engage:
+    either an auto-created index already exists (sticky — once the
+    layout is materialized, later batches must keep maintaining it or
+    it goes stale and every read would heal-by-recompute), or the
+    stored signature state's on-disk size has crossed the threshold.
+    Driver-side filesystem metadata only — no data scan."""
+    auto_path = sigs_path.rstrip("/") + "_band_index"
+    fs, idx_hpath = _hadoop_fs_path(spark, auto_path)
+    if fs.exists(idx_hpath):
+        return auto_path
+    _, sigs_hpath = _hadoop_fs_path(spark, sigs_path)
+    if fs.getContentSummary(sigs_hpath).getLength() >= threshold_bytes:
+        return auto_path
+    return None
+
 
 def _crowded_buckets(index: DataFrame) -> list[int]:
     """Buckets whose directory holds more than the per-bucket file
@@ -167,6 +205,7 @@ def stream_dedup_ingest(
     sigs_path: str | None = None,
     band_index_path: str | None = None,
     n_band_buckets: int | None = None,
+    band_index_auto_bytes: int | None = BAND_INDEX_AUTO_STATE_BYTES,
     **lsh_kwargs,
 ):
     """foreachBatch sink: maintain ``corpus_path`` as a near-dup-free
@@ -198,6 +237,21 @@ def stream_dedup_ingest(
     count-probe trigger as the signature reconcile. Pairs are
     bit-identical with and without the index (parity-tested) — the
     index changes the plan, never the answer.
+
+    ``band_index_auto_bytes``: when the caller has NOT decided
+    (``band_index_path=None``) and signature state is maintained, the
+    ingest auto-enables the band index at ``sigs_path + "_band_index"``
+    once the stored state's on-disk size crosses this threshold — a
+    BYTE threshold because the quantity the index amortizes is the
+    per-batch state scan, and that cost is a property of state size,
+    not doc count. The default (64 GiB) sits at the extrapolated
+    crossover: every single-node scale measured (INGEST_r9.json, incl.
+    the 494k-doc sf10 trickle) still favors the plain candidate-
+    restricted scan, so auto-enablement must not fire at sandbox
+    scales. Once an auto index exists it stays maintained (sticky) —
+    abandoning it would leave derived state to rot and force a
+    heal-by-recompute on every later read. ``None`` disables the
+    automatic entirely; an explicit ``band_index_path`` always wins.
 
     ``n_band_buckets``: bucket count for a FRESHLY created index (an
     existing index's own ``_nbkt`` always wins — recomputing buckets
@@ -386,13 +440,22 @@ def stream_dedup_ingest(
                 corpus_hashed = spark.read.parquet(sigs_path)
                 n_sigs = corpus_hashed.count()
 
+        idx_path = band_index_path
+        if (
+            idx_path is None
+            and band_index_auto_bytes is not None
+            and sigs_path is not None
+            and corpus_hashed is not None
+        ):
+            idx_path = _auto_band_index(spark, sigs_path, band_index_auto_bytes)
+
         band_index = None
         n_bkt = BAND_INDEX_BUCKETS if n_band_buckets is None else n_band_buckets
-        if band_index_path is not None:
-            band_index = _read_or_none(spark, band_index_path)
+        if idx_path is not None:
+            band_index = _read_or_none(spark, idx_path)
             if band_index is not None and corpus_hashed is None:
                 raise ValueError(
-                    f"band index exists at {band_index_path} but the "
+                    f"band index exists at {idx_path} but the "
                     f"signature state at {sigs_path} is missing — the "
                     "index describes state this ingest cannot see; "
                     "restore the signature table or delete the stale "
@@ -417,13 +480,13 @@ def stream_dedup_ingest(
                 if band_index is None or band_index.count() != n_sigs * bands:
                     _write_band_index(
                         minhash_band_index(corpus_hashed, id_col, n_bkt),
-                        band_index_path,
+                        idx_path,
                         "overwrite",
                     )
-                    band_index = spark.read.parquet(band_index_path)
+                    band_index = spark.read.parquet(idx_path)
                 else:
                     band_index = _compact_band_index(
-                        spark, band_index, band_index_path
+                        spark, band_index, idx_path
                     )
 
         if not batch.take(1):
@@ -488,16 +551,16 @@ def stream_dedup_ingest(
                 new_state = minhash_signature_table(
                     survivors, text_col, id_col, **batch_sig_kwargs
                 )
-            if band_index_path is not None:
+            if idx_path is not None:
                 # both writes derive from the pinned batch signatures;
                 # a crash between them leaves a count mismatch the next
                 # batch's reconcile heals by recompute
                 new_state = new_state.localCheckpoint(eager=True)
             new_state.write.mode("append").parquet(sigs_path)
-            if band_index_path is not None:
+            if idx_path is not None:
                 _write_band_index(
                     minhash_band_index(new_state, id_col, n_bkt),
-                    band_index_path,
+                    idx_path,
                     "append",
                 )
 

@@ -235,6 +235,91 @@ def test_stream_ingest_band_index_requires_sigs(spark, tmp_path):
         )
 
 
+def test_stream_ingest_auto_band_index_threshold(spark, tmp_path):
+    """Auto-enablement (TODO r9: the band index's trigger is a
+    state-SIZE threshold, not a flag): below the byte threshold no
+    index appears; above it the ingest derives the path from
+    ``sigs_path``, maintains the index, and keeps corpus decisions
+    bit-identical to the plain sigs mode; once auto-created the index
+    stays maintained even when a later drain's threshold would say no
+    (sticky — abandoning derived state would leave it to rot)."""
+    import os
+
+    base = (
+        "key agg row scan slow fast table value part hash value table part "
+        "a row fast merge batch part value fast spark a a the line sort "
+    ) * 4
+    uniq = "completely different content about rivers mountains weather " * 12
+    extra = "entirely novel astronomy telescopes and planetary orbits data " * 12
+    b1 = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": uniq},
+        {"doc_id": 3, "text": uniq + "tiny tail change"},  # dies vs 2
+    ]
+    b2 = [
+        {"doc_id": 5, "text": base + "small suffix drift"},  # dies vs corpus 1
+        {"doc_id": 6, "text": extra},  # survives
+    ]
+
+    def run(tag, **extra_kwargs):
+        root = tmp_path / tag
+        in_dir = root / "in"
+        in_dir.mkdir(parents=True)
+        paths = dict(
+            corpus_path=str(root / "corpus"),
+            pairs_path=str(root / "pairs"),
+            sigs_path=str(root / "sigs"),
+        )
+        _land(in_dir, "b1.json", b1)
+        _drain(spark, in_dir, None, checkpoint=str(root / "c1"), **paths, **extra_kwargs)
+        _land(in_dir, "b2.json", b2)
+        _drain(spark, in_dir, None, checkpoint=str(root / "c2"), **paths, **extra_kwargs)
+        ids = {r.doc_id for r in spark.read.parquet(paths["corpus_path"]).collect()}
+        return paths, ids
+
+    # default threshold (64 GiB): sandbox-scale state must NOT trigger
+    plain_paths, plain_ids = run("plain")
+    assert plain_ids == {1, 2, 6}
+    assert not os.path.exists(plain_paths["sigs_path"] + "_band_index")
+
+    # 1-byte threshold: fires on the first batch that sees stored state
+    auto_paths, auto_ids = run("auto", band_index_auto_bytes=1)
+    assert auto_ids == plain_ids  # the index changes the plan, not the answer
+    idx_path = auto_paths["sigs_path"] + "_band_index"
+    from ffi_etl_spark.operators.dedup import infer_signature_layout
+
+    sigs = spark.read.parquet(auto_paths["sigs_path"])
+    idx = spark.read.parquet(idx_path)
+    _, bands = infer_signature_layout(sigs)
+    assert idx.count() == sigs.count() * bands  # 1:bands invariant
+
+    # sticky: a later drain under the huge default threshold must keep
+    # maintaining the auto-created index rather than strand it
+    root = tmp_path / "auto"
+    _land(root / "in", "b3.json", [
+        {"doc_id": 7, "text": extra + "minor trailing edit"},  # dies vs 6
+        {"doc_id": 8, "text": "fresh topic entirely about oceanic currents " * 12},
+    ])
+    _drain(
+        spark,
+        root / "in",
+        None,
+        checkpoint=str(root / "c3"),
+        corpus_path=auto_paths["corpus_path"],
+        pairs_path=auto_paths["pairs_path"],
+        sigs_path=auto_paths["sigs_path"],
+    )
+    sigs = spark.read.parquet(auto_paths["sigs_path"])
+    idx = spark.read.parquet(idx_path)
+    assert {r.doc_id for r in spark.read.parquet(auto_paths["corpus_path"]).collect()} == {1, 2, 6, 8}
+    assert idx.count() == sigs.count() * bands  # extended, not stranded
+
+    # band_index_auto_bytes=None disables the automatic entirely
+    off_paths, off_ids = run("off", band_index_auto_bytes=None)
+    assert off_ids == plain_ids
+    assert not os.path.exists(off_paths["sigs_path"] + "_band_index")
+
+
 def test_stream_ingest_rejects_orphaned_band_index(spark, tmp_path):
     """A band index with no signature table beside it describes state
     the ingest cannot see — fail the batch loudly, like the orphaned
