@@ -75,6 +75,16 @@ Bit-safe grammar, by the house parity rules:
   the disjunctive spelling (probed on both engines);
 - real HAVING over GROUPING SETS (round-9 grammar): COUNT/SUM
   comparisons and GROUPING() flags filtering super-aggregate rows;
+- FILTER-clause aggregates (round-9 late grammar): the standard
+  `agg FILTER (WHERE pred)` spelling beside its CASE-spelled twin
+  column (the two rewrites must agree in value, cross-engine), with
+  GROUP BY ALL sometimes standing in for the explicit key list —
+  the SELECT-list grouping-key resolution rule itself under test;
+- IS [NOT] DISTINCT FROM on NULL-extensible outer-join keys
+  (round-9 late grammar): the null-safe comparison is not
+  null-rejecting, so it keeps NULL-extended rows in play where a
+  plain `=` silently reduces the join to inner — three-valued-logic
+  agreement on exactly the rows WHERE usually destroys;
 - windows OVER joins: the full-tuple-order argument survives a join —
   order by EVERY integer column of the joined row with explicit
   NULLS FIRST (Spark defaults NULLS FIRST ASC, DuckDB NULLS LAST:
@@ -222,6 +232,23 @@ def gen_query(rng: random.Random) -> str:
         preds.append(
             f"{rng.choice(null_side['ints'])} IS {rng.choice(['NULL', 'NOT NULL'])}"
         )
+    if join_how in ("LEFT JOIN", "RIGHT JOIN") and rng.random() < 0.3:
+        # IS [NOT] DISTINCT FROM on the NULL-extensible key (round-9
+        # late grammar, probed on both engines): the null-safe
+        # comparison is NOT null-rejecting, so unlike a plain `=` it
+        # keeps NULL-extended rows in play — `x IS DISTINCT FROM lit`
+        # is true for the unmatched rows, the exact three-valued-logic
+        # edge a WHERE on an outer join usually destroys. Against a
+        # preserved-side column, NULL-vs-value must compare false
+        # without collapsing the join to inner.
+        nk = rng.choice(null_side["ints"])
+        neg = rng.choice(["", "NOT "])
+        rhs = (
+            str(rng.choice(_INT_LITS))
+            if rng.random() < 0.6
+            else rng.choice(t["ints"])
+        )
+        preds.append(f"{nk} IS {neg}DISTINCT FROM {rhs}")
     for _ in range(rng.randint(0, 2) if join_how != "FULL JOIN" else 0):
         # FULL JOIN takes no random WHERE: any predicate on one side's
         # columns is null-rejecting for the other side's unmatched rows
@@ -581,6 +608,38 @@ def gen_query(rng: random.Random) -> str:
             f"SELECT {sel} FROM {frm}{w2} ORDER BY {sel}"
         )
 
+    if join_how is None and 0.92 <= shape:
+        # FILTER-clause aggregates + GROUP BY ALL (round-9 late
+        # grammar): the standard `agg FILTER (WHERE pred)` spelling
+        # both engines parse (probed), beside its CASE-spelled twin so
+        # the two rewrites must agree column-for-column; GROUP BY ALL
+        # (also probed on both) resolves the grouping keys from the
+        # SELECT list — the resolution rule itself is the surface
+        # under test. Exact BIGINT outputs throughout.
+        gcols = rng.sample(t["groups"], rng.randint(1, min(2, len(t["groups"]))))
+        fpred = _int_pred(rng, rng.choice(t["ints"]))
+        scol = rng.choice(t["ints"])
+        spred = _int_pred(rng, rng.choice(t["ints"]))
+        aggs = [
+            f"CAST(COUNT(*) FILTER (WHERE {fpred}) AS BIGINT) AS f0",
+            f"CAST(SUM({scol}) FILTER (WHERE {spred}) AS BIGINT) AS f1",
+            # the CASE twin of f1: both engines must agree the two
+            # spellings are the same value, not just each self-consistent
+            f"CAST(SUM(CASE WHEN {spred} THEN {scol} ELSE 0 END) AS BIGINT) AS c1",
+        ]
+        if rng.random() < 0.4:
+            aggs.append(
+                f"CAST(COUNT(DISTINCT {rng.choice(t['ints'])}) "
+                f"FILTER (WHERE {_int_pred(rng, rng.choice(t['ints']))}) "
+                f"AS BIGINT) AS f2"
+            )
+        sel = ", ".join(gcols + aggs)
+        group = "ALL" if rng.random() < 0.5 else ", ".join(gcols)
+        return (
+            f"SELECT {sel} FROM {frm}{where} GROUP BY {group} "
+            f"ORDER BY {', '.join(gcols)}"
+        )
+
     if shape < 0.2:
         # DISTINCT projection of low-cardinality columns — sometimes
         # composed through a set operation against a second predicate
@@ -740,6 +799,17 @@ def _is_round7_shape(sql: str) -> bool:
     return "UNPIVOT" in sql or " ALL SELECT" in sql
 
 
+def _is_round9b_shape(sql: str) -> bool:
+    """Round-9 late grammar (``new9b`` filter mode): FILTER-clause
+    aggregates beside their CASE twins, GROUP BY ALL resolution, and
+    IS [NOT] DISTINCT FROM over NULL-extensible outer-join keys."""
+    return (
+        "FILTER (WHERE" in sql
+        or "DISTINCT FROM" in sql
+        or "GROUP BY ALL" in sql
+    )
+
+
 def _is_round9_shape(sql: str) -> bool:
     """Round-9 grammar (``new9`` filter mode): string functions inside
     group keys, the q4/q21-style EXISTS∧NOT-EXISTS pair, and real
@@ -765,6 +835,7 @@ def main() -> int:
     only_new7 = mode_arg == "new7"
     only_new8 = mode_arg == "new8"
     only_new9 = mode_arg == "new9"
+    only_new9b = mode_arg == "new9b"
 
     import duckdb
 
@@ -792,6 +863,8 @@ def main() -> int:
             continue
         if only_new9 and not _is_round9_shape(sql):
             continue
+        if only_new9b and not _is_round9b_shape(sql):
+            continue
         ran += 1
         try:
             ok, detail = run_case(spark, con, sql)
@@ -810,7 +883,9 @@ def main() -> int:
         if only_new7
         else " (round-8 shapes only)"
         if only_new8
-        else " (round-9 shapes only)" if only_new9 else ""
+        else " (round-9 shapes only)"
+        if only_new9
+        else " (round-9b shapes only)" if only_new9b else ""
     )
     print(f"{bad}/{n_cases} mismatches{mode}, seeds {seed0}..{seed - 1}")
     return 1 if bad else 0
