@@ -64,7 +64,10 @@ def main() -> None:
                          "reads — the layout for corpus-state sizes "
                          "where a full per-batch scan dominates; at "
                          "measured single-node scales the default "
-                         "(off) is faster (BASELINE.md sf10 addendum)")
+                         "(off) is faster (BASELINE.md sf10 addendum). "
+                         "Left unset, the ingest auto-enables the "
+                         "index beside the sigs table once stored "
+                         "state crosses 64 GiB (band_index_auto_bytes)")
     args = ap.parse_args()
 
     from ffi_etl_spark.session import get_session
