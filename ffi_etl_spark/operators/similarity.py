@@ -395,6 +395,48 @@ def choose_ivf_cells(n: int) -> int:
     return max(2, math.isqrt(max(n, 0)))
 
 
+def ivf_train_quantizer(
+    corpus: DataFrame,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize_bits: int | None = None,
+    cells: int | None = None,
+) -> tuple[DataFrame, int]:
+    """(centroids, cells): the coarse-quantizer build every IVF tier
+    shares — extracted from ``ann_ivf_autok`` so the persisted-index
+    path (``ivf_index_tables``) trains the exact same model.
+
+    Count probe (one column-pruned parquet footer statistic, not a
+    scan) → √n cell rule unless pinned → Lloyd rounds over a
+    deterministic smallest-xxhash64 TRAINING SAMPLE of
+    ≤ 64·cells vectors (FAISS trains its coarse quantizer the same
+    way; full-corpus Lloyd at k=√n costs n^1.5 per round) → ONE final
+    centroid update becomes THE model."""
+    n = corpus.count()
+    if cells is None:
+        cells = choose_ivf_cells(n)
+    sample_per_cell = 64
+    train = corpus
+    if n > sample_per_cell * cells:
+        train = (
+            corpus.orderBy(F.xxhash64(F.col(id_col).cast("string")))
+            .limit(sample_per_cell * cells)
+        )
+    assigned = kmeans_lloyd(
+        train, k=cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        quantize_bits=quantize_bits,
+    )
+    if quantize_bits is not None:
+        cents = quantized_centroid_sums(
+            assigned, label_col="centroid_id", vec_col=vec_col,
+            scale_bits=quantize_bits,
+        )
+    else:
+        cents = compute_centroids(assigned, 0, label_col="centroid_id", vec_col=vec_col)
+    return cents, cells
+
+
 def ann_ivf_autok(
     corpus: DataFrame,
     queries: DataFrame,
@@ -436,30 +478,10 @@ def ann_ivf_autok(
 
     Output and semantics match ``ann_ivf_topk``: per query the exact
     top-k among vectors sharing its ``nprobe`` probed cells."""
-    # one column-pruned count — the same class of driver-side probe
-    # as estimate_ambient_jaccard; at 100 TB this is a parquet
-    # footer statistic, not a scan
-    n = corpus.count()
-    if cells is None:
-        cells = choose_ivf_cells(n)
-    sample_per_cell = 64
-    train = corpus
-    if n > sample_per_cell * cells:
-        train = (
-            corpus.orderBy(F.xxhash64(F.col(id_col).cast("string")))
-            .limit(sample_per_cell * cells)
-        )
-    assigned = kmeans_lloyd(
-        train, k=cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
-        quantize_bits=quantize_bits,
+    cents, cells = ivf_train_quantizer(
+        corpus, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        quantize_bits=quantize_bits, cells=cells,
     )
-    if quantize_bits is not None:
-        cents = quantized_centroid_sums(
-            assigned, label_col="centroid_id", vec_col=vec_col,
-            scale_bits=quantize_bits,
-        )
-    else:
-        cents = compute_centroids(assigned, 0, label_col="centroid_id", vec_col=vec_col)
     c = assign_to_centroid(corpus, cents, id_col, vec_col).withColumnsRenamed(
         {id_col: "neighbor_id", vec_col: "_cv", "vec_norm": "_cn"}
     )
@@ -471,6 +493,242 @@ def ann_ivf_autok(
         q = assign_to_centroid(queries, cents, id_col, vec_col)
     q = q.withColumnsRenamed({id_col: "query_id", vec_col: "_qv", "vec_norm": "_qn"})
     return _ivf_probe_topk(c, q, k)
+
+
+def ivf_index_tables(
+    corpus: DataFrame,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize_bits: int | None = None,
+    cells: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The PERSISTABLE IVF index: (centroids, assignments) — the
+    stored-state posture of ``minhash_signature_table`` applied to the
+    ANN tier. ``ann_ivf_autok`` pays the one irreducible n·√n build
+    (train + full-corpus assignment) inside every call; at 100 TB that
+    build is paid ONCE, written to parquet, and amortized over every
+    query batch thereafter — this function is that split.
+
+    ``centroids``: the K-row model (centroid_id, centroid) stamped
+    with the layout it was built under — ``_cells`` (the cell count)
+    and ``_qbits`` (quantize_bits, -1 for the float tier) as constant
+    columns, ~free in parquet and self-describing on read, the
+    ``minhash_signature_table`` rule: stored state is the parameter
+    record, consumers ADOPT rather than re-specify.
+
+    ``assignments``: one row per corpus vector — (id, vector,
+    vec_norm, centroid_id, ``_cells``). Persist it
+    ``.write.partitionBy("centroid_id")``: the per-batch probe join is
+    an equi-join on the partition column, so Spark's dynamic partition
+    pruning narrows each query batch's read to its probed cells —
+    the band-index trick, but free, because the cell id IS the join
+    key (no derived bucket index needed).
+
+    Both frames are lazy; write centroids first (the small one) so a
+    torn write leaves an orphaned model rather than orphaned bulk."""
+    cents, n_cells = ivf_train_quantizer(
+        corpus, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        quantize_bits=quantize_bits, cells=cells,
+    )
+    qb = -1 if quantize_bits is None else quantize_bits
+    centroids = cents.withColumn("_cells", F.lit(n_cells)).withColumn(
+        "_qbits", F.lit(qb)
+    )
+    assignments = assign_to_centroid(corpus, cents, id_col, vec_col).withColumn(
+        "_cells", F.lit(n_cells)
+    )
+    return centroids, assignments
+
+
+def check_ivf_layout(centroids: DataFrame, assignments: DataFrame) -> tuple[int, int]:
+    """Structural gate for a stored IVF index: both tables must carry
+    the self-describing columns and agree on the cell count — probing
+    an assignments table with a model it was not built under would
+    score against cells that were never assigned (silently wrong
+    neighbors, not an error). Returns (cells, qbits). 1-row probes
+    only — parquet footer work, the ``check_signature_layout`` rule."""
+    miss_c = {"centroid_id", "centroid", "_cells", "_qbits"} - set(centroids.columns)
+    if miss_c:
+        raise ValueError(
+            f"stored IVF centroids table is missing column(s) "
+            f"{sorted(miss_c)} — not an ivf_index_tables output; "
+            "re-materialize the index with ivf_index_tables(corpus)"
+        )
+    miss_a = {"centroid_id", "_cells"} - set(assignments.columns)
+    if miss_a:
+        raise ValueError(
+            f"stored IVF assignments table is missing column(s) "
+            f"{sorted(miss_a)} — not an ivf_index_tables output; "
+            "re-materialize the index with ivf_index_tables(corpus)"
+        )
+    pc = centroids.select("_cells", "_qbits").limit(1).collect()
+    pa = assignments.select("_cells").limit(1).collect()
+    if not pc or not pa:
+        raise ValueError(
+            "stored IVF index is empty — cannot infer its layout; "
+            "re-materialize the index with ivf_index_tables(corpus)"
+        )
+    if pc[0]["_cells"] != pa[0]["_cells"]:
+        raise ValueError(
+            f"stored IVF centroids were built with cells="
+            f"{pc[0]['_cells']} but the assignments table carries "
+            f"cells={pa[0]['_cells']} — the two tables describe "
+            "different models; re-materialize BOTH with "
+            "ivf_index_tables(corpus)"
+        )
+    return int(pc[0]["_cells"]), int(pc[0]["_qbits"])
+
+
+def ann_ivf_query_stored(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trust_layout: bool = False,
+) -> DataFrame:
+    """Top-k against a STORED IVF index (``ivf_index_tables`` output
+    read back from parquet): layout-gate the pair, assign the query
+    batch against the stored model (one broadcast of K rows — the
+    corpus is never rescanned, never re-assigned), equi-join on
+    centroid_id against the stored assignments, per-query top-k.
+    Per-batch cost is q·nprobe·√n scoring plus the probed cells' read
+    — with assignments partitioned by centroid_id, dynamic partition
+    pruning keeps that read to the batch's cells.
+
+    Output is bit-identical to running ``ann_ivf_autok`` end-to-end
+    with the same parameters (parity-tested): the index changes WHEN
+    the build cost is paid, never the answer."""
+    if not trust_layout:
+        check_ivf_layout(centroids, assignments)
+    model = centroids.select("centroid_id", "centroid")
+    c = assignments.drop("_cells").withColumnsRenamed(
+        {id_col: "neighbor_id", vec_col: "_cv", "vec_norm": "_cn"}
+    )
+    if nprobe > 1:
+        q = assign_top_centroids(queries, model, nprobe, id_col, vec_col).drop(
+            "probe_rank"
+        )
+    else:
+        q = assign_to_centroid(queries, model, id_col, vec_col)
+    q = q.withColumnsRenamed({id_col: "query_id", vec_col: "_qv", "vec_norm": "_qn"})
+    return _ivf_probe_topk(c, q, k)
+
+
+def ivf_index_append(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trust_layout: bool = False,
+) -> DataFrame:
+    """The MAINTENANCE half of the persisted IVF index: assignment
+    rows for a NEW vector batch against the STORED model, shaped
+    exactly like the stored assignments (``_cells`` stamp included) so
+    the caller appends them with
+    ``.write.mode("append").partitionBy("centroid_id")``.
+
+    The model is ADOPTED, never retrained mid-append — the dedup
+    ingest's rule: retraining against the grown corpus would produce a
+    second model, and rows assigned under different models must never
+    share an assignments table (``check_ivf_layout``'s reason to
+    exist). Retune by re-materializing with ``ivf_index_tables``.
+
+    Replay idempotence: ids already present in the stored assignments
+    are anti-joined out first (a column-pruned scan of the stored id
+    column — the same bounded cost the dedup ingest pays for its
+    corpus-id anti-join), so a replayed batch appends nothing.
+
+    Assignment is a pure function of (vector, model): appending a
+    batch then querying is bit-identical to having built the index
+    over the union with the same model (parity-tested)."""
+    cells, _ = check_ivf_layout(centroids, assignments)
+    model = centroids.select("centroid_id", "centroid")
+    fresh = batch.join(assignments.select(id_col), id_col, "left_anti")
+    return assign_to_centroid(fresh, model, id_col, vec_col).withColumn(
+        "_cells", F.lit(cells)
+    )
+
+
+def ivf_quantizer_drift(
+    centroids: DataFrame,
+    batch: DataFrame,
+    sim_floor: float = 0.5,
+    scale_bits: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """1-row staleness report for a stored coarse quantizer against an
+    incoming batch — the signal that decides WHEN ``ivf_index_append``
+    must give way to a re-materialize (the recall-contract analogue of
+    the dedup family's adopted-split validation): a drifted corpus
+    assigns new vectors far from every centroid, so probe joins score
+    against cells that no longer describe the data.
+
+    Exact-integer outputs only (the house oracle-parity rule):
+
+    * ``n_vecs`` — batch size;
+    * ``q_sim_sum`` — SUM(FLOOR(best_sim·2^scale_bits)) as BIGINT
+      (mean best-sim = q_sim_sum / n_vecs / 2^scale_bits, divided by
+      the READER — no float accumulation crosses an engine boundary);
+    * ``n_low`` — vectors whose quantized best-sim falls below the
+      quantized ``sim_floor`` (compared in integer space, so the
+      threshold itself cannot float-drift);
+    * ``cells_touched`` / ``max_cell_n`` — occupancy spread of the
+      batch's assignments (a batch crowding into few cells is the
+      other staleness mode: the probe join's per-cell candidate lists
+      grow past √n).
+
+    One narrow pass: the K-row model broadcasts, each vector scores K
+    cosines, the argmax struct keeps (sim, cell), and ONE global
+    aggregate reduces to the report row."""
+    model = centroids.select("centroid_id", "centroid")
+    packed = pack_centroids(model)
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (dot(F.col(vec_col), c["centroid"]) / (F.col("_n") * c["cnorm"])).alias(
+                "sim"
+            ),
+            (-c["centroid_id"]).alias("ncid"),
+        ),
+    )
+    scale = float(1 << scale_bits)
+    q_floor = math_floor_lit(sim_floor, scale_bits)
+    per_vec = (
+        batch.withColumn("_n", norm2(F.col(vec_col)))
+        .crossJoin(F.broadcast(packed))
+        .withColumn("_best", F.array_max(scored))
+        .select(
+            F.floor(F.col("_best.sim") * F.lit(scale)).cast("long").alias("_qsim"),
+            (-F.col("_best.ncid")).alias("_cell"),
+        )
+    )
+    per_cell = per_vec.groupBy("_cell").agg(
+        F.count(F.lit(1)).alias("_cn"),
+        F.sum("_qsim").alias("_cqs"),
+        F.sum(F.when(F.col("_qsim") < F.lit(q_floor), 1).otherwise(0)).alias("_clow"),
+    )
+    return per_cell.agg(
+        F.sum("_cn").alias("n_vecs"),
+        F.sum("_cqs").alias("q_sim_sum"),
+        F.sum("_clow").alias("n_low"),
+        F.count(F.lit(1)).alias("cells_touched"),
+        F.max("_cn").alias("max_cell_n"),
+    )
+
+
+def math_floor_lit(x: float, scale_bits: int) -> int:
+    """FLOOR(x·2^k) as a Python int — the quantized twin of a float
+    threshold, computed once driver-side so both engines compare in
+    integer space against the SAME literal."""
+    import math
+
+    return math.floor(x * (1 << scale_bits))
 
 
 def brp_hyperplanes(num_hash_tables: int, dim: int) -> list[list[float]]:

@@ -74,9 +74,10 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
 # lists). Round-9 rotation (VERDICT r08 item 2): the dsir red is CLOSED
 # (all four rows green in r08 — HUGEINT theory confirmed), so the three
 # bisection probes leave the prefix (they stay registered and in the
-# 251-query local gate) and the window is FRESHNESS-ONLY: 5 continuity
-# canaries + the 4 never-graded domain-curation queries (round9.py) +
-# 41 oldest-graded greens, exactly rotation.py's proposal at HEAD.
+# 254-query local gate) and the window is FRESHNESS-ONLY: 5 continuity
+# canaries + the 7 never-graded round-9 queries (domain curation,
+# round9.py; persisted IVF index + maintenance + drift, round7.py) +
+# 38 oldest-graded greens, rotation.py's proposal at HEAD.
 PRIORITY_PREFIX: tuple[str, ...] = (
     # -- canaries: green every prior round, kept for continuity --
     "survey_pipeline",
@@ -89,6 +90,10 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "domain_blocklist_filter",
     "domain_mix_report",
     "domain_token_cap",
+    # -- never-graded: the round-9 persisted IVF index + maintenance --
+    "ann_ivf_stored",
+    "ann_ivf_append",
+    "ann_ivf_drift",
     # -- freshness fill: oldest-graded greens (rotation.py order) --
     "salted_join_agg",
     "histogram_equiwidth",

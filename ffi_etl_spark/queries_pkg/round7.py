@@ -196,6 +196,218 @@ def _ann_ivf_autok(spark, sf_dir):
     )
 
 
+# -- round 9 (late session): the persisted IVF index. Registered here,
+# beside the autok query whose oracle it shares verbatim, because the
+# oracle builder and the _AUTOK_* pins live in this module (registering
+# from round9.py created a circular import when a test imported round7
+# directly: round7 -> queries -> round9 -> partially-initialized round7).
+
+
+@query("ann_ivf_stored", oracle=_ivf_autok_oracle())
+def _ann_ivf_stored(spark, sf_dir):
+    """Same program as ``ann_ivf_autok``'s gated query, with the build
+    SPLIT from the probe across a parquet roundtrip
+    (operators/similarity.py::ivf_index_tables / ann_ivf_query_stored):
+    the model and assignments are written — assignments partitioned by
+    centroid_id so a query batch's probe join prunes its read to the
+    probed cells via dynamic partition pruning (plan-verified in
+    tests/test_round9.py) — read back, layout-gated (self-describing
+    ``_cells``/``_qbits``), and queried. The oracle is
+    ``ann_ivf_autok``'s verbatim: the stored roundtrip must change WHEN
+    the build cost is paid, never the answer."""
+    import shutil
+
+    from ffi_etl_spark.operators.similarity import (
+        ann_ivf_query_stored,
+        ivf_index_tables,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _AUTOK_SLICE)
+    queries = emb.filter(F.col("vec_id") % _AUTOK_QMOD == 0)
+    centroids, assignments = ivf_index_tables(
+        emb, n_iter=_AUTOK_ROUNDS, quantize_bits=_AUTOK_BITS
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"ffi_etl_ivfidx_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(root, ignore_errors=True)  # stale cells would add rows
+    # centroids (the K-row model) first: a torn write strands the small
+    # table, not the bulk
+    centroids.write.parquet(os.path.join(root, "centroids"))
+    assignments.write.partitionBy("centroid_id").parquet(
+        os.path.join(root, "assignments")
+    )
+    stored_model = spark.read.parquet(os.path.join(root, "centroids"))
+    stored_index = spark.read.parquet(os.path.join(root, "assignments"))
+    return ann_ivf_query_stored(stored_model, stored_index, queries)
+
+
+# -- round 9 (late session): incremental maintenance of the stored
+# index. The model trains on the first _APPEND_BUILD vectors; the
+# remaining slice appends against that STORED model (adopt, never
+# retrain mid-append — ivf_index_append's contract). Assignment is a
+# pure function of (vector, model), so the oracle assigns the full
+# slice against the replayed _APPEND_BUILD-trained model in one pass —
+# exactly what stored ∪ appended equals.
+_APPEND_BUILD = 400
+_APPEND_CELLS = 20  # isqrt(400); pytest-pinned against choose_ivf_cells
+_DRIFT_FLOOR_Q = 524288  # FLOOR(0.5 * 2^20): the quantized sim floor
+
+
+def _ivf_append_oracle() -> str:
+    from ffi_etl_spark.queries_pkg.extensions import _COS, _kmeans_det_cte
+
+    scale = f"{1 << _AUTOK_BITS}.0"
+    src = f"(SELECT * FROM embeddings WHERE vec_id < {_APPEND_BUILD})"
+    cos_ec = _COS.format(a="e5.v", b="c.centroid")
+    cos_qn = _COS.format(a="qa.qv", b="ca.cv")
+    return f"""
+WITH {_kmeans_det_cte(_APPEND_CELLS, _AUTOK_ROUNDS, source=src)},
+cf AS (
+  SELECT centroid_id, list(CAST(sx AS DOUBLE) ORDER BY i) AS centroid
+  FROM (
+    SELECT centroid_id, i, SUM(CAST(FLOOR(v[i] * {scale}) AS BIGINT)) AS sx
+    FROM a{_AUTOK_ROUNDS} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY centroid_id, i
+  ) GROUP BY centroid_id
+), e5 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id < {_AUTOK_SLICE}
+), ca AS (
+  SELECT vec_id AS neighbor_id, v AS cv, centroid_id FROM (
+    SELECT e5.vec_id, e5.v, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e5.vec_id
+             ORDER BY {cos_ec} DESC, c.centroid_id ASC
+           ) AS rk
+    FROM e5 CROSS JOIN cf c
+  ) WHERE rk = 1
+), qa AS (
+  SELECT neighbor_id AS query_id, cv AS qv, centroid_id
+  FROM ca WHERE neighbor_id % {_AUTOK_QMOD} = 0
+), scored AS (
+  SELECT qa.query_id, ca.neighbor_id, {cos_qn} AS cosine_sim
+  FROM ca JOIN qa USING (centroid_id)
+  WHERE ca.neighbor_id <> qa.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank::INT AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("ann_ivf_append", oracle=_ivf_append_oracle())
+def _ann_ivf_append(spark, sf_dir):
+    """Incremental index maintenance end to end: build + persist the
+    index on the first _APPEND_BUILD vectors, append the rest of the
+    slice against the STORED model (ivf_index_append — adopt, never
+    retrain; replay-idempotent via the stored-id anti-join), then
+    query the GROWN index. Queries include appended ids, so the probe
+    exercises rows from both eras. The oracle trains the same model on
+    the build slice and assigns the full slice in one pass — legal
+    because assignment is a pure function of (vector, model)."""
+    import shutil
+
+    from ffi_etl_spark.operators.similarity import (
+        ann_ivf_query_stored,
+        ivf_index_append,
+        ivf_index_tables,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _AUTOK_SLICE)
+    base = emb.filter(F.col("vec_id") < _APPEND_BUILD)
+    batch = emb.filter(F.col("vec_id") >= _APPEND_BUILD)
+    queries = emb.filter(F.col("vec_id") % _AUTOK_QMOD == 0)
+
+    centroids, assignments = ivf_index_tables(
+        base, n_iter=_AUTOK_ROUNDS, quantize_bits=_AUTOK_BITS
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"ffi_etl_ivfappend_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(root, ignore_errors=True)  # stale cells would add rows
+    cpath, apath = os.path.join(root, "centroids"), os.path.join(root, "assignments")
+    centroids.write.parquet(cpath)
+    assignments.write.partitionBy("centroid_id").parquet(apath)
+
+    stored_model = spark.read.parquet(cpath)
+    ivf_index_append(
+        stored_model, spark.read.parquet(apath), batch
+    ).write.mode("append").partitionBy("centroid_id").parquet(apath)
+    return ann_ivf_query_stored(stored_model, spark.read.parquet(apath), queries)
+
+
+def _ivf_drift_oracle() -> str:
+    from ffi_etl_spark.queries_pkg.extensions import _COS, _kmeans_det_cte
+
+    scale = f"{1 << _AUTOK_BITS}.0"
+    src = f"(SELECT * FROM embeddings WHERE vec_id < {_APPEND_BUILD})"
+    cos_bc = _COS.format(a="b.v", b="c.centroid")
+    return f"""
+WITH {_kmeans_det_cte(_APPEND_CELLS, _AUTOK_ROUNDS, source=src)},
+cf AS (
+  SELECT centroid_id, list(CAST(sx AS DOUBLE) ORDER BY i) AS centroid
+  FROM (
+    SELECT centroid_id, i, SUM(CAST(FLOOR(v[i] * {scale}) AS BIGINT)) AS sx
+    FROM a{_AUTOK_ROUNDS} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY centroid_id, i
+  ) GROUP BY centroid_id
+), b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id >= {_APPEND_BUILD} AND vec_id < {_AUTOK_SLICE}
+), best AS (
+  SELECT vec_id,
+         CAST(FLOOR(sim * {scale}) AS BIGINT) AS qsim, centroid_id FROM (
+    SELECT b.vec_id, {cos_bc} AS sim, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {cos_bc} DESC, c.centroid_id ASC
+           ) AS rk
+    FROM b CROSS JOIN cf c
+  ) WHERE rk = 1
+), per_cell AS (
+  SELECT centroid_id,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(qsim) AS BIGINT) AS cqs,
+         CAST(SUM(CASE WHEN qsim < {_DRIFT_FLOOR_Q} THEN 1 ELSE 0 END)
+              AS BIGINT) AS clow
+  FROM best GROUP BY centroid_id
+)
+SELECT CAST(SUM(cn) AS BIGINT) AS n_vecs,
+       CAST(SUM(cqs) AS BIGINT) AS q_sim_sum,
+       CAST(SUM(clow) AS BIGINT) AS n_low,
+       CAST(COUNT(*) AS BIGINT) AS cells_touched,
+       CAST(MAX(cn) AS BIGINT) AS max_cell_n
+FROM per_cell
+"""
+
+
+@query("ann_ivf_drift", oracle=_ivf_drift_oracle())
+def _ann_ivf_drift(spark, sf_dir):
+    """Quantizer staleness probe (ivf_quantizer_drift): the incoming
+    batch scored against the build-slice model — quantized best-sim
+    mass, below-floor count (integer-space comparison against the
+    quantized floor, so the threshold cannot float-drift), and cell
+    occupancy spread. The signal that decides when ivf_index_append
+    must give way to a re-materialize."""
+    from ffi_etl_spark.operators.similarity import (
+        ivf_quantizer_drift,
+        ivf_train_quantizer,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _AUTOK_SLICE)
+    base = emb.filter(F.col("vec_id") < _APPEND_BUILD)
+    batch = emb.filter(F.col("vec_id") >= _APPEND_BUILD)
+    cents, _ = ivf_train_quantizer(
+        base, n_iter=_AUTOK_ROUNDS, quantize_bits=_AUTOK_BITS
+    )
+    return ivf_quantizer_drift(cents, batch, sim_floor=0.5, scale_bits=_AUTOK_BITS)
+
+
 _WHOLE_DOC_MOD = 25  # 20 files at sf0.01, 200 at sf0.1 — whole-file scale
 
 

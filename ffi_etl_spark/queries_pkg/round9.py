@@ -158,3 +158,4 @@ def _domain_mix_report(spark, sf_dir):
     sums divide ONCE at the end — shares match DuckDB to the last bit
     because nothing accumulates in floating point."""
     return domain_mix_report(table(spark, sf_dir, "documents"))
+

@@ -567,3 +567,129 @@ def test_chooser_scale_contract_property_sweep():
                 if feasible_exists:
                     assert candidate_probability(0.9, bands, rows) >= 0.95, (
                         menu, amb, n)
+
+
+# ---- persisted IVF index (round-9 late session) ----
+
+
+def test_ivf_stored_parity_layout_and_dpp(spark, sf_dir, tmp_path):
+    """The parquet-roundtripped IVF index answers bit-identically to
+    the in-query build (the index changes WHEN the build cost is paid,
+    never the answer), the layout gate rejects mismatched or mangled
+    state with the re-materialize remedy, and the probe join's
+    physical plan carries a dynamic-partition-pruning filter on the
+    partitioned assignments scan — the free band-index analogue."""
+    from ffi_etl_spark.operators.similarity import (
+        ann_ivf_autok,
+        ann_ivf_query_stored,
+        check_ivf_layout,
+        ivf_index_tables,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    direct = ann_ivf_autok(emb, queries, n_iter=2, quantize_bits=20)
+
+    cents, assigns = ivf_index_tables(emb, n_iter=2, quantize_bits=20)
+    cents.write.parquet(str(tmp_path / "c"))
+    assigns.write.partitionBy("centroid_id").parquet(str(tmp_path / "a"))
+    sc = spark.read.parquet(str(tmp_path / "c"))
+    sa = spark.read.parquet(str(tmp_path / "a"))
+    stored = ann_ivf_query_stored(sc, sa, queries)
+
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    d_rows = sorted(direct.collect(), key=key)
+    s_rows = sorted(stored.collect(), key=key)
+    assert [tuple(r) for r in d_rows] == [tuple(r) for r in s_rows]
+    assert len(d_rows) > 0
+
+    # self-describing layout adopted from the stored model
+    cells, qbits = check_ivf_layout(sc, sa)
+    assert qbits == 20
+    assert cells == sc.count()  # every cell non-empty on this slice
+
+    # DPP: the partitioned assignments read is pruned by the probe join
+    plan = stored._sc._jvm.PythonSQLUtils.explainString(
+        stored._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan
+
+    # gate: mismatched cell counts between the two tables
+    with pytest.raises(ValueError, match="different models"):
+        check_ivf_layout(sc.withColumn("_cells", F.lit(999)), sa)
+    # gate: not an index output at all
+    with pytest.raises(ValueError, match="re-materialize"):
+        check_ivf_layout(sc.drop("_qbits"), sa)
+    with pytest.raises(ValueError, match="re-materialize"):
+        check_ivf_layout(sc, sa.drop("_cells"))
+    # gate: empty state cannot describe a layout
+    with pytest.raises(ValueError, match="empty"):
+        check_ivf_layout(sc.filter(F.lit(False)), sa)
+
+
+def test_ivf_append_parity_idempotence_and_drift(spark, sf_dir, tmp_path):
+    """Appending a batch against the stored model then querying is
+    bit-identical to one index built over the union with the SAME
+    model (assignment is a pure function of (vector, model)); a
+    replayed append adds zero rows (stored-id anti-join); the cells
+    pin behind the append/drift oracles holds; and the drift report's
+    integer invariants hold (n_low counts quantized sims below the
+    quantized floor; occupancy sums to the batch)."""
+    from ffi_etl_spark.operators.similarity import (
+        ann_ivf_query_stored,
+        assign_to_centroid,
+        choose_ivf_cells,
+        ivf_index_append,
+        ivf_index_tables,
+        ivf_quantizer_drift,
+        ivf_train_quantizer,
+    )
+    from ffi_etl_spark.queries_pkg.round7 import _APPEND_BUILD, _APPEND_CELLS
+
+    assert choose_ivf_cells(_APPEND_BUILD) == _APPEND_CELLS  # oracle pin
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    base = emb.filter(F.col("vec_id") < 200)
+    batch = emb.filter(F.col("vec_id") >= 200)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    centroids, assignments = ivf_index_tables(base, n_iter=2, quantize_bits=20)
+    cpath, apath = str(tmp_path / "c"), str(tmp_path / "a")
+    centroids.write.parquet(cpath)
+    assignments.write.partitionBy("centroid_id").parquet(apath)
+    sc = spark.read.parquet(cpath)
+
+    new_rows = ivf_index_append(sc, spark.read.parquet(apath), batch)
+    new_rows.write.mode("append").partitionBy("centroid_id").parquet(apath)
+    sa = spark.read.parquet(apath)
+    assert sa.count() == 300
+
+    # replay: the same batch appends nothing
+    assert ivf_index_append(sc, sa, batch).count() == 0
+
+    # parity vs a one-pass index under the SAME stored model
+    model = sc.select("centroid_id", "centroid")
+    union_assign = assign_to_centroid(emb, model).withColumn(
+        "_cells", F.lit(sc.count())
+    )
+    grown = ann_ivf_query_stored(sc, sa, queries)
+    onepass = ann_ivf_query_stored(sc, union_assign, queries, trust_layout=True)
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    g = sorted(grown.collect(), key=key)
+    o = sorted(onepass.collect(), key=key)
+    assert [tuple(r) for r in g] == [tuple(r) for r in o]
+    assert len(g) > 0
+
+    # drift report invariants on the same model/batch
+    cents, _ = ivf_train_quantizer(base, n_iter=2, quantize_bits=20)
+    row = ivf_quantizer_drift(cents, batch, sim_floor=0.5, scale_bits=20).collect()[0]
+    assert row.n_vecs == 100
+    assert 0 <= row.n_low <= row.n_vecs
+    assert 1 <= row.cells_touched <= sc.count()
+    assert row.max_cell_n <= row.n_vecs
+    assert row.q_sim_sum <= row.n_vecs * (1 << 20)  # sims <= 1
+    # a floor of 1.0 flags every vector; a floor of -1.0 flags none
+    hi = ivf_quantizer_drift(cents, batch, sim_floor=1.0001, scale_bits=20).collect()[0]
+    lo = ivf_quantizer_drift(cents, batch, sim_floor=-1.0, scale_bits=20).collect()[0]
+    assert hi.n_low == 100 and lo.n_low == 0

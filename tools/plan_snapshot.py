@@ -71,6 +71,9 @@ SNAPSHOT = [
     ("domain_blocklist_filter", "domain-cardinality blocklist aggregate broadcast into a LEFT ANTI join — the corpus side never shuffles for the filter; one partial+final count agg after"),
     ("domain_mix_report", "one partial-aggregated groupBy to domain cardinality, then K-row windows (rank + cumulative + total) over the post-agg rows — the single-partition window is K-row by construction"),
     ("domain_token_cap", "lossless WindowGroupLimit pre-prune (doc cap = token budget, partial top-k before the exchange) bounds the shuffle, then the exact integer cumsum + budget filter runs over <= budget rows per domain"),
+    ("ann_ivf_stored", "the autok build written as parquet state (K-row model + centroid_id-partitioned assignments), probe reads back with a dynamicpruning PartitionFilter on the assignments scan (query cells only) — the one n*sqrt(n) build is outside the per-batch plan"),
+    ("ann_ivf_append", "batch assigned against the STORED model (1-row broadcast, no retrain, stored-id anti-join for replay idempotence) and appended into the partitioned assignments; the grown-index probe keeps the dynamicpruning PartitionFilter"),
+    ("ann_ivf_drift", "K-row model broadcast, one narrow scoring pass (argmax struct keeps sim+cell), cell-keyed partial agg into the 1-row integer staleness report — no corpus join anywhere"),
 ]
 
 
