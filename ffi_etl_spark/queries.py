@@ -133,9 +133,6 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "tpch_q20_promo_suppliers",
     "tpch_q21_waiting",
     "running_total",
-    "set_ops_retention",
-    "unpivot_metrics",
-    "stats_moments",
 )
 
 

@@ -1,0 +1,117 @@
+"""Amortization curve of the persisted IVF index (round 9, late session).
+
+The claim behind ``ivf_index_tables`` / ``ann_ivf_query_stored`` is an
+economics claim: ``ann_ivf_autok`` pays the n·√n build (quantizer
+training + full-corpus assignment) INSIDE every call, while the stored
+index pays it once and each query batch pays only q·nprobe·√n scoring
+plus the probed cells' (partition-pruned) read. This script measures
+exactly that trade end to end on the real tables:
+
+  * ``stored``: one timed build+write (the amortized cost), then
+    ``n_batches`` timed probe batches against the parquet index;
+  * ``rebuild``: the same ``n_batches`` query batches, each through a
+    full ``ann_ivf_autok`` call (build-per-call — what a user without
+    the stored index runs).
+
+Per-batch wall seconds print as one JSON line each; the summary line
+gives the crossover arithmetic (after how many batches the stored
+index has paid for itself).
+
+Usage:
+  python tools/bench_ivf_stored.py [embeddings_parquet] [n_batches] \
+      [--out BENCH_IVF_STORED.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("src", nargs="?", default="testdata_local/sf1/embeddings.parquet")
+    ap.add_argument("n_batches", nargs="?", type=int, default=5)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from ffi_etl_spark.operators.similarity import (
+        ann_ivf_autok,
+        ann_ivf_query_stored,
+        ivf_index_append,  # noqa: F401  (documented sibling; not timed here)
+        ivf_index_tables,
+    )
+    from ffi_etl_spark.session import get_session
+
+    spark = get_session("bench-ivf-stored")
+    emb = spark.read.parquet(args.src)
+    n = emb.count()
+    # one warmup job so the first timed line is not paying executor spin-up
+    emb.limit(10).count()
+
+    root = tempfile.mkdtemp(prefix="ivf_stored_bench_")
+    cpath, apath = os.path.join(root, "centroids"), os.path.join(root, "assignments")
+    rows: list[dict] = []
+
+    t0 = time.monotonic()
+    centroids, assignments = ivf_index_tables(emb)
+    centroids.write.parquet(cpath)
+    assignments.write.partitionBy("centroid_id").parquet(apath)
+    build_sec = round(time.monotonic() - t0, 2)
+    rows.append({"mode": "stored", "step": "build", "sec": build_sec, "n": n})
+    print(json.dumps(rows[-1]), flush=True)
+
+    model = spark.read.parquet(cpath)
+    index = spark.read.parquet(apath)
+    probe_secs = []
+    for b in range(args.n_batches):
+        queries = emb.filter(F.col("vec_id") % (args.n_batches * 20) == b)
+        t0 = time.monotonic()
+        cnt = ann_ivf_query_stored(model, index, queries).count()
+        sec = round(time.monotonic() - t0, 2)
+        probe_secs.append(sec)
+        rows.append({"mode": "stored", "step": f"probe{b}", "sec": sec, "rows": cnt})
+        print(json.dumps(rows[-1]), flush=True)
+
+    rebuild_secs = []
+    for b in range(args.n_batches):
+        queries = emb.filter(F.col("vec_id") % (args.n_batches * 20) == b)
+        t0 = time.monotonic()
+        cnt = ann_ivf_autok(emb, queries).count()
+        sec = round(time.monotonic() - t0, 2)
+        rebuild_secs.append(sec)
+        rows.append({"mode": "rebuild", "step": f"query{b}", "sec": sec, "rows": cnt})
+        print(json.dumps(rows[-1]), flush=True)
+
+    probe = sum(probe_secs) / len(probe_secs)
+    rebuild = sum(rebuild_secs) / len(rebuild_secs)
+    summary = {
+        "src": args.src,
+        "n_vectors": n,
+        "build_sec": build_sec,
+        "probe_sec_mean": round(probe, 2),
+        "rebuild_sec_mean": round(rebuild, 2),
+        # batches until build+probes < rebuild-per-call; inf if probes
+        # alone already exceed a rebuild (the index would never pay)
+        "breakeven_batches": (
+            round(build_sec / (rebuild - probe), 1) if rebuild > probe else None
+        ),
+    }
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"summary": summary, "rows": rows}, f, indent=1)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
