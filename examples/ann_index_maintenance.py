@@ -20,7 +20,11 @@ embedding store actually runs:
               against the model and emits an exact-integer staleness
               report; when the below-floor share crosses the budget,
               STOP appending and re-materialize (step 1) on the grown
-              corpus — the recall-contract rule of the dedup family
+              corpus — the recall-contract rule of the dedup family.
+              (This example branches on the report to show the whole
+              lifecycle; a pipeline that just wants the refusal passes
+              max_below_floor_share to ivf_index_append and catches
+              the ValueError, whose message carries this remedy.)
   4. query  — ann_ivf_query_stored layout-gates the pair and probes
               the grown index; results are bit-identical to a fresh
               one-pass build under the same model

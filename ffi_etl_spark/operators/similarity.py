@@ -625,12 +625,26 @@ def ivf_index_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trust_layout: bool = False,
+    max_below_floor_share: float | None = None,
+    sim_floor: float = 0.5,
+    scale_bits: int = 20,
 ) -> DataFrame:
     """The MAINTENANCE half of the persisted IVF index: assignment
     rows for a NEW vector batch against the STORED model, shaped
     exactly like the stored assignments (``_cells`` stamp included) so
     the caller appends them with
     ``.write.mode("append").partitionBy("centroid_id")``.
+
+    ``max_below_floor_share`` is the drift CONTRACT (the dedup
+    family's adopted-split recall validation, applied to the adopted
+    quantizer): when set, the fresh batch is first scored by
+    ``ivf_quantizer_drift`` and the append REFUSES — with the
+    re-materialize remedy — if more than this share of it falls below
+    ``sim_floor``. Appending drifted vectors is silently wrong, not
+    slow: they land in cells that do not describe them, and every
+    later probe scores the wrong candidate lists. The report is a
+    1-row driver probe (one narrow batch pass), the same class of
+    bounded collect as the ambient-similarity probe.
 
     The model is ADOPTED, never retrained mid-append — the dedup
     ingest's rule: retraining against the grown corpus would produce a
@@ -649,6 +663,23 @@ def ivf_index_append(
     cells, _ = check_ivf_layout(centroids, assignments)
     model = centroids.select("centroid_id", "centroid")
     fresh = batch.join(assignments.select(id_col), id_col, "left_anti")
+    if max_below_floor_share is not None:
+        rep = ivf_quantizer_drift(
+            centroids, fresh, sim_floor=sim_floor, scale_bits=scale_bits,
+            id_col=id_col, vec_col=vec_col,
+        ).collect()
+        if rep and rep[0]["n_vecs"]:
+            share = rep[0]["n_low"] / rep[0]["n_vecs"]
+            if share > max_below_floor_share:
+                raise ValueError(
+                    f"quantizer drift: {rep[0]['n_low']}/{rep[0]['n_vecs']} "
+                    f"({share:.2f}) of the batch scores below "
+                    f"sim_floor={sim_floor} against the stored model, over "
+                    f"the max_below_floor_share={max_below_floor_share} "
+                    "contract — appending drifted vectors lands them in "
+                    "cells that do not describe them. Re-materialize the "
+                    "index with ivf_index_tables(grown_corpus) and retry"
+                )
     return assign_to_centroid(fresh, model, id_col, vec_col).withColumn(
         "_cells", F.lit(cells)
     )

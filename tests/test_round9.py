@@ -693,3 +693,47 @@ def test_ivf_append_parity_idempotence_and_drift(spark, sf_dir, tmp_path):
     hi = ivf_quantizer_drift(cents, batch, sim_floor=1.0001, scale_bits=20).collect()[0]
     lo = ivf_quantizer_drift(cents, batch, sim_floor=-1.0, scale_bits=20).collect()[0]
     assert hi.n_low == 100 and lo.n_low == 0
+
+
+def test_ivf_append_drift_contract(spark, sf_dir, tmp_path):
+    """The drift contract on append (the adopted-quantizer analogue of
+    the dedup family's recall validation): a batch mostly below the
+    floor refuses with the re-materialize remedy; the same batch under
+    no contract, or under a floor it clears, appends; and a REPLAYED
+    drifted batch passes vacuously (zero fresh rows — nothing left to
+    drift)."""
+    from ffi_etl_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_tables,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    base = emb.filter(F.col("vec_id") < 150)
+    batch = emb.filter(F.col("vec_id") >= 150)
+
+    centroids, assignments = ivf_index_tables(base, n_iter=2, quantize_bits=20)
+    centroids.write.parquet(str(tmp_path / "c"))
+    assignments.write.partitionBy("centroid_id").parquet(str(tmp_path / "a"))
+    sc = spark.read.parquet(str(tmp_path / "c"))
+    sa = spark.read.parquet(str(tmp_path / "a"))
+
+    # sim_floor=1.0001 puts every vector below the floor: any share
+    # budget under 1.0 must refuse
+    with pytest.raises(ValueError, match="[Rr]e-materialize"):
+        ivf_index_append(
+            sc, sa, batch, max_below_floor_share=0.5, sim_floor=1.0001
+        )
+    # a floor every vector clears appends under the tightest budget
+    rows = ivf_index_append(
+        sc, sa, batch, max_below_floor_share=0.0, sim_floor=-1.0
+    )
+    rows.write.mode("append").partitionBy("centroid_id").parquet(str(tmp_path / "a"))
+    sa = spark.read.parquet(str(tmp_path / "a"))
+    assert sa.count() == 200
+    # replay of the drifted batch: fresh set is empty, contract vacuous
+    assert (
+        ivf_index_append(
+            sc, sa, batch, max_below_floor_share=0.0, sim_floor=1.0001
+        ).count()
+        == 0
+    )
