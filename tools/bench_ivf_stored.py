@@ -40,6 +40,10 @@ def main() -> None:
     ap.add_argument("src", nargs="?", default="testdata_local/sf1/embeddings.parquet")
     ap.add_argument("n_batches", nargs="?", type=int, default=5)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--rebuild-runs", type=int, default=None,
+                    help="cap the build-per-call arm (default: "
+                         "n_batches) — at large n each run re-pays the "
+                         "full build, so one run already fixes the mean")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -83,7 +87,8 @@ def main() -> None:
         print(json.dumps(rows[-1]), flush=True)
 
     rebuild_secs = []
-    for b in range(args.n_batches):
+    n_rebuild = args.n_batches if args.rebuild_runs is None else args.rebuild_runs
+    for b in range(n_rebuild):
         queries = emb.filter(F.col("vec_id") % (args.n_batches * 20) == b)
         t0 = time.monotonic()
         cnt = ann_ivf_autok(emb, queries).count()

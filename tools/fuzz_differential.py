@@ -78,8 +78,11 @@ Bit-safe grammar, by the house parity rules:
 - FILTER-clause aggregates (round-9 late grammar): the standard
   `agg FILTER (WHERE pred)` spelling beside its CASE-spelled twin
   column (the two rewrites must agree in value, cross-engine), with
-  GROUP BY ALL sometimes standing in for the explicit key list —
-  the SELECT-list grouping-key resolution rule itself under test;
+  GROUP BY ALL sometimes standing in for the explicit key list and
+  ORDER BY ALL for the output ordering — the SELECT-list resolution
+  rules themselves under test (QUALIFY was probed and is DuckDB-only:
+  Spark 4.1 fails to parse it, so it stays ungrammared — the fuzzer's
+  contract is the SAME string on both engines);
 - IS [NOT] DISTINCT FROM on NULL-extensible outer-join keys
   (round-9 late grammar): the null-safe comparison is not
   null-rejecting, so it keeps NULL-extended rows in play where a
@@ -635,9 +638,13 @@ def gen_query(rng: random.Random) -> str:
             )
         sel = ", ".join(gcols + aggs)
         group = "ALL" if rng.random() < 0.5 else ", ".join(gcols)
+        # ORDER BY ALL (probed on both engines): orders by every SELECT
+        # column left to right — the resolution rule is the surface
+        # under test (the canon sorts rows anyway)
+        order = "ALL" if rng.random() < 0.4 else ", ".join(gcols)
         return (
             f"SELECT {sel} FROM {frm}{where} GROUP BY {group} "
-            f"ORDER BY {', '.join(gcols)}"
+            f"ORDER BY {order}"
         )
 
     if shape < 0.2:
@@ -807,6 +814,7 @@ def _is_round9b_shape(sql: str) -> bool:
         "FILTER (WHERE" in sql
         or "DISTINCT FROM" in sql
         or "GROUP BY ALL" in sql
+        or "ORDER BY ALL" in sql
     )
 
 
