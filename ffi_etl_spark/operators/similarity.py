@@ -419,9 +419,20 @@ def ivf_train_quantizer(
     sample_per_cell = 64
     train = corpus
     if n > sample_per_cell * cells:
+        # the repartition after the limit is load-bearing: orderBy +
+        # limit plans a GlobalLimit whose output is ONE partition, so
+        # without it every Lloyd round's assignment (sample·cells·dim
+        # multiply-adds) runs on a single core — measured at sf10
+        # (200k vectors, cells=447, 28.6k-row sample): the round-9
+        # first cut pinned one task at 100% CPU for 30+ minutes while
+        # 31 cores idled. One small shuffle of ≤64·cells rows restores
+        # parallelism for the whole training loop. Bit-safe for the
+        # quantized tier (integer centroid sums are order-independent);
+        # the float tier was already partition-order-dependent.
         train = (
             corpus.orderBy(F.xxhash64(F.col(id_col).cast("string")))
             .limit(sample_per_cell * cells)
+            .repartition(int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions")))
         )
     assigned = kmeans_lloyd(
         train, k=cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col,

@@ -57,7 +57,17 @@ def main() -> None:
     from ffi_etl_spark.session import get_session
 
     spark = get_session("bench-ivf-stored")
-    emb = spark.read.parquet(args.src)
+    # Input-layout normalization, load-bearing: the synthetic parquet
+    # is ONE file with ONE row group (pyarrow's default 1M-row groups),
+    # and Spark cannot parallelize inside a row group — without this
+    # repartition every narrow stage over the corpus (the full
+    # assignment above all) runs as a single task (measured at sf10:
+    # one core at 100% for 30+ min while 31 idled). A production corpus
+    # arrives as many files; this pins the bench to that layout. The
+    # localCheckpoint materializes the repartitioned rows so the
+    # exchange is paid once, not inside every timed line.
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    emb = spark.read.parquet(args.src).repartition(nparts).localCheckpoint()
     n = emb.count()
     # one warmup job so the first timed line is not paying executor spin-up
     emb.limit(10).count()
