@@ -139,4 +139,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:
+        # piping into `head` closes stdout early — that is how this
+        # report is normally read, not an error
+        import os
+        os.dup2(os.open(os.devnull, os.O_WRONLY), 1)
