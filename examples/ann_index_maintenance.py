@@ -95,7 +95,13 @@ def main() -> None:
         lo, hi = base_n + b * per, base_n + (b + 1) * per
         batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
         report = ivf_quantizer_drift(model, batch, sim_floor=args.sim_floor).collect()[0]
-        share = report.n_low / max(report.n_vecs, 1)
+        if not report.n_vecs:
+            # empty slice (e.g. --batches > remaining vectors): the
+            # global aggregate yields one row of NULLs — nothing to
+            # gate or append (the ivf_index_append guard, ADVICE r09)
+            print(f"batch {b}: empty slice — skipped")
+            continue
+        share = report.n_low / report.n_vecs
         print(f"batch {b}: n={report.n_vecs} below-floor share={share:.2f} "
               f"cells_touched={report.cells_touched}")
         if share > args.drift_share:

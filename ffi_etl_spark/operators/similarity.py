@@ -528,53 +528,87 @@ def ivf_index_tables(
     ``minhash_signature_table`` rule: stored state is the parameter
     record, consumers ADOPT rather than re-specify.
 
+    Both tables also carry ``_model_id`` — a true model identity
+    (order-independent ``bit_xor`` of per-centroid ``xxhash64`` over
+    (centroid_id, centroid, qbits)) — because ``_cells`` alone cannot
+    distinguish two models: a re-materialized model over a grown
+    corpus can land on the same isqrt cell count (400 and 435 vectors
+    both give 20 cells), so pairing new centroids with stale
+    assignments would pass a cells-only gate and return silently
+    wrong neighbors (ADVICE r09). ``check_ivf_layout`` compares the
+    stamp; ``ivf_index_append`` propagates it onto appended rows.
+
     ``assignments``: one row per corpus vector — (id, vector,
-    vec_norm, centroid_id, ``_cells``). Persist it
+    vec_norm, centroid_id, ``_cells``, ``_model_id``). Persist it
     ``.write.partitionBy("centroid_id")``: the per-batch probe join is
     an equi-join on the partition column, so Spark's dynamic partition
     pruning narrows each query batch's read to its probed cells —
     the band-index trick, but free, because the cell id IS the join
     key (no derived bucket index needed).
 
-    Both frames are lazy; write centroids first (the small one) so a
-    torn write leaves an orphaned model rather than orphaned bulk."""
+    The K-row model is pinned eagerly (localCheckpoint) before either
+    output is derived: previously the centroids write and the
+    assignments write each re-ran the final training aggregate; now
+    both (and the ``_model_id`` aggregate) read the pinned K rows.
+    The assignments frame stays lazy; write centroids first (the
+    small one) so a torn write leaves an orphaned model rather than
+    orphaned bulk."""
     cents, n_cells = ivf_train_quantizer(
         corpus, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
         quantize_bits=quantize_bits, cells=cells,
     )
+    cents = cents.localCheckpoint(eager=True)
     qb = -1 if quantize_bits is None else quantize_bits
-    centroids = cents.withColumn("_cells", F.lit(n_cells)).withColumn(
-        "_qbits", F.lit(qb)
+    mid = cents.agg(
+        F.bit_xor(
+            F.xxhash64(F.col("centroid_id"), F.col("centroid"), F.lit(qb))
+        ).alias("_model_id")
     )
-    assignments = assign_to_centroid(corpus, cents, id_col, vec_col).withColumn(
-        "_cells", F.lit(n_cells)
+    centroids = (
+        cents.crossJoin(F.broadcast(mid))
+        .withColumn("_cells", F.lit(n_cells))
+        .withColumn("_qbits", F.lit(qb))
+    )
+    assignments = (
+        assign_to_centroid(corpus, cents, id_col, vec_col)
+        .crossJoin(F.broadcast(mid))
+        .withColumn("_cells", F.lit(n_cells))
     )
     return centroids, assignments
 
 
-def check_ivf_layout(centroids: DataFrame, assignments: DataFrame) -> tuple[int, int]:
+def check_ivf_layout(
+    centroids: DataFrame, assignments: DataFrame
+) -> tuple[int, int, int]:
     """Structural gate for a stored IVF index: both tables must carry
-    the self-describing columns and agree on the cell count — probing
-    an assignments table with a model it was not built under would
-    score against cells that were never assigned (silently wrong
-    neighbors, not an error). Returns (cells, qbits). 1-row probes
-    only — parquet footer work, the ``check_signature_layout`` rule."""
-    miss_c = {"centroid_id", "centroid", "_cells", "_qbits"} - set(centroids.columns)
+    the self-describing columns and agree on the MODEL IDENTITY —
+    probing an assignments table with a model it was not built under
+    would score against cells that were never assigned (silently
+    wrong neighbors, not an error). ``_cells`` alone is not identity
+    (two models over corpora of 400 and 435 vectors both land on 20
+    cells — ADVICE r09), so the gate compares ``_model_id``, the
+    content hash ``ivf_index_tables`` stamps on both tables, with the
+    cells check kept as the cheaper first tripwire. Returns
+    (cells, qbits, model_id). 1-row probes only — parquet footer
+    work, the ``check_signature_layout`` rule."""
+    miss_c = {"centroid_id", "centroid", "_cells", "_qbits", "_model_id"} - set(
+        centroids.columns
+    )
     if miss_c:
         raise ValueError(
             f"stored IVF centroids table is missing column(s) "
             f"{sorted(miss_c)} — not an ivf_index_tables output; "
             "re-materialize the index with ivf_index_tables(corpus)"
         )
-    miss_a = {"centroid_id", "_cells"} - set(assignments.columns)
+    miss_a = {"centroid_id", "_cells", "_model_id"} - set(assignments.columns)
     if miss_a:
         raise ValueError(
             f"stored IVF assignments table is missing column(s) "
             f"{sorted(miss_a)} — not an ivf_index_tables output; "
             "re-materialize the index with ivf_index_tables(corpus)"
         )
-    pc = centroids.select("_cells", "_qbits").limit(1).collect()
-    pa = assignments.select("_cells").limit(1).collect()
+    pc = centroids.select("_cells", "_qbits", "_model_id").limit(1).collect()
+    pa = assignments.select("_cells", "_model_id").limit(1).collect()
     if not pc or not pa:
         raise ValueError(
             "stored IVF index is empty — cannot infer its layout; "
@@ -588,7 +622,17 @@ def check_ivf_layout(centroids: DataFrame, assignments: DataFrame) -> tuple[int,
             "different models; re-materialize BOTH with "
             "ivf_index_tables(corpus)"
         )
-    return int(pc[0]["_cells"]), int(pc[0]["_qbits"])
+    if pc[0]["_model_id"] != pa[0]["_model_id"]:
+        raise ValueError(
+            f"stored IVF centroids carry model_id={pc[0]['_model_id']} "
+            f"but the assignments table carries model_id="
+            f"{pa[0]['_model_id']} — same cell count, DIFFERENT model "
+            "(e.g. a re-materialized quantizer paired with stale "
+            "assignments); probing would return silently wrong "
+            "neighbors. Re-materialize BOTH with "
+            "ivf_index_tables(corpus)"
+        )
+    return int(pc[0]["_cells"]), int(pc[0]["_qbits"]), int(pc[0]["_model_id"])
 
 
 def ann_ivf_query_stored(
@@ -616,7 +660,7 @@ def ann_ivf_query_stored(
     if not trust_layout:
         check_ivf_layout(centroids, assignments)
     model = centroids.select("centroid_id", "centroid")
-    c = assignments.drop("_cells").withColumnsRenamed(
+    c = assignments.drop("_cells", "_model_id").withColumnsRenamed(
         {id_col: "neighbor_id", vec_col: "_cv", "vec_norm": "_cn"}
     )
     if nprobe > 1:
@@ -642,7 +686,10 @@ def ivf_index_append(
 ) -> DataFrame:
     """The MAINTENANCE half of the persisted IVF index: assignment
     rows for a NEW vector batch against the STORED model, shaped
-    exactly like the stored assignments (``_cells`` stamp included) so
+    exactly like the stored assignments (``_cells`` and ``_model_id``
+    stamps included — appended rows carry the identity of the model
+    that assigned them, so a later ``check_ivf_layout`` against a
+    different re-materialized model refuses) so
     the caller appends them with
     ``.write.mode("append").partitionBy("centroid_id")``.
 
@@ -671,10 +718,16 @@ def ivf_index_append(
     Assignment is a pure function of (vector, model): appending a
     batch then querying is bit-identical to having built the index
     over the union with the same model (parity-tested)."""
-    cells, _ = check_ivf_layout(centroids, assignments)
+    cells, _, model_id = check_ivf_layout(centroids, assignments)
     model = centroids.select("centroid_id", "centroid")
     fresh = batch.join(assignments.select(id_col), id_col, "left_anti")
     if max_below_floor_share is not None:
+        # Pin before the drift probe: without it the anti-join (one
+        # column-pruned stored-id scan + the batch scan) runs twice —
+        # once materialized for the report collect, again inside the
+        # returned assignment plan (ADVICE r09). The pinned frame is
+        # batch-sized, the ingest's pinned-batch pattern.
+        fresh = fresh.localCheckpoint(eager=True)
         rep = ivf_quantizer_drift(
             centroids, fresh, sim_floor=sim_floor, scale_bits=scale_bits,
             id_col=id_col, vec_col=vec_col,
@@ -691,8 +744,10 @@ def ivf_index_append(
                     "cells that do not describe them. Re-materialize the "
                     "index with ivf_index_tables(grown_corpus) and retry"
                 )
-    return assign_to_centroid(fresh, model, id_col, vec_col).withColumn(
-        "_cells", F.lit(cells)
+    return (
+        assign_to_centroid(fresh, model, id_col, vec_col)
+        .withColumn("_cells", F.lit(cells))
+        .withColumn("_model_id", F.lit(model_id))
     )
 
 

@@ -320,6 +320,69 @@ def test_stream_ingest_auto_band_index_threshold(spark, tmp_path):
     assert not os.path.exists(off_paths["sigs_path"] + "_band_index")
 
 
+def test_stream_ingest_auto_band_index_probe_cached(spark, tmp_path, monkeypatch):
+    """The auto-enablement size probe runs at most once per
+    AUTO_INDEX_RECHECK_BATCHES micro-batches per sink, not per batch
+    (ADVICE r09: getContentSummary is a full recursive listing of the
+    ever-growing sigs directory on object stores), and a positive
+    decision is cached for the sink's lifetime."""
+    from ffi_etl_spark.streaming import ingest as ingest_mod
+
+    calls = {"n": 0}
+    real = ingest_mod._auto_band_index
+
+    def counting(spark_, sigs_path_, threshold_):
+        calls["n"] += 1
+        return real(spark_, sigs_path_, threshold_)
+
+    monkeypatch.setattr(ingest_mod, "_auto_band_index", counting)
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 12
+
+    def run(tag, **kw):
+        root = tmp_path / tag
+        in_dir = root / "in"
+        in_dir.mkdir(parents=True)
+        for i in range(3):
+            _land(in_dir, f"b{i}.json", [{"doc_id": i, "text": f"{i} {text}"}])
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+        q = (
+            ingest_mod.stream_dedup_ingest(
+                stream,
+                str(root / "corpus"),
+                str(root / "pairs"),
+                str(root / "ckpt"),
+                sigs_path=str(root / "sigs"),
+                **kw,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return root
+
+    # below threshold: batch 0 has no stored state (no probe eligible);
+    # batches 1 and 2 are eligible, but only the first probes — the
+    # negative decision holds for AUTO_INDEX_RECHECK_BATCHES batches
+    calls["n"] = 0
+    run("below")
+    assert calls["n"] == 1
+
+    # 1-byte threshold: the first eligible batch probes, fires, and the
+    # positive decision is cached — later batches maintain the index
+    # with zero further probes
+    calls["n"] = 0
+    root = run("fires", band_index_auto_bytes=1)
+    assert calls["n"] == 1
+    import os
+
+    assert os.path.exists(str(root / "sigs") + "_band_index")
+
+
 def test_stream_ingest_rejects_orphaned_band_index(spark, tmp_path):
     """A band index with no signature table beside it describes state
     the ingest cannot see — fail the batch loudly, like the orphaned
@@ -605,9 +668,10 @@ def test_ivf_stored_parity_layout_and_dpp(spark, sf_dir, tmp_path):
     assert len(d_rows) > 0
 
     # self-describing layout adopted from the stored model
-    cells, qbits = check_ivf_layout(sc, sa)
+    cells, qbits, model_id = check_ivf_layout(sc, sa)
     assert qbits == 20
     assert cells == sc.count()  # every cell non-empty on this slice
+    assert model_id == sc.select("_model_id").first()[0]
 
     # DPP: the partitioned assignments read is pruned by the probe join
     plan = stored._sc._jvm.PythonSQLUtils.explainString(
@@ -618,11 +682,20 @@ def test_ivf_stored_parity_layout_and_dpp(spark, sf_dir, tmp_path):
     # gate: mismatched cell counts between the two tables
     with pytest.raises(ValueError, match="different models"):
         check_ivf_layout(sc.withColumn("_cells", F.lit(999)), sa)
+    # gate: SAME cell count, DIFFERENT model — the failure mode the
+    # _model_id stamp exists to catch (ADVICE r09): a re-materialized
+    # quantizer over a grown corpus can land on the identical isqrt
+    # cell count, so pairing it with stale assignments passes a
+    # cells-only gate and returns silently wrong neighbors.
+    with pytest.raises(ValueError, match="DIFFERENT model"):
+        check_ivf_layout(sc.withColumn("_model_id", F.col("_model_id") + 1), sa)
     # gate: not an index output at all
     with pytest.raises(ValueError, match="re-materialize"):
         check_ivf_layout(sc.drop("_qbits"), sa)
     with pytest.raises(ValueError, match="re-materialize"):
         check_ivf_layout(sc, sa.drop("_cells"))
+    with pytest.raises(ValueError, match="re-materialize"):
+        check_ivf_layout(sc, sa.drop("_model_id"))
     # gate: empty state cannot describe a layout
     with pytest.raises(ValueError, match="empty"):
         check_ivf_layout(sc.filter(F.lit(False)), sa)
@@ -639,6 +712,7 @@ def test_ivf_append_parity_idempotence_and_drift(spark, sf_dir, tmp_path):
     from ffi_etl_spark.operators.similarity import (
         ann_ivf_query_stored,
         assign_to_centroid,
+        check_ivf_layout,
         choose_ivf_cells,
         ivf_index_append,
         ivf_index_tables,
@@ -664,6 +738,9 @@ def test_ivf_append_parity_idempotence_and_drift(spark, sf_dir, tmp_path):
     new_rows.write.mode("append").partitionBy("centroid_id").parquet(apath)
     sa = spark.read.parquet(apath)
     assert sa.count() == 300
+    # appended rows carry the STORED model's identity: the grown
+    # table still passes the layout gate against the same model
+    check_ivf_layout(sc, sa)
 
     # replay: the same batch appends nothing
     assert ivf_index_append(sc, sa, batch).count() == 0
