@@ -12,10 +12,24 @@ from pyspark.sql import functions as F
 from ffi_etl_spark.catalog import table
 
 
+def _drop_table_and_location(spark, name: str) -> None:
+    """DROP TABLE IF EXISTS plus the warehouse directory: a killed
+    prior run can leave the table's directory behind with no catalog
+    entry (the in-memory catalog dies with the process), and then
+    DROP is a no-op while CREATE fails on the orphaned location
+    (VERDICT r09 item 8)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+
+
 @pytest.fixture(scope="module")
 def bucketed(spark, sf_dir):
-    spark.sql("DROP TABLE IF EXISTS orders_b")
-    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    _drop_table_and_location(spark, "orders_b")
+    _drop_table_and_location(spark, "lineitem_b")
     table(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
         "o_orderkey"
     ).mode("overwrite").saveAsTable("orders_b")
