@@ -49,9 +49,12 @@ from pyspark.sql import functions as F
 
 from ffi_etl_spark.operators.similarity import (
     ann_ivf_query_stored,
+    append_ivf_assignments,
+    compact_ivf_assignments,
     ivf_index_append,
     ivf_index_tables,
     ivf_quantizer_drift,
+    write_ivf_assignments,
 )
 
 
@@ -85,7 +88,7 @@ def main() -> None:
     base = emb.filter(F.col("vec_id") < base_n)
     centroids, assignments = ivf_index_tables(base)
     centroids.write.parquet(cpath)  # the small model first
-    assignments.write.partitionBy("centroid_id").parquet(apath)
+    write_ivf_assignments(assignments, apath)
     model = spark.read.parquet(cpath)
     print(f"built: {base_n} vectors, {model.count()} cells")
 
@@ -113,12 +116,18 @@ def main() -> None:
             centroids, assignments = ivf_index_tables(landed)
             shutil.rmtree(args.index, ignore_errors=True)
             centroids.write.parquet(cpath)
-            assignments.write.partitionBy("centroid_id").parquet(apath)
+            write_ivf_assignments(assignments, apath)
             model = spark.read.parquet(cpath)
             continue
-        ivf_index_append(
-            model, spark.read.parquet(apath), batch
-        ).write.mode("append").partitionBy("centroid_id").parquet(apath)
+        append_ivf_assignments(
+            ivf_index_append(model, spark.read.parquet(apath), batch), apath
+        )
+        # each append lands files into every touched cell directory;
+        # compact crowded cells back to one file each so probe reads
+        # don't accumulate a parquet footer open per append
+        n_comp = compact_ivf_assignments(spark, apath)
+        if n_comp:
+            print(f"batch {b}: compacted {n_comp} crowded cell(s)")
 
     # 4. probe the grown index
     queries = emb.filter(F.col("vec_id") % 100 == 0)

@@ -751,6 +751,91 @@ def ivf_index_append(
     )
 
 
+def write_ivf_assignments(
+    assignments: DataFrame, path: str, mode: str = "error"
+) -> None:
+    """The WRITE for an IVF assignments table (build or append):
+    repartition on the partition column first — ``partitionBy``
+    multiplies files by writing tasks × touched partitions (the r09
+    band-index lesson), so a raw 32-task write lands 32 files into
+    EVERY cell directory, and every later probe pays those parquet
+    footer opens before any data. Measured (tools/bench_ivf_stored.py
+    --appends, sf1): the unrepartitioned build write alone taxed each
+    probe ~3× (2.0s vs 0.71s on the compacted layout). With the
+    repartition each write lands at most ONE file per touched cell —
+    the layout compaction would otherwise have to restore."""
+    (
+        assignments.repartition("centroid_id")
+        .write.mode(mode)
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
+def append_ivf_assignments(new_rows: DataFrame, path: str) -> None:
+    """``write_ivf_assignments`` in append mode — for
+    ``ivf_index_append`` output. One file per touched cell per append,
+    which is what keeps ``compact_ivf_assignments`` rare."""
+    write_ivf_assignments(new_rows, path, mode="append")
+
+
+# Per-cell file-count threshold for stored-assignments compaction.
+# Each ivf_index_append lands one-or-more parquet files into every
+# touched centroid_id directory, so after N appends a probe that reads
+# a cell pays N parquet footer opens before any data — the exact
+# footer-open regression INGEST_r9.json measured for the band index's
+# first cut. 16 bounds the per-cell footer cost while keeping
+# compaction rare (it only ever rewrites the crowded cells).
+_COMPACT_FILES_PER_CELL = 16
+
+
+def compact_ivf_assignments(
+    spark,
+    path: str,
+    files_per_cell: int = _COMPACT_FILES_PER_CELL,
+) -> int:
+    """Per-cell incremental compaction for a stored IVF assignments
+    table (VERDICT r09 item 5) — the ``minhash_band_index`` compaction
+    recipe applied to the cell-partitioned layout: find cells whose
+    directory holds more than ``files_per_cell`` parquet files (from
+    the read's own file listing — driver-side, already computed for
+    planning), read ONLY those cells (partition-pruned), pin the rows
+    (their source files are about to be replaced), and
+    dynamic-partition-overwrite exactly those cells back as one file
+    each. Cells the append churn hasn't crowded are never read or
+    rewritten, so compaction cost tracks the crowded fraction, not the
+    corpus — the 100 TB posture: an append-heavy cell gets rewritten
+    once per ``files_per_cell`` appends, a cold cell never.
+
+    Rewrites files only — never rows — so probe results are
+    bit-identical before and after (parity-tested). Returns the number
+    of cells compacted (0 = nothing crowded, nothing touched)."""
+    import re
+    from collections import Counter
+
+    df = spark.read.parquet(path)
+    counts: Counter = Counter()
+    for f in df.inputFiles():
+        m = re.search(r"centroid_id=(\d+)/", f)
+        if m:
+            counts[int(m.group(1))] += 1
+    crowded = sorted(c for c, n in counts.items() if n > files_per_cell)
+    if not crowded:
+        return 0
+    rows = df.filter(F.col("centroid_id").isin(crowded)).localCheckpoint(eager=True)
+    (
+        # repartition on the partition column first: partitionBy
+        # multiplies files by writing tasks × touched partitions
+        # (the r09 band-index lesson — ~2k files/batch without it)
+        rows.repartition("centroid_id")
+        .write.partitionBy("centroid_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return len(crowded)
+
+
 def ivf_quantizer_drift(
     centroids: DataFrame,
     batch: DataFrame,

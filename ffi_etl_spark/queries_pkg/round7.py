@@ -220,6 +220,7 @@ def _ann_ivf_stored(spark, sf_dir):
     from ffi_etl_spark.operators.similarity import (
         ann_ivf_query_stored,
         ivf_index_tables,
+        write_ivf_assignments,
     )
 
     emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _AUTOK_SLICE)
@@ -234,9 +235,7 @@ def _ann_ivf_stored(spark, sf_dir):
     # centroids (the K-row model) first: a torn write strands the small
     # table, not the bulk
     centroids.write.parquet(os.path.join(root, "centroids"))
-    assignments.write.partitionBy("centroid_id").parquet(
-        os.path.join(root, "assignments")
-    )
+    write_ivf_assignments(assignments, os.path.join(root, "assignments"))
     stored_model = spark.read.parquet(os.path.join(root, "centroids"))
     stored_index = spark.read.parquet(os.path.join(root, "assignments"))
     return ann_ivf_query_stored(stored_model, stored_index, queries)
@@ -314,8 +313,10 @@ def _ann_ivf_append(spark, sf_dir):
 
     from ffi_etl_spark.operators.similarity import (
         ann_ivf_query_stored,
+        append_ivf_assignments,
         ivf_index_append,
         ivf_index_tables,
+        write_ivf_assignments,
     )
 
     emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _AUTOK_SLICE)
@@ -332,12 +333,12 @@ def _ann_ivf_append(spark, sf_dir):
     shutil.rmtree(root, ignore_errors=True)  # stale cells would add rows
     cpath, apath = os.path.join(root, "centroids"), os.path.join(root, "assignments")
     centroids.write.parquet(cpath)
-    assignments.write.partitionBy("centroid_id").parquet(apath)
+    write_ivf_assignments(assignments, apath)
 
     stored_model = spark.read.parquet(cpath)
-    ivf_index_append(
-        stored_model, spark.read.parquet(apath), batch
-    ).write.mode("append").partitionBy("centroid_id").parquet(apath)
+    append_ivf_assignments(
+        ivf_index_append(stored_model, spark.read.parquet(apath), batch), apath
+    )
     return ann_ivf_query_stored(stored_model, spark.read.parquet(apath), queries)
 
 

@@ -772,6 +772,78 @@ def test_ivf_append_parity_idempotence_and_drift(spark, sf_dir, tmp_path):
     assert hi.n_low == 100 and lo.n_low == 0
 
 
+def test_ivf_assignments_compaction(spark, sf_dir, tmp_path):
+    """The stored-assignments maintenance story for small files
+    (VERDICT r09 item 5): append_ivf_assignments bounds each append to
+    one file per touched cell; after many appends
+    compact_ivf_assignments rewrites ONLY the crowded cells back to
+    one file each; rows and probe answers are bit-identical before and
+    after (compaction rewrites files, never rows); and an uncrowded
+    table is untouched (returns 0)."""
+    import re
+    from collections import Counter
+
+    from ffi_etl_spark.operators.similarity import (
+        ann_ivf_query_stored,
+        append_ivf_assignments,
+        compact_ivf_assignments,
+        ivf_index_append,
+        ivf_index_tables,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    base = emb.filter(F.col("vec_id") < 150)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    centroids, assignments = ivf_index_tables(base, n_iter=2, quantize_bits=20)
+    cpath, apath = str(tmp_path / "c"), str(tmp_path / "a")
+    centroids.write.parquet(cpath)
+    assignments.repartition("centroid_id").write.partitionBy("centroid_id").parquet(
+        apath
+    )
+    sc = spark.read.parquet(cpath)
+
+    # 10 small appends — the churn that would otherwise accumulate a
+    # parquet footer open per append per cell
+    for b in range(10):
+        lo = 150 + b * 15
+        batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 15))
+        append_ivf_assignments(
+            ivf_index_append(sc, spark.read.parquet(apath), batch), apath
+        )
+
+    def files_per_cell() -> Counter:
+        cnt: Counter = Counter()
+        for f in spark.read.parquet(apath).inputFiles():
+            m = re.search(r"centroid_id=(\d+)/", f)
+            if m:
+                cnt[int(m.group(1))] += 1
+        return cnt
+
+    before_files = files_per_cell()
+    # one file per touched cell per append: bounded by build + appends
+    assert max(before_files.values()) <= 11
+    assert max(before_files.values()) > 4  # churn actually crowded cells
+    sa = spark.read.parquet(apath)
+    n_rows = sa.count()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    before = sorted(ann_ivf_query_stored(sc, sa, queries).collect(), key=key)
+
+    n_comp = compact_ivf_assignments(spark, apath, files_per_cell=4)
+    assert n_comp > 0
+    after_files = files_per_cell()
+    # compacted cells are one file each; no cell above the threshold+1
+    assert max(after_files.values()) <= 4
+    sa2 = spark.read.parquet(apath)
+    assert sa2.count() == n_rows
+    after = sorted(ann_ivf_query_stored(sc, sa2, queries).collect(), key=key)
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+    assert len(before) > 0
+
+    # idempotent: nothing crowded remains, nothing is touched
+    assert compact_ivf_assignments(spark, apath, files_per_cell=4) == 0
+
+
 def test_ivf_append_drift_contract(spark, sf_dir, tmp_path):
     """The drift contract on append (the adopted-quantizer analogue of
     the dedup family's recall validation): a batch mostly below the

@@ -44,6 +44,14 @@ def main() -> None:
                     help="cap the build-per-call arm (default: "
                          "n_batches) — at large n each run re-pays the "
                          "full build, so one run already fixes the mean")
+    ap.add_argument("--appends", type=int, default=0,
+                    help="append-churn phase (VERDICT r09 item 5): "
+                         "build a second index on half the corpus, "
+                         "append the rest in this many batches (probe "
+                         "timed after each), then compact crowded "
+                         "cells and probe again — the probe latency "
+                         "must stay flat, not grow a parquet footer "
+                         "open per append")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -53,6 +61,7 @@ def main() -> None:
         ann_ivf_query_stored,
         ivf_index_append,  # noqa: F401  (documented sibling; not timed here)
         ivf_index_tables,
+        write_ivf_assignments,
     )
     from ffi_etl_spark.session import get_session
 
@@ -79,7 +88,7 @@ def main() -> None:
     t0 = time.monotonic()
     centroids, assignments = ivf_index_tables(emb)
     centroids.write.parquet(cpath)
-    assignments.write.partitionBy("centroid_id").parquet(apath)
+    write_ivf_assignments(assignments, apath)
     build_sec = round(time.monotonic() - t0, 2)
     rows.append({"mode": "stored", "step": "build", "sec": build_sec, "n": n})
     print(json.dumps(rows[-1]), flush=True)
@@ -107,6 +116,79 @@ def main() -> None:
         rows.append({"mode": "rebuild", "step": f"query{b}", "sec": sec, "rows": cnt})
         print(json.dumps(rows[-1]), flush=True)
 
+    churn = None
+    if args.appends:
+        from ffi_etl_spark.operators.similarity import (
+            append_ivf_assignments,
+            compact_ivf_assignments,
+            ivf_index_append,
+        )
+
+        half = emb.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+        base = emb.filter(F.col("vec_id") < half)
+        rest = emb.filter(F.col("vec_id") >= half).localCheckpoint()
+        hi = rest.agg(F.max("vec_id")).first()[0]
+        per = max(1, (int(hi) - int(half) + 1) // args.appends + 1)
+        c2, a2 = os.path.join(root, "c2"), os.path.join(root, "a2")
+        cents2, assigns2 = ivf_index_tables(base)
+        cents2.write.parquet(c2)
+        write_ivf_assignments(assigns2, a2)
+        model2 = spark.read.parquet(c2)
+        queries = emb.filter(F.col("vec_id") % 199 == 0).localCheckpoint()
+
+        def max_files_per_cell() -> int:
+            import re
+            from collections import Counter
+
+            cnt: Counter = Counter()
+            for f in spark.read.parquet(a2).inputFiles():
+                m = re.search(r"centroid_id=(\d+)/", f)
+                if m:
+                    cnt[int(m.group(1))] += 1
+            return max(cnt.values()) if cnt else 0
+
+        churn_rows = []
+        for b in range(args.appends):
+            lo = int(half) + b * per
+            batch = rest.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + per)
+            )
+            append_ivf_assignments(
+                ivf_index_append(model2, spark.read.parquet(a2), batch), a2
+            )
+            t0 = time.monotonic()
+            cnt = ann_ivf_query_stored(
+                model2, spark.read.parquet(a2), queries
+            ).count()
+            sec = round(time.monotonic() - t0, 2)
+            churn_rows.append(
+                {"mode": "churn", "step": f"append{b}", "probe_sec": sec,
+                 "rows": cnt, "max_files_per_cell": max_files_per_cell()}
+            )
+            print(json.dumps(churn_rows[-1]), flush=True)
+        t0 = time.monotonic()
+        # threshold 4 (not the production 16) so a 10-append run
+        # demonstrates the compaction path, not just the bounded
+        # one-file-per-cell-per-append write discipline
+        n_comp = compact_ivf_assignments(spark, a2, files_per_cell=4)
+        compact_sec = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        cnt = ann_ivf_query_stored(
+            model2, spark.read.parquet(a2), queries
+        ).count()
+        post_sec = round(time.monotonic() - t0, 2)
+        churn = {
+            "appends": args.appends,
+            "probe_secs": [r["probe_sec"] for r in churn_rows],
+            "max_files_per_cell_final": max_files_per_cell(),
+            "cells_compacted": n_comp,
+            "compact_sec": compact_sec,
+            "probe_sec_post_compact": post_sec,
+            "probe_rows_post_compact": cnt,
+        }
+        print(json.dumps({"mode": "churn", "summary": churn}), flush=True)
+        rows.extend(churn_rows)
+
     probe = sum(probe_secs) / len(probe_secs)
     rebuild = sum(rebuild_secs) / len(rebuild_secs)
     summary = {
@@ -121,6 +203,8 @@ def main() -> None:
             round(build_sec / (rebuild - probe), 1) if rebuild > probe else None
         ),
     }
+    if churn is not None:
+        summary["churn"] = churn
     print(json.dumps(summary))
     if args.out:
         with open(args.out, "w") as f:
