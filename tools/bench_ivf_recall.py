@@ -1,0 +1,102 @@
+"""Recall-vs-nprobe curve for the STORED IVF index (VERDICT r09 item 6).
+
+``ann_ivf_query_stored`` carries the nprobe knob, but until round 10
+the recall-vs-nprobe trade was only measured for the in-query tier.
+This script pins the dial: build the index once, then for each nprobe
+measure recall@k against ``knn_bruteforce`` ground truth (the exact
+baseline the ANN tiers are defined against) and the probe's wall time
+— recall is the fraction of exact top-k (query, neighbor) pairs the
+probe returns, computed as a Spark join (no driver-side set math over
+the result bulk).
+
+Usage:
+  python tools/bench_ivf_recall.py [embeddings_parquet] \
+      [--nprobe 1,2,4,8] [--k 10] [--out BENCH_IVF_RECALL.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("src", nargs="?", default="testdata_local/sf1/embeddings.parquet")
+    ap.add_argument("--nprobe", default="1,2,4,8")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--qmod", type=int, default=199,
+                    help="query set = vec_id %% qmod == 0")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from ffi_etl_spark.operators.similarity import (
+        ann_ivf_query_stored,
+        ivf_index_tables,
+        knn_bruteforce,
+        write_ivf_assignments,
+    )
+    from ffi_etl_spark.session import get_session
+
+    spark = get_session("bench-ivf-recall")
+    # single-row-group input normalization (the r09 lesson): without
+    # the repartition every narrow corpus stage is ONE task
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    emb = spark.read.parquet(args.src).repartition(nparts).localCheckpoint()
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") % args.qmod == 0).localCheckpoint()
+    n_q = queries.count()
+
+    root = tempfile.mkdtemp(prefix="ivf_recall_bench_")
+    cpath, apath = os.path.join(root, "centroids"), os.path.join(root, "assignments")
+    centroids, assignments = ivf_index_tables(emb)
+    centroids.write.parquet(cpath)
+    write_ivf_assignments(assignments, apath)
+    model = spark.read.parquet(cpath)
+    index = spark.read.parquet(apath)
+    cells = model.count()
+
+    # exact ground truth, pinned once — the intentionally-quadratic
+    # oracle arm (q·n dots), bounded by the query sample size
+    exact = knn_bruteforce(emb, queries, k=args.k).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)
+    n_exact = exact.count()
+
+    rows = []
+    for nprobe in [int(x) for x in args.nprobe.split(",")]:
+        t0 = time.monotonic()
+        ann = ann_ivf_query_stored(
+            model, index, queries, k=args.k, nprobe=nprobe
+        ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
+        sec = round(time.monotonic() - t0, 2)
+        hits = ann.join(exact, ["query_id", "neighbor_id"], "inner").count()
+        rows.append({
+            "nprobe": nprobe,
+            "recall_at_k": round(hits / n_exact, 4),
+            "probe_sec": sec,
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
+    summary = {
+        "src": args.src, "n_vectors": n, "n_queries": n_q, "k": args.k,
+        "cells": cells, "curve": rows,
+    }
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
