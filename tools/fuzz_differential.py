@@ -331,6 +331,115 @@ def gen_query(rng: random.Random) -> str:
             f"FROM {frm}{w2} GROUP BY {grp} ORDER BY {okeys}"
         )
 
+    if join_how is None and 0.12 <= shape < 0.165:
+        # set operations UNDER windows (round-10 grammar, VERDICT r09
+        # item 7): a window function computed over the RESULT of a set
+        # operation — the analyzer must resolve the window against the
+        # set-op's output schema and both engines' distinct-set
+        # rewrites must feed the window the same multiset. DISTINCT
+        # set semantics make the rows unique tuples, so the full-
+        # column ORDER BY (NULLS FIRST pinned — the cross-engine
+        # default trap) is a total order and per-row window values are
+        # engine-independent, not just the multiset.
+        cols = rng.sample(
+            t["ints"] + t["groups"], rng.randint(1, 2)
+        )
+        cols = list(dict.fromkeys(cols))  # dedupe, keep order
+        sel = ", ".join(cols)
+        w1 = f" WHERE {_int_pred(rng, rng.choice(t['ints']))}"
+        w2 = f" WHERE {_int_pred(rng, rng.choice(t['ints']))}"
+        setop = rng.choice(["UNION", "INTERSECT", "EXCEPT"])
+        okey = ", ".join(f"{c} NULLS FIRST" for c in cols)
+        kind = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()", "cumsum"])
+        if kind == "cumsum":
+            target = cols[0]
+            expr = (
+                f"SUM({target}) OVER (ORDER BY {okey} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            )
+            if target not in t["ints"]:
+                expr = f"COUNT(*) OVER (ORDER BY {okey} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        else:
+            expr = f"{kind} OVER (ORDER BY {okey})"
+        return (
+            f"SELECT {sel}, CAST({expr} AS BIGINT) AS wv FROM "
+            f"(SELECT DISTINCT {sel} FROM {frm}{w1} {setop} "
+            f"SELECT DISTINCT {sel} FROM {frm}{w2}) u ORDER BY {sel}"
+        )
+
+    if join_how is None and 0.165 <= shape < 0.21:
+        # set operations with MISMATCHED-BUT-COERCIBLE branch types
+        # (round-10 grammar): the two branches produce different
+        # integer widths (SMALLINT/INT/BIGINT/DECIMAL(12,0)) and the
+        # engines' set-op type-widening rules must agree BEFORE the
+        # distinct/bag comparison happens — a coercion difference
+        # changes which tuples compare equal. The outer CAST(v AS
+        # BIGINT) normalizes the RESULT dtype for the canon (DECIMAL
+        # would surface as object dtype); the coercion under test is
+        # inside the set op. `% m` keeps SMALLINT casts in range on
+        # both engines (both raise on overflow — ANSI Spark, DuckDB).
+        c1, c2 = rng.choice(t["ints"]), rng.choice(t["ints"])
+        narrow = rng.choice(
+            [f"CAST({c1} % 100 AS SMALLINT)", f"CAST({c1} AS INT)",
+             f"CAST({c1} % 1000 AS SMALLINT)"]
+        )
+        wide = rng.choice(
+            [f"CAST({c2} AS BIGINT)", f"CAST({c2} AS DECIMAL(12,0))"]
+        )
+        if rng.random() < 0.5:
+            narrow, wide = wide, narrow
+        w1 = f" WHERE {_int_pred(rng, rng.choice(t['ints']))}"
+        w2 = f" WHERE {_int_pred(rng, rng.choice(t['ints']))}"
+        setop = rng.choice(
+            ["UNION", "UNION ALL", "INTERSECT", "EXCEPT", "EXCEPT ALL"]
+        )
+        carry = ""
+        s = ""
+        if rng.random() < 0.4:
+            sc = rng.choice(t["strs"])
+            carry = f", {sc} AS s"
+            s = ", s"
+        return (
+            f"SELECT CAST(v AS BIGINT) AS v{s} FROM "
+            f"(SELECT {narrow} AS v{carry} FROM {frm}{w1} {setop} "
+            f"SELECT {wide} AS v{carry} FROM {frm}{w2}) u ORDER BY v{s}"
+        )
+
+    if join_how is None and 0.21 <= shape < 0.26 and frm in _CORR:
+        # COMPOSED correlated scalar subqueries in the SELECT list
+        # (round-10 grammar): two independent scalar subqueries over
+        # the same child with DIFFERENT predicates — each must
+        # decorrelate into its own aggregate+join, not share a rewritten
+        # subtree — one exercising COUNT-on-empty-group (= 0) and one
+        # SUM-on-empty-group (= NULL) wrapped in COALESCE and composed
+        # into arithmetic with a parent column. A WHERE variant
+        # compares the two subqueries against each other (both probed).
+        pk, child, ck = _CORR[frm]
+        ci = TABLES[child]["ints"]
+        p1 = _int_pred(rng, rng.choice(ci))
+        p2 = _int_pred(rng, rng.choice(ci))
+        s1 = (
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {child} "
+            f"WHERE {ck} = {pk} AND {p1})"
+        )
+        s2 = (
+            f"COALESCE((SELECT CAST(SUM(CAST({rng.choice(ci)} AS BIGINT)) "
+            f"AS BIGINT) FROM {child} WHERE {ck} = {pk} AND {p2}), 0)"
+        )
+        if rng.random() < 0.3:
+            # WHERE variant: subquery-vs-subquery arithmetic comparison
+            glue = " AND " if where else " WHERE "
+            mult = rng.choice([1, 2, 3])
+            return (
+                f"SELECT {pk} FROM {frm}{where}{glue}"
+                f"{s1} * {mult} >= {s2} ORDER BY {pk}"
+            )
+        return (
+            f"SELECT {pk}, {s1} AS s1, "
+            f"{s2} + CAST({pk} AS BIGINT) AS s2 "
+            f"FROM {frm}{where} ORDER BY {pk}"
+        )
+
     if (
         join_how in ("LEFT JOIN", "RIGHT JOIN", "FULL JOIN")
         and null_side is not None
@@ -830,6 +939,17 @@ def _is_round9_shape(sql: str) -> bool:
     )
 
 
+def _is_round10_shape(sql: str) -> bool:
+    """Round-10 grammar (``new10`` filter mode): windows over set-op
+    results, set ops with mismatched-but-coercible branch types, and
+    composed correlated scalar subqueries in the SELECT list."""
+    return (
+        (") u ORDER BY" in sql and " OVER (" in sql)
+        or "CAST(v AS BIGINT) AS v" in sql
+        or "COALESCE((SELECT" in sql
+    )
+
+
 def main() -> int:
     # Usage: fuzz_differential.py [sf_dir] [n_cases] [seed0] [new]
     # With the optional 4th arg ``new``, seeds are consumed until
@@ -844,6 +964,7 @@ def main() -> int:
     only_new8 = mode_arg == "new8"
     only_new9 = mode_arg == "new9"
     only_new9b = mode_arg == "new9b"
+    only_new10 = mode_arg == "new10"
 
     import duckdb
 
@@ -873,6 +994,8 @@ def main() -> int:
             continue
         if only_new9b and not _is_round9b_shape(sql):
             continue
+        if only_new10 and not _is_round10_shape(sql):
+            continue
         ran += 1
         try:
             ok, detail = run_case(spark, con, sql)
@@ -893,7 +1016,9 @@ def main() -> int:
         if only_new8
         else " (round-9 shapes only)"
         if only_new9
-        else " (round-9b shapes only)" if only_new9b else ""
+        else " (round-9b shapes only)"
+        if only_new9b
+        else " (round-10 shapes only)" if only_new10 else ""
     )
     print(f"{bad}/{n_cases} mismatches{mode}, seeds {seed0}..{seed - 1}")
     return 1 if bad else 0
