@@ -71,13 +71,13 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
 # therefore a grading decision; `tools/rotation.py` machine-derives the
 # graded/green/never-graded sets from CORRECTNESS_r*.json and proposes
 # the next prefix (VERDICT r04 item 6 — no more hand-counted TODO
-# lists). Round-9 rotation (VERDICT r08 item 2): the dsir red is CLOSED
-# (all four rows green in r08 — HUGEINT theory confirmed), so the three
-# bisection probes leave the prefix (they stay registered and in the
-# 254-query local gate) and the window is FRESHNESS-ONLY: 5 continuity
-# canaries + the 7 never-graded round-9 queries (domain curation,
-# round9.py; persisted IVF index + maintenance + drift, round7.py) +
-# 38 oldest-graded greens, rotation.py's proposal at HEAD.
+# lists). Round-10 rotation: the board entered the round fully green
+# (254/254 graded-ever green), so the window stays FRESHNESS-ONLY —
+# 5 continuity canaries + the 1 never-graded round-10 query
+# (ann_ivf_churn, the append-churn + compaction gate, round7.py) +
+# 44 oldest-graded greens, rotation.py's proposal at HEAD verbatim.
+# The round-9 families (domain curation, persisted-IVF trio) rotate
+# out as freshly-graded greens; they stay registered and local-gated.
 PRIORITY_PREFIX: tuple[str, ...] = (
     # -- canaries: green every prior round, kept for continuity --
     "survey_pipeline",
@@ -85,54 +85,53 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "dedup_minhash",
     "tpch_q1",
     "pretraining_corpus",
-    # -- never-graded: the round-9 domain-curation family --
-    "domain_cap_sample",
-    "domain_blocklist_filter",
-    "domain_mix_report",
-    "domain_token_cap",
-    # -- never-graded: the round-9 persisted IVF index + maintenance --
-    "ann_ivf_stored",
-    "ann_ivf_append",
-    "ann_ivf_drift",
+    # -- never-graded: the round-10 append-churn + compaction gate --
+    "ann_ivf_churn",
     # -- freshness fill: oldest-graded greens (rotation.py order) --
-    "salted_join_agg",
-    "histogram_equiwidth",
-    "histogram_equidepth",
-    "chunk_documents",
-    "term_collocations",
-    "variant_extract_agg",
-    "session_window_agg",
-    "recursive_org_depth",
-    "lateral_topk_orders",
-    "zscore_normalize",
-    "fuzzy_match_blocked",
-    "skew_probe",
-    "scd2_compress",
-    "dedup_sorted_neighborhood",
-    "reservoir_sample",
-    "rolling_distinct_users",
-    "dup_span_profile",
-    "inverted_index",
-    "source_ngram_overlap",
-    "dedup_minhash_incremental",
-    "tpch_q7_volume",
-    "tpch_q10_returns",
-    "tpch_q12_priority",
-    "tpch_q14_promo",
-    "tpch_q22_idle_rich",
-    "tpch_q2_min_cost",
-    "deterministic_sample",
-    "weighted_sample",
-    "tpch_q4_priority",
-    "tpch_q8_share",
-    "tpch_q11_important",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty",
-    "tpch_q19_disjunct",
-    "tpch_q20_promo_suppliers",
-    "tpch_q21_waiting",
-    "running_total",
+    "set_ops_retention",
+    "unpivot_metrics",
+    "stats_moments",
+    "grouped_list_agg",
+    "embedding_unit_norm",
+    "approx_quantiles",
+    "skew_salted_join",
+    "heavy_hitters_sketch",
+    "quality_percentile_gate",
+    "ewma_smoothing",
+    "mixture_temperature",
+    "training_export",
+    "dedup_keep_best",
+    "training_order",
+    "dataset_diff",
+    "bm25_rank",
+    "dedup_survivors",
+    "embedding_quantize_int8",
+    "first_touch_attribution",
+    "event_count_anomaly",
+    "winsorize_scale",
+    "gdpr_forget_audit",
+    "train_val_test_split",
+    "star_denormalize",
+    "mad_outliers",
+    "skyline_pareto",
+    "dedup_minhash_fast",
+    "dedup_simhash_fast",
+    "ann_brp_lsh",
+    "kmeans_clusters",
+    "token_entropy",
+    "pagerank_centrality",
+    "countmin_frequency",
+    "random_projection",
+    "lm_transition_anomaly",
+    "dedup_cluster_profile",
+    "knn_int8_codes",
+    "label_propagation_communities",
+    "mode_agg",
+    "percent_change_mom",
+    "activity_gaps",
+    "vocab_growth",
+    "similarity_histogram",
+    "weekly_engagement",
 )
 
 

@@ -342,6 +342,60 @@ def _ann_ivf_append(spark, sf_dir):
     return ann_ivf_query_stored(stored_model, spark.read.parquet(apath), queries)
 
 
+@query("ann_ivf_churn", oracle=_ivf_append_oracle())
+def _ann_ivf_churn(spark, sf_dir):
+    """Round-10 maintenance gate: the append-CHURN lifecycle — build +
+    persist on the first _APPEND_BUILD vectors, append the rest in
+    THREE batches through the layout-aware writer
+    (append_ivf_assignments: one file per touched cell per append),
+    run per-cell compaction (compact_ivf_assignments, threshold forced
+    low so the path executes at gate scale), then query the grown,
+    compacted index. The oracle is ann_ivf_append's VERBATIM: neither
+    the batch split nor the compaction may change a single row —
+    assignment is a pure function of (vector, model), and compaction
+    rewrites files, never rows. A compaction bug that drops, dups, or
+    re-assigns rows fails this gate's hash."""
+    import shutil
+
+    from ffi_etl_spark.operators.similarity import (
+        ann_ivf_query_stored,
+        append_ivf_assignments,
+        compact_ivf_assignments,
+        ivf_index_append,
+        ivf_index_tables,
+        write_ivf_assignments,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _AUTOK_SLICE)
+    base = emb.filter(F.col("vec_id") < _APPEND_BUILD)
+    queries = emb.filter(F.col("vec_id") % _AUTOK_QMOD == 0)
+
+    centroids, assignments = ivf_index_tables(
+        base, n_iter=_AUTOK_ROUNDS, quantize_bits=_AUTOK_BITS
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"ffi_etl_ivfchurn_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(root, ignore_errors=True)  # stale cells would add rows
+    cpath, apath = os.path.join(root, "centroids"), os.path.join(root, "assignments")
+    centroids.write.parquet(cpath)
+    write_ivf_assignments(assignments, apath)
+
+    stored_model = spark.read.parquet(cpath)
+    hi = _AUTOK_SLICE
+    per = (hi - _APPEND_BUILD + 2) // 3
+    for b in range(3):
+        lo = _APPEND_BUILD + b * per
+        batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + per))
+        append_ivf_assignments(
+            ivf_index_append(stored_model, spark.read.parquet(apath), batch), apath
+        )
+    # build(1 file/cell) + 3 appends -> crowded at threshold 1; the
+    # compaction must execute (not no-op) for this gate to mean anything
+    compact_ivf_assignments(spark, apath, files_per_cell=1)
+    return ann_ivf_query_stored(stored_model, spark.read.parquet(apath), queries)
+
+
 def _ivf_drift_oracle() -> str:
     from ffi_etl_spark.queries_pkg.extensions import _COS, _kmeans_det_cte
 

@@ -174,22 +174,17 @@ def test_registry_priority_prefix(spark):
     expected = [n for n in PRIORITY_PREFIX if n in names]
     assert names[: len(expected)] == expected
     assert len(expected) == 50  # the graded prefix is exactly full
-    # round-9 rotation (VERDICT r08 item 2): the dsir red is CLOSED
-    # (all four rows green in r08), the bisection probes leave the
-    # prefix (they stay registered), and the window is FRESHNESS-ONLY:
-    # continuity canaries + the never-graded round-9 queries (domain
-    # curation + the persisted-IVF-index family) + oldest-graded greens
-    # in rotation.py's order (the fill tail shrank by three to keep the
-    # window at exactly 50 when the IVF trio joined). Spot-check the
-    # canaries, both new families, and both ends of the fill.
+    # round-10 rotation: the board entered the round fully green, so
+    # the window is freshness-only — canaries + the never-graded
+    # round-10 churn gate + oldest-graded greens in rotation.py's
+    # order. Spot-check the canaries, the new gate, and both ends of
+    # the fill.
     for must in ("survey_pipeline", "census_merge", "dedup_minhash",
                  "tpch_q1", "pretraining_corpus",
-                 "domain_cap_sample", "domain_blocklist_filter",
-                 "domain_mix_report", "domain_token_cap",
-                 "ann_ivf_stored", "ann_ivf_append", "ann_ivf_drift",
-                 "salted_join_agg", "histogram_equiwidth",
-                 "dedup_minhash_incremental", "tpch_q21_waiting",
-                 "running_total"):
+                 "ann_ivf_churn",
+                 "set_ops_retention", "unpivot_metrics",
+                 "skew_salted_join", "kmeans_clusters",
+                 "similarity_histogram", "weekly_engagement"):
         assert names.index(must) < 50, must
     # the probes stay registered and locally gated, just out of the
     # graded window
