@@ -74,6 +74,7 @@ SNAPSHOT = [
     ("ann_ivf_stored", "the autok build written as parquet state (K-row model + centroid_id-partitioned assignments), probe reads back with a dynamicpruning PartitionFilter on the assignments scan (query cells only) — the one n*sqrt(n) build is outside the per-batch plan"),
     ("ann_ivf_append", "batch assigned against the STORED model (1-row broadcast, no retrain, stored-id anti-join for replay idempotence) and appended into the partitioned assignments; the grown-index probe keeps the dynamicpruning PartitionFilter"),
     ("ann_ivf_drift", "K-row model broadcast, one narrow scoring pass (argmax struct keeps sim+cell), cell-keyed partial agg into the 1-row integer staleness report — no corpus join anywhere"),
+    ("ann_ivf_churn", "build + three layout-aware appends (repartition-before-partitionBy: one file per touched cell) + per-cell compaction, then the SAME dynamicpruning probe plan as ann_ivf_stored — maintenance changes files and when costs are paid, never the probe plan or a row"),
 ]
 
 
