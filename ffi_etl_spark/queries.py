@@ -73,9 +73,10 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
 # the next prefix (VERDICT r04 item 6 — no more hand-counted TODO
 # lists). Round-10 rotation: the board entered the round fully green
 # (254/254 graded-ever green), so the window stays FRESHNESS-ONLY —
-# 5 continuity canaries + the 1 never-graded round-10 query
-# (ann_ivf_churn, the append-churn + compaction gate, round7.py) +
-# 44 oldest-graded greens, rotation.py's proposal at HEAD verbatim.
+# 5 continuity canaries + the 2 never-graded round-10 queries
+# (ann_ivf_churn, the append-churn + compaction gate, and
+# ann_ivf_stored_nprobe2, the stored multi-probe gate — round7.py) +
+# 43 oldest-graded greens, rotation.py's proposal order.
 # The round-9 families (domain curation, persisted-IVF trio) rotate
 # out as freshly-graded greens; they stay registered and local-gated.
 PRIORITY_PREFIX: tuple[str, ...] = (
@@ -85,8 +86,9 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "dedup_minhash",
     "tpch_q1",
     "pretraining_corpus",
-    # -- never-graded: the round-10 append-churn + compaction gate --
+    # -- never-graded: the round-10 maintenance + multi-probe gates --
     "ann_ivf_churn",
+    "ann_ivf_stored_nprobe2",
     # -- freshness fill: oldest-graded greens (rotation.py order) --
     "set_ops_retention",
     "unpivot_metrics",
@@ -131,7 +133,6 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "activity_gaps",
     "vocab_growth",
     "similarity_histogram",
-    "weekly_engagement",
 )
 
 

@@ -342,6 +342,98 @@ def _ann_ivf_append(spark, sf_dir):
     return ann_ivf_query_stored(stored_model, spark.read.parquet(apath), queries)
 
 
+def _ivf_stored_nprobe2_oracle() -> str:
+    """The autok oracle with the QUERY assignment widened to its top-2
+    cells (rk <= 2) — the recall dial's multi-probe notch against the
+    STORED index. (query, neighbor) pairs stay unique because each
+    NEIGHBOR lives in exactly one cell; only the probe set doubles."""
+    from ffi_etl_spark.queries_pkg.extensions import _COS, _kmeans_det_cte
+
+    scale = f"{1 << _AUTOK_BITS}.0"
+    src = f"(SELECT * FROM embeddings WHERE vec_id < {_AUTOK_SLICE})"
+    cos_ec = _COS.format(a="e.v", b="c.centroid")
+    cos_qn = _COS.format(a="qa.qv", b="ca.cv")
+    return f"""
+WITH {_kmeans_det_cte(_AUTOK_CELLS, _AUTOK_ROUNDS, source=src)},
+cf AS (
+  SELECT centroid_id, list(CAST(sx AS DOUBLE) ORDER BY i) AS centroid
+  FROM (
+    SELECT centroid_id, i, SUM(CAST(FLOOR(v[i] * {scale}) AS BIGINT)) AS sx
+    FROM a{_AUTOK_ROUNDS} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY centroid_id, i
+  ) GROUP BY centroid_id
+), ca AS (
+  SELECT vec_id AS neighbor_id, v AS cv, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, c.centroid_id ASC
+           ) AS rk
+    FROM e CROSS JOIN cf c
+  ) WHERE rk = 1
+), qa AS (
+  SELECT vec_id AS query_id, v AS qv, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, c.centroid_id ASC
+           ) AS rk
+    FROM e CROSS JOIN cf c
+    WHERE e.vec_id % {_AUTOK_QMOD} = 0
+  ) WHERE rk <= 2
+), scored AS (
+  SELECT qa.query_id, ca.neighbor_id, {cos_qn} AS cosine_sim
+  FROM ca JOIN qa USING (centroid_id)
+  WHERE ca.neighbor_id <> qa.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank::INT AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("ann_ivf_stored_nprobe2", oracle=_ivf_stored_nprobe2_oracle())
+def _ann_ivf_stored_nprobe2(spark, sf_dir):
+    """The STORED index probed at nprobe=2 — the multi-probe recall
+    notch (assign_top_centroids against the stored K-row model: each
+    query joins its TWO nearest cells) over the persisted layout.
+    Round 10 measured this dial's recall curve
+    (BASELINE.md §round-10); this gate pins its exactness: the stored
+    multi-probe answer must equal the replayed-program oracle with the
+    query assignment widened to rk <= 2, same tie rules. Before this
+    gate the nprobe>1 stored path was pytest-covered only
+    (monotonicity lock, tests/test_round10.py)."""
+    import shutil
+
+    from ffi_etl_spark.operators.similarity import (
+        ann_ivf_query_stored,
+        ivf_index_tables,
+        write_ivf_assignments,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _AUTOK_SLICE)
+    queries = emb.filter(F.col("vec_id") % _AUTOK_QMOD == 0)
+    centroids, assignments = ivf_index_tables(
+        emb, n_iter=_AUTOK_ROUNDS, quantize_bits=_AUTOK_BITS
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"ffi_etl_ivfnp2_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(root, ignore_errors=True)  # stale cells would add rows
+    centroids.write.parquet(os.path.join(root, "centroids"))
+    write_ivf_assignments(assignments, os.path.join(root, "assignments"))
+    return ann_ivf_query_stored(
+        spark.read.parquet(os.path.join(root, "centroids")),
+        spark.read.parquet(os.path.join(root, "assignments")),
+        queries,
+        nprobe=2,
+    )
+
+
 @query("ann_ivf_churn", oracle=_ivf_append_oracle())
 def _ann_ivf_churn(spark, sf_dir):
     """Round-10 maintenance gate: the append-CHURN lifecycle — build +

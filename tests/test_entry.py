@@ -181,10 +181,10 @@ def test_registry_priority_prefix(spark):
     # the fill.
     for must in ("survey_pipeline", "census_merge", "dedup_minhash",
                  "tpch_q1", "pretraining_corpus",
-                 "ann_ivf_churn",
+                 "ann_ivf_churn", "ann_ivf_stored_nprobe2",
                  "set_ops_retention", "unpivot_metrics",
                  "skew_salted_join", "kmeans_clusters",
-                 "similarity_histogram", "weekly_engagement"):
+                 "similarity_histogram"):
         assert names.index(must) < 50, must
     # the probes stay registered and locally gated, just out of the
     # graded window
