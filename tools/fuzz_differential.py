@@ -440,6 +440,62 @@ def gen_query(rng: random.Random) -> str:
             f"FROM {frm}{where} ORDER BY {pk}"
         )
 
+    if join_how is None and 0.26 <= shape < 0.31 and frm in _CORR:
+        # LATERAL correlated aggregate subquery in FROM (round-10b
+        # grammar, probed both engines): the lateral derived table
+        # sees the parent row's columns — a 1-row global aggregate per
+        # parent row, so the decorrelation is the scalar-subquery
+        # rewrite surfaced through FROM-position syntax (Spark lowers
+        # to the same aggregate+outer-join; DuckDB flattens). Both the
+        # comma-LATERAL and JOIN LATERAL ... ON TRUE spellings parse
+        # on both engines.
+        pk, child, ck = _CORR[frm]
+        ci = TABLES[child]["ints"]
+        inner = f"{ck} = {pk} AND {_int_pred(rng, rng.choice(ci))}"
+        aggs = [
+            "CAST(COUNT(*) AS BIGINT) AS n",
+            f"CAST(SUM(CAST({rng.choice(ci)} AS BIGINT)) AS BIGINT) AS s",
+        ]
+        if rng.random() < 0.4:
+            aggs.append(f"MIN({rng.choice(ci)}) AS mn")
+        lat = f"(SELECT {', '.join(aggs)} FROM {child} WHERE {inner})"
+        sel_lat = ", ".join(
+            "l." + a.rsplit(" AS ", 1)[1] for a in aggs
+        )
+        if rng.random() < 0.5:
+            frm2 = f"{frm}, LATERAL {lat} l"
+        else:
+            frm2 = f"{frm} JOIN LATERAL {lat} l ON TRUE"
+        return f"SELECT {pk}, {sel_lat} FROM {frm2}{where} ORDER BY {pk}"
+
+    if join_how is None and 0.31 <= shape < 0.35:
+        # VALUES inline table as a join dimension (round-10b grammar):
+        # the literal row-set's types must coerce identically on both
+        # engines before the equi-join on a derived key (int mod k),
+        # and the joined label rides into the group keys. A variant
+        # joins through a CASE-valued ON predicate — the non-column
+        # join condition both planners must evaluate, not pushdown-
+        # mangle.
+        c = rng.choice(t["ints"])
+        k = rng.choice([2, 3, 4])
+        labels = ", ".join(f"({i}, 'b{i}')" for i in range(k))
+        agg_col = rng.choice(t["ints"])
+        if rng.random() < 0.3:
+            cpred = _int_pred(rng, rng.choice(t["ints"]))
+            return (
+                f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+                f"CAST(SUM(CAST({agg_col} AS BIGINT)) AS BIGINT) AS s "
+                f"FROM {frm} JOIN (VALUES {labels}) AS v(a, b) "
+                f"ON {c} % {k} = v.a AND "
+                f"(CASE WHEN {cpred} THEN 1 ELSE 0 END) = 1"
+            )
+        return (
+            f"SELECT v.b, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM(CAST({agg_col} AS BIGINT)) AS BIGINT) AS s "
+            f"FROM {frm} JOIN (VALUES {labels}) AS v(a, b) "
+            f"ON {c} % {k} = v.a{where} GROUP BY v.b ORDER BY v.b"
+        )
+
     if (
         join_how in ("LEFT JOIN", "RIGHT JOIN", "FULL JOIN")
         and null_side is not None
@@ -939,6 +995,13 @@ def _is_round9_shape(sql: str) -> bool:
     )
 
 
+def _is_round10b_shape(sql: str) -> bool:
+    """Round-10b grammar (``new10b`` filter mode): LATERAL correlated
+    aggregates in FROM, VALUES inline-table join dimensions, and
+    CASE-valued join predicates."""
+    return "LATERAL (" in sql or "(VALUES " in sql
+
+
 def _is_round10_shape(sql: str) -> bool:
     """Round-10 grammar (``new10`` filter mode): windows over set-op
     results, set ops with mismatched-but-coercible branch types, and
@@ -965,6 +1028,7 @@ def main() -> int:
     only_new9 = mode_arg == "new9"
     only_new9b = mode_arg == "new9b"
     only_new10 = mode_arg == "new10"
+    only_new10b = mode_arg == "new10b"
 
     import duckdb
 
@@ -996,6 +1060,8 @@ def main() -> int:
             continue
         if only_new10 and not _is_round10_shape(sql):
             continue
+        if only_new10b and not _is_round10b_shape(sql):
+            continue
         ran += 1
         try:
             ok, detail = run_case(spark, con, sql)
@@ -1018,7 +1084,9 @@ def main() -> int:
         if only_new9
         else " (round-9b shapes only)"
         if only_new9b
-        else " (round-10 shapes only)" if only_new10 else ""
+        else " (round-10 shapes only)"
+        if only_new10
+        else " (round-10b shapes only)" if only_new10b else ""
     )
     print(f"{bad}/{n_cases} mismatches{mode}, seeds {seed0}..{seed - 1}")
     return 1 if bad else 0
