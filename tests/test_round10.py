@@ -8,10 +8,33 @@ nprobe, and at nprobe == cells the candidate set is the whole corpus,
 making the probe bit-identical to ``knn_bruteforce``.
 """
 
+import json
+
 import pytest
 from pyspark.sql import functions as F
 
 from ffi_etl_spark.catalog import table
+
+
+def _land_vecs(in_dir, name, rows):
+    in_dir.mkdir(parents=True, exist_ok=True)
+    with open(in_dir / name, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _drain_vecs(spark, in_dir, checkpoint, index_root, **kwargs):
+    from ffi_etl_spark.streaming.ann_ingest import stream_ann_ingest
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).json(str(in_dir))
+    q = (
+        stream_ann_ingest(stream, str(index_root), str(checkpoint), **kwargs)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
 
 
 @pytest.fixture(scope="module")
@@ -71,3 +94,71 @@ def test_ivf_recall_monotone_in_nprobe_and_exact_at_full_probe(
     a = sorted(full.collect(), key=key)
     b = sorted(exact.collect(), key=key)
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_stream_ann_ingest_bootstrap_append_replay(spark, sf_dir, tmp_path):
+    """The streaming IVF maintenance sink (streaming/ann_ingest.py):
+    bootstrap trains on the FIRST batch and every later batch adopts
+    the stored model, so the grown index answers bit-identically to a
+    one-pass assignment of all landed vectors under the bootstrap
+    model (assignment is a pure function of (vector, model)); a
+    replayed backlog appends nothing (stored-id anti-join); per-cell
+    file counts stay bounded by the layout-aware writes + compaction;
+    and a half-written index fails the batch with the remedy."""
+    import shutil
+
+    from ffi_etl_spark.operators.similarity import (
+        ann_ivf_query_stored,
+        assign_to_centroid,
+        check_ivf_layout,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    rows = [
+        {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+        for r in emb.collect()
+    ]
+    b1 = [r for r in rows if r["vec_id"] < 150]
+    b2 = [r for r in rows if 150 <= r["vec_id"] < 220]
+    b3 = [r for r in rows if r["vec_id"] >= 220]
+
+    in_dir, root = tmp_path / "in", tmp_path / "index"
+    # three drains = three micro-batches (each drain sees only new files
+    # thanks to the shared checkpoint)
+    _land_vecs(in_dir, "b1.json", b1)
+    _drain_vecs(spark, in_dir, tmp_path / "ckpt", root, quantize_bits=20)
+    _land_vecs(in_dir, "b2.json", b2)
+    _drain_vecs(spark, in_dir, tmp_path / "ckpt", root, quantize_bits=20)
+    _land_vecs(in_dir, "b3.json", b3)
+    _drain_vecs(spark, in_dir, tmp_path / "ckpt", root, quantize_bits=20,
+                compact_files_per_cell=2)
+
+    model = spark.read.parquet(str(root / "centroids"))
+    stored = spark.read.parquet(str(root / "assignments"))
+    assert stored.count() == 300
+    check_ivf_layout(model, stored)  # appended rows carry the model id
+
+    # parity: grown index == one-pass assignment under the SAME model
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    onepass = assign_to_centroid(
+        emb, model.select("centroid_id", "centroid")
+    ).withColumn("_cells", F.lit(model.count()))
+    grown = ann_ivf_query_stored(model, stored, queries)
+    direct = ann_ivf_query_stored(model, onepass, queries, trust_layout=True)
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    g = sorted(grown.collect(), key=key)
+    d = sorted(direct.collect(), key=key)
+    assert [tuple(r) for r in g] == [tuple(r) for r in d]
+    assert len(g) > 0
+
+    # replay the whole backlog with a FRESH checkpoint: every id is
+    # already indexed, nothing appends
+    _drain_vecs(spark, in_dir, tmp_path / "ckpt2", root, quantize_bits=20)
+    assert spark.read.parquet(str(root / "assignments")).count() == 300
+
+    # half-written index refuses with the remedy
+    shutil.rmtree(str(root / "assignments"))
+    _land_vecs(in_dir, "b4.json", [{"vec_id": 9999,
+                                    "embedding": rows[0]["embedding"]}])
+    with pytest.raises(Exception, match="half-written IVF index"):
+        _drain_vecs(spark, in_dir, tmp_path / "ckpt3", root, quantize_bits=20)
