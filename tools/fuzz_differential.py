@@ -496,6 +496,85 @@ def gen_query(rng: random.Random) -> str:
             f"ON {c} % {k} = v.a{where} GROUP BY v.b ORDER BY v.b"
         )
 
+    if join_how is None and 0.35 <= shape < 0.385:
+        # three-way set-op chain with NO parentheses (round-10c
+        # grammar): ANSI gives INTERSECT higher precedence than
+        # UNION/EXCEPT, and UNION/EXCEPT associate left — the
+        # precedence-and-associativity resolution itself is the
+        # surface under test (a precedence bug changes the result set,
+        # not the parse). DISTINCT projections of one table under
+        # three different predicates.
+        cols = rng.sample(t["groups"], rng.randint(1, min(2, len(t["groups"]))))
+        sel = ", ".join(cols)
+        ws = [f" WHERE {_int_pred(rng, rng.choice(t['ints']))}" for _ in range(3)]
+        op1, op2 = rng.sample(["UNION", "INTERSECT", "EXCEPT"], 2)
+        return (
+            f"SELECT DISTINCT {sel} FROM {frm}{ws[0]} {op1} "
+            f"SELECT DISTINCT {sel} FROM {frm}{ws[1]} {op2} "
+            f"SELECT DISTINCT {sel} FROM {frm}{ws[2]} ORDER BY {sel}"
+        )
+
+    if join_how is None and 0.385 <= shape < 0.41:
+        # CTE defined once, consumed TWICE (round-10c grammar): both
+        # engines must resolve the named subquery to the same relation
+        # on both references (Spark inlines or reuses the subtree;
+        # DuckDB materializes or inlines) — a self-join of a grouped
+        # CTE makes any divergence a row-count change, not noise.
+        key = rng.choice(t["ints"])
+        n_min = rng.choice([1, 2, 3])
+        return (
+            f"WITH agg AS (SELECT {key}, CAST(COUNT(*) AS BIGINT) AS n "
+            f"FROM {frm}{where} GROUP BY {key}) "
+            f"SELECT a.{key}, a.n, b.n AS n2 FROM agg a JOIN agg b "
+            f"ON a.{key} = b.{key} WHERE a.n >= {n_min} "
+            f"ORDER BY a.{key}"
+        )
+
+    if join_how is None and 0.41 <= shape < 0.43:
+        # bounded RECURSIVE CTE (round-10c grammar; probed — Spark 4.1
+        # supports WITH RECURSIVE): a generated integer sequence
+        # joined against a small int column or aggregated — the
+        # fixpoint iteration + UNION ALL accumulation semantics must
+        # agree, and the join exercises the recursive relation as a
+        # plain input downstream.
+        n = rng.choice([5, 10, 20, 30])
+        seq = (
+            f"WITH RECURSIVE seq(x) AS (SELECT 1 UNION ALL "
+            f"SELECT x + 1 FROM seq WHERE x < {n})"
+        )
+        if rng.random() < 0.5 and frm == "lineitem":
+            return (
+                f"{seq} SELECT seq.x, CAST(COUNT(*) AS BIGINT) AS n "
+                f"FROM seq JOIN lineitem ON l_linenumber = seq.x "
+                f"GROUP BY seq.x ORDER BY seq.x"
+            )
+        mod = rng.choice([2, 3, 7])
+        return (
+            f"{seq} SELECT CAST(SUM(x) AS BIGINT) AS s, "
+            f"CAST(COUNT(*) AS BIGINT) AS c, "
+            f"CAST(SUM(CASE WHEN x % {mod} = 0 THEN x ELSE 0 END) AS BIGINT) "
+            f"AS sm FROM seq"
+        )
+
+    if join_how is None and 0.43 <= shape < 0.45:
+        # NATURAL JOIN over aliased derived tables (round-10c grammar):
+        # the shared-name key discovery runs on the DERIVED schemas, so
+        # both engines must agree which columns participate (exactly
+        # the renamed key) and that the join collapses it to one
+        # output column.
+        joins = [j for j in _JOINS]
+        lt, rt, cond = rng.choice(joins)
+        lk, rk = cond.split(" = ")
+        lsel = f"SELECT {lk} AS k, {rng.choice(TABLES[lt]['ints'])} AS lv FROM {lt}"
+        rsel = f"SELECT {rk} AS k, {rng.choice(TABLES[rt]['strs'])} AS rs FROM {rt}"
+        return (
+            f"SELECT k, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM(CAST(lv AS BIGINT)) AS BIGINT) AS s "
+            f"FROM ({lsel}) a NATURAL JOIN ({rsel}) b "
+            f"WHERE k < {rng.choice([100, 500, 1000])} "
+            f"GROUP BY k HAVING COUNT(*) >= {rng.choice([1, 2])} ORDER BY k"
+        )
+
     if (
         join_how in ("LEFT JOIN", "RIGHT JOIN", "FULL JOIN")
         and null_side is not None
@@ -995,6 +1074,19 @@ def _is_round9_shape(sql: str) -> bool:
     )
 
 
+def _is_round10c_shape(sql: str) -> bool:
+    """Round-10c grammar (``new10c`` filter mode): unparenthesized
+    three-way set-op chains (precedence under test), twice-consumed
+    CTEs, bounded recursive CTEs, and NATURAL JOIN over derived
+    tables."""
+    return (
+        "WITH RECURSIVE" in sql
+        or "WITH agg AS" in sql
+        or "NATURAL JOIN" in sql
+        or sql.count(" UNION ") + sql.count(" INTERSECT ") + sql.count(" EXCEPT ") >= 2
+    )
+
+
 def _is_round10b_shape(sql: str) -> bool:
     """Round-10b grammar (``new10b`` filter mode): LATERAL correlated
     aggregates in FROM, VALUES inline-table join dimensions, and
@@ -1029,6 +1121,7 @@ def main() -> int:
     only_new9b = mode_arg == "new9b"
     only_new10 = mode_arg == "new10"
     only_new10b = mode_arg == "new10b"
+    only_new10c = mode_arg == "new10c"
 
     import duckdb
 
@@ -1062,6 +1155,8 @@ def main() -> int:
             continue
         if only_new10b and not _is_round10b_shape(sql):
             continue
+        if only_new10c and not _is_round10c_shape(sql):
+            continue
         ran += 1
         try:
             ok, detail = run_case(spark, con, sql)
@@ -1086,7 +1181,9 @@ def main() -> int:
         if only_new9b
         else " (round-10 shapes only)"
         if only_new10
-        else " (round-10b shapes only)" if only_new10b else ""
+        else " (round-10b shapes only)"
+        if only_new10b
+        else " (round-10c shapes only)" if only_new10c else ""
     )
     print(f"{bad}/{n_cases} mismatches{mode}, seeds {seed0}..{seed - 1}")
     return 1 if bad else 0
