@@ -162,3 +162,26 @@ def test_stream_ann_ingest_bootstrap_append_replay(spark, sf_dir, tmp_path):
                                     "embedding": rows[0]["embedding"]}])
     with pytest.raises(Exception, match="half-written IVF index"):
         _drain_vecs(spark, in_dir, tmp_path / "ckpt3", root, quantize_bits=20)
+
+
+def test_ivf_model_id_partitioning_invariant(spark, sf_dir):
+    """The model identity stamp must be a pure function of the model's
+    CONTENT: in the quantized (exact-integer) tier the whole training
+    pipeline is bit-deterministic, so two builds over differently-
+    partitioned inputs must produce the SAME _model_id (a layout-
+    dependent stamp would make check_ivf_layout false-refuse a valid
+    pair after any repartition); and a genuinely different model
+    (different slice) must produce a DIFFERENT one."""
+    from ffi_etl_spark.operators.similarity import ivf_index_tables
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+
+    def model_id(src, **kw):
+        cents, _ = ivf_index_tables(src, n_iter=2, quantize_bits=20, **kw)
+        return cents.select("_model_id").first()[0]
+
+    a = model_id(emb)
+    b = model_id(emb.repartition(7))
+    assert a == b
+    c = model_id(emb.filter(F.col("vec_id") < 250))
+    assert c != a
