@@ -496,6 +496,82 @@ def gen_query(rng: random.Random) -> str:
             f"ON {c} % {k} = v.a{where} GROUP BY v.b ORDER BY v.b"
         )
 
+    if join_how is None and 0.186 <= shape < 0.205:
+        # ordered-LIMIT subquery (round-10d grammar): a deterministic
+        # top-k derived table (ORDER BY a UNIQUE key, so the row set
+        # is well-defined) consumed by an aggregate or joined back to
+        # the fact — the Sort+Limit must stay INSIDE the subquery on
+        # both engines (an engine that pushes the outer join/agg below
+        # the limit changes the row set, not just the plan).
+        key = t["ints"][0]
+        k = rng.choice([10, 20, 50, 100])
+        direction = rng.choice(["ASC", "DESC"])
+        pred = ""
+        if rng.random() < 0.5:
+            pred = f" WHERE {_int_pred(rng, rng.choice(t['ints']))}"
+        # ORDER BY the FULL int tuple: the leading key alone is not
+        # unique on every table (lineitem repeats l_orderkey), and a
+        # LIMIT under a non-total order is a nondeterministic row set,
+        # not an engine-comparable query
+        okey = ", ".join(f"{c} {direction}" for c in t["ints"])
+        sub = (
+            f"SELECT {key}, {rng.choice(t['ints'])} AS v FROM {frm}{pred} "
+            f"ORDER BY {okey} LIMIT {k}"
+        )
+        if rng.random() < 0.5 and key in _SEMI:
+            ot, ok_col = _SEMI[key]
+            return (
+                f"SELECT t.{key}, CAST(COUNT(*) AS BIGINT) AS n FROM "
+                f"({sub}) t JOIN {ot} ON {ok_col} = t.{key} "
+                f"GROUP BY t.{key} ORDER BY t.{key}"
+            )
+        return (
+            f"SELECT CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS s, "
+            f"CAST(COUNT(*) AS BIGINT) AS n, MIN({key}) AS mn, "
+            f"MAX({key}) AS mx FROM ({sub}) t"
+        )
+
+    if join_how is None and 0.205 <= shape < 0.225:
+        # multiple DISTINCT aggregates in one SELECT (round-10d
+        # grammar): three COUNT(DISTINCT ...) over different columns
+        # beside a plain SUM forces Spark's Expand-based
+        # multi-distinct rewrite (one input row fans out per distinct
+        # group) while DuckDB aggregates directly — the rewrite must
+        # be value-invisible.
+        gcol = rng.choice(t["groups"])
+        d1, d2 = rng.sample(t["ints"], min(2, len(t["ints"])))[0], rng.choice(t["strs"])
+        d3 = rng.choice(t["ints"])
+        s = rng.choice(t["ints"])
+        return (
+            f"SELECT {gcol}, CAST(COUNT(DISTINCT {d1}) AS BIGINT) AS da, "
+            f"CAST(COUNT(DISTINCT {d2}) AS BIGINT) AS db, "
+            f"CAST(COUNT(DISTINCT {d3}) AS BIGINT) AS dc, "
+            f"CAST(SUM(CAST({s} AS BIGINT)) AS BIGINT) AS s "
+            f"FROM {frm}{where} GROUP BY {gcol} ORDER BY {gcol}"
+        )
+
+    if join_how is None and 0.225 <= shape < 0.24:
+        # HAVING with NO GROUP BY (round-10d grammar): legal ANSI — a
+        # global aggregate filtered by its own result (one-or-zero
+        # output rows); the engines must agree the grand-total row
+        # exists before HAVING filters it. The comma-join spelling
+        # (implicit cross join + WHERE equi-predicate) rides in the
+        # other branch — the planner must recover the equi-join.
+        if rng.random() < 0.5:
+            thresh = rng.choice([0, 3, 10, 100])
+            return (
+                f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+                f"CAST(SUM(CAST({rng.choice(t['ints'])} AS BIGINT)) AS BIGINT) "
+                f"AS s FROM {frm}{where} HAVING COUNT(*) > {thresh}"
+            )
+        lt, rt, cond = rng.choice(_JOINS)
+        gc = rng.choice(TABLES[rt]["groups"] or TABLES[lt]["groups"])
+        p = _int_pred(rng, rng.choice(TABLES[lt]["ints"]))
+        return (
+            f"SELECT {gc}, CAST(COUNT(*) AS BIGINT) AS n FROM {lt}, {rt} "
+            f"WHERE {cond} AND {p} GROUP BY {gc} ORDER BY {gc}"
+        )
+
     if join_how is None and 0.35 <= shape < 0.385:
         # three-way set-op chain with NO parentheses (round-10c
         # grammar): ANSI gives INTERSECT higher precedence than
@@ -1074,6 +1150,21 @@ def _is_round9_shape(sql: str) -> bool:
     )
 
 
+def _is_round10d_shape(sql: str) -> bool:
+    """Round-10d grammar (``new10d`` filter mode): deterministic
+    ordered-LIMIT derived tables, multi-DISTINCT aggregate rewrites,
+    HAVING without GROUP BY, and implicit comma joins."""
+    return (
+        " LIMIT " in sql
+        or sql.count("COUNT(DISTINCT") >= 2
+        or ("HAVING COUNT(*) >" in sql and "GROUP BY" not in sql)
+        or (", " in sql.split(" FROM ", 1)[-1].split(" WHERE ")[0]
+            and " JOIN " not in sql and "(VALUES" not in sql
+            and sql.count(" FROM ") == 1 and "GROUP BY" in sql
+            and ", LATERAL" not in sql)
+    )
+
+
 def _is_round10c_shape(sql: str) -> bool:
     """Round-10c grammar (``new10c`` filter mode): unparenthesized
     three-way set-op chains (precedence under test), twice-consumed
@@ -1122,6 +1213,7 @@ def main() -> int:
     only_new10 = mode_arg == "new10"
     only_new10b = mode_arg == "new10b"
     only_new10c = mode_arg == "new10c"
+    only_new10d = mode_arg == "new10d"
 
     import duckdb
 
@@ -1157,6 +1249,8 @@ def main() -> int:
             continue
         if only_new10c and not _is_round10c_shape(sql):
             continue
+        if only_new10d and not _is_round10d_shape(sql):
+            continue
         ran += 1
         try:
             ok, detail = run_case(spark, con, sql)
@@ -1183,7 +1277,9 @@ def main() -> int:
         if only_new10
         else " (round-10b shapes only)"
         if only_new10b
-        else " (round-10c shapes only)" if only_new10c else ""
+        else " (round-10c shapes only)"
+        if only_new10c
+        else " (round-10d shapes only)" if only_new10d else ""
     )
     print(f"{bad}/{n_cases} mismatches{mode}, seeds {seed0}..{seed - 1}")
     return 1 if bad else 0
