@@ -654,14 +654,92 @@ def minhash_band_index(
     Layout is self-describing like the signature table's: ``_nbkt`` (a
     constant column, ~free in parquet) records the bucket count the
     rows were hashed with, so readers ADOPT it — recomputing buckets
-    with a different modulus would prune away true candidates."""
+    with a different modulus would prune away true candidates.
+
+    ``_layout_id`` is the index's MODEL IDENTITY (the ``_model_id``
+    rule from the IVF side, VERDICT r10 item 3): the banding function
+    is fully parametric — (num_perm, bands, n_buckets) IS the model,
+    there is no trained content — so the stamp is one xxhash64 over
+    those three, read off the signature rows themselves (size(_sig),
+    size(_bands)) so it can never disagree with the data it describes.
+    ``_nbkt`` alone cannot distinguish two indexes built under
+    different SPLITS: a signature table re-materialized at (24, 4)
+    paired with a stale (12, 3) index has band keys from a different
+    banding — the probe join would silently lose true candidates, not
+    error. ``check_band_index_layout`` compares the stamp; the
+    streaming ingest heals a mismatched index by recompute (it is
+    derived state), while ``dedup_minhash_incremental`` REFUSES a
+    user-passed mismatch with the rebuild remedy.
+
+    (The hash function TIER — fast xxhash64 vs md5 — is outside the
+    stamp, as it is outside the signature table's own layout record:
+    the stored-state contract pins it at the pipeline level. A tier
+    mismatch changes every band key, so in practice the count-probe
+    reconcile and the verify stage's id join surface it.)"""
     return (
         hashed.select(
-            F.col(id_col), F.posexplode("_bands").alias("_band_idx", "_band_key")
+            F.col(id_col),
+            F.posexplode("_bands").alias("_band_idx", "_band_key"),
+            F.xxhash64(
+                F.size("_sig"), F.size("_bands"), F.lit(n_buckets)
+            ).alias("_layout_id"),
         )
         .withColumn("_nbkt", F.lit(n_buckets))
         .withColumn("_bkt", band_bucket_expr(n_buckets))
     )
+
+
+def check_band_index_layout(
+    index: DataFrame, num_perm: int, bands: int
+) -> int:
+    """Identity gate for a stored band index against the split this
+    run is using (the ``check_ivf_layout`` rule applied to the banded
+    state): the index must carry the self-describing columns AND its
+    ``_layout_id`` stamp must equal the hash of (num_perm, bands,
+    _nbkt) — a stale index built under a different split has band keys
+    from a different banding function, so probing through it would
+    silently LOSE true candidates (pruned away, not errored). 1-row
+    footer probes + one 1-row hash job; returns the adopted bucket
+    count."""
+    missing = {"_band_idx", "_band_key", "_nbkt", "_bkt", "_layout_id"} - set(
+        index.columns
+    )
+    if missing:
+        raise ValueError(
+            f"stored band index is missing column(s) {sorted(missing)} — "
+            "not a (current) minhash_band_index output; rebuild it with "
+            "minhash_band_index(signature_table) and "
+            "write_bucketed(..., '_bkt')"
+        )
+    probe = index.select("_nbkt", "_layout_id").limit(1).collect()
+    if not probe:
+        raise ValueError(
+            "stored band index is empty — cannot check its identity; "
+            "rebuild it from the signature table"
+        )
+    nbkt = int(probe[0]["_nbkt"])
+    spark = index.sparkSession
+    expected = spark.range(1).select(
+        # the build stamps xxhash64(size(_sig) INT, size(_bands) INT,
+        # lit(n_buckets) INT); the same INT-typed literals here keep
+        # the hash comparable (xxhash64 is type-sensitive)
+        F.xxhash64(
+            F.lit(num_perm).cast("int"),
+            F.lit(bands).cast("int"),
+            F.lit(nbkt).cast("int"),
+        ).alias("x")
+    ).first()["x"]
+    if int(probe[0]["_layout_id"]) != expected:
+        raise ValueError(
+            f"stored band index carries layout_id={probe[0]['_layout_id']} "
+            f"but this run's split (num_perm={num_perm}, bands={bands}, "
+            f"n_buckets={nbkt}) hashes to {expected} — the index was built "
+            "under a DIFFERENT banding (e.g. a re-materialized signature "
+            "table paired with a stale index); probing through it would "
+            "silently lose true candidates. Rebuild the index from the "
+            "current signature table"
+        )
+    return nbkt
 
 
 def infer_band_index_buckets(index: DataFrame) -> int:
@@ -863,6 +941,13 @@ def dedup_minhash_incremental(
         # trust_layout skips it for frames the caller just built with
         # these exact parameters (the streaming ingest's own batch).
         check_signature_layout(batch_hashed, num_perm, bands)
+    if corpus_band_index is not None and not trust_layout:
+        # identity gate (VERDICT r10 item 3): a user-passed index built
+        # under a different split would silently LOSE candidates in the
+        # pruned probe join — refuse with the rebuild remedy. The
+        # streaming ingest pre-gates (and heals by recompute) and
+        # passes trust_layout.
+        check_band_index_layout(corpus_band_index, num_perm, bands)
     if corpus is not None:
         union = corpus.select(id_col, text_col).unionByName(
             batch.select(id_col, text_col)

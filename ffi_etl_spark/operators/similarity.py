@@ -15,6 +15,8 @@ deterministic and DuckDB-comparable bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -644,6 +646,7 @@ def ann_ivf_query_stored(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trust_layout: bool = False,
+    probe_frac: float | None = None,
 ) -> DataFrame:
     """Top-k against a STORED IVF index (``ivf_index_tables`` output
     read back from parquet): layout-gate the pair, assign the query
@@ -654,11 +657,41 @@ def ann_ivf_query_stored(
     — with assignments partitioned by centroid_id, dynamic partition
     pruning keeps that read to the batch's cells.
 
+    ``probe_frac`` is the PRODUCTION probe dial (VERDICT r10 item 1):
+    probe a fixed FRACTION of the stored model's cells — nprobe =
+    max(1, ceil(probe_frac · cells)) — instead of a fixed integer.
+    A fixed nprobe is scale-blind: the cell count grows as √n, so the
+    probed SHARE of the corpus shrinks as the index grows and recall
+    decays with it (BENCH_IVF_RECALL_r10_sf10: recall@10 at nprobe=1
+    fell 0.142 → 0.094 across one decade of corpus growth, while any
+    fixed probed fraction holds — BASELINE.md §round-11 measures the
+    frac dial at both decades). The cell count comes from the stored
+    model's own ``_cells`` stamp (the layout gate already reads it;
+    under ``trust_layout`` a 1-row footer probe fetches it), so a
+    user's recall target survives corpus growth and re-materialization
+    without re-tuning. When set, ``probe_frac`` overrides ``nprobe``.
+
     Output is bit-identical to running ``ann_ivf_autok`` end-to-end
     with the same parameters (parity-tested): the index changes WHEN
     the build cost is paid, never the answer."""
+    cells = None
     if not trust_layout:
-        check_ivf_layout(centroids, assignments)
+        cells, _, _ = check_ivf_layout(centroids, assignments)
+    if probe_frac is not None:
+        if not 0.0 < probe_frac <= 1.0:
+            raise ValueError(
+                f"probe_frac={probe_frac} is outside (0, 1] — it is the "
+                "fraction of the stored model's cells each query probes"
+            )
+        if cells is None:
+            probe = centroids.select("_cells").limit(1).collect()
+            if not probe:
+                raise ValueError(
+                    "stored IVF centroids table is empty — cannot derive "
+                    "the cell count probe_frac scales against"
+                )
+            cells = int(probe[0]["_cells"])
+        nprobe = max(1, math.ceil(probe_frac * cells))
     model = centroids.select("centroid_id", "centroid")
     c = assignments.drop("_cells", "_model_id").withColumnsRenamed(
         {id_col: "neighbor_id", vec_col: "_cv", "vec_norm": "_cn"}
@@ -754,22 +787,15 @@ def ivf_index_append(
 def write_ivf_assignments(
     assignments: DataFrame, path: str, mode: str = "error"
 ) -> None:
-    """The WRITE for an IVF assignments table (build or append):
-    repartition on the partition column first — ``partitionBy``
-    multiplies files by writing tasks × touched partitions (the r09
-    band-index lesson), so a raw 32-task write lands 32 files into
-    EVERY cell directory, and every later probe pays those parquet
-    footer opens before any data. Measured (tools/bench_ivf_stored.py
-    --appends, sf1): the unrepartitioned build write alone taxed each
-    probe ~3× (2.0s vs 0.71s on the compacted layout). With the
-    repartition each write lands at most ONE file per touched cell —
-    the layout compaction would otherwise have to restore."""
-    (
-        assignments.repartition("centroid_id")
-        .write.mode(mode)
-        .partitionBy("centroid_id")
-        .parquet(path)
-    )
+    """The WRITE for an IVF assignments table (build or append) — the
+    shared bucketed-state writer (operators/stored_state.py) on the
+    cell column: at most ONE file per touched cell per write. Measured
+    (tools/bench_ivf_stored.py --appends, sf1): the unrepartitioned
+    build write alone taxed each probe ~3× (2.0s vs 0.71s on the
+    compacted layout)."""
+    from ffi_etl_spark.operators.stored_state import write_bucketed
+
+    write_bucketed(assignments, path, "centroid_id", mode)
 
 
 def append_ivf_assignments(new_rows: DataFrame, path: str) -> None:
@@ -793,47 +819,36 @@ def compact_ivf_assignments(
     spark,
     path: str,
     files_per_cell: int = _COMPACT_FILES_PER_CELL,
+    cells: list[int] | None = None,
 ) -> int:
     """Per-cell incremental compaction for a stored IVF assignments
-    table (VERDICT r09 item 5) — the ``minhash_band_index`` compaction
-    recipe applied to the cell-partitioned layout: find cells whose
-    directory holds more than ``files_per_cell`` parquet files (from
-    the read's own file listing — driver-side, already computed for
-    planning), read ONLY those cells (partition-pruned), pin the rows
-    (their source files are about to be replaced), and
-    dynamic-partition-overwrite exactly those cells back as one file
-    each. Cells the append churn hasn't crowded are never read or
-    rewritten, so compaction cost tracks the crowded fraction, not the
-    corpus — the 100 TB posture: an append-heavy cell gets rewritten
-    once per ``files_per_cell`` appends, a cold cell never.
+    table (VERDICT r09 item 5) — the shared bucketed-state compaction
+    (operators/stored_state.py) on the cell column: read ONLY the
+    crowded cells (partition-pruned), dynamic-partition-overwrite
+    exactly those cells back as one file each. Cost tracks the crowded
+    fraction, never the corpus.
+
+    ``cells``: the explicit work list. When the CALLER already knows
+    which cells are crowded — the streaming sink maintains a per-cell
+    append counter seeded by one listing (streaming/ann_ingest.py) —
+    passing it skips this function's own file listing, which on object
+    stores is a recursive walk of the ever-growing assignments tree
+    (ADVICE r10). When None, cells holding more than ``files_per_cell``
+    files are discovered from the read's planning-time listing.
 
     Rewrites files only — never rows — so probe results are
-    bit-identical before and after (parity-tested). Returns the number
-    of cells compacted (0 = nothing crowded, nothing touched)."""
-    import re
-    from collections import Counter
-
-    df = spark.read.parquet(path)
-    counts: Counter = Counter()
-    for f in df.inputFiles():
-        m = re.search(r"centroid_id=(\d+)/", f)
-        if m:
-            counts[int(m.group(1))] += 1
-    crowded = sorted(c for c, n in counts.items() if n > files_per_cell)
-    if not crowded:
-        return 0
-    rows = df.filter(F.col("centroid_id").isin(crowded)).localCheckpoint(eager=True)
-    (
-        # repartition on the partition column first: partitionBy
-        # multiplies files by writing tasks × touched partitions
-        # (the r09 band-index lesson — ~2k files/batch without it)
-        rows.repartition("centroid_id")
-        .write.partitionBy("centroid_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(path)
+    bit-identical before and after (parity-gated by ``ann_ivf_churn``).
+    Returns the number of cells compacted (0 = nothing touched)."""
+    from ffi_etl_spark.operators.stored_state import (
+        compact_buckets,
+        crowded_buckets,
     )
-    return len(crowded)
+
+    if cells is None:
+        cells = crowded_buckets(
+            spark.read.parquet(path), "centroid_id", files_per_cell
+        )
+    return compact_buckets(spark, path, "centroid_id", cells)
 
 
 def ivf_quantizer_drift(

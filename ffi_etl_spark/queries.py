@@ -71,13 +71,12 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
 # therefore a grading decision; `tools/rotation.py` machine-derives the
 # graded/green/never-graded sets from CORRECTNESS_r*.json and proposes
 # the next prefix (VERDICT r04 item 6 — no more hand-counted TODO
-# lists). Round-10 rotation: the board entered the round fully green
-# (254/254 graded-ever green), so the window stays FRESHNESS-ONLY —
-# 5 continuity canaries + the 2 never-graded round-10 queries
-# (ann_ivf_churn, the append-churn + compaction gate, and
-# ann_ivf_stored_nprobe2, the stored multi-probe gate — round7.py) +
-# 43 oldest-graded greens, rotation.py's proposal order.
-# The round-9 families (domain curation, persisted-IVF trio) rotate
+# lists). Round-11 rotation: the board entered the round fully green
+# (256/256 graded-ever green), so the window stays FRESHNESS-ONLY —
+# 5 continuity canaries + the 1 never-graded round-11 query
+# (ann_ivf_stored_fracprobe, the probed-fraction dial gate —
+# round7.py) + 44 oldest-graded greens, rotation.py's proposal order.
+# The round-10 gates (ann_ivf_churn, ann_ivf_stored_nprobe2) rotate
 # out as freshly-graded greens; they stay registered and local-gated.
 PRIORITY_PREFIX: tuple[str, ...] = (
     # -- canaries: green every prior round, kept for continuity --
@@ -86,53 +85,53 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "dedup_minhash",
     "tpch_q1",
     "pretraining_corpus",
-    # -- never-graded: the round-10 maintenance + multi-probe gates --
-    "ann_ivf_churn",
-    "ann_ivf_stored_nprobe2",
+    # -- never-graded: the round-11 probed-fraction gate --
+    "ann_ivf_stored_fracprobe",
     # -- freshness fill: oldest-graded greens (rotation.py order) --
-    "set_ops_retention",
-    "unpivot_metrics",
-    "stats_moments",
-    "grouped_list_agg",
-    "embedding_unit_norm",
-    "approx_quantiles",
-    "skew_salted_join",
-    "heavy_hitters_sketch",
-    "quality_percentile_gate",
-    "ewma_smoothing",
-    "mixture_temperature",
-    "training_export",
-    "dedup_keep_best",
-    "training_order",
-    "dataset_diff",
-    "bm25_rank",
-    "dedup_survivors",
-    "embedding_quantize_int8",
-    "first_touch_attribution",
-    "event_count_anomaly",
-    "winsorize_scale",
-    "gdpr_forget_audit",
-    "train_val_test_split",
-    "star_denormalize",
-    "mad_outliers",
-    "skyline_pareto",
-    "dedup_minhash_fast",
-    "dedup_simhash_fast",
-    "ann_brp_lsh",
-    "kmeans_clusters",
-    "token_entropy",
-    "pagerank_centrality",
-    "countmin_frequency",
-    "random_projection",
-    "lm_transition_anomaly",
-    "dedup_cluster_profile",
-    "knn_int8_codes",
-    "label_propagation_communities",
-    "mode_agg",
-    "percent_change_mom",
-    "activity_gaps",
-    "vocab_growth",
-    "similarity_histogram",
+    "weekly_engagement",
+    "power_users_pareto",
+    "dedup_containment",
+    "k_anonymity_audit",
+    "top_user_paths",
+    "token_budget_mixture",
+    "padding_efficiency",
+    "daily_autocorr",
+    "ccnet_quality_tiers",
+    "vocab_coverage",
+    "rfm_features",
+    "lang_confusion",
+    "constraint_audit",
+    "split_leakage_audit",
+    "corr_matrix",
+    "mixture_curriculum",
+    "dedup_semantic",
+    "doc_lm_fluency",
+    "l_diversity_audit",
+    "join_cardinality_probe",
+    "incremental_agg_maintenance",
+    "dp_noised_release",
+    "rendezvous_resharding",
+    "kmv_set_algebra",
+    "clustering_coefficient",
+    "market_basket_lift",
+    "zorder_locality",
+    "dedup_span_scrub",
+    "hybrid_rrf_fusion",
+    "dsir_importance",
+    "woe_iv_encoding",
+    "repetition_span_scrub",
+    "bpe_learn_merges",
+    "bpe_encode_corpus",
+    "quantile_summary_merge",
+    "tree_ensemble_score",
+    "model_auc_exact",
+    "model_classification_report",
+    "nb_lang_train_score",
+    "model_calibration_bins",
+    "model_isotonic_calibration",
+    "forecast_backtest_wape",
+    "daily_trend_ols",
+    "conversion_wilson_ci",
 )
 
 

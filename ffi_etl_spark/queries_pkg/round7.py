@@ -342,11 +342,14 @@ def _ann_ivf_append(spark, sf_dir):
     return ann_ivf_query_stored(stored_model, spark.read.parquet(apath), queries)
 
 
-def _ivf_stored_nprobe2_oracle() -> str:
-    """The autok oracle with the QUERY assignment widened to its top-2
-    cells (rk <= 2) — the recall dial's multi-probe notch against the
-    STORED index. (query, neighbor) pairs stay unique because each
-    NEIGHBOR lives in exactly one cell; only the probe set doubles."""
+def _ivf_stored_multiprobe_oracle(rk: int = 2) -> str:
+    """The autok oracle with the QUERY assignment widened to its top-rk
+    cells — the recall dial's multi-probe notch against the STORED
+    index. (query, neighbor) pairs stay unique because each NEIGHBOR
+    lives in exactly one cell; only the probe set widens. rk=2 is the
+    ann_ivf_stored_nprobe2 gate; ann_ivf_stored_fracprobe passes the
+    ceil(probe_frac · cells) the engine derives from the stored
+    ``_cells`` stamp."""
     from ffi_etl_spark.queries_pkg.extensions import _COS, _kmeans_det_cte
 
     scale = f"{1 << _AUTOK_BITS}.0"
@@ -380,7 +383,7 @@ cf AS (
            ) AS rk
     FROM e CROSS JOIN cf c
     WHERE e.vec_id % {_AUTOK_QMOD} = 0
-  ) WHERE rk <= 2
+  ) WHERE rk <= {rk}
 ), scored AS (
   SELECT qa.query_id, ca.neighbor_id, {cos_qn} AS cosine_sim
   FROM ca JOIN qa USING (centroid_id)
@@ -396,7 +399,7 @@ FROM ranked WHERE rank <= 10
 """
 
 
-@query("ann_ivf_stored_nprobe2", oracle=_ivf_stored_nprobe2_oracle())
+@query("ann_ivf_stored_nprobe2", oracle=_ivf_stored_multiprobe_oracle(2))
 def _ann_ivf_stored_nprobe2(spark, sf_dir):
     """The STORED index probed at nprobe=2 — the multi-probe recall
     notch (assign_top_centroids against the stored K-row model: each
@@ -431,6 +434,53 @@ def _ann_ivf_stored_nprobe2(spark, sf_dir):
         spark.read.parquet(os.path.join(root, "assignments")),
         queries,
         nprobe=2,
+    )
+
+
+# probe_frac for the fracprobe gate: ceil(0.1 * 22 cells) = 3 probed
+# cells — the oracle pins rk <= 3, and test_round11 locks the ceil rule
+# itself (effective nprobe grows with the stored cell count).
+_FRACPROBE = 0.1
+_FRACPROBE_RK = 3  # ceil(_FRACPROBE * _AUTOK_CELLS); pytest-pinned
+
+
+@query("ann_ivf_stored_fracprobe", oracle=_ivf_stored_multiprobe_oracle(_FRACPROBE_RK))
+def _ann_ivf_stored_fracprobe(spark, sf_dir):
+    """The STORED index probed at a fixed FRACTION of its cells
+    (probe_frac=0.1 → nprobe = ceil(0.1 · 22) = 3 on the gate slice) —
+    the production probe dial (VERDICT r10 item 1). A fixed integer
+    nprobe is scale-blind: cells grow as √n, so the probed share
+    shrinks as the corpus grows and recall decays with it
+    (BENCH_IVF_RECALL_r10_sf10 measured the decay; BASELINE.md
+    §round-11 shows the frac dial holding across the same decade).
+    The engine derives nprobe from the stored model's own ``_cells``
+    stamp — the oracle replays the program with the query assignment
+    widened to rk <= 3, so a ceil-rule or stamp-read bug fails the
+    hash, not just a recall curve."""
+    import shutil
+
+    from ffi_etl_spark.operators.similarity import (
+        ann_ivf_query_stored,
+        ivf_index_tables,
+        write_ivf_assignments,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _AUTOK_SLICE)
+    queries = emb.filter(F.col("vec_id") % _AUTOK_QMOD == 0)
+    centroids, assignments = ivf_index_tables(
+        emb, n_iter=_AUTOK_ROUNDS, quantize_bits=_AUTOK_BITS
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"ffi_etl_ivffrac_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(root, ignore_errors=True)  # stale cells would add rows
+    centroids.write.parquet(os.path.join(root, "centroids"))
+    write_ivf_assignments(assignments, os.path.join(root, "assignments"))
+    return ann_ivf_query_stored(
+        spark.read.parquet(os.path.join(root, "centroids")),
+        spark.read.parquet(os.path.join(root, "assignments")),
+        queries,
+        probe_frac=_FRACPROBE,
     )
 
 

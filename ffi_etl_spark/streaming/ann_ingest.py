@@ -1,4 +1,4 @@
-"""Streaming maintenance of the persisted IVF index (round 10).
+"""Streaming maintenance of the persisted IVF index (rounds 10-11).
 
 The ``stream_dedup_ingest`` architecture applied to the ANN tier: a
 vector stream lands into the ``ivf_index_tables`` layout — bootstrap
@@ -13,25 +13,45 @@ refuse). Per batch:
     delivery becomes effectively-once for the index, the dedup
     ingest's corpus rule;
   * the optional drift CONTRACT (``max_below_floor_share``) refuses a
-    batch the stored quantizer no longer describes — the stream FAILS
-    with the re-materialize remedy rather than silently appending
-    vectors into cells that don't describe them (a pipeline that
-    wants rebuild-on-drift catches this and re-materializes, the
-    ``examples/ann_index_maintenance.py`` loop);
+    batch the stored quantizer no longer describes. With
+    ``rebuild_on_drift`` (round 11, VERDICT r10 item 2) the refusal is
+    WIRED to its remedy instead of stopping the pipeline: the index is
+    re-materialized over stored-corpus ∪ batch (``ivf_index_tables``
+    — exactly the error message's prescription) into side directories
+    and atomically swapped in (the profile.py aside→replace→drop
+    protocol, with torn-swap recovery at every batch start), so the
+    drifted batch enters under a model that DOES describe it and the
+    adopt-never-retrain rule is preserved — the new model starts a new
+    era, it never mixes with the old rows (the whole table is
+    re-assigned). Without the flag the batch fails with the remedy
+    text — the round-10 behavior — for pipelines that want a human
+    decision;
   * appends go through ``append_ivf_assignments`` (one file per
     touched cell per batch) and crowded cells are compacted back to
     one file each (``compact_ivf_assignments``) — the per-cell footer
-    count stays bounded over an unbounded stream.
+    count stays bounded over an unbounded stream. Crowded-cell
+    DISCOVERY costs one file listing per sink lifetime, not one per
+    batch (ADVICE r10): the sink seeds a per-cell file counter from
+    the first append's listing, then maintains it from each append's
+    own touched-cell set (a ≤K-row collect of the batch's distinct
+    cells — bounded by the model size, the ingest's
+    bounded-driver-probe class).
 
 Scale posture: per-batch cost is |batch|·K cosines (one K-row model
 broadcast) + the stored-id anti-join + the touched cells' rewrite;
-the corpus bulk is never rescanned and never shuffles. The one
-unbounded term is the stored-id column scan, the same narrow
-per-batch term the dedup ingest's signature state carries (measured
-~1s per 10× state at sf10 trickle — INGEST_r9.json).
+the corpus bulk is never rescanned and never shuffles — EXCEPT on a
+drift rebuild, which pays one full re-materialization (n·√n) by
+design: that cost was always owed once drift crossed the contract,
+and the swap amortizes it over every later batch. The one unbounded
+per-batch term is the stored-id column scan, the same narrow term the
+dedup ingest's signature state carries (measured ~1s per 10× state at
+sf10 trickle — INGEST_r9.json).
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 from pyspark.sql import DataFrame
 
@@ -39,6 +59,72 @@ from pyspark.sql import DataFrame
 # (ffi-etl notebooks write full refreshed tables per run) onto
 # Structured Streaming state maintenance; the reference has no
 # streaming surface (SURVEY.md §2.10).
+
+_NEW_SUFFIX = ".__rebuild_new__"
+_OLD_SUFFIX = ".__rebuild_old__"
+
+
+def _recover_torn_swap(cpath: str, apath: str) -> None:
+    """Startup/batch-start recovery for the two-table index swap.
+
+    The commit protocol (``_swap_index``) is: write BOTH ``__new__``
+    dirs fully, then per table rename live→``__old__`` and
+    ``__new__``→live, then drop both ``__old__``. The recovery rule is
+    decided by the ``__old__`` markers: any ``__old__`` present means
+    both ``__new__`` dirs were complete when the commit started, so
+    roll FORWARD (finish the renames, drop the olds); ``__new__``
+    without any ``__old__`` means the crash hit during the side
+    writes, so roll BACK (drop the partial ``__new__`` dirs — the
+    rebuild re-triggers on the next drifted batch, and the live index
+    was never touched). Either way the pair ends coherent, which is
+    what ``check_ivf_layout``'s model-identity gate needs."""
+    news = [p + _NEW_SUFFIX for p in (cpath, apath)]
+    olds = [p + _OLD_SUFFIX for p in (cpath, apath)]
+    if any(os.path.exists(o) for o in olds):
+        for live, new in zip((cpath, apath), news):
+            if os.path.exists(new):
+                if os.path.exists(live):
+                    # live→old rename hadn't happened for this table
+                    old = live + _OLD_SUFFIX
+                    if not os.path.exists(old):
+                        os.rename(live, old)
+                    else:  # both live and old exist: new is stale
+                        shutil.rmtree(new)
+                        continue
+                os.rename(new, live)
+        for o in olds:
+            if os.path.exists(o):
+                shutil.rmtree(o)
+    else:
+        for n in news:
+            if os.path.exists(n):
+                shutil.rmtree(n)
+
+
+def _swap_index(centroids, assignments, cpath: str, apath: str) -> None:
+    """Atomically (crash-safely, with ``_recover_torn_swap``) replace
+    the stored two-table index with a freshly materialized one: write
+    both side dirs fully, then aside→replace→drop (profile.py's
+    ledger-swap protocol extended to a dir PAIR — the ``__old__``
+    marker is the commit point the recovery rule keys on). Centroids
+    (the K-row model) commit first so any torn window holds at most a
+    mixed pair, which the model-identity gate refuses rather than
+    serves."""
+    from ffi_etl_spark.operators.similarity import write_ivf_assignments
+
+    cnew, anew = cpath + _NEW_SUFFIX, apath + _NEW_SUFFIX
+    for p in (cnew, anew):
+        shutil.rmtree(p, ignore_errors=True)
+    centroids.write.parquet(cnew)
+    write_ivf_assignments(assignments, anew)
+    for live, new in ((cpath, cnew), (apath, anew)):
+        if os.path.exists(live):
+            os.rename(live, live + _OLD_SUFFIX)
+        os.rename(new, live)
+    for live in (cpath, apath):
+        old = live + _OLD_SUFFIX
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
 
 def stream_ann_ingest(
@@ -53,6 +139,7 @@ def stream_ann_ingest(
     max_below_floor_share: float | None = None,
     sim_floor: float = 0.5,
     compact_files_per_cell: int = 16,
+    rebuild_on_drift: bool = False,
 ):
     """foreachBatch sink maintaining ``index_root``/centroids +
     ``index_root``/assignments as a persisted IVF index over a vector
@@ -67,9 +154,13 @@ def stream_ann_ingest(
     tables present) fails the batch with the remedy — appending
     against a model that isn't there, or re-bootstrapping over
     orphaned assignments, would both corrupt the layout silently.
-    """
-    import os
 
+    ``rebuild_on_drift`` (requires ``max_below_floor_share``): when a
+    batch trips the drift contract, re-materialize over
+    stored ∪ batch and atomically swap instead of failing the stream
+    — see the module docstring. The index layout must be on the local
+    filesystem for this (the os.rename commit protocol; distributed
+    stores need a transactional table format)."""
     from pyspark.errors import AnalysisException
 
     from ffi_etl_spark.operators.similarity import (
@@ -79,9 +170,17 @@ def stream_ann_ingest(
         ivf_index_tables,
         write_ivf_assignments,
     )
+    from ffi_etl_spark.operators.stored_state import bucket_file_counts
 
     cpath = os.path.join(index_root, "centroids")
     apath = os.path.join(index_root, "assignments")
+    # Per-cell file counter for compaction discovery (ADVICE r10): None
+    # until seeded by ONE listing on the first append batch; thereafter
+    # maintained from each append's own touched-cell set, so an
+    # unbounded stream never re-lists the ever-growing assignments
+    # tree. Reset to None whenever the layout is replaced wholesale
+    # (drift rebuild) — the next append re-seeds from the fresh tree.
+    state: dict = {"cell_files": None}
 
     def _read_or_none(spark, path):
         # first batch: the table does not exist yet; any OTHER failure
@@ -94,6 +193,8 @@ def stream_ann_ingest(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if rebuild_on_drift:
+            _recover_torn_swap(cpath, apath)
         if not batch_df.take(1):
             return
         batch = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
@@ -118,17 +219,65 @@ def stream_ann_ingest(
             centroids.write.parquet(cpath)
             write_ivf_assignments(assignments, apath)
             return
-        new_rows = ivf_index_append(
-            model,
-            stored,
-            batch,
-            id_col=id_col,
-            vec_col=vec_col,
-            max_below_floor_share=max_below_floor_share,
-            sim_floor=sim_floor,
-        )
+        try:
+            new_rows = ivf_index_append(
+                model,
+                stored,
+                batch,
+                id_col=id_col,
+                vec_col=vec_col,
+                max_below_floor_share=max_below_floor_share,
+                sim_floor=sim_floor,
+            )
+        except ValueError as e:
+            if not (rebuild_on_drift and "quantizer drift" in str(e)):
+                raise
+            # the refusal's own remedy, wired (VERDICT r10 item 2):
+            # re-materialize over the grown corpus — stored vectors ∪
+            # this batch (the assignments table carries the vectors, so
+            # no second corpus copy exists to drift from) — and swap.
+            # The batch's ids enter UNDER the new model; a replay of
+            # this batch after the swap anti-joins to nothing. The old
+            # model's rows never mix with the new model's: the whole
+            # table is re-assigned in one pass (adopt-never-retrain
+            # holds — eras are swapped, not blended).
+            fresh = batch.join(stored.select(id_col), id_col, "left_anti")
+            corpus = stored.select(id_col, vec_col).unionByName(
+                fresh.select(id_col, vec_col)
+            )
+            centroids, assignments = ivf_index_tables(
+                corpus, n_iter=n_iter, quantize_bits=quantize_bits, cells=cells,
+            )
+            _swap_index(centroids, assignments, cpath, apath)
+            state["cell_files"] = None  # fresh layout: re-seed on next append
+            return
+        new_rows = new_rows.localCheckpoint(eager=True)  # feeds write + cells
         append_ivf_assignments(new_rows, apath)
-        compact_ivf_assignments(spark, apath, files_per_cell=compact_files_per_cell)
+        # touched cells: ≤K values (bounded by the model), the same
+        # bounded-collect class as the ingest's probe decisions
+        touched = [
+            r["centroid_id"]
+            for r in new_rows.select("centroid_id").distinct().collect()
+        ]
+        if state["cell_files"] is None:
+            # one listing per sink lifetime: seed AFTER this append so
+            # the counts already include its files
+            state["cell_files"] = bucket_file_counts(
+                spark.read.parquet(apath), "centroid_id"
+            )
+        else:
+            for c in touched:
+                state["cell_files"][c] += 1
+        crowded = sorted(
+            c
+            for c, n in state["cell_files"].items()
+            if n > compact_files_per_cell
+        )
+        if compact_ivf_assignments(
+            spark, apath, files_per_cell=compact_files_per_cell, cells=crowded
+        ):
+            for c in crowded:
+                state["cell_files"][c] = 1
 
     return vecs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint

@@ -101,14 +101,14 @@ def _batch_survivors(
 
 
 def _write_band_index(index_rows: DataFrame, path: str, mode: str) -> None:
-    """One file per bucket per write: without the repartition, every
-    upstream task writes its own file into every bucket directory it
-    touches — up to tasks×buckets tiny files PER BATCH (measured: the
-    round-9 first cut appended ~2k files/batch and the per-batch read
-    cost grew ~3s/batch from parquet footer opens alone). The shuffle
-    this adds is batch-scale band rows — noise next to the file-count
-    blowup it prevents."""
-    index_rows.repartition("_bkt").write.partitionBy("_bkt").mode(mode).parquet(path)
+    """One file per bucket per write — the shared bucketed-state
+    writer (operators/stored_state.py) on ``_bkt``. (This module is
+    where the rule was measured: the round-9 first cut appended ~2k
+    files/batch and the per-batch read cost grew ~3s/batch from
+    parquet footer opens alone.)"""
+    from ffi_etl_spark.operators.stored_state import write_bucketed
+
+    write_bucketed(index_rows, path, "_bkt", mode)
 
 
 # Files a single bucket directory may accumulate before that bucket is
@@ -170,40 +170,24 @@ def _auto_band_index(spark, sigs_path: str, threshold_bytes: int) -> str | None:
 
 def _crowded_buckets(index: DataFrame) -> list[int]:
     """Buckets whose directory holds more than the per-bucket file
-    threshold — derived from the read's own file listing (driver-side,
-    already computed for planning; no extra FS walk)."""
-    import re
-    from collections import Counter
+    threshold — the shared discovery (operators/stored_state.py) on
+    ``_bkt``, from the read's own planning-time file listing."""
+    from ffi_etl_spark.operators.stored_state import crowded_buckets
 
-    counts: Counter = Counter()
-    for f in index.inputFiles():
-        m = re.search(r"_bkt=(\d+)/", f)
-        if m:
-            counts[int(m.group(1))] += 1
-    return sorted(b for b, c in counts.items() if c > _COMPACT_FILES_PER_BUCKET)
+    return crowded_buckets(index, "_bkt", _COMPACT_FILES_PER_BUCKET)
 
 
 def _compact_band_index(spark, band_index: DataFrame, path: str) -> DataFrame:
-    """Per-bucket incremental compaction — the 100 TB refinement over
-    whole-index rebuild: read ONLY the crowded buckets (partition-
-    pruned), pin the rows (the source files are about to be replaced),
-    and dynamic-partition-overwrite exactly those buckets back as one
-    file each. Buckets the stream hasn't crowded are never read or
-    rewritten, so compaction cost tracks the crowded fraction, not the
-    corpus. Returns the (possibly re-read) index frame."""
-    from pyspark.sql import functions as F
+    """Per-bucket incremental compaction — the shared bucketed-state
+    compaction (operators/stored_state.py) on ``_bkt``: only crowded
+    buckets are read (partition-pruned) and rewritten as one file
+    each, so cost tracks the crowded fraction, not the corpus.
+    Returns the (possibly re-read) index frame."""
+    from ffi_etl_spark.operators.stored_state import compact_buckets
 
     crowded = _crowded_buckets(band_index)
-    if not crowded:
+    if not compact_buckets(spark, path, "_bkt", crowded):
         return band_index
-    rows = band_index.filter(F.col("_bkt").isin(crowded)).localCheckpoint(eager=True)
-    (
-        rows.repartition("_bkt")
-        .write.partitionBy("_bkt")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(path)
-    )
     return spark.read.parquet(path)
 
 
@@ -304,7 +288,7 @@ def stream_dedup_ingest(
 
     from ffi_etl_spark.operators.dedup import (
         BAND_INDEX_BUCKETS,
-        infer_band_index_buckets,
+        check_band_index_layout,
         minhash_band_index,
         minhash_signature_table,
     )
@@ -507,7 +491,18 @@ def stream_dedup_ingest(
                 # pinned, and dynamic-partition-overwritten back as one
                 # file each; untouched buckets are never read.
                 if band_index is not None:
-                    n_bkt = infer_band_index_buckets(band_index)
+                    try:
+                        # identity gate (VERDICT r10 item 3): an index
+                        # built under a different split (or a pre-stamp
+                        # layout) is derived state here — heal by
+                        # recompute, the same rule as the count probe.
+                        # dedup_minhash_incremental REFUSES instead for
+                        # user-passed indexes; this sink owns its own.
+                        n_bkt = check_band_index_layout(
+                            band_index, num_perm, bands
+                        )
+                    except ValueError:
+                        band_index = None
                 if band_index is None or band_index.count() != n_sigs * bands:
                     _write_band_index(
                         minhash_band_index(corpus_hashed, id_col, n_bkt),

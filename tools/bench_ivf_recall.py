@@ -31,6 +31,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("src", nargs="?", default="testdata_local/sf1/embeddings.parquet")
     ap.add_argument("--nprobe", default="1,2,4,8")
+    ap.add_argument("--frac", default=None,
+                    help="comma list of probe_frac values; when set, the "
+                         "curve is measured on the FRACTION dial "
+                         "(nprobe = ceil(frac*cells)) instead of fixed "
+                         "nprobe — run at two SFs to see the fraction "
+                         "hold where fixed nprobe decays (round 11)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--qmod", type=int, default=199,
                     help="query set = vec_id %% qmod == 0")
@@ -73,18 +79,28 @@ def main() -> None:
     n_exact = exact.count()
 
     rows = []
-    for nprobe in [int(x) for x in args.nprobe.split(",")]:
+    if args.frac is not None:
+        import math
+
+        dials = [("probe_frac", float(x)) for x in args.frac.split(",")]
+    else:
+        dials = [("nprobe", int(x)) for x in args.nprobe.split(",")]
+    for kind, dial in dials:
         t0 = time.monotonic()
+        kw = {kind: dial}
         ann = ann_ivf_query_stored(
-            model, index, queries, k=args.k, nprobe=nprobe
+            model, index, queries, k=args.k, **kw
         ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
         sec = round(time.monotonic() - t0, 2)
         hits = ann.join(exact, ["query_id", "neighbor_id"], "inner").count()
-        rows.append({
-            "nprobe": nprobe,
+        row = {
+            kind: dial,
             "recall_at_k": round(hits / n_exact, 4),
             "probe_sec": sec,
-        })
+        }
+        if kind == "probe_frac":
+            row["effective_nprobe"] = max(1, math.ceil(dial * cells))
+        rows.append(row)
         print(json.dumps(rows[-1]), flush=True)
 
     summary = {

@@ -496,7 +496,15 @@ def gen_query(rng: random.Random) -> str:
             f"ON {c} % {k} = v.a{where} GROUP BY v.b ORDER BY v.b"
         )
 
-    if join_how is None and 0.186 <= shape < 0.205:
+    # Round-10d branches live in [0.92, 0.98) — the tail the earlier
+    # rounds never claimed. Their first cut reused [0.186, 0.24), which
+    # was already consumed: [0.186, 0.21) by the unconditional
+    # round-10 set-op branch above, [0.21, 0.26) by the _CORR-gated
+    # scalar-subquery branch for 4 of the tables — so the ordered-LIMIT
+    # grammar NEVER generated and the other two generated only on the
+    # _CORR-miss slivers (ADVICE r10). test_fuzz_grammar_coverage now
+    # locks every arm to ≥1 generating seed in a fixed sweep.
+    if join_how is None and 0.92 <= shape < 0.94:
         # ordered-LIMIT subquery (round-10d grammar): a deterministic
         # top-k derived table (ORDER BY a UNIQUE key, so the row set
         # is well-defined) consumed by an aggregate or joined back to
@@ -518,6 +526,30 @@ def gen_query(rng: random.Random) -> str:
             f"SELECT {key}, {rng.choice(t['ints'])} AS v FROM {frm}{pred} "
             f"ORDER BY {okey} LIMIT {k}"
         )
+        if rng.random() < 0.35:
+            # set op UNDER two LIMIT-ordered derived tables (round-11
+            # grammar): each branch is a deterministic top-k (total
+            # order over the full int tuple), and the parenthesized
+            # query-term spelling forces both planners to keep each
+            # Sort+Limit INSIDE its branch before the set op's
+            # distinct/bag semantics apply (probed both engines).
+            k2 = rng.choice([10, 20, 50])
+            pred2 = ""
+            if rng.random() < 0.5:
+                pred2 = f" WHERE {_int_pred(rng, rng.choice(t['ints']))}"
+            okey2 = ", ".join(
+                f"{c} {rng.choice(['ASC', 'DESC'])}" for c in t["ints"]
+            )
+            sub2 = (
+                f"SELECT {key}, {rng.choice(t['ints'])} AS v FROM {frm}{pred2} "
+                f"ORDER BY {okey2} LIMIT {k2}"
+            )
+            setop = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+            return (
+                f"SELECT CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS s, "
+                f"CAST(COUNT(*) AS BIGINT) AS n, MIN({key}) AS mn, "
+                f"MAX({key}) AS mx FROM (({sub}) {setop} ({sub2})) t"
+            )
         if rng.random() < 0.5 and key in _SEMI:
             ot, ok_col = _SEMI[key]
             return (
@@ -531,7 +563,7 @@ def gen_query(rng: random.Random) -> str:
             f"MAX({key}) AS mx FROM ({sub}) t"
         )
 
-    if join_how is None and 0.205 <= shape < 0.225:
+    if join_how is None and 0.94 <= shape < 0.96:
         # multiple DISTINCT aggregates in one SELECT (round-10d
         # grammar): three COUNT(DISTINCT ...) over different columns
         # beside a plain SUM forces Spark's Expand-based
@@ -550,7 +582,7 @@ def gen_query(rng: random.Random) -> str:
             f"FROM {frm}{where} GROUP BY {gcol} ORDER BY {gcol}"
         )
 
-    if join_how is None and 0.225 <= shape < 0.24:
+    if join_how is None and 0.96 <= shape < 0.98:
         # HAVING with NO GROUP BY (round-10d grammar): legal ANSI — a
         # global aggregate filtered by its own result (one-or-zero
         # output rows); the engines must agree the grand-total row
@@ -570,6 +602,63 @@ def gen_query(rng: random.Random) -> str:
         return (
             f"SELECT {gc}, CAST(COUNT(*) AS BIGINT) AS n FROM {lt}, {rt} "
             f"WHERE {cond} AND {p} GROUP BY {gc} ORDER BY {gc}"
+        )
+
+    if join_how is None and 0.98 <= shape < 0.99:
+        # ROLLUP / CUBE keyword spellings (round-11 grammar): the
+        # existing grouping-sets arm covers only the explicit GROUPING
+        # SETS list — ROLLUP(a, b) and CUBE(a, b) expand to DIFFERENT
+        # set lists (prefixes vs the power set) and both expansions
+        # must agree before the NULL-group rows can compare. GROUPING()
+        # columns ride along so a super-aggregate NULL is
+        # distinguishable from a genuine NULL group on both engines
+        # (probed both engines).
+        gcands = list(dict.fromkeys(t["groups"] + t["strs"]))
+        gcols = rng.sample(gcands, min(2, len(gcands)))
+        op = rng.choice(["ROLLUP", "CUBE"])
+        sel_g = ", ".join(gcols)
+        grpids = ", ".join(
+            f"CAST(GROUPING({c}) AS BIGINT) AS g{i}" for i, c in enumerate(gcols)
+        )
+        acol = rng.choice(t["ints"])
+        # HAVING COUNT(*) > 0 is UNCONDITIONAL (the grouping-sets arm's
+        # rule): over an EMPTY filtered input the engines genuinely
+        # diverge on the () super-aggregate — DuckDB emits the ANSI
+        # grand-total row (COUNT=0), Spark emits nothing (measured,
+        # seeds 2000139/2001089/2001828). The clause excludes exactly
+        # that row by construction, like the NULLS FIRST pins.
+        having = f" HAVING COUNT(*) > {rng.choice([0, 0, 2, 10])}"
+        return (
+            f"SELECT {sel_g}, {grpids}, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM(CAST({acol} AS BIGINT)) AS BIGINT) AS s "
+            f"FROM {frm}{where} GROUP BY {op} ({sel_g}){having} "
+            f"ORDER BY {', '.join(f'{c} NULLS FIRST' for c in gcols)}, "
+            f"{', '.join(f'g{i}' for i in range(len(gcols)))}"
+        )
+
+    semi_sel = [c for c in t["ints"] if c in _SEMI]
+    if join_how is None and 0.99 <= shape and semi_sel:
+        # correlated EXISTS / IN in the SELECT list (round-11 grammar):
+        # the subquery result is a PROJECTED value, not a filter — the
+        # engines' decorrelation must produce a per-row boolean without
+        # changing the outer row set (a rewrite to a join that drops or
+        # dups outer rows shifts the SUM, not just a plan). CASE folds
+        # it to an exact integer for the canon (probed both engines).
+        key = rng.choice(semi_sel)
+        ot, ok_col = _SEMI[key]
+        opred = _int_pred(rng, rng.choice(TABLES[ot]["ints"]))
+        if rng.random() < 0.5:
+            probe = (
+                f"EXISTS (SELECT 1 FROM {ot} WHERE {ok_col} = {key} "
+                f"AND {opred})"
+            )
+        else:
+            probe = f"{key} IN (SELECT {ok_col} FROM {ot} WHERE {opred})"
+        gcol = rng.choice(t["groups"])
+        return (
+            f"SELECT {gcol}, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM(CASE WHEN {probe} THEN 1 ELSE 0 END) AS BIGINT) AS ex "
+            f"FROM {frm}{where} GROUP BY {gcol} ORDER BY {gcol}"
         )
 
     if join_how is None and 0.35 <= shape < 0.385:
@@ -1002,11 +1091,28 @@ def gen_query(rng: random.Random) -> str:
             okey = ", ".join(f"{c} NULLS FIRST" for c in win_ints)
             target = rng.choice(win_ints)
             over = f"OVER (PARTITION BY {pcol} ORDER BY {okey})"
-            kind = rng.choice(["row_number", "rank", "dense_rank", "lag", "cumsum"])
+            kind = rng.choice(
+                ["row_number", "rank", "dense_rank", "lag", "cumsum", "rows_off"]
+            )
             if kind == "cumsum":
                 expr = (
                     f"CAST(SUM({target}) OVER (PARTITION BY {pcol} ORDER BY {okey} "
                     f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+                )
+            elif kind == "rows_off":
+                # explicit ROWS frame with BOTH offsets (round-11
+                # grammar), over joins too: the frame is row-positional
+                # under the full-int-tuple total order, so each row's
+                # window is a well-defined slice on both engines — the
+                # frame-boundary bookkeeping (n PRECEDING .. m
+                # FOLLOWING, including the FOLLOWING edge at partition
+                # end) is the surface under test (probed both engines).
+                npre, nfol = rng.choice([(2, 1), (1, 2), (3, 0), (0, 3)])
+                fn = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+                expr = (
+                    f"CAST({fn}({target}) OVER (PARTITION BY {pcol} "
+                    f"ORDER BY {okey} ROWS BETWEEN {npre} PRECEDING "
+                    f"AND {nfol} FOLLOWING) AS BIGINT)"
                 )
             elif kind == "lag":
                 expr = f"LAG({target}) {over}"
@@ -1196,11 +1302,90 @@ def _is_round10_shape(sql: str) -> bool:
     )
 
 
+# One detectable signature per grammar ARM (not per round): an arm
+# that stops generating — a renumbered interval shadowing it, a gate
+# condition that never holds — is a silent coverage loss the tallies
+# would keep claiming (ADVICE r10: the first round-10d cut's
+# ordered-LIMIT arm never ran because its interval was inside an
+# earlier branch's). ``selfcheck`` sweeps a fixed seed range and
+# requires every signature to hit at least once; it runs in pytest
+# (test_fuzz_grammar_coverage) so a grammar edit that orphans an arm
+# fails CI before a sweep tally can overstate itself.
+GRAMMAR_ARM_SIGNATURES: dict[str, "callable"] = {
+    "date_rollup": lambda q: "GROUP BY year(" in q,
+    "window_over_setop": lambda q: ") u ORDER BY" in q and " OVER (" in q,
+    "coercible_setop": lambda q: "CAST(v AS BIGINT) AS v" in q,
+    "corr_scalar_subquery": lambda q: "COALESCE((SELECT" in q,
+    "values_join_dim": lambda q: "(VALUES " in q,
+    "ordered_limit_subquery": lambda q: " LIMIT " in q,
+    "multi_distinct": lambda q: q.count("COUNT(DISTINCT") >= 2,
+    "having_no_groupby": lambda q: "HAVING COUNT(*) >" in q
+    and "GROUP BY" not in q,
+    "comma_join": lambda q: _is_round10d_shape(q)
+    and " LIMIT " not in q
+    and "HAVING" not in q
+    and q.count("COUNT(DISTINCT") < 2,
+    "setop_chain_noparen": lambda q: q.count(" UNION ")
+    + q.count(" INTERSECT ")
+    + q.count(" EXCEPT ")
+    >= 2,
+    "cte_twice": lambda q: "WITH agg AS" in q,
+    "recursive_cte": lambda q: "WITH RECURSIVE" in q,
+    "natural_join": lambda q: "NATURAL JOIN" in q,
+    "lateral_agg": lambda q: "LATERAL (" in q,
+    "exists_pair": lambda q: "EXISTS (" in q and "NOT EXISTS (" in q,
+    "grouping_sets": lambda q: "GROUPING(" in q,
+    "filter_clause": lambda q: "FILTER (WHERE" in q,
+    "outer_join": lambda q: "LEFT JOIN" in q or "RIGHT JOIN" in q
+    or "FULL JOIN" in q,
+    "distinct_from": lambda q: "DISTINCT FROM" in q,
+    # round-11 arms (wave 11; each spelling probed on both engines)
+    "rollup_cube": lambda q: "GROUP BY ROLLUP (" in q
+    or "GROUP BY CUBE (" in q,
+    "exists_in_select": lambda q: " AS ex FROM" in q,
+    "window_frame_offsets": lambda q: "FOLLOWING) AS BIGINT) AS wv" in q,
+    "setop_of_ordered_limits": lambda q: q.count(" LIMIT ") >= 2,
+}
+
+
+def _is_round11_shape(sql: str) -> bool:
+    """Round-11 grammar (``new11`` filter mode): ROLLUP/CUBE keyword
+    group-bys, correlated EXISTS/IN projected in the SELECT list,
+    explicit double-offset ROWS frames (over joins too), and set ops
+    under LIMIT-ordered derived tables."""
+    return (
+        "GROUP BY ROLLUP (" in sql
+        or "GROUP BY CUBE (" in sql
+        or " AS ex FROM" in sql
+        or "FOLLOWING) AS BIGINT) AS wv" in sql
+        or sql.count(" LIMIT ") >= 2
+    )
+
+
+def selfcheck(n_seeds: int = 20000, seed0: int = 0) -> int:
+    """Assert every grammar arm generates at least once over a fixed
+    seed sweep. Returns the number of MISSING arms (0 = healthy)."""
+    hits = dict.fromkeys(GRAMMAR_ARM_SIGNATURES, 0)
+    for seed in range(seed0, seed0 + n_seeds):
+        q = gen_query(random.Random(seed))
+        for name, sig in GRAMMAR_ARM_SIGNATURES.items():
+            if sig(q):
+                hits[name] += 1
+    missing = [k for k, v in hits.items() if v == 0]
+    for name in sorted(hits):
+        print(f"{'MISS' if hits[name] == 0 else 'ok  '} {name}: {hits[name]}")
+    print(f"{len(missing)} arms missing over seeds {seed0}..{seed0 + n_seeds - 1}")
+    return len(missing)
+
+
 def main() -> int:
     # Usage: fuzz_differential.py [sf_dir] [n_cases] [seed0] [new]
     # With the optional 4th arg ``new``, seeds are consumed until
     # n_cases queries matching the round-6 grammar have been RUN;
     # non-matching seeds are skipped unexecuted.
+    if len(sys.argv) > 1 and sys.argv[1] == "selfcheck":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+        return 1 if selfcheck(n) else 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     n_cases = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     seed0 = int(sys.argv[3]) if len(sys.argv) > 3 else 0
@@ -1214,6 +1399,7 @@ def main() -> int:
     only_new10b = mode_arg == "new10b"
     only_new10c = mode_arg == "new10c"
     only_new10d = mode_arg == "new10d"
+    only_new11 = mode_arg == "new11"
 
     import duckdb
 
@@ -1251,6 +1437,8 @@ def main() -> int:
             continue
         if only_new10d and not _is_round10d_shape(sql):
             continue
+        if only_new11 and not _is_round11_shape(sql):
+            continue
         ran += 1
         try:
             ok, detail = run_case(spark, con, sql)
@@ -1279,7 +1467,9 @@ def main() -> int:
         if only_new10b
         else " (round-10c shapes only)"
         if only_new10c
-        else " (round-10d shapes only)" if only_new10d else ""
+        else " (round-10d shapes only)"
+        if only_new10d
+        else " (round-11 shapes only)" if only_new11 else ""
     )
     print(f"{bad}/{n_cases} mismatches{mode}, seeds {seed0}..{seed - 1}")
     return 1 if bad else 0
