@@ -98,6 +98,41 @@ def main() -> None:
     n2 = spark.read.parquet(os.path.join(args.index, "assignments")).count()
     print(f"replay: index still {n2} rows (stored-id anti-join)")
 
+    # drift remedy, wired (round 11): a batch the stored quantizer no
+    # longer describes trips the contract; with rebuild_on_drift the
+    # sink re-materializes over stored ∪ batch and atomically swaps
+    # instead of failing the stream. sim_floor above 1.0 makes EVERY
+    # vector "drifted" so the path demonstrably fires here.
+    drift_dir = tempfile.mkdtemp(prefix="ann_stream_drift_")
+    with open(os.path.join(drift_dir, "d0.json"), "w") as f:
+        for r in emb.filter(F.col("vec_id") < 10).collect():
+            f.write(json.dumps(
+                {"vec_id": int(r["vec_id"]) + 10_000_000,
+                 "embedding": list(r["embedding"])}
+            ) + "\n")
+    mid_before = model.select("_model_id").first()[0]
+    q3 = (
+        stream_ann_ingest(
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .json(drift_dir),
+            args.index,
+            tempfile.mkdtemp(prefix="ann_stream_ckpt3_"),
+            max_below_floor_share=0.5,
+            sim_floor=1.0001,
+            rebuild_on_drift=True,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination(300)
+    model3 = spark.read.parquet(os.path.join(args.index, "centroids"))
+    n3 = spark.read.parquet(os.path.join(args.index, "assignments")).count()
+    print(
+        f"drift rebuild: index now {n3} rows under model_id "
+        f"{model3.select('_model_id').first()[0]} (was {mid_before}) — "
+        "re-materialized over stored + batch and swapped atomically"
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -174,17 +174,17 @@ def test_registry_priority_prefix(spark):
     expected = [n for n in PRIORITY_PREFIX if n in names]
     assert names[: len(expected)] == expected
     assert len(expected) == 50  # the graded prefix is exactly full
-    # round-10 rotation: the board entered the round fully green, so
+    # round-11 rotation: the board entered the round fully green, so
     # the window is freshness-only — canaries + the never-graded
-    # round-10 churn gate + oldest-graded greens in rotation.py's
+    # round-11 fracprobe gate + oldest-graded greens in rotation.py's
     # order. Spot-check the canaries, the new gate, and both ends of
     # the fill.
     for must in ("survey_pipeline", "census_merge", "dedup_minhash",
                  "tpch_q1", "pretraining_corpus",
-                 "ann_ivf_churn", "ann_ivf_stored_nprobe2",
-                 "set_ops_retention", "unpivot_metrics",
-                 "skew_salted_join", "kmeans_clusters",
-                 "similarity_histogram"):
+                 "ann_ivf_stored_fracprobe",
+                 "weekly_engagement", "power_users_pareto",
+                 "bpe_learn_merges", "daily_trend_ols",
+                 "conversion_wilson_ci"):
         assert names.index(must) < 50, must
     # the probes stay registered and locally gated, just out of the
     # graded window
