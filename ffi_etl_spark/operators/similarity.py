@@ -461,6 +461,7 @@ def ann_ivf_autok(
     vec_col: str = "embedding",
     quantize_bits: int | None = None,
     cells: int | None = None,
+    probe_frac: float | None = None,
 ) -> DataFrame:
     """Self-scaling IVF top-k: the cell count comes from the corpus
     size (``choose_ivf_cells`` — the √n rule) and the coarse quantizer
@@ -490,11 +491,24 @@ def ann_ivf_autok(
     the float default keeps full precision for production.
 
     Output and semantics match ``ann_ivf_topk``: per query the exact
-    top-k among vectors sharing its ``nprobe`` probed cells."""
+    top-k among vectors sharing its ``nprobe`` probed cells.
+
+    ``probe_frac`` mirrors the stored tier's production dial (round
+    11): nprobe = max(1, ceil(probe_frac · cells)) against THIS
+    build's cell count, so the same fraction states the same recall
+    target whether the index is built in-query or read back from
+    parquet (overrides ``nprobe`` when set)."""
     cents, cells = ivf_train_quantizer(
         corpus, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
         quantize_bits=quantize_bits, cells=cells,
     )
+    if probe_frac is not None:
+        if not 0.0 < probe_frac <= 1.0:
+            raise ValueError(
+                f"probe_frac={probe_frac} is outside (0, 1] — it is the "
+                "fraction of the trained model's cells each query probes"
+            )
+        nprobe = max(1, math.ceil(probe_frac * cells))
     c = assign_to_centroid(corpus, cents, id_col, vec_col).withColumnsRenamed(
         {id_col: "neighbor_id", vec_col: "_cv", "vec_norm": "_cn"}
     )

@@ -86,6 +86,45 @@ def test_probe_frac_effective_nprobe_grows_with_cells(
     assert [tuple(r) for r in trusted] == [tuple(r) for r in want]
 
 
+def test_probe_frac_in_query_tier_matches_stored(spark, sf_dir, tmp_path):
+    """ann_ivf_autok(probe_frac=f) must equal the stored tier probed
+    at the same fraction over the same corpus and model parameters —
+    one fraction states one recall target across both tiers."""
+    from ffi_etl_spark.operators.similarity import (
+        ann_ivf_autok,
+        ann_ivf_query_stored,
+        ivf_index_tables,
+        write_ivf_assignments,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    centroids, assignments = ivf_index_tables(
+        emb, n_iter=2, quantize_bits=20, cells=9
+    )
+    c, a = str(tmp_path / "c"), str(tmp_path / "a")
+    centroids.write.parquet(c)
+    write_ivf_assignments(assignments, a)
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    stored = sorted(
+        ann_ivf_query_stored(
+            spark.read.parquet(c), spark.read.parquet(a), queries,
+            probe_frac=0.3,
+        ).collect(),
+        key=key,
+    )
+    inq = sorted(
+        ann_ivf_autok(
+            emb, queries, n_iter=2, quantize_bits=20, cells=9, probe_frac=0.3
+        ).collect(),
+        key=key,
+    )
+    assert [tuple(r) for r in inq] == [tuple(r) for r in stored]
+    assert len(inq) > 0
+    with pytest.raises(ValueError, match="probe_frac"):
+        ann_ivf_autok(emb, queries, cells=9, probe_frac=2.0)
+
+
 def test_probe_frac_validation(spark, sf_dir, tmp_path):
     from ffi_etl_spark.operators.similarity import (
         ann_ivf_query_stored,

@@ -496,15 +496,16 @@ def gen_query(rng: random.Random) -> str:
             f"ON {c} % {k} = v.a{where} GROUP BY v.b ORDER BY v.b"
         )
 
-    # Round-10d branches live in [0.92, 0.98) — the tail the earlier
-    # rounds never claimed. Their first cut reused [0.186, 0.24), which
-    # was already consumed: [0.186, 0.21) by the unconditional
-    # round-10 set-op branch above, [0.21, 0.26) by the _CORR-gated
-    # scalar-subquery branch for 4 of the tables — so the ordered-LIMIT
-    # grammar NEVER generated and the other two generated only on the
-    # _CORR-miss slivers (ADVICE r10). test_fuzz_grammar_coverage now
-    # locks every arm to ≥1 generating seed in a fixed sweep.
-    if join_how is None and 0.92 <= shape < 0.94:
+    # Rounds 10d/11b live in [0.92, 0.98), six 1% arms — the tail the
+    # earlier rounds never claimed. The 10d first cut reused
+    # [0.186, 0.24), which was already consumed: [0.186, 0.21) by the
+    # unconditional round-10 set-op branch above, [0.21, 0.26) by the
+    # _CORR-gated scalar-subquery branch for 4 of the tables — so the
+    # ordered-LIMIT grammar NEVER generated and the other two generated
+    # only on the _CORR-miss slivers (ADVICE r10).
+    # test_fuzz_grammar_coverage locks every arm to ≥1 generating seed
+    # in a fixed sweep.
+    if join_how is None and 0.92 <= shape < 0.93:
         # ordered-LIMIT subquery (round-10d grammar): a deterministic
         # top-k derived table (ORDER BY a UNIQUE key, so the row set
         # is well-defined) consumed by an aggregate or joined back to
@@ -563,7 +564,7 @@ def gen_query(rng: random.Random) -> str:
             f"MAX({key}) AS mx FROM ({sub}) t"
         )
 
-    if join_how is None and 0.94 <= shape < 0.96:
+    if join_how is None and 0.93 <= shape < 0.94:
         # multiple DISTINCT aggregates in one SELECT (round-10d
         # grammar): three COUNT(DISTINCT ...) over different columns
         # beside a plain SUM forces Spark's Expand-based
@@ -582,7 +583,7 @@ def gen_query(rng: random.Random) -> str:
             f"FROM {frm}{where} GROUP BY {gcol} ORDER BY {gcol}"
         )
 
-    if join_how is None and 0.96 <= shape < 0.98:
+    if join_how is None and 0.94 <= shape < 0.95:
         # HAVING with NO GROUP BY (round-10d grammar): legal ANSI — a
         # global aggregate filtered by its own result (one-or-zero
         # output rows); the engines must agree the grand-total row
@@ -602,6 +603,80 @@ def gen_query(rng: random.Random) -> str:
         return (
             f"SELECT {gc}, CAST(COUNT(*) AS BIGINT) AS n FROM {lt}, {rt} "
             f"WHERE {cond} AND {p} GROUP BY {gc} ORDER BY {gc}"
+        )
+
+    if join_how is None and 0.95 <= shape < 0.96:
+        # computed GROUP BY keys (round-11b grammar): a CASE cascade or
+        # a scalar-string-function chain (translate/lpad/repeat/substr)
+        # as the grouping expression, repeated verbatim in SELECT — the
+        # engines must agree the two occurrences are the same
+        # expression AND evaluate the string kernels identically
+        # (probed both engines). ASCII-only inputs: the string pools
+        # are fixed ASCII, so no collation/Unicode edge rides in.
+        acol = rng.choice(t["ints"])
+        if rng.random() < 0.5:
+            c = rng.choice(t["ints"])
+            lo, hi = sorted(rng.sample([0, 1, 3, 5, 10, 100], 2))
+            kexpr = (
+                f"CASE WHEN {c} < {lo} THEN 'lo' WHEN {c} < {hi} "
+                f"THEN 'mid' ELSE 'hi' END"
+            )
+        else:
+            sc = rng.choice(t["strs"])
+            inner = rng.choice(
+                [f"lpad({sc}, {rng.choice([3, 5, 8])}, 'x')",
+                 f"repeat({sc}, 2)",
+                 f"substr({sc}, {rng.choice([1, 2, 3])}, "
+                 f"{rng.choice([4, 6, 8])})"]
+            )
+            kexpr = rng.choice(
+                [f"translate({inner}, 'AEIOU', 'aeiou')", f"upper({inner})",
+                 inner]
+            )
+        return (
+            f"SELECT {kexpr} AS kk, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM(CAST({acol} AS BIGINT)) AS BIGINT) AS s "
+            f"FROM {frm}{where} GROUP BY {kexpr} ORDER BY kk"
+        )
+
+    if join_how is None and 0.96 <= shape < 0.97:
+        # ordinal GROUP BY / ORDER BY + HAVING on the aggregate
+        # (round-11b grammar): GROUP BY 1 must resolve to the FIRST
+        # select item (an expression, not just a column) and ORDER BY
+        # ordinals to their positions on both engines — a resolution
+        # difference regroups the whole result (probed both engines).
+        c = rng.choice(t["ints"])
+        m = rng.choice([2, 3, 5, 7])
+        acol = rng.choice(t["ints"])
+        having = ""
+        if rng.random() < 0.5:
+            having = f" HAVING COUNT(*) > {rng.choice([0, 2, 10])}"
+        return (
+            f"SELECT {c} % {m} AS m, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM(CAST({acol} AS BIGINT)) AS BIGINT) AS s "
+            f"FROM {frm}{where} GROUP BY 1{having} ORDER BY 1, 2, 3"
+        )
+
+    if join_how is None and 0.97 <= shape < 0.98:
+        # share-of-total: a GLOBAL (empty OVER) window over a grouped
+        # derived table (round-11b grammar) — the window input is the
+        # aggregate's K rows, so the partitionless frame is bounded,
+        # and both engines must agree the window evaluates AFTER the
+        # group-by and sees every group (probed both engines). Exact
+        # integers: share is reported as (n, total), never a ratio.
+        gcol = rng.choice(t["groups"])
+        acol = rng.choice(t["ints"])
+        inner = (
+            f"SELECT {gcol} AS g, COUNT(*) AS n, "
+            f"SUM(CAST({acol} AS BIGINT)) AS s "
+            f"FROM {frm}{where} GROUP BY {gcol}"
+        )
+        tgt = rng.choice(["n", "s"])
+        fn = rng.choice(["SUM", "MAX", "MIN", "COUNT"])
+        return (
+            f"SELECT g, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s, "
+            f"CAST({fn}({tgt}) OVER () AS BIGINT) AS w "
+            f"FROM ({inner}) t ORDER BY g"
         )
 
     if join_how is None and 0.98 <= shape < 0.99:
@@ -1260,14 +1335,16 @@ def _is_round10d_shape(sql: str) -> bool:
     """Round-10d grammar (``new10d`` filter mode): deterministic
     ordered-LIMIT derived tables, multi-DISTINCT aggregate rewrites,
     HAVING without GROUP BY, and implicit comma joins."""
+    import re
+
     return (
         " LIMIT " in sql
         or sql.count("COUNT(DISTINCT") >= 2
         or ("HAVING COUNT(*) >" in sql and "GROUP BY" not in sql)
-        or (", " in sql.split(" FROM ", 1)[-1].split(" WHERE ")[0]
-            and " JOIN " not in sql and "(VALUES" not in sql
-            and sql.count(" FROM ") == 1 and "GROUP BY" in sql
-            and ", LATERAL" not in sql)
+        # the comma-join production's exact FROM shape — a loose
+        # "comma after FROM" test also matched ORDER BY ordinal lists
+        # once round-11b landed
+        or re.search(r"FROM \w+, \w+ WHERE", sql) is not None
     )
 
 
@@ -1321,10 +1398,10 @@ GRAMMAR_ARM_SIGNATURES: dict[str, "callable"] = {
     "multi_distinct": lambda q: q.count("COUNT(DISTINCT") >= 2,
     "having_no_groupby": lambda q: "HAVING COUNT(*) >" in q
     and "GROUP BY" not in q,
-    "comma_join": lambda q: _is_round10d_shape(q)
-    and " LIMIT " not in q
-    and "HAVING" not in q
-    and q.count("COUNT(DISTINCT") < 2,
+    "comma_join": lambda q: __import__("re").search(
+        r"FROM \w+, \w+ WHERE", q
+    )
+    is not None,
     "setop_chain_noparen": lambda q: q.count(" UNION ")
     + q.count(" INTERSECT ")
     + q.count(" EXCEPT ")
@@ -1345,7 +1422,24 @@ GRAMMAR_ARM_SIGNATURES: dict[str, "callable"] = {
     "exists_in_select": lambda q: " AS ex FROM" in q,
     "window_frame_offsets": lambda q: "FOLLOWING) AS BIGINT) AS wv" in q,
     "setop_of_ordered_limits": lambda q: q.count(" LIMIT ") >= 2,
+    # round-11b arms (each spelling probed on both engines)
+    "computed_group_key": lambda q: " AS kk," in q,
+    "ordinal_group_order": lambda q: "GROUP BY 1" in q
+    and "ORDER BY 1, 2, 3" in q,
+    "global_window_share": lambda q: "OVER () AS BIGINT) AS w " in q,
 }
+
+
+def _is_round11b_shape(sql: str) -> bool:
+    """Round-11b grammar (``new11b`` filter mode): computed GROUP BY
+    keys (CASE cascades / string-function chains), ordinal
+    GROUP BY/ORDER BY with HAVING, and global empty-OVER windows over
+    grouped derived tables."""
+    return (
+        " AS kk," in sql
+        or ("GROUP BY 1" in sql and "ORDER BY 1, 2, 3" in sql)
+        or "OVER () AS BIGINT) AS w " in sql
+    )
 
 
 def _is_round11_shape(sql: str) -> bool:
@@ -1400,6 +1494,7 @@ def main() -> int:
     only_new10c = mode_arg == "new10c"
     only_new10d = mode_arg == "new10d"
     only_new11 = mode_arg == "new11"
+    only_new11b = mode_arg == "new11b"
 
     import duckdb
 
@@ -1439,6 +1534,8 @@ def main() -> int:
             continue
         if only_new11 and not _is_round11_shape(sql):
             continue
+        if only_new11b and not _is_round11b_shape(sql):
+            continue
         ran += 1
         try:
             ok, detail = run_case(spark, con, sql)
@@ -1469,7 +1566,9 @@ def main() -> int:
         if only_new10c
         else " (round-10d shapes only)"
         if only_new10d
-        else " (round-11 shapes only)" if only_new11 else ""
+        else " (round-11 shapes only)"
+        if only_new11
+        else " (round-11b shapes only)" if only_new11b else ""
     )
     print(f"{bad}/{n_cases} mismatches{mode}, seeds {seed0}..{seed - 1}")
     return 1 if bad else 0
