@@ -172,6 +172,15 @@ def stream_ann_ingest(
     )
     from ffi_etl_spark.operators.stored_state import bucket_file_counts
 
+    if rebuild_on_drift:
+        # the swap commit protocol is os.rename — atomic on POSIX paths
+        # only. Fail at SINK CONSTRUCTION, not at the first drifted
+        # batch months in (profile.py's _local_target rule: a distributed
+        # store needs a transactional table format instead).
+        from ffi_etl_spark.streaming.profile import _local_target
+
+        index_root = _local_target(index_root, "stream_ann_ingest")
+
     cpath = os.path.join(index_root, "centroids")
     apath = os.path.join(index_root, "assignments")
     # Per-cell file counter for compaction discovery (ADVICE r10): None

@@ -316,6 +316,23 @@ def test_recover_torn_swap_states(spark, sf_dir, tmp_path):
     assert check_ivf_layout(m, a)[2] == new_mid  # rolled forward
 
 
+def test_rebuild_on_drift_refuses_remote_index_root(spark):
+    """The swap protocol is os.rename — atomic on POSIX paths only. A
+    distributed-store index root must fail at sink CONSTRUCTION, not
+    at the first drifted batch months into the stream."""
+    from ffi_etl_spark.streaming.ann_ingest import stream_ann_ingest
+
+    in_dir = "/tmp/round11_guard_in"
+    os.makedirs(in_dir, exist_ok=True)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).json(in_dir)
+    with pytest.raises(ValueError, match="s3a://"):
+        stream_ann_ingest(
+            stream, "s3a://bucket/index", "/tmp/ck", rebuild_on_drift=True
+        )
+
+
 def test_stream_ann_compaction_discovery_lists_once(
     spark, sf_dir, tmp_path, monkeypatch
 ):
