@@ -75,6 +75,7 @@ SNAPSHOT = [
     ("ann_ivf_append", "batch assigned against the STORED model (1-row broadcast, no retrain, stored-id anti-join for replay idempotence) and appended into the partitioned assignments; the grown-index probe keeps the dynamicpruning PartitionFilter"),
     ("ann_ivf_drift", "K-row model broadcast, one narrow scoring pass (argmax struct keeps sim+cell), cell-keyed partial agg into the 1-row integer staleness report — no corpus join anywhere"),
     ("ann_ivf_churn", "build + three layout-aware appends (repartition-before-partitionBy: one file per touched cell) + per-cell compaction, then the SAME dynamicpruning probe plan as ann_ivf_stored — maintenance changes files and when costs are paid, never the probe plan or a row"),
+    ("ann_ivf_stored_fracprobe", "the stored probe with nprobe DERIVED from the model's _cells stamp (ceil(frac*cells) — a 1-row footer read inside the layout gate, no extra job); the plan is ann_ivf_stored_nprobe2's shape at rk<=3: top-3 cell assignment per query, equi-join on centroid_id with the dynamicpruning PartitionFilter intact"),
 ]
 
 
