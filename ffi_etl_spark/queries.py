@@ -73,11 +73,12 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
 # the next prefix (VERDICT r04 item 6 — no more hand-counted TODO
 # lists). Round-11 rotation: the board entered the round fully green
 # (256/256 graded-ever green), so the window stays FRESHNESS-ONLY —
-# 5 continuity canaries + the 1 never-graded round-11 query
-# (ann_ivf_stored_fracprobe, the probed-fraction dial gate —
-# round7.py) + 44 oldest-graded greens, rotation.py's proposal order.
-# The round-10 gates (ann_ivf_churn, ann_ivf_stored_nprobe2) rotate
-# out as freshly-graded greens; they stay registered and local-gated.
+# 5 continuity canaries + the 2 never-graded round-11 queries
+# (ann_ivf_stored_fracprobe and ann_ivf_autok_fracprobe, the
+# probed-fraction dial on both tiers — round7.py) + 43 oldest-graded
+# greens, rotation.py's proposal order. The round-10 gates
+# (ann_ivf_churn, ann_ivf_stored_nprobe2) rotate out as
+# freshly-graded greens; they stay registered and local-gated.
 PRIORITY_PREFIX: tuple[str, ...] = (
     # -- canaries: green every prior round, kept for continuity --
     "survey_pipeline",
@@ -85,8 +86,9 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "dedup_minhash",
     "tpch_q1",
     "pretraining_corpus",
-    # -- never-graded: the round-11 probed-fraction gate --
+    # -- never-graded: the round-11 probed-fraction gates --
     "ann_ivf_stored_fracprobe",
+    "ann_ivf_autok_fracprobe",
     # -- freshness fill: oldest-graded greens (rotation.py order) --
     "weekly_engagement",
     "power_users_pareto",
@@ -131,7 +133,6 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "model_isotonic_calibration",
     "forecast_backtest_wape",
     "daily_trend_ols",
-    "conversion_wilson_ci",
 )
 
 

@@ -484,6 +484,27 @@ def _ann_ivf_stored_fracprobe(spark, sf_dir):
     )
 
 
+@query(
+    "ann_ivf_autok_fracprobe", oracle=_ivf_stored_multiprobe_oracle(_FRACPROBE_RK)
+)
+def _ann_ivf_autok_fracprobe(spark, sf_dir):
+    """The IN-QUERY tier at the same fraction dial
+    (ann_ivf_autok(probe_frac=0.1) — nprobe = ceil(0.1 · 22) = 3
+    against the just-trained model): one fraction must state one
+    recall target across both tiers, so this gate shares
+    ann_ivf_stored_fracprobe's replayed-program oracle verbatim — the
+    two tiers differ only in WHEN the build cost is paid, never the
+    answer (the ann_ivf_stored precedent, applied to the dial)."""
+    from ffi_etl_spark.operators.similarity import ann_ivf_autok
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _AUTOK_SLICE)
+    queries = emb.filter(F.col("vec_id") % _AUTOK_QMOD == 0)
+    return ann_ivf_autok(
+        emb, queries, dim=64, n_iter=_AUTOK_ROUNDS, quantize_bits=_AUTOK_BITS,
+        probe_frac=_FRACPROBE,
+    )
+
+
 @query("ann_ivf_churn", oracle=_ivf_append_oracle())
 def _ann_ivf_churn(spark, sf_dir):
     """Round-10 maintenance gate: the append-CHURN lifecycle — build +

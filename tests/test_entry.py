@@ -181,10 +181,9 @@ def test_registry_priority_prefix(spark):
     # the fill.
     for must in ("survey_pipeline", "census_merge", "dedup_minhash",
                  "tpch_q1", "pretraining_corpus",
-                 "ann_ivf_stored_fracprobe",
+                 "ann_ivf_stored_fracprobe", "ann_ivf_autok_fracprobe",
                  "weekly_engagement", "power_users_pareto",
-                 "bpe_learn_merges", "daily_trend_ols",
-                 "conversion_wilson_ci"):
+                 "bpe_learn_merges", "daily_trend_ols"):
         assert names.index(must) < 50, must
     # the probes stay registered and locally gated, just out of the
     # graded window
