@@ -766,3 +766,53 @@ def test_choose_minhash_split_invariants(ambient, threshold, dup_sim, recall_flo
             candidate_probability(hi, bh, rh)
             <= candidate_probability(hi, bands, rows) + 1e-12
         )
+
+
+@given(
+    appends=st.lists(
+        st.lists(st.integers(min_value=0, max_value=400),
+                 min_size=1, max_size=30),
+        min_size=1, max_size=5,
+    ),
+    compact_after=st.sets(st.integers(min_value=0, max_value=4), max_size=3),
+)
+@settings(**_SETTINGS)
+def test_stored_state_append_compact_preserves_rows(
+    spark, tmp_path_factory, appends, compact_after
+):
+    """The shared bucketed-state stack (round 11): for ANY sequence of
+    appends interleaved with per-bucket compactions, the stored rowset
+    is exactly the multiset of appended rows (compaction rewrites
+    files, never rows), and every write lands at most one file per
+    touched bucket."""
+    from collections import Counter
+
+    from ffi_etl_spark.operators.stored_state import (
+        bucket_file_counts,
+        compact_buckets,
+        crowded_buckets,
+        write_bucketed,
+    )
+
+    tmp = tmp_path_factory.mktemp("stored_state_prop")
+    path = str(tmp / "state")
+    expected: list[tuple] = []
+    uid = 0
+    for i, batch in enumerate(appends):
+        rows = [Row(id=uid + j, v=int(x), b=int(x) % 7)
+                for j, x in enumerate(batch)]
+        uid += len(batch)
+        expected.extend((r.id, r.v, r.b) for r in rows)
+        df = spark.createDataFrame(rows).repartition(4)
+        write_bucketed(df, path, "b", mode="append" if i else "error")
+        stored = spark.read.parquet(path)
+        counts = bucket_file_counts(stored, "b")
+        assert max(counts.values()) <= i + 1  # ≤1 file/bucket/write
+        if i in compact_after:
+            compact_buckets(spark, path, "b",
+                            crowded_buckets(stored, "b", 1))
+    got = sorted(
+        tuple(r) for r in
+        spark.read.parquet(path).select("id", "v", "b").collect()
+    )
+    assert got == sorted(expected)

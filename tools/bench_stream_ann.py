@@ -48,6 +48,11 @@ def main() -> None:
     ap.add_argument("--compact-files-per-cell", type=int, default=16)
     ap.add_argument("--qmod", type=int, default=199,
                     help="probe query set = vec_id %% qmod == 0 of batch 1")
+    ap.add_argument("--drift", action="store_true",
+                    help="after the trickle, land one more batch with a "
+                         "planted drift trip (sim_floor above 1.0) under "
+                         "rebuild_on_drift and time the rebuild+swap — "
+                         "the remedy's one n*sqrt(n) cost, measured")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -125,8 +130,56 @@ def main() -> None:
             }
             curve.append(rec)
             print(json.dumps(rec), flush=True)
-    finally:
+    except BaseException:
         shutil.rmtree(root, ignore_errors=True)
+        raise
+
+    # the drift phase reuses the live index; cleanup happens after it
+    drift_rec = None
+    if args.drift:
+        # one more 1000-vector batch, every vector "drifted" (floor
+        # above 1.0): the sink re-materializes over stored ∪ batch and
+        # swaps. The measured time is the remedy's whole bill — train
+        # + full re-assignment + layout-aware write + two renames.
+        rows = (
+            emb.where(F.col("vec_id") < 1000)
+            .toPandas().to_dict("records")
+        )
+        with open(os.path.join(inbox, "drift.json"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(
+                    {"vec_id": int(r["vec_id"]) + 10_000_000,
+                     "embedding": [float(x) for x in r["embedding"]]}
+                ) + "\n")
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).json(inbox)
+        t0 = time.perf_counter()
+        q = (
+            stream_ann_ingest(
+                stream, index_root, os.path.join(root, "ckpt"),
+                quantize_bits=20,
+                compact_files_per_cell=args.compact_files_per_cell,
+                max_below_floor_share=0.5, sim_floor=1.0001,
+                rebuild_on_drift=True,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rebuild_sec = time.perf_counter() - t0
+        stored = spark.read.parquet(os.path.join(index_root, "assignments"))
+        model = spark.read.parquet(os.path.join(index_root, "centroids"))
+        t1 = time.perf_counter()
+        ann_ivf_query_stored(model, stored, queries, trust_layout=True).count()
+        drift_rec = {
+            "rebuild_sec": round(rebuild_sec, 2),
+            "rows_after": stored.count(),
+            "cells_after": model.count(),
+            "probe_sec_after": round(time.perf_counter() - t1, 2),
+        }
+        print(json.dumps({"drift_rebuild": drift_rec}), flush=True)
+    shutil.rmtree(root, ignore_errors=True)
 
     artifact = {
         "src": args.src, "n_vectors": n, "n_batches": args.n_batches,
@@ -141,6 +194,8 @@ def main() -> None:
         artifact["slope"] = round(sum(secs[-3:]) / sum(secs[:3]), 3)
         psecs = [r["probe_sec"] for r in curve[1:]]
         artifact["probe_slope"] = round(sum(psecs[-3:]) / sum(psecs[:3]), 3)
+    if drift_rec is not None:
+        artifact["drift_rebuild"] = drift_rec
     if args.out:
         with open(args.out, "w") as f:
             json.dump(artifact, f, indent=1)
