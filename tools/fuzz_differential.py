@@ -712,7 +712,7 @@ def gen_query(rng: random.Random) -> str:
         )
 
     semi_sel = [c for c in t["ints"] if c in _SEMI]
-    if join_how is None and 0.99 <= shape and semi_sel:
+    if join_how is None and 0.99 <= shape < 0.995 and semi_sel:
         # correlated EXISTS / IN in the SELECT list (round-11 grammar):
         # the subquery result is a PROJECTED value, not a filter — the
         # engines' decorrelation must produce a per-row boolean without
@@ -734,6 +734,39 @@ def gen_query(rng: random.Random) -> str:
             f"SELECT {gcol}, CAST(COUNT(*) AS BIGINT) AS n, "
             f"CAST(SUM(CASE WHEN {probe} THEN 1 ELSE 0 END) AS BIGINT) AS ex "
             f"FROM {frm}{where} GROUP BY {gcol} ORDER BY {gcol}"
+        )
+
+    if join_how is None and 0.995 <= shape:
+        # integer-kernel scalar surfaces (round-11c grammar; probed
+        # both engines): negative-operand modulo (both engines take
+        # the dividend's sign), ABS/SIGN composition, bitwise AND/OR,
+        # and GREATEST/LEAST + NULLIF/COALESCE chains — each as an
+        # exact-integer GROUP BY key so a kernel difference regroups
+        # rows, not just shifts a value. Division is deliberately
+        # ABSENT: bare `/` then CAST genuinely diverges (Spark
+        # truncates the double, DuckDB rounds — measured), and `//`
+        # vs DIV don't share a spelling; the house FLOOR() rule covers
+        # that surface elsewhere.
+        c = rng.choice(t["ints"])
+        acol = rng.choice(t["ints"])
+        arm = rng.randrange(3)
+        if arm == 0:
+            m = rng.choice([3, 5, 7])
+            kexpr = f"(0 - {c}) % {m}"
+            k2 = f"ABS({rng.choice(_INT_LITS)} - {c})"
+        elif arm == 1:
+            kexpr = f"{c} & {rng.choice([1, 3, 7, 15])}"
+            k2 = f"{c} | {rng.choice([4, 8, 16])}"
+        else:
+            lit = rng.choice([5, 10, 25, 100])
+            kexpr = f"GREATEST({c}, {lit})"
+            k2 = f"COALESCE(NULLIF({c} % {rng.choice([3, 5])}, 0), 99)"
+        return (
+            f"SELECT CAST({kexpr} AS BIGINT) AS ka, "
+            f"CAST({k2} AS BIGINT) AS kb, "
+            f"CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM(CAST({acol} AS BIGINT)) AS BIGINT) AS s "
+            f"FROM {frm}{where} GROUP BY 1, 2 ORDER BY 1, 2"
         )
 
     if join_how is None and 0.35 <= shape < 0.385:
@@ -1424,6 +1457,7 @@ GRAMMAR_ARM_SIGNATURES: dict[str, "callable"] = {
     "setop_of_ordered_limits": lambda q: q.count(" LIMIT ") >= 2,
     # round-11b arms (each spelling probed on both engines)
     "computed_group_key": lambda q: " AS kk," in q,
+    "int_kernel_keys": lambda q: " AS ka, " in q and " AS kb, " in q,
     "ordinal_group_order": lambda q: "GROUP BY 1" in q
     and "ORDER BY 1, 2, 3" in q,
     "global_window_share": lambda q: "OVER () AS BIGINT) AS w " in q,
@@ -1439,6 +1473,7 @@ def _is_round11b_shape(sql: str) -> bool:
         " AS kk," in sql
         or ("GROUP BY 1" in sql and "ORDER BY 1, 2, 3" in sql)
         or "OVER () AS BIGINT) AS w " in sql
+        or (" AS ka, " in sql and " AS kb, " in sql)
     )
 
 
