@@ -763,6 +763,103 @@ def infer_band_index_buckets(index: DataFrame) -> int:
     return int(probe[0]["_nbkt"])
 
 
+def resplit_signature_state(
+    corpus: DataFrame,
+    sigs_path: str,
+    band_index_path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_perm: int | None = None,
+    bands: int | None = None,
+    fast: bool = False,
+    n_buckets: int | None = None,
+    threshold: float = 0.5,
+    dup_sim: float = 0.9,
+    recall_floor: float = 0.95,
+) -> tuple[int, int]:
+    """The WIRED remedy for a stale MinHash SPLIT (round 11 — the
+    dedup twin of the ANN sink's rebuild-on-drift): re-probe the
+    CURRENT corpus distribution, re-materialize the signature table
+    (and, when maintained, the band index) under the newly chosen
+    split, and atomically swap both in
+    (``stored_state.commit_swap`` — the shared aside→replace→drop
+    protocol, recovery via ``recover_torn_swap`` at entry).
+
+    Why it exists: the stored state PINS the split consumers adopt
+    (``infer_signature_layout``), which is right day to day — but the
+    probe's pick is a function of the corpus's ambient similarity, and
+    a corpus that drifts (BASELINE.md §sf10: the (12, 3) default's
+    34.6 s/batch vs the probe pick's 15.5 s at an identical found set)
+    leaves every later batch paying a verify bill the stored split no
+    longer bounds. Re-specifying parameters by hand is the
+    silent-mismatch footgun the layout gate refuses; this operator is
+    the sanctioned path: one re-materialization (the |corpus|
+    signature pass that was always owed once the split went stale),
+    then every consumer adopts the new layout automatically.
+
+    ``corpus`` is the SURVIVOR document set (the ingest's
+    ``corpus_path`` read back); pass num_perm AND bands to pin the new
+    split instead of probing. Both state tables swap in one commit —
+    a signature table under the new split beside a band index under
+    the old one would silently lose candidates, which is exactly what
+    ``check_band_index_layout``'s identity stamp refuses. Returns the
+    (num_perm, bands) the state now pins.
+
+    Local filesystem only (the os.rename commit protocol — the
+    profile.py rule); distributed stores need a transactional table
+    format."""
+    from ffi_etl_spark.operators.stored_state import (
+        NEW_SUFFIX,
+        commit_swap,
+        recover_torn_swap,
+        write_bucketed,
+    )
+    from ffi_etl_spark.streaming.profile import _local_target
+
+    sigs_path = _local_target(sigs_path, "resplit_signature_state")
+    paths = [sigs_path]
+    if band_index_path is not None:
+        band_index_path = _local_target(
+            band_index_path, "resplit_signature_state"
+        )
+        paths.append(band_index_path)
+    recover_torn_swap(paths)
+
+    _require_full_split(num_perm, bands)
+    if num_perm is None:
+        num_perm, bands = resolve_minhash_split(
+            corpus, text_col, id_col, shingle_k, threshold, dup_sim,
+            recall_floor,
+        )
+    new_state = minhash_signature_table(
+        corpus, text_col, id_col, shingle_k, num_perm, bands, fast
+    )
+    import shutil
+
+    for p in paths:
+        shutil.rmtree(p + NEW_SUFFIX, ignore_errors=True)
+    # pin once: the state write and the band-index build both read it
+    new_state = new_state.localCheckpoint(eager=True)
+    new_state.write.parquet(sigs_path + NEW_SUFFIX)
+    if band_index_path is not None:
+        if n_buckets is None:
+            # adopt the live index's bucket count when one exists (its
+            # _nbkt is the parameter record); default otherwise
+            try:
+                live = corpus.sparkSession.read.parquet(band_index_path)
+                n_buckets = infer_band_index_buckets(live)
+            except Exception:
+                n_buckets = BAND_INDEX_BUCKETS
+        write_bucketed(
+            minhash_band_index(new_state, id_col, n_buckets),
+            band_index_path + NEW_SUFFIX,
+            "_bkt",
+        )
+    commit_swap(paths)
+    return num_perm, bands
+
+
 def minhash_signature_table(
     df: DataFrame,
     text_col: str = "text",

@@ -110,3 +110,73 @@ def compact_buckets(
         .parquet(path)
     )
     return len(buckets)
+
+
+# ---------------------------------------------------------------------------
+# Atomic multi-directory swap (round 11): the aside→replace→drop commit
+# protocol from streaming/profile.py, generalized to a LIST of
+# directories that must replace together — the IVF index is a
+# (centroids, assignments) pair, the MinHash state a (signatures,
+# band-index) pair; replacing one table of a pair serves a mixed-era
+# state, which the identity gates refuse rather than answer.
+# ---------------------------------------------------------------------------
+
+NEW_SUFFIX = ".__swap_new__"
+OLD_SUFFIX = ".__swap_old__"
+
+
+def recover_torn_swap(paths: list[str]) -> None:
+    """Batch-start recovery for a torn ``commit_swap`` over *paths*.
+
+    The protocol writes EVERY ``NEW_SUFFIX`` side dir fully before the
+    first rename, so the recovery rule keys on the ``OLD_SUFFIX``
+    markers: any present means the commit started with complete side
+    dirs — roll FORWARD (finish the renames, drop the olds); side dirs
+    without any old marker mean the crash hit mid-write — roll BACK
+    (drop the partial side dirs; the live state was never touched).
+    Either way the group ends coherent."""
+    import os
+    import shutil
+
+    news = [p + NEW_SUFFIX for p in paths]
+    olds = [p + OLD_SUFFIX for p in paths]
+    if any(os.path.exists(o) for o in olds):
+        for live, new in zip(paths, news):
+            if os.path.exists(new):
+                if os.path.exists(live):
+                    old = live + OLD_SUFFIX
+                    if not os.path.exists(old):
+                        os.rename(live, old)
+                    else:  # live and old both present: new is stale
+                        shutil.rmtree(new)
+                        continue
+                os.rename(new, live)
+        for o in olds:
+            if os.path.exists(o):
+                shutil.rmtree(o)
+    else:
+        for n in news:
+            if os.path.exists(n):
+                shutil.rmtree(n)
+
+
+def commit_swap(paths: list[str]) -> None:
+    """Atomically (crash-safely, paired with ``recover_torn_swap``)
+    move every ``<path>.__swap_new__`` into place as ``<path>``: per
+    path, rename live→old then new→live; drop the olds last. The
+    caller must have FULLY written every side dir first — the first
+    old marker is the commit point the recovery rule rolls forward
+    from. Local filesystem only (os.rename atomicity); validate with
+    profile._local_target before writing the side dirs."""
+    import os
+    import shutil
+
+    for live in paths:
+        new = live + NEW_SUFFIX
+        if os.path.exists(live):
+            os.rename(live, live + OLD_SUFFIX)
+        os.rename(new, live)
+    for live in paths:
+        old = live + OLD_SUFFIX
+        if os.path.exists(old):
+            shutil.rmtree(old)

@@ -60,56 +60,34 @@ from pyspark.sql import DataFrame
 # Structured Streaming state maintenance; the reference has no
 # streaming surface (SURVEY.md §2.10).
 
-_NEW_SUFFIX = ".__rebuild_new__"
-_OLD_SUFFIX = ".__rebuild_old__"
+# The swap machinery is the SHARED protocol (operators/stored_state.py
+# — round 11 factored it out so the MinHash re-split remedy rides the
+# same renames and the same recovery rule). Suffix aliases kept for
+# the round-11 lifecycle tests.
+from ffi_etl_spark.operators.stored_state import (  # noqa: E402
+    NEW_SUFFIX as _NEW_SUFFIX,
+    OLD_SUFFIX as _OLD_SUFFIX,
+    commit_swap,
+    recover_torn_swap,
+)
 
 
 def _recover_torn_swap(cpath: str, apath: str) -> None:
-    """Startup/batch-start recovery for the two-table index swap.
-
-    The commit protocol (``_swap_index``) is: write BOTH ``__new__``
-    dirs fully, then per table rename live→``__old__`` and
-    ``__new__``→live, then drop both ``__old__``. The recovery rule is
-    decided by the ``__old__`` markers: any ``__old__`` present means
-    both ``__new__`` dirs were complete when the commit started, so
-    roll FORWARD (finish the renames, drop the olds); ``__new__``
-    without any ``__old__`` means the crash hit during the side
-    writes, so roll BACK (drop the partial ``__new__`` dirs — the
-    rebuild re-triggers on the next drifted batch, and the live index
-    was never touched). Either way the pair ends coherent, which is
-    what ``check_ivf_layout``'s model-identity gate needs."""
-    news = [p + _NEW_SUFFIX for p in (cpath, apath)]
-    olds = [p + _OLD_SUFFIX for p in (cpath, apath)]
-    if any(os.path.exists(o) for o in olds):
-        for live, new in zip((cpath, apath), news):
-            if os.path.exists(new):
-                if os.path.exists(live):
-                    # live→old rename hadn't happened for this table
-                    old = live + _OLD_SUFFIX
-                    if not os.path.exists(old):
-                        os.rename(live, old)
-                    else:  # both live and old exist: new is stale
-                        shutil.rmtree(new)
-                        continue
-                os.rename(new, live)
-        for o in olds:
-            if os.path.exists(o):
-                shutil.rmtree(o)
-    else:
-        for n in news:
-            if os.path.exists(n):
-                shutil.rmtree(n)
+    """Batch-start recovery for the two-table index swap — the shared
+    rule (stored_state.recover_torn_swap): roll FORWARD from the first
+    ``__old__`` marker, roll BACK side dirs written without one.
+    Either way the pair ends coherent, which is what
+    ``check_ivf_layout``'s model-identity gate needs."""
+    recover_torn_swap([cpath, apath])
 
 
 def _swap_index(centroids, assignments, cpath: str, apath: str) -> None:
     """Atomically (crash-safely, with ``_recover_torn_swap``) replace
     the stored two-table index with a freshly materialized one: write
-    both side dirs fully, then aside→replace→drop (profile.py's
-    ledger-swap protocol extended to a dir PAIR — the ``__old__``
-    marker is the commit point the recovery rule keys on). Centroids
-    (the K-row model) commit first so any torn window holds at most a
-    mixed pair, which the model-identity gate refuses rather than
-    serves."""
+    both side dirs fully, then the shared aside→replace→drop commit
+    (stored_state.commit_swap). Centroids (the K-row model) commit
+    first so any torn window holds at most a mixed pair, which the
+    model-identity gate refuses rather than serves."""
     from ffi_etl_spark.operators.similarity import write_ivf_assignments
 
     cnew, anew = cpath + _NEW_SUFFIX, apath + _NEW_SUFFIX
@@ -117,14 +95,7 @@ def _swap_index(centroids, assignments, cpath: str, apath: str) -> None:
         shutil.rmtree(p, ignore_errors=True)
     centroids.write.parquet(cnew)
     write_ivf_assignments(assignments, anew)
-    for live, new in ((cpath, cnew), (apath, anew)):
-        if os.path.exists(live):
-            os.rename(live, live + _OLD_SUFFIX)
-        os.rename(new, live)
-    for live in (cpath, apath):
-        old = live + _OLD_SUFFIX
-        if os.path.exists(old):
-            shutil.rmtree(old)
+    commit_swap([cpath, apath])
 
 
 def stream_ann_ingest(

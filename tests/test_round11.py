@@ -529,3 +529,122 @@ def test_fuzz_grammar_coverage():
     from tools.fuzz_differential import selfcheck
 
     assert selfcheck(12000) == 0
+
+
+def test_resplit_signature_state_swap_and_parity(spark, sf_dir, tmp_path):
+    """The dedup twin of the ANN rebuild (round 11): re-materializing
+    the stored MinHash state under a NEW split swaps both tables in
+    one commit — the new state passes the layout gates under the new
+    parameters (and refuses the old), the band index's identity stamp
+    matches the new banding, and an incremental batch probed through
+    the re-split state finds the exact pair set a fresh (24, 4) build
+    finds."""
+    from ffi_etl_spark.operators.dedup import (
+        check_band_index_layout,
+        check_signature_layout,
+        dedup_minhash_incremental,
+        minhash_band_index,
+        minhash_signature_table,
+        resplit_signature_state,
+    )
+    from ffi_etl_spark.operators.stored_state import write_bucketed
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    sigs_path = str(tmp_path / "sigs")
+    bidx_path = str(tmp_path / "bidx")
+
+    # era 1: stored state pinned at (12, 3)
+    old = minhash_signature_table(corpus, num_perm=12, bands=3)
+    old.write.parquet(sigs_path)
+    write_bucketed(minhash_band_index(old), bidx_path, "_bkt")
+
+    # the remedy: re-materialize at (24, 4) and swap both tables
+    got = resplit_signature_state(
+        corpus, sigs_path, bidx_path, num_perm=24, bands=4
+    )
+    assert got == (24, 4)
+    sigs = spark.read.parquet(sigs_path)
+    bidx = spark.read.parquet(bidx_path)
+    check_signature_layout(sigs, 24, 4)
+    with pytest.raises(ValueError):
+        check_signature_layout(sigs, 12, 3)
+    assert check_band_index_layout(bidx, 24, 4) == 64
+    with pytest.raises(ValueError, match="DIFFERENT banding"):
+        check_band_index_layout(bidx, 12, 3)
+
+    # consumer parity: incremental dedup through the re-split state ==
+    # the same run against a fresh (24, 4) build
+    key = lambda r: (r.id_a, r.id_b)  # noqa: E731
+    got_pairs = sorted(
+        dedup_minhash_incremental(
+            None, batch, corpus_hashed=sigs, corpus_band_index=bidx,
+            num_perm=24, bands=4,
+        ).collect(),
+        key=key,
+    )
+    fresh = minhash_signature_table(corpus, num_perm=24, bands=4)
+    want_pairs = sorted(
+        dedup_minhash_incremental(
+            None, batch, corpus_hashed=fresh, num_perm=24, bands=4,
+        ).collect(),
+        key=key,
+    )
+    assert [tuple(r) for r in got_pairs] == [tuple(r) for r in want_pairs]
+
+    # probe path: with no pinned split, the operator re-probes the
+    # corpus and returns the pick (the testdata's pinned (24, 4))
+    got2 = resplit_signature_state(corpus, sigs_path, bidx_path)
+    assert got2 == (24, 4)
+
+
+def test_generic_swap_recovery(spark, tmp_path):
+    """stored_state.commit_swap / recover_torn_swap over a dir pair:
+    side dirs without a marker roll BACK; any __swap_old__ marker
+    rolls FORWARD; both end states are coherent."""
+    import shutil
+
+    from ffi_etl_spark.operators.stored_state import (
+        NEW_SUFFIX,
+        OLD_SUFFIX,
+        commit_swap,
+        recover_torn_swap,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+
+    def write(path, val, rows=5):
+        spark.range(rows).select(
+            F.col("id"), F.lit(val).alias("era")
+        ).write.mode("overwrite").parquet(path)
+
+    def era(path):
+        vals = {r["era"] for r in spark.read.parquet(path).collect()}
+        assert len(vals) == 1
+        return vals.pop()
+
+    # roll back: sides written, commit never started
+    write(a, "old"), write(b, "old")
+    write(a + NEW_SUFFIX, "new"), write(b + NEW_SUFFIX, "new")
+    recover_torn_swap([a, b])
+    assert era(a) == "old" and era(b) == "old"
+    assert not os.path.exists(a + NEW_SUFFIX)
+
+    # roll forward: crash after the first table fully swapped
+    write(a + NEW_SUFFIX, "new"), write(b + NEW_SUFFIX, "new")
+    os.rename(a, a + OLD_SUFFIX)
+    os.rename(a + NEW_SUFFIX, a)
+    recover_torn_swap([a, b])
+    assert era(a) == "new" and era(b) == "new"
+    assert not os.path.exists(a + OLD_SUFFIX)
+    assert not os.path.exists(b + OLD_SUFFIX)
+
+    # clean commit
+    write(a + NEW_SUFFIX, "new2"), write(b + NEW_SUFFIX, "new2")
+    commit_swap([a, b])
+    assert era(a) == "new2" and era(b) == "new2"
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
