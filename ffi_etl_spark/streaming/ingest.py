@@ -202,6 +202,8 @@ def stream_dedup_ingest(
     band_index_path: str | None = None,
     n_band_buckets: int | None = None,
     band_index_auto_bytes: int | None = BAND_INDEX_AUTO_STATE_BYTES,
+    resplit_check_batches: int | None = None,
+    resplit_after_misses: int = 3,
     **lsh_kwargs,
 ):
     """foreachBatch sink: maintain ``corpus_path`` as a near-dup-free
@@ -267,6 +269,26 @@ def stream_dedup_ingest(
     The pick is sticky once materialized; re-materialize the state
     with ``minhash_signature_table(corpus)`` to retune a grown corpus.
 
+    ``resplit_check_batches`` (round 11 — the wired remedy for the
+    sticky split going STALE; requires ``sigs_path``, ignored when the
+    caller pinned num_perm/bands): every Nth batch the incoming
+    batch's own distribution is probed (``resolve_minhash_split`` —
+    bounded by the batch, the ambient-probe cost class). After
+    ``resplit_after_misses`` CONSECUTIVE checks whose pick disagrees
+    with the adopted split AND agree with each other (one odd batch
+    resets the streak — damping against probe noise on small batches),
+    the sink re-materializes the signature state (and the maintained
+    band index) under the batch-probed split via
+    ``resplit_signature_state`` and swaps both in one commit; this
+    batch and every later one adopt the new layout automatically. The
+    re-split serves the INCOMING distribution — that is the
+    distribution every future batch pays the verify bill against
+    (BASELINE.md sf10: 34.6 s/batch at a stale split vs 15.5 s at the
+    probe pick, identical found set). Default None keeps the round-10
+    behavior: the split stays sticky until a human re-materializes.
+    Local filesystem only (the swap's os.rename protocol — validated
+    at sink construction).
+
     Exactly-once posture: foreachBatch is at-least-once — a batch can
     replay after a failure that landed some sinks but not the
     checkpoint. The CORPUS is the primary artifact and is replay-
@@ -299,6 +321,22 @@ def stream_dedup_ingest(
             "derived projection of the stored signature table; without "
             "one there is nothing to index or reconcile against"
         )
+    if resplit_check_batches is not None:
+        if sigs_path is None:
+            raise ValueError(
+                "resplit_check_batches requires sigs_path — the re-split "
+                "remedy re-materializes the STORED signature state; with "
+                "no stored state the split is re-probed per restart anyway"
+            )
+        # the swap protocol is os.rename — fail at construction, not at
+        # the first drift event months in (the ann_ingest rule)
+        from ffi_etl_spark.streaming.profile import _local_target
+
+        sigs_path = _local_target(sigs_path, "stream_dedup_ingest")
+        if band_index_path is not None:
+            band_index_path = _local_target(
+                band_index_path, "stream_dedup_ingest"
+            )
 
     # probe-tuning knobs are consumed by the split resolution below and
     # must NOT reach dedup_minhash_lsh (review r08: forwarding them made
@@ -346,6 +384,11 @@ def stream_dedup_ingest(
     # the closure), which is how the sticky fs.exists branch re-adopts
     # an index a previous process created.
     _auto_idx: dict = {"path": None, "calls": 0}
+
+    # re-split drift damping (round 11): consecutive Nth-batch probe
+    # picks that disagree with the adopted split and agree with each
+    # other; one odd batch resets the streak
+    _resplit: dict = {"calls": 0, "misses": 0, "pick": None}
 
     def _auto_band_index_cached(spark) -> str | None:
         if _auto_idx["path"] is None:
@@ -431,6 +474,60 @@ def stream_dedup_ingest(
                 "delete the stale signature table before ingesting"
             )
         num_perm, bands = _resolve_split(corpus, corpus_hashed, batch)
+
+        if (
+            resplit_check_batches is not None
+            and corpus_hashed is not None
+            and corpus is not None
+            and "num_perm" not in lsh_kwargs
+            and "bands" not in lsh_kwargs
+        ):
+            from ffi_etl_spark.operators.dedup import (
+                resolve_or_adopt_split,
+                resplit_signature_state,
+            )
+
+            _resplit["calls"] += 1
+            if _resplit["calls"] % resplit_check_batches == 0:
+                pick = resolve_or_adopt_split(
+                    batch,
+                    None,
+                    text_col,
+                    id_col,
+                    shingle_k=lsh_kwargs.get("shingle_k", 5),
+                    threshold=lsh_kwargs.get("threshold", 0.5),
+                    **probe_kwargs,
+                )
+                if pick == (num_perm, bands) or (
+                    _resplit["pick"] is not None and pick != _resplit["pick"]
+                ):
+                    _resplit["misses"], _resplit["pick"] = 0, None
+                else:
+                    _resplit["misses"] += 1
+                    _resplit["pick"] = pick
+                if _resplit["misses"] >= resplit_after_misses:
+                    idx = band_index_path
+                    if idx is None and band_index_auto_bytes is not None:
+                        # swap a maintained AUTO index too — leaving it
+                        # under the old banding would be the mixed-era
+                        # state check_band_index_layout refuses
+                        idx = _auto_band_index_cached(spark)
+                        if idx is not None and _read_or_none(spark, idx) is None:
+                            idx = None  # enabled but not yet materialized
+                    num_perm, bands = resplit_signature_state(
+                        corpus,
+                        sigs_path,
+                        idx,
+                        text_col=text_col,
+                        id_col=id_col,
+                        shingle_k=lsh_kwargs.get("shingle_k", 5),
+                        num_perm=pick[0],
+                        bands=pick[1],
+                        fast=lsh_kwargs.get("fast", False),
+                    )
+                    corpus_hashed = spark.read.parquet(sigs_path)
+                    _resplit["misses"], _resplit["pick"] = 0, None
+
         batch_sig_kwargs = dict(sig_kwargs, num_perm=num_perm, bands=bands)
         lsh_split = dict(lsh_kwargs, num_perm=num_perm, bands=bands)
 

@@ -648,3 +648,118 @@ def test_generic_swap_recovery(spark, tmp_path):
     commit_swap([a, b])
     assert era(a) == "new2" and era(b) == "new2"
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_stream_dedup_auto_resplit_on_drifted_distribution(
+    spark, sf_dir, tmp_path
+):
+    """The auto-wired re-split (round 11): a stream bootstrapped on a
+    low-ambient corpus pins (12, 3); when the incoming distribution
+    shifts to the testdata documents (whose probe pick is the pinned
+    (24, 4) — tests/test_round7.py), two consecutive Nth-batch probe
+    disagreements trigger resplit_signature_state and BOTH state
+    tables swap to the new split; later batches adopt it
+    automatically. Deterministic: both picks are probe-pinned."""
+    import time
+
+    from ffi_etl_spark.operators.dedup import (
+        check_band_index_layout,
+        check_signature_layout,
+    )
+    from ffi_etl_spark.streaming.ingest import stream_dedup_ingest
+
+    soup = [
+        {"doc_id": i, "text": " ".join(
+            f"w{(i * 31 + j * 7919) % 104729}" for j in range(30))}
+        for i in range(60)
+    ]
+    docs = table(spark, sf_dir, "documents").limit(160).collect()
+    t1 = [{"doc_id": 1000000 + r["doc_id"], "text": r["text"]}
+          for r in docs[:80]]
+    t2 = [{"doc_id": 2000000 + r["doc_id"], "text": r["text"]}
+          for r in docs[80:]]
+
+    in_dir = tmp_path / "in"
+    _land_vecs(in_dir, "b1.json", soup)
+    time.sleep(1.1)  # FileStreamSource orders by mod time
+    _land_vecs(in_dir, "b2.json", t1)
+    time.sleep(1.1)
+    _land_vecs(in_dir, "b3.json", t2)
+
+    sigs_path = str(tmp_path / "sigs")
+    bidx_path = str(tmp_path / "bidx")
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("doc_id long, text string")
+        .json(str(in_dir))
+    )
+    q = (
+        stream_dedup_ingest(
+            stream,
+            str(tmp_path / "corpus"),
+            str(tmp_path / "pairs"),
+            str(tmp_path / "ck"),
+            sigs_path=sigs_path,
+            band_index_path=bidx_path,
+            resplit_check_batches=1,
+            resplit_after_misses=2,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    sigs = spark.read.parquet(sigs_path)
+    check_signature_layout(sigs, 24, 4)  # re-split happened
+    assert check_band_index_layout(
+        spark.read.parquet(bidx_path), 24, 4
+    ) == 64
+    n_corpus = spark.read.parquet(str(tmp_path / "corpus")).count()
+    # the soup is fully distinct; the testdata slice carries a handful
+    # of planted near-dups that rightly die — the re-split state must
+    # cover exactly the survivors
+    assert 200 <= n_corpus <= 220
+    assert sigs.count() == n_corpus
+
+    # a later batch adopts the new split (no explicit params) and the
+    # pinned-split refusal still works: an explicit (12, 3) now fails
+    # the layout gate instead of appending mixed-layout rows
+    time.sleep(1.1)
+    _land_vecs(in_dir, "b4.json", [
+        {"doc_id": 3000000, "text": "a fresh and fully distinct doc xyz"}
+    ])
+    q2 = (
+        stream_dedup_ingest(
+            spark.readStream.schema("doc_id long, text string").json(
+                str(in_dir)),
+            str(tmp_path / "corpus"),
+            str(tmp_path / "pairs"),
+            str(tmp_path / "ck"),
+            sigs_path=sigs_path,
+            band_index_path=bidx_path,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(str(tmp_path / "corpus")).count() == n_corpus + 1
+    check_signature_layout(spark.read.parquet(sigs_path), 24, 4)
+
+
+def test_stream_dedup_resplit_requires_sigs_and_local(spark, tmp_path):
+    from ffi_etl_spark.streaming.ingest import stream_dedup_ingest
+
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(tmp_path)
+    )
+    with pytest.raises(ValueError, match="requires sigs_path"):
+        stream_dedup_ingest(
+            stream, str(tmp_path / "c"), str(tmp_path / "p"),
+            str(tmp_path / "ck"), resplit_check_batches=4,
+        )
+    with pytest.raises(ValueError, match="s3a://"):
+        stream_dedup_ingest(
+            stream, str(tmp_path / "c"), str(tmp_path / "p"),
+            str(tmp_path / "ck"), sigs_path="s3a://bucket/sigs",
+            resplit_check_batches=4,
+        )
