@@ -679,7 +679,7 @@ def gen_query(rng: random.Random) -> str:
             f"FROM ({inner}) t ORDER BY g"
         )
 
-    if join_how is None and 0.98 <= shape < 0.99:
+    if join_how is None and 0.98 <= shape < 0.9875:
         # ROLLUP / CUBE keyword spellings (round-11 grammar): the
         # existing grouping-sets arm covers only the explicit GROUPING
         # SETS list — ROLLUP(a, b) and CUBE(a, b) expand to DIFFERENT
@@ -736,20 +736,60 @@ def gen_query(rng: random.Random) -> str:
             f"FROM {frm}{where} GROUP BY {gcol} ORDER BY {gcol}"
         )
 
-    if join_how is None and 0.995 <= shape:
-        # integer-kernel scalar surfaces (round-11c grammar; probed
-        # both engines): negative-operand modulo (both engines take
-        # the dividend's sign), ABS/SIGN composition, bitwise AND/OR,
-        # and GREATEST/LEAST + NULLIF/COALESCE chains — each as an
+    if join_how is None and 0.99 <= shape:
+        # integer-kernel scalar surfaces (rounds 11c/11d; probed both
+        # engines): negative-operand modulo (both engines take the
+        # dividend's sign), ABS/SIGN composition, bitwise AND/OR,
+        # GREATEST/LEAST + NULLIF/COALESCE chains — each as an
         # exact-integer GROUP BY key so a kernel difference regroups
-        # rows, not just shifts a value. Division is deliberately
-        # ABSENT: bare `/` then CAST genuinely diverges (Spark
-        # truncates the double, DuckDB rounds — measured), and `//`
-        # vs DIV don't share a spelling; the house FLOOR() rule covers
-        # that surface elsewhere.
+        # rows, not just shifts a value — plus the 11d predicate
+        # surfaces: IN-list WITH NULL (the three-valued-logic edge:
+        # NOT IN over a NULL member is never true, IN falls back to
+        # unknown — folded through CASE so the per-row truth value is
+        # OUTPUT, not just a filter), BETWEEN with an expression
+        # bound, and aggregate-expression HAVING beside a nested-CASE
+        # SUM. Division is deliberately ABSENT: bare `/` then CAST
+        # genuinely diverges (Spark truncates the double, DuckDB
+        # rounds — measured), and `//` vs DIV don't share a spelling;
+        # the house FLOOR() rule covers that surface elsewhere.
         c = rng.choice(t["ints"])
         acol = rng.choice(t["ints"])
-        arm = rng.randrange(3)
+        arm = rng.randrange(6)
+        if arm == 3:
+            # IN / NOT IN with a NULL member, as CASE-folded counts
+            lits = ", ".join(
+                str(x) for x in rng.sample(_INT_LITS, rng.randint(1, 3))
+            )
+            return (
+                f"SELECT CAST(SUM(CASE WHEN {c} IN ({lits}, NULL) "
+                f"THEN 1 ELSE 0 END) AS BIGINT) AS inn, "
+                f"CAST(SUM(CASE WHEN {c} NOT IN ({lits}, NULL) "
+                f"THEN 1 ELSE 0 END) AS BIGINT) AS ninn, "
+                f"CAST(COUNT(*) AS BIGINT) AS n FROM {frm}{where}"
+            )
+        if arm == 4:
+            # BETWEEN with an expression upper bound
+            c2 = rng.choice(t["ints"])
+            m1, m2 = rng.choice([(100, 50), (50, 25), (20, 10)])
+            lo = rng.choice([0, 3, 10])
+            return (
+                f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+                f"CAST(SUM(CAST({acol} AS BIGINT)) AS BIGINT) AS s "
+                f"FROM {frm} WHERE {c} % {m1} BETWEEN {lo} AND {c2} % {m2}"
+            )
+        if arm == 5:
+            # nested CASE inside SUM + aggregate-expression HAVING
+            gcol = rng.choice(t["groups"])
+            p1 = _int_pred(rng, rng.choice(t["ints"]))
+            p2 = _int_pred(rng, rng.choice(t["ints"]))
+            return (
+                f"SELECT {gcol}, CAST(SUM(CASE WHEN {p1} THEN "
+                f"CASE WHEN {p2} THEN 2 ELSE 1 END ELSE 0 END) AS BIGINT) "
+                f"AS s, CAST(COUNT(*) AS BIGINT) AS n FROM {frm}{where} "
+                f"GROUP BY {gcol} HAVING SUM(CAST({acol} AS BIGINT)) "
+                f"BETWEEN 0 AND 900000000 AND MIN({acol}) >= 0 "
+                f"ORDER BY {gcol}"
+            )
         if arm == 0:
             m = rng.choice([3, 5, 7])
             kexpr = f"(0 - {c}) % {m}"
@@ -1128,7 +1168,12 @@ def gen_query(rng: random.Random) -> str:
             f"SELECT {sel} FROM {frm}{w2} ORDER BY {sel}"
         )
 
-    if join_how is None and 0.92 <= shape:
+    # Re-slotted to [0.9875, 0.99) in round 11: this arm's original
+    # open-ended `0.92 <= shape` claim was fully consumed once the
+    # relocated 10d/11/11b/11c branches (which sit EARLIER in the
+    # function) tiled [0.92, 1.0) — the exact silent-shadow class the
+    # selfcheck exists for, and the selfcheck is what caught it.
+    if join_how is None and 0.9875 <= shape < 0.99:
         # FILTER-clause aggregates + GROUP BY ALL (round-9 late
         # grammar): the standard `agg FILTER (WHERE pred)` spelling
         # both engines parse (probed), beside its CASE-spelled twin so
@@ -1458,6 +1503,15 @@ GRAMMAR_ARM_SIGNATURES: dict[str, "callable"] = {
     # round-11b arms (each spelling probed on both engines)
     "computed_group_key": lambda q: " AS kk," in q,
     "int_kernel_keys": lambda q: " AS ka, " in q and " AS kb, " in q,
+    # round-11d arms (probed both engines; quantified ALL/ANY subquery
+    # comparisons are NOT here — Spark does not parse them)
+    "in_list_with_null": lambda q: ", NULL) THEN 1 ELSE 0 END" in q,
+    "between_expr_bound": lambda q: __import__("re").search(
+        r"BETWEEN \d+ AND \w+ % \d+", q
+    )
+    is not None,
+    "nested_case_having_agg": lambda q: "THEN CASE WHEN" in q
+    and "HAVING SUM(" in q,
     "ordinal_group_order": lambda q: "GROUP BY 1" in q
     and "ORDER BY 1, 2, 3" in q,
     "global_window_share": lambda q: "OVER () AS BIGINT) AS w " in q,
@@ -1469,11 +1523,17 @@ def _is_round11b_shape(sql: str) -> bool:
     keys (CASE cascades / string-function chains), ordinal
     GROUP BY/ORDER BY with HAVING, and global empty-OVER windows over
     grouped derived tables."""
+    import re
+
     return (
         " AS kk," in sql
         or ("GROUP BY 1" in sql and "ORDER BY 1, 2, 3" in sql)
         or "OVER () AS BIGINT) AS w " in sql
         or (" AS ka, " in sql and " AS kb, " in sql)
+        # round-11d predicate surfaces ride the same filter mode
+        or ", NULL) THEN 1 ELSE 0 END" in sql
+        or re.search(r"BETWEEN \d+ AND \w+ % \d+", sql) is not None
+        or ("THEN CASE WHEN" in sql and "HAVING SUM(" in sql)
     )
 
 
