@@ -50,6 +50,7 @@ def run_mode(
     mode: str,
     trickle: bool = False,
     n_band_buckets: int | None = None,
+    resplit_check_batches: int | None = None,
 ) -> list[dict]:
     """``trickle=False``: n_batches equal slices (the steady-ingest
     curve). ``trickle=True``: ONE big batch lands all but 100 docs,
@@ -100,6 +101,7 @@ def run_mode(
                     sigs_path=sigs_path,
                     band_index_path=band_index_path,
                     n_band_buckets=n_band_buckets,
+                    resplit_check_batches=resplit_check_batches,
                     fast=True,
                 )
                 .trigger(availableNow=True)
@@ -141,6 +143,14 @@ def main() -> None:
     )
     ap.add_argument("--out", default=None, help="write curves as one JSON artifact")
     ap.add_argument(
+        "--resplit-check",
+        type=int,
+        default=None,
+        help="pass resplit_check_batches through to the sink (round 11): "
+        "measures the Nth-batch ambient-probe tax of the auto re-split "
+        "trigger against the same curve without it",
+    )
+    ap.add_argument(
         "--trickle",
         action="store_true",
         help="one big build batch then five 20-doc micro-batches "
@@ -168,6 +178,7 @@ def main() -> None:
             mode,
             trickle=args.trickle,
             n_band_buckets=256 if args.trickle else None,
+            resplit_check_batches=args.resplit_check,
         )
 
     # slope summary: mean of last-3 per-batch seconds over mean of
