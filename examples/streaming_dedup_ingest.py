@@ -68,6 +68,16 @@ def main() -> None:
                          "Left unset, the ingest auto-enables the "
                          "index beside the sigs table once stored "
                          "state crosses 64 GiB (band_index_auto_bytes)")
+    ap.add_argument("--resplit-check", type=int, default=None,
+                    help="auto re-split trigger (round 11): every Nth "
+                         "batch the INCOMING batch's distribution is "
+                         "probed; after --resplit-misses consecutive "
+                         "agreeing disagreements with the adopted split, "
+                         "the stored state re-materializes under the new "
+                         "pick and swaps atomically. Unset = the sticky "
+                         "split stays until a human re-materializes "
+                         "(resplit_signature_state)")
+    ap.add_argument("--resplit-misses", type=int, default=3)
     args = ap.parse_args()
 
     from ffi_etl_spark.session import get_session
@@ -80,7 +90,9 @@ def main() -> None:
     query = (
         stream_dedup_ingest(docs, args.corpus, args.pairs, args.checkpoint,
                             sigs_path=args.sigs,
-                            band_index_path=args.band_index)
+                            band_index_path=args.band_index,
+                            resplit_check_batches=args.resplit_check,
+                            resplit_after_misses=args.resplit_misses)
         .trigger(availableNow=True)  # drain the backlog once, then exit
         .start()
     )
