@@ -308,6 +308,111 @@ def estimate_ambient_jaccard(
     return float(row["_m"] or 0.0)
 
 
+def estimate_cross_ambient_jaccard(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    sample_docs: int = 256,
+    probe_perm: int = 32,
+    quantile: float = 0.75,
+) -> float:
+    """Ambient similarity of CROSS pairs — one sampled corpus doc
+    paired with one sampled batch doc — the distribution the
+    incremental tier's verify bill actually prices: per-batch
+    candidates are batch-bands ⋈ corpus-bands collisions, so the
+    similarity of a random (batch doc, corpus doc) pair is what the
+    banding must bound, not the similarity WITHIN either side
+    (``estimate_ambient_jaccard``'s question).
+
+    Built from the same machinery: a deterministic xxhash64-ranked
+    ``sample_docs/2``-doc sample of EACH side (TakeOrderedAndProject —
+    one column-pruned pass per side at any scale), probe signatures at
+    ``probe_perm`` slots, and the i-th corpus doc paired with the i-th
+    batch doc (hash rank ≡ random pairing across sides).
+
+    Returns the ``quantile``-th percentile (default p75), NOT the
+    median: the caller (the streaming re-split's corpus-confirm,
+    VERDICT r11 item 4) asks whether the incoming distribution has
+    meaningful MASS in future pairings, and P(collide | s) is convex
+    in s, so the verify bill is dominated by the upper tail — a
+    drifted subpopulation at ≥ (1 - quantile) pair mass sets the
+    statistic, while the median only moves once drifted docs are the
+    majority partner, long after the bill started growing. The
+    estimates are K driver-bounded rows; both quantiles cost the same
+    one collect."""
+    half = max(2, sample_docs // 2)
+
+    def _side(df: DataFrame, alias: str) -> DataFrame:
+        ranked = (
+            df.select(F.col(id_col), F.col(text_col))
+            .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+            .limit(half)
+        )
+        sigs = _shingle_sets(
+            ranked, text_col, id_col, shingle_k, True, probe_perm
+        ).select(F.col(id_col), F.col("_sig"))
+        from pyspark.sql import Window
+
+        # K sampled rows only — the single-partition window is the point
+        w = Window.orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        return sigs.withColumn("_rk", F.row_number().over(w)).select(
+            "_rk", F.col("_sig").alias(alias)
+        )
+
+    paired = _side(corpus, "_sa").join(_side(batch, "_sb"), "_rk")
+    est = paired.select(
+        (
+            F.aggregate(
+                F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("double")
+            / F.lit(probe_perm)
+        ).alias("_est")
+    )
+    row = est.agg(F.expr(f"percentile(_est, {quantile})").alias("_m")).collect()[0]
+    return float(row["_m"] or 0.0)
+
+
+def confirm_resplit_pick(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    dup_sim: float = 0.9,
+    recall_floor: float = 0.95,
+    sample_docs: int = 256,
+) -> tuple[int, int]:
+    """The corpus-side CONFIRM for a batch-evidenced re-split (VERDICT
+    r11 item 4): the split the chooser picks for the measured
+    cross-pair (batch ⋈ corpus) ambient. The streaming trigger pays
+    the full-corpus re-materialization only when this pick DISAGREES
+    with the adopted split — batch-internal drift alone (a few odd
+    batches over an undrifted corpus) prices the cross pairs at the
+    corpus's old ambient and returns the adopted split, so the swap
+    bill is never paid on batch evidence alone; as drifted batches
+    accumulate INTO the corpus their cross-pair mass grows and a later
+    streak confirms. Bounded: two ``sample_docs/2``-doc probes plus
+    one footer-metadata count."""
+    from ffi_etl_spark.functions.lsh_tuning import choose_minhash_split
+
+    cross = estimate_cross_ambient_jaccard(
+        corpus, batch, text_col, id_col, shingle_k, sample_docs=sample_docs
+    )
+    n_docs = corpus.count()
+    kwargs: dict = {"n_docs": n_docs}
+    if n_docs >= WIDE_CORPUS_DOCS:
+        kwargs["num_perms"] = WIDE_NUM_PERMS
+    num_perm, bands, _rows = choose_minhash_split(
+        cross, threshold, dup_sim=dup_sim, recall_floor=recall_floor, **kwargs
+    )
+    return num_perm, bands
+
+
 def dedup_minhash_adaptive(
     df: DataFrame,
     text_col: str = "text",

@@ -30,6 +30,17 @@ from ffi_etl_spark.functions.vectors import (
 )
 
 
+class QuantizerDriftError(ValueError):
+    """A vector batch failed the adopted quantizer's drift contract
+    (``ivf_index_append(max_below_floor_share=...)``). A dedicated
+    type so remediation paths (``stream_ann_ingest(rebuild_on_drift)``)
+    dispatch on the CLASS, not a substring of the message — rewording
+    the refusal must never silently turn a rebuild sink back into
+    fail-the-stream, and an unrelated ValueError that happens to
+    mention drift must never trigger a full re-materialization
+    (ADVICE r11)."""
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -498,16 +509,19 @@ def ann_ivf_autok(
     build's cell count, so the same fraction states the same recall
     target whether the index is built in-query or read back from
     parquet (overrides ``nprobe`` when set)."""
+    # range-check BEFORE training: the quantizer build is the expensive
+    # half of this call, and an out-of-range dial must not charge for
+    # it before refusing (ADVICE r11)
+    if probe_frac is not None and not 0.0 < probe_frac <= 1.0:
+        raise ValueError(
+            f"probe_frac={probe_frac} is outside (0, 1] — it is the "
+            "fraction of the trained model's cells each query probes"
+        )
     cents, cells = ivf_train_quantizer(
         corpus, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
         quantize_bits=quantize_bits, cells=cells,
     )
     if probe_frac is not None:
-        if not 0.0 < probe_frac <= 1.0:
-            raise ValueError(
-                f"probe_frac={probe_frac} is outside (0, 1] — it is the "
-                "fraction of the trained model's cells each query probes"
-            )
         nprobe = max(1, math.ceil(probe_frac * cells))
     c = assign_to_centroid(corpus, cents, id_col, vec_col).withColumnsRenamed(
         {id_col: "neighbor_id", vec_col: "_cv", "vec_norm": "_cn"}
@@ -522,6 +536,75 @@ def ann_ivf_autok(
     return _ivf_probe_topk(c, q, k)
 
 
+def ivf_codebook(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """ONE-row per-dimension (min, max) scalar-quantization codebook
+    over a vector corpus: ``_code_mn`` / ``_code_mx`` as
+    ``array<double>`` in dimension order. The shared parameter record
+    of the stored int8 probe tier — the same per-dim min/max scaling
+    as ``operators/quantize.py::quantize_codes_long`` (floor, never
+    round — the cross-engine half-tie rule), reshaped into a
+    broadcastable row so coding a vector is a single narrow
+    ``transform`` instead of a posexplode/groupBy per batch.
+
+    Shape: one narrow posexplode, one dim-keyed aggregate (output =
+    n_dims rows, map-side combined), one 1-row reassembly — the
+    ``quantized_centroid_sums`` cost class. Deterministic at any
+    partitioning (min/max are order-free)."""
+    ex = corpus.select(F.posexplode(F.col(vec_col)).alias("dim", "x")).withColumn(
+        "x", F.col("x").cast("double")
+    )
+    stats = ex.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    return stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s["mn"]
+        ).alias("_code_mn"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s["mx"]
+        ).alias("_code_mx"),
+    )
+
+
+def _int8_code_expr(vec, mn, mx):
+    """uint8 code array for ``vec`` under the (``mn``, ``mx``) codebook
+    arrays: floor((x - mn) * 255 / (mx - mn)), clamped into [0, 255] —
+    the clamp is a no-op for the corpus the codebook was fit on and
+    the documented out-of-range rule for adopted-codebook coding of
+    query batches and appends (the codebook, like the coarse
+    quantizer, is ADOPTED, never re-fit mid-stream). A constant
+    dimension codes to 0 (the ``quantize_codes_long`` rule — a 0/0
+    NULL would silently desynchronize the array). All engine-portable
+    double arithmetic + FLOOR, so any engine regenerates identical
+    codes."""
+    return F.transform(
+        vec,
+        lambda x, i: F.when(F.get(mx, i) == F.get(mn, i), F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (x.cast("double") - F.get(mn, i))
+                        * F.lit(255.0)
+                        / (F.get(mx, i) - F.get(mn, i))
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
+
+
+def _int8_d2_expr(a, b):
+    """Squared L2 between two uint8 code arrays as an exact BIGINT —
+    pure integer multiply-add, so distances, ties, and therefore the
+    shortlist RANKING are bit-identical on any engine (the
+    ``knn_int8_codes`` kernel, as an expression over stored codes)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def ivf_index_tables(
     corpus: DataFrame,
     n_iter: int = 2,
@@ -529,6 +612,7 @@ def ivf_index_tables(
     vec_col: str = "embedding",
     quantize_bits: int | None = None,
     cells: int | None = None,
+    store_codes: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The PERSISTABLE IVF index: (centroids, assignments) — the
     stored-state posture of ``minhash_signature_table`` applied to the
@@ -568,7 +652,24 @@ def ivf_index_tables(
     both (and the ``_model_id`` aggregate) read the pinned K rows.
     The assignments frame stays lazy; write centroids first (the
     small one) so a torn write leaves an orphaned model rather than
-    orphaned bulk."""
+    orphaned bulk.
+
+    ``store_codes`` (round 12 — VERDICT r11 item 1): additionally fit
+    a per-dimension int8 codebook over the corpus (``ivf_codebook``)
+    and store each vector's uint8 code array as ``_codes`` beside its
+    float vector. This is the 4× read lever for the probe dial: a
+    64-dim float32 vector is 256 bytes, its code row 64 — and because
+    both live as COLUMNS of one parquet table, the code-space probe
+    (``ann_ivf_query_stored_int8``) reads only the codes column of the
+    probed cells while the exact re-rank reads the float column of
+    only the shortlist's cells (parquet column pruning does the
+    splitting; no second table, no extra join key). The codebook
+    arrays ride on the centroids table (``_code_mn`` / ``_code_mx`` —
+    K copies of 64 doubles, ~free) and both tables carry
+    ``_codebook_id`` (xxhash64 over the arrays) so
+    ``check_ivf_codes_layout`` refuses codes paired with a codebook
+    they were not produced under — the ``_model_id`` rule applied to
+    the scalar quantizer."""
     cents, n_cells = ivf_train_quantizer(
         corpus, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
         quantize_bits=quantize_bits, cells=cells,
@@ -590,6 +691,26 @@ def ivf_index_tables(
         .crossJoin(F.broadcast(mid))
         .withColumn("_cells", F.lit(n_cells))
     )
+    if store_codes:
+        # pin the 1-row codebook: it feeds the centroids stamp AND the
+        # per-vector coding below, and without the pin each consumer
+        # would re-run the corpus min/max pass (the cents rule)
+        book = (
+            ivf_codebook(corpus, vec_col)
+            .withColumn("_codebook_id", F.xxhash64("_code_mn", "_code_mx"))
+            .localCheckpoint(eager=True)
+        )
+        centroids = centroids.crossJoin(F.broadcast(book))
+        assignments = (
+            assignments.crossJoin(F.broadcast(book))
+            .withColumn(
+                "_codes",
+                _int8_code_expr(
+                    F.col(vec_col), F.col("_code_mn"), F.col("_code_mx")
+                ),
+            )
+            .drop("_code_mn", "_code_mx")
+        )
     return centroids, assignments
 
 
@@ -720,6 +841,178 @@ def ann_ivf_query_stored(
     return _ivf_probe_topk(c, q, k)
 
 
+def check_ivf_codes_layout(
+    centroids: DataFrame, assignments: DataFrame
+) -> tuple[int, int, int, int]:
+    """``check_ivf_layout`` extended to the int8 tier: both tables must
+    also carry the codes surface and agree on the CODEBOOK identity.
+    A codes column paired with a codebook it was not produced under
+    decodes every stored vector against the wrong scale — silently
+    wrong shortlists, not an error — so the gate compares
+    ``_codebook_id`` (the content hash ``ivf_index_tables`` stamps on
+    both tables) after the model-identity check. Returns
+    (cells, qbits, model_id, codebook_id); same 1-row-probe cost
+    class."""
+    cells, qbits, model_id = check_ivf_layout(centroids, assignments)
+    miss_c = {"_code_mn", "_code_mx", "_codebook_id"} - set(centroids.columns)
+    if miss_c:
+        raise ValueError(
+            f"stored IVF centroids table is missing codes column(s) "
+            f"{sorted(miss_c)} — not an ivf_index_tables(store_codes="
+            "True) output; re-materialize the index with "
+            "ivf_index_tables(corpus, store_codes=True)"
+        )
+    miss_a = {"_codes", "_codebook_id"} - set(assignments.columns)
+    if miss_a:
+        raise ValueError(
+            f"stored IVF assignments table is missing codes column(s) "
+            f"{sorted(miss_a)} — not an ivf_index_tables(store_codes="
+            "True) output; re-materialize the index with "
+            "ivf_index_tables(corpus, store_codes=True)"
+        )
+    pc = centroids.select("_codebook_id").limit(1).collect()
+    pa = assignments.select("_codebook_id").limit(1).collect()
+    if pc[0]["_codebook_id"] != pa[0]["_codebook_id"]:
+        raise ValueError(
+            f"stored IVF centroids carry codebook_id="
+            f"{pc[0]['_codebook_id']} but the assignments table carries "
+            f"codebook_id={pa[0]['_codebook_id']} — the stored codes "
+            "were produced under a DIFFERENT per-dimension scale, so "
+            "code-space distances against them are meaningless. "
+            "Re-materialize BOTH with ivf_index_tables(corpus, "
+            "store_codes=True)"
+        )
+    return cells, qbits, model_id, int(pc[0]["_codebook_id"])
+
+
+def ann_ivf_query_stored_int8(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trust_layout: bool = False,
+    probe_frac: float | None = None,
+    rerank_factor: int | None = 4,
+) -> DataFrame:
+    """Top-k against a stored int8-coded IVF index
+    (``ivf_index_tables(store_codes=True)`` output) — the probe-cost
+    lever on the fraction dial (VERDICT r11 item 1): cell routing is
+    identical to ``ann_ivf_query_stored`` (query batch assigned
+    against the K-row float model; nprobe = ceil(probe_frac · cells)
+    from the stored ``_cells`` stamp), but candidate SCORING runs in
+    quantized code space — the probe scan reads only the uint8
+    ``_codes`` column of the probed cells (¼ the bytes of the float
+    column; parquet column pruning never touches ``embedding``), and
+    the distance kernel is exact-integer squared L2, so the shortlist
+    ranking is bit-deterministic.
+
+    ``rerank_factor``: the per-query code-space shortlist is
+    ``rerank_factor · k`` candidates; their FLOAT vectors are then
+    fetched (a broadcast join back onto the assignments table —
+    dynamic partition pruning narrows that read to the shortlist's
+    cells, and only the shortlist's row groups pay the float-column
+    bytes) and the final top-k is exact cosine with the float tier's
+    tie rule, so output shape and semantics match
+    ``ann_ivf_query_stored`` — within the probed cells, quantization
+    can only cost recall when a true top-k member falls outside the
+    top ``rerank_factor·k`` by code distance
+    (test-locked ≥the knn_int8 recall bar; measured ~1.0 at factor 4).
+    ``rerank_factor=None`` skips the re-rank and returns the raw
+    code-space ranking as (query_id, neighbor_id, code_d2, rank) —
+    the cheapest read path when downstream only needs ids.
+
+    Cost at the dial (measured, BASELINE.md §round-12): the probed
+    read volume drops ~4× at any fraction; the re-rank adds
+    q·rerank_factor·k float rows, independent of corpus size."""
+    cells = None
+    if not trust_layout:
+        cells, _, _, _ = check_ivf_codes_layout(centroids, assignments)
+    if probe_frac is not None:
+        if not 0.0 < probe_frac <= 1.0:
+            raise ValueError(
+                f"probe_frac={probe_frac} is outside (0, 1] — it is the "
+                "fraction of the stored model's cells each query probes"
+            )
+        if cells is None:
+            probe = centroids.select("_cells").limit(1).collect()
+            if not probe:
+                raise ValueError(
+                    "stored IVF centroids table is empty — cannot derive "
+                    "the cell count probe_frac scales against"
+                )
+            cells = int(probe[0]["_cells"])
+        nprobe = max(1, math.ceil(probe_frac * cells))
+    model = centroids.select("centroid_id", "centroid")
+    # the codebook rides the centroids table; 1 row, broadcast — the
+    # query batch is coded JVM-side with zero driver round trip
+    book = F.broadcast(centroids.select("_code_mn", "_code_mx").limit(1))
+    if nprobe > 1:
+        q = assign_top_centroids(queries, model, nprobe, id_col, vec_col).drop(
+            "probe_rank"
+        )
+    else:
+        q = assign_to_centroid(queries, model, id_col, vec_col)
+    q = (
+        q.withColumnsRenamed({id_col: "query_id", vec_col: "_qv"})
+        .crossJoin(book)
+        .withColumn(
+            "_qcodes",
+            _int8_code_expr(F.col("_qv"), F.col("_code_mn"), F.col("_code_mx")),
+        )
+        .select("query_id", "centroid_id", "_qcodes")
+    )
+    cand = assignments.select(
+        F.col(id_col).alias("neighbor_id"), F.col("centroid_id"), F.col("_codes")
+    )
+    shortlist_n = k if rerank_factor is None else rerank_factor * k
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("code_d2").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        cand.join(q, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("code_d2", _int8_d2_expr(F.col("_codes"), F.col("_qcodes")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist_n)
+    )
+    if rerank_factor is None:
+        return short.select("query_id", "neighbor_id", "code_d2", "rank")
+    # exact float re-rank of the shortlist: the broadcast of
+    # q·rerank_factor·k (query, neighbor, cell) rows prunes the float
+    # read to the shortlist's cells (DPP on the partition column) and
+    # the cosine is the float tier's exact expression + tie rule
+    pairs = F.broadcast(
+        short.select("query_id", "neighbor_id", "centroid_id")
+    )
+    cvecs = assignments.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("centroid_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("vec_norm").alias("_cn"),
+    ).join(pairs, ["centroid_id", "neighbor_id"])
+    qvecs = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        ).withColumn("_qn", norm2(F.col("_qv")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cvecs.join(qvecs, "query_id")
+        .withColumn(
+            "cosine_sim",
+            cosine_prenorm(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def ivf_index_append(
     centroids: DataFrame,
     assignments: DataFrame,
@@ -764,7 +1057,9 @@ def ivf_index_append(
 
     Assignment is a pure function of (vector, model): appending a
     batch then querying is bit-identical to having built the index
-    over the union with the same model (parity-tested)."""
+    over the union with the same model (parity-tested). An int8-coded
+    table (``store_codes=True`` build) gets its appended rows coded
+    under the STORED codebook automatically — see the in-body note."""
     cells, _, model_id = check_ivf_layout(centroids, assignments)
     model = centroids.select("centroid_id", "centroid")
     fresh = batch.join(assignments.select(id_col), id_col, "left_anti")
@@ -782,7 +1077,7 @@ def ivf_index_append(
         if rep and rep[0]["n_vecs"]:
             share = rep[0]["n_low"] / rep[0]["n_vecs"]
             if share > max_below_floor_share:
-                raise ValueError(
+                raise QuantizerDriftError(
                     f"quantizer drift: {rep[0]['n_low']}/{rep[0]['n_vecs']} "
                     f"({share:.2f}) of the batch scores below "
                     f"sim_floor={sim_floor} against the stored model, over "
@@ -791,11 +1086,44 @@ def ivf_index_append(
                     "cells that do not describe them. Re-materialize the "
                     "index with ivf_index_tables(grown_corpus) and retry"
                 )
-    return (
+    out = (
         assign_to_centroid(fresh, model, id_col, vec_col)
         .withColumn("_cells", F.lit(cells))
         .withColumn("_model_id", F.lit(model_id))
     )
+    if "_codes" in assignments.columns:
+        # the stored table is int8-coded: appended rows must carry
+        # codes under the STORED codebook (adopted, never re-fit —
+        # re-fitting min/max over the grown corpus would produce a
+        # second scale, and codes under different scales must never
+        # share a table; out-of-range values clamp, and a batch
+        # drifted enough for clamping to matter is what the drift
+        # contract above refuses). Rows without codes would make every
+        # later code-space probe NULL out their distances — silently
+        # dropped candidates, not an error.
+        miss = {"_code_mn", "_code_mx", "_codebook_id"} - set(centroids.columns)
+        if miss:
+            raise ValueError(
+                f"stored assignments carry _codes but the centroids "
+                f"table is missing codebook column(s) {sorted(miss)} — "
+                "the codes cannot be extended without their scale; "
+                "re-materialize BOTH with ivf_index_tables(corpus, "
+                "store_codes=True)"
+            )
+        book = F.broadcast(
+            centroids.select("_code_mn", "_code_mx", "_codebook_id").limit(1)
+        )
+        out = (
+            out.crossJoin(book)
+            .withColumn(
+                "_codes",
+                _int8_code_expr(
+                    F.col(vec_col), F.col("_code_mn"), F.col("_code_mx")
+                ),
+            )
+            .drop("_code_mn", "_code_mx")
+        )
+    return out
 
 
 def write_ivf_assignments(

@@ -26,9 +26,9 @@ of an ever-growing state tree is the object-store metadata cost ADVICE
 r09/r10 flagged twice).
 
 Cite: forward-maps the reference's write-full-refreshed-tables posture
-(ffi-etl notebooks, e.g. census_etl.ipynb's overwrite sinks) onto
-incrementally-maintained partitioned state; the reference has no
-incremental surface.
+(the overwrite table sink at utils.py:124-142) onto incrementally-
+maintained partitioned state; the reference has no incremental
+surface.
 """
 
 from __future__ import annotations

@@ -71,14 +71,14 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
 # therefore a grading decision; `tools/rotation.py` machine-derives the
 # graded/green/never-graded sets from CORRECTNESS_r*.json and proposes
 # the next prefix (VERDICT r04 item 6 — no more hand-counted TODO
-# lists). Round-11 rotation: the board entered the round fully green
-# (256/256 graded-ever green), so the window stays FRESHNESS-ONLY —
-# 5 continuity canaries + the 2 never-graded round-11 queries
-# (ann_ivf_stored_fracprobe and ann_ivf_autok_fracprobe, the
-# probed-fraction dial on both tiers — round7.py) + 43 oldest-graded
-# greens, rotation.py's proposal order. The round-10 gates
-# (ann_ivf_churn, ann_ivf_stored_nprobe2) rotate out as
-# freshly-graded greens; they stay registered and local-gated.
+# lists). Round-12 rotation: the board entered the round fully green
+# (258/258 graded-ever green), so the window stays FRESHNESS-ONLY —
+# 5 continuity canaries + the 3 never-graded round-12 queries (the
+# int8-coded stored-IVF tier: fracprobe + re-rank, the code-space-only
+# output, and the clamp-bearing append path — round7.py) + 42
+# oldest-graded greens, rotation.py's proposal order. The round-11
+# fracprobe gates rotate out as freshly-graded greens; they stay
+# registered and local-gated.
 PRIORITY_PREFIX: tuple[str, ...] = (
     # -- canaries: green every prior round, kept for continuity --
     "survey_pipeline",
@@ -86,53 +86,53 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "dedup_minhash",
     "tpch_q1",
     "pretraining_corpus",
-    # -- never-graded: the round-11 probed-fraction gates --
-    "ann_ivf_stored_fracprobe",
-    "ann_ivf_autok_fracprobe",
+    # -- never-graded: the round-12 int8 stored-IVF gates --
+    "ann_ivf_stored_int8",
+    "ann_ivf_stored_int8_codes",
+    "ann_ivf_append_int8",
     # -- freshness fill: oldest-graded greens (rotation.py order) --
-    "weekly_engagement",
-    "power_users_pareto",
-    "dedup_containment",
-    "k_anonymity_audit",
-    "top_user_paths",
-    "token_budget_mixture",
-    "padding_efficiency",
-    "daily_autocorr",
-    "ccnet_quality_tiers",
-    "vocab_coverage",
-    "rfm_features",
-    "lang_confusion",
-    "constraint_audit",
-    "split_leakage_audit",
-    "corr_matrix",
-    "mixture_curriculum",
-    "dedup_semantic",
-    "doc_lm_fluency",
-    "l_diversity_audit",
-    "join_cardinality_probe",
-    "incremental_agg_maintenance",
-    "dp_noised_release",
-    "rendezvous_resharding",
-    "kmv_set_algebra",
-    "clustering_coefficient",
-    "market_basket_lift",
-    "zorder_locality",
-    "dedup_span_scrub",
-    "hybrid_rrf_fusion",
-    "dsir_importance",
-    "woe_iv_encoding",
-    "repetition_span_scrub",
-    "bpe_learn_merges",
-    "bpe_encode_corpus",
-    "quantile_summary_merge",
-    "tree_ensemble_score",
-    "model_auc_exact",
-    "model_classification_report",
-    "nb_lang_train_score",
-    "model_calibration_bins",
-    "model_isotonic_calibration",
-    "forecast_backtest_wape",
-    "daily_trend_ols",
+    "conversion_wilson_ci",
+    "chi2_independence",
+    "cv_auc_folds",
+    "feature_drift_psi",
+    "train_decision_stump",
+    "ks_two_sample",
+    "ab_srm_check",
+    "conversion_time_quantiles",
+    "rolling_ols_trend",
+    "hll_distinct_sketch",
+    "quantile_summary_compact",
+    "bloom_filter_audit",
+    "incremental_join_maintenance",
+    "incremental_agg_retractions",
+    "rolling_distinct_hll",
+    "unigram_lm_segment",
+    "contrastive_negatives",
+    "ppmi_associations",
+    "zipf_exponent_fit",
+    "unigram_em_refit",
+    "leakage_safe_split",
+    "sparse_cosine_mlt",
+    "entity_resolution_golden",
+    "mmr_diverse_topk",
+    "multimodal_phash_sigs",
+    "asof_forward_next_purchase",
+    "gdpr_forget_apply",
+    "calendar_dim",
+    "resample_interpolate",
+    "rollup_demographic",
+    "clean_text",
+    "likert_scores",
+    "bucket_balance",
+    "validity_cascade",
+    "valid_split",
+    "invalid_split",
+    "project_rename_prefix",
+    "global_stats",
+    "window_backfill_first",
+    "window_rownum_order",
+    "timestamp_roundtrip",
+    "union_rollup_multi",
 )
 
 

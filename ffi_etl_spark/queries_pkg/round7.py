@@ -673,3 +673,389 @@ def _documents_whole_roundtrip(spark, sf_dir):
         F.length("text").cast("long").alias("n_chars_file"),
         F.md5("text").alias("content_hash"),
     )
+
+
+# -- round 12: the int8-coded stored index (VERDICT r11 item 1). The
+# probe dial's cost side is linear in probed read volume; storing
+# uint8 codes beside the float vectors cuts that volume 4x (the probe
+# scan reads only the codes column of the probed cells) and the
+# shortlist's exact float re-rank restores the float tier's answer.
+# The oracle replays the WHOLE program: deterministic-Lloyd training,
+# cell assignment, the per-dimension min/max codebook, integer-L2
+# shortlisting at rerank_factor*k with the (d2 ASC, neighbor ASC) tie
+# rule, then exact-cosine top-k — so a codes bug, a clamp bug, a
+# shortlist tie bug, or a re-rank bug each fails the hash.
+_INT8_RERANK = 4
+
+
+def _ivf_stored_int8_oracle(rk: int, rerank_factor: int, k: int = 10) -> str:
+    from ffi_etl_spark.queries_pkg.extensions import _COS, _kmeans_det_cte
+
+    scale = f"{1 << _AUTOK_BITS}.0"
+    src = f"(SELECT * FROM embeddings WHERE vec_id < {_AUTOK_SLICE})"
+    cos_ec = _COS.format(a="e.v", b="c.centroid")
+    cos_rr = _COS.format(a="eq.v", b="en.v")
+    return f"""
+WITH {_kmeans_det_cte(_AUTOK_CELLS, _AUTOK_ROUNDS, source=src)},
+cf AS (
+  SELECT centroid_id, list(CAST(sx AS DOUBLE) ORDER BY i) AS centroid
+  FROM (
+    SELECT centroid_id, i, SUM(CAST(FLOOR(v[i] * {scale}) AS BIGINT)) AS sx
+    FROM a{_AUTOK_ROUNDS} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY centroid_id, i
+  ) GROUP BY centroid_id
+), ca AS (
+  SELECT vec_id AS neighbor_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, c.centroid_id ASC
+           ) AS rk
+    FROM e CROSS JOIN cf c
+  ) WHERE rk = 1
+), qa AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, c.centroid_id ASC
+           ) AS rk
+    FROM e CROSS JOIN cf c
+    WHERE e.vec_id % {_AUTOK_QMOD} = 0
+  ) WHERE rk <= {rk}
+), dimstats AS (
+  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY i
+), codes AS (
+  SELECT e.vec_id, d.i,
+         CASE WHEN d.mx = d.mn THEN 0
+              ELSE GREATEST(0, LEAST(255,
+                CAST(FLOOR((e.v[d.i] - d.mn) * 255.0 / (d.mx - d.mn)) AS BIGINT)))
+         END AS code
+  FROM e CROSS JOIN dimstats d
+), d2 AS (
+  SELECT qa.query_id, ca.neighbor_id,
+         SUM((cc.code - qc.code) * (cc.code - qc.code)) AS code_d2
+  FROM ca JOIN qa USING (centroid_id)
+  JOIN codes cc ON cc.vec_id = ca.neighbor_id
+  JOIN codes qc ON qc.vec_id = qa.query_id AND qc.i = cc.i
+  WHERE ca.neighbor_id <> qa.query_id
+  GROUP BY qa.query_id, ca.neighbor_id
+), short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY code_d2 ASC, neighbor_id ASC) AS rk
+    FROM d2
+  ) WHERE rk <= {rerank_factor * k}
+), rr AS (
+  SELECT s.query_id, s.neighbor_id, {cos_rr} AS cosine_sim
+  FROM short s
+  JOIN e eq ON eq.vec_id = s.query_id
+  JOIN e en ON en.vec_id = s.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM rr
+)
+SELECT query_id, neighbor_id, cosine_sim, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@query(
+    "ann_ivf_stored_int8",
+    oracle=_ivf_stored_int8_oracle(_FRACPROBE_RK, _INT8_RERANK),
+)
+def _ann_ivf_stored_int8(spark, sf_dir):
+    """The STORED index built with int8 codes beside the floats
+    (ivf_index_tables(store_codes=True)) and probed at the production
+    fraction dial in CODE SPACE with exact float re-rank
+    (operators/similarity.py::ann_ivf_query_stored_int8, VERDICT r11
+    item 1): probe_frac=0.1 -> nprobe=3 on the gate slice, integer-L2
+    shortlist of rerank_factor*k=40 per query (codes column only — the
+    plan's probe scan never touches the float column, plan-locked in
+    tests/test_round12.py), then exact cosine over the shortlist's
+    floats. The oracle replays every stage, so this gate pins the
+    codebook fit, the clamp, the floor rule, the integer kernel, both
+    tie rules, and the re-rank — not just a recall curve."""
+    import shutil
+
+    from ffi_etl_spark.operators.similarity import (
+        ann_ivf_query_stored_int8,
+        ivf_index_tables,
+        write_ivf_assignments,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _AUTOK_SLICE)
+    queries = emb.filter(F.col("vec_id") % _AUTOK_QMOD == 0)
+    centroids, assignments = ivf_index_tables(
+        emb, n_iter=_AUTOK_ROUNDS, quantize_bits=_AUTOK_BITS, store_codes=True
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"ffi_etl_ivfint8_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(root, ignore_errors=True)  # stale cells would add rows
+    centroids.write.parquet(os.path.join(root, "centroids"))
+    write_ivf_assignments(assignments, os.path.join(root, "assignments"))
+    return ann_ivf_query_stored_int8(
+        spark.read.parquet(os.path.join(root, "centroids")),
+        spark.read.parquet(os.path.join(root, "assignments")),
+        queries,
+        probe_frac=_FRACPROBE,
+        rerank_factor=_INT8_RERANK,
+    )
+
+
+def _ivf_int8_codes_only_oracle(rk: int, k: int = 10) -> str:
+    """The int8 oracle truncated at the code-space ranking (no float
+    re-rank): output (query_id, neighbor_id, code_d2, rank) with exact
+    BIGINT distances — the cheapest-read tier's own gate."""
+    from ffi_etl_spark.queries_pkg.extensions import _COS, _kmeans_det_cte
+
+    scale = f"{1 << _AUTOK_BITS}.0"
+    src = f"(SELECT * FROM embeddings WHERE vec_id < {_AUTOK_SLICE})"
+    cos_ec = _COS.format(a="e.v", b="c.centroid")
+    return f"""
+WITH {_kmeans_det_cte(_AUTOK_CELLS, _AUTOK_ROUNDS, source=src)},
+cf AS (
+  SELECT centroid_id, list(CAST(sx AS DOUBLE) ORDER BY i) AS centroid
+  FROM (
+    SELECT centroid_id, i, SUM(CAST(FLOOR(v[i] * {scale}) AS BIGINT)) AS sx
+    FROM a{_AUTOK_ROUNDS} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY centroid_id, i
+  ) GROUP BY centroid_id
+), ca AS (
+  SELECT vec_id AS neighbor_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, c.centroid_id ASC
+           ) AS rk
+    FROM e CROSS JOIN cf c
+  ) WHERE rk = 1
+), qa AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, c.centroid_id ASC
+           ) AS rk
+    FROM e CROSS JOIN cf c
+    WHERE e.vec_id % {_AUTOK_QMOD} = 0
+  ) WHERE rk <= {rk}
+), dimstats AS (
+  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY i
+), codes AS (
+  SELECT e.vec_id, d.i,
+         CASE WHEN d.mx = d.mn THEN 0
+              ELSE GREATEST(0, LEAST(255,
+                CAST(FLOOR((e.v[d.i] - d.mn) * 255.0 / (d.mx - d.mn)) AS BIGINT)))
+         END AS code
+  FROM e CROSS JOIN dimstats d
+), d2 AS (
+  SELECT qa.query_id, ca.neighbor_id,
+         SUM((cc.code - qc.code) * (cc.code - qc.code)) AS code_d2
+  FROM ca JOIN qa USING (centroid_id)
+  JOIN codes cc ON cc.vec_id = ca.neighbor_id
+  JOIN codes qc ON qc.vec_id = qa.query_id AND qc.i = cc.i
+  WHERE ca.neighbor_id <> qa.query_id
+  GROUP BY qa.query_id, ca.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, CAST(code_d2 AS BIGINT) AS code_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY code_d2 ASC, neighbor_id ASC) AS rank
+  FROM d2
+)
+SELECT query_id, neighbor_id, code_d2, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@query(
+    "ann_ivf_stored_int8_codes",
+    oracle=_ivf_int8_codes_only_oracle(_FRACPROBE_RK),
+)
+def _ann_ivf_stored_int8_codes(spark, sf_dir):
+    """The code-space tier WITHOUT the float re-rank
+    (rerank_factor=None): output is the raw integer ranking
+    (query_id, neighbor_id, code_d2, rank) — the cheapest read path
+    when downstream only needs candidate ids (a dedup pre-filter, a
+    recall-tolerant retrieval stage). Exact BIGINT distances make this
+    the one ANN output that is bit-deterministic END TO END with no
+    float column anywhere, so the oracle replays it to the hash."""
+    import shutil
+
+    from ffi_etl_spark.operators.similarity import (
+        ann_ivf_query_stored_int8,
+        ivf_index_tables,
+        write_ivf_assignments,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _AUTOK_SLICE)
+    queries = emb.filter(F.col("vec_id") % _AUTOK_QMOD == 0)
+    centroids, assignments = ivf_index_tables(
+        emb, n_iter=_AUTOK_ROUNDS, quantize_bits=_AUTOK_BITS, store_codes=True
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"ffi_etl_ivfint8c_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(root, ignore_errors=True)  # stale cells would add rows
+    centroids.write.parquet(os.path.join(root, "centroids"))
+    write_ivf_assignments(assignments, os.path.join(root, "assignments"))
+    return ann_ivf_query_stored_int8(
+        spark.read.parquet(os.path.join(root, "centroids")),
+        spark.read.parquet(os.path.join(root, "assignments")),
+        queries,
+        probe_frac=_FRACPROBE,
+        rerank_factor=None,
+    )
+
+
+# fracprobe on the 20-cell append-gate model: ceil(0.1 * 20) = 2
+_APPEND_FRACPROBE_RK = 2
+
+
+def _ivf_append_int8_oracle(rk: int, rerank_factor: int, k: int = 10) -> str:
+    """The append-path int8 oracle: the quantizer AND the codebook are
+    both fit on the BASE slice only (adopt-never-retrain applies to
+    the scalar quantizer too), then the FULL slice is assigned and
+    coded under them — appended vectors can fall outside the base's
+    per-dimension range, so the GREATEST/LEAST clamp is load-bearing
+    here, not a no-op."""
+    from ffi_etl_spark.queries_pkg.extensions import _COS, _kmeans_det_cte
+
+    scale = f"{1 << _AUTOK_BITS}.0"
+    src = f"(SELECT * FROM embeddings WHERE vec_id < {_APPEND_BUILD})"
+    cos_ec = _COS.format(a="e5.v", b="c.centroid")
+    cos_rr = _COS.format(a="eq.v", b="en.v")
+    return f"""
+WITH {_kmeans_det_cte(_APPEND_CELLS, _AUTOK_ROUNDS, source=src)},
+cf AS (
+  SELECT centroid_id, list(CAST(sx AS DOUBLE) ORDER BY i) AS centroid
+  FROM (
+    SELECT centroid_id, i, SUM(CAST(FLOOR(v[i] * {scale}) AS BIGINT)) AS sx
+    FROM a{_AUTOK_ROUNDS} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY centroid_id, i
+  ) GROUP BY centroid_id
+), e5 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id < {_AUTOK_SLICE}
+), ca AS (
+  SELECT vec_id AS neighbor_id, centroid_id FROM (
+    SELECT e5.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e5.vec_id
+             ORDER BY {cos_ec} DESC, c.centroid_id ASC
+           ) AS rk
+    FROM e5 CROSS JOIN cf c
+  ) WHERE rk = 1
+), qa AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT e5.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e5.vec_id
+             ORDER BY {cos_ec} DESC, c.centroid_id ASC
+           ) AS rk
+    FROM e5 CROSS JOIN cf c
+    WHERE e5.vec_id % {_AUTOK_QMOD} = 0
+  ) WHERE rk <= {rk}
+), dimstats AS (
+  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY i
+), codes AS (
+  SELECT e5.vec_id, d.i,
+         CASE WHEN d.mx = d.mn THEN 0
+              ELSE GREATEST(0, LEAST(255,
+                CAST(FLOOR((e5.v[d.i] - d.mn) * 255.0 / (d.mx - d.mn)) AS BIGINT)))
+         END AS code
+  FROM e5 CROSS JOIN dimstats d
+), d2 AS (
+  SELECT qa.query_id, ca.neighbor_id,
+         SUM((cc.code - qc.code) * (cc.code - qc.code)) AS code_d2
+  FROM ca JOIN qa USING (centroid_id)
+  JOIN codes cc ON cc.vec_id = ca.neighbor_id
+  JOIN codes qc ON qc.vec_id = qa.query_id AND qc.i = cc.i
+  WHERE ca.neighbor_id <> qa.query_id
+  GROUP BY qa.query_id, ca.neighbor_id
+), short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY code_d2 ASC, neighbor_id ASC) AS rk
+    FROM d2
+  ) WHERE rk <= {rerank_factor * k}
+), rr AS (
+  SELECT s.query_id, s.neighbor_id, {cos_rr} AS cosine_sim
+  FROM short s
+  JOIN e5 eq ON eq.vec_id = s.query_id
+  JOIN e5 en ON en.vec_id = s.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM rr
+)
+SELECT query_id, neighbor_id, cosine_sim, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@query(
+    "ann_ivf_append_int8",
+    oracle=_ivf_append_int8_oracle(_APPEND_FRACPROBE_RK, _INT8_RERANK),
+)
+def _ann_ivf_append_int8(spark, sf_dir):
+    """Incremental maintenance of the CODED index end to end: build +
+    persist with store_codes=True on the first _APPEND_BUILD vectors,
+    append the rest through ivf_index_append (which codes the batch
+    under the STORED codebook — appended vectors can fall outside the
+    base's per-dimension min/max, so this gate is where the
+    GREATEST/LEAST clamp carries weight instead of being a no-op),
+    then probe the grown index in code space at the fraction dial with
+    exact float re-rank. The oracle fits model AND codebook on the
+    base slice and codes the full slice under them — legal because
+    assignment and coding are both pure functions of
+    (vector, stored model, stored codebook)."""
+    import shutil
+
+    from ffi_etl_spark.operators.similarity import (
+        ann_ivf_query_stored_int8,
+        append_ivf_assignments,
+        ivf_index_append,
+        ivf_index_tables,
+        write_ivf_assignments,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _AUTOK_SLICE)
+    base = emb.filter(F.col("vec_id") < _APPEND_BUILD)
+    batch = emb.filter(F.col("vec_id") >= _APPEND_BUILD)
+    queries = emb.filter(F.col("vec_id") % _AUTOK_QMOD == 0)
+
+    centroids, assignments = ivf_index_tables(
+        base, n_iter=_AUTOK_ROUNDS, quantize_bits=_AUTOK_BITS, store_codes=True
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"ffi_etl_ivfapp8_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(root, ignore_errors=True)  # stale cells would add rows
+    cpath, apath = os.path.join(root, "centroids"), os.path.join(root, "assignments")
+    centroids.write.parquet(cpath)
+    write_ivf_assignments(assignments, apath)
+
+    stored_model = spark.read.parquet(cpath)
+    append_ivf_assignments(
+        ivf_index_append(stored_model, spark.read.parquet(apath), batch), apath
+    )
+    return ann_ivf_query_stored_int8(
+        stored_model,
+        spark.read.parquet(apath),
+        queries,
+        probe_frac=_FRACPROBE,
+        rerank_factor=_INT8_RERANK,
+    )

@@ -135,6 +135,7 @@ def stream_ann_ingest(
     from pyspark.errors import AnalysisException
 
     from ffi_etl_spark.operators.similarity import (
+        QuantizerDriftError,
         append_ivf_assignments,
         compact_ivf_assignments,
         ivf_index_append,
@@ -209,8 +210,8 @@ def stream_ann_ingest(
                 max_below_floor_share=max_below_floor_share,
                 sim_floor=sim_floor,
             )
-        except ValueError as e:
-            if not (rebuild_on_drift and "quantizer drift" in str(e)):
+        except QuantizerDriftError:
+            if not rebuild_on_drift:
                 raise
             # the refusal's own remedy, wired (VERDICT r10 item 2):
             # re-materialize over the grown corpus — stored vectors ∪

@@ -204,6 +204,7 @@ def stream_dedup_ingest(
     band_index_auto_bytes: int | None = BAND_INDEX_AUTO_STATE_BYTES,
     resplit_check_batches: int | None = None,
     resplit_after_misses: int = 3,
+    resplit_min_batch_docs: int = 64,
     **lsh_kwargs,
 ):
     """foreachBatch sink: maintain ``corpus_path`` as a near-dup-free
@@ -289,6 +290,20 @@ def stream_dedup_ingest(
     Local filesystem only (the swap's os.rename protocol — validated
     at sink construction).
 
+    Two guards keep the trigger honest (round 12). First, a check
+    batch smaller than ``resplit_min_batch_docs`` is SKIPPED — no miss
+    counted, no streak reset (ADVICE r11): a replayed batch anti-joins
+    to zero rows, and probing it would deterministically "pick" the
+    ambient-0 default split, so consecutive replays landing on check
+    boundaries could re-materialize the whole state to a split derived
+    from no documents; below ~64 docs (≤32 sample pairs) the median is
+    probe noise either way. Second, a fired streak must pass a
+    CORPUS-side confirm before the swap bill is paid
+    (``confirm_resplit_pick`` — the cross-pair ambient probe, VERDICT
+    r11 item 4): batch evidence alone never re-materializes an
+    undrifted corpus; a failed confirm resets the streak, and the
+    accumulating drifted batches flip the confirm on a later streak.
+
     Exactly-once posture: foreachBatch is at-least-once — a batch can
     replay after a failure that landed some sinks but not the
     checkpoint. The CORPUS is the primary artifact and is replay-
@@ -301,10 +316,19 @@ def stream_dedup_ingest(
     recomputed and appended for any corpus doc missing from the state —
     exactly what a crash between the corpus and signature appends
     leaves behind), so a replay repairs rather than compounds. The
-    PAIRS audit can still carry duplicate rows from a replay
-    (append-only log semantics — dedupe on read by
-    (batch_id, id_a, id_b)); a transactional table format would MERGE
-    all three sinks by key instead.
+    PAIRS audit is replay-idempotent too (round 12): it is partitioned
+    by (checkpoint-scoped app id, batch_id) and each batch
+    dynamic-partition-overwrites its own directory, so a replayed
+    batch REPLACES its rows instead of appending duplicates — a
+    fully-landed batch replays as an empty anti-joined frame and never
+    reaches the write (its original partition is untouched), while a
+    torn batch recomputes the same pairs against the same unadvanced
+    corpus and overwrites with identical rows. The app component
+    exists because batch ids restart at 0 under a fresh checkpoint
+    (streaming/profile.py's txnAppId rule, as a partition key): without
+    it a new incarnation's early batches would silently destroy a
+    previous incarnation's audit partitions. A transactional table
+    format would MERGE all three sinks by key instead.
     """
     from pyspark.errors import AnalysisException
 
@@ -390,6 +414,14 @@ def stream_dedup_ingest(
     # other; one odd batch resets the streak
     _resplit: dict = {"calls": 0, "misses": 0, "pick": None}
 
+    # pairs-audit overwrite scope (round 12): one checkpoint = one
+    # batch-id sequence = one audit lineage. Deterministic across
+    # restarts of the SAME checkpoint (that is what makes the replay
+    # overwrite land on its own partition).
+    import hashlib
+
+    _pairs_app = hashlib.md5(checkpoint.encode()).hexdigest()[:16]
+
     def _auto_band_index_cached(spark) -> str | None:
         if _auto_idx["path"] is None:
             if _auto_idx["calls"] % AUTO_INDEX_RECHECK_BATCHES == 0:
@@ -450,6 +482,24 @@ def stream_dedup_ingest(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if resplit_check_batches is not None:
+            # batch-start torn-swap recovery (ADVICE r11, the ann sink's
+            # rule): a crash mid re-split commit leaves sigs_path
+            # renamed aside; without recovery the next batch would see
+            # corpus-without-sigs, silently re-probe a sticky split,
+            # and "heal" by paying a full corpus recompute while the
+            # swap dirs leak. Pure os.path checks when no markers exist.
+            # Both band-index candidates are covered — the explicit
+            # path and the auto-derived one (whichever the sink
+            # maintains is the one a torn swap could have touched).
+            from ffi_etl_spark.operators.stored_state import recover_torn_swap
+
+            swap_paths = [sigs_path]
+            if band_index_path is not None:
+                swap_paths.append(band_index_path)
+            elif band_index_auto_bytes is not None:
+                swap_paths.append(sigs_path.rstrip("/") + "_band_index")
+            recover_torn_swap(swap_paths)
         if not batch_df.take(1):
             return
         batch = batch_df.dropDuplicates([id_col])
@@ -483,12 +533,24 @@ def stream_dedup_ingest(
             and "bands" not in lsh_kwargs
         ):
             from ffi_etl_spark.operators.dedup import (
+                confirm_resplit_pick,
                 resolve_or_adopt_split,
                 resplit_signature_state,
             )
 
             _resplit["calls"] += 1
-            if _resplit["calls"] % resplit_check_batches == 0:
+            # a too-small check batch is SKIPPED, not scored (ADVICE
+            # r11): a replayed batch anti-joins to zero rows and its
+            # "probe" would deterministically pick the ambient-0
+            # default — counting that as a miss lets consecutive
+            # replays trigger a re-materialization derived from no
+            # documents, and counting it as a reset lets replay noise
+            # mask real drift. The pinned batch's count is one job
+            # over checkpointed rows.
+            if (
+                _resplit["calls"] % resplit_check_batches == 0
+                and batch.count() >= resplit_min_batch_docs
+            ):
                 pick = resolve_or_adopt_split(
                     batch,
                     None,
@@ -506,27 +568,51 @@ def stream_dedup_ingest(
                     _resplit["misses"] += 1
                     _resplit["pick"] = pick
                 if _resplit["misses"] >= resplit_after_misses:
-                    idx = band_index_path
-                    if idx is None and band_index_auto_bytes is not None:
-                        # swap a maintained AUTO index too — leaving it
-                        # under the old banding would be the mixed-era
-                        # state check_band_index_layout refuses
-                        idx = _auto_band_index_cached(spark)
-                        if idx is not None and _read_or_none(spark, idx) is None:
-                            idx = None  # enabled but not yet materialized
-                    num_perm, bands = resplit_signature_state(
+                    # corpus-side confirm (VERDICT r11 item 4): the
+                    # swap bill is a full corpus pass, and the streak
+                    # above is batch evidence only. The cross-pair
+                    # probe prices the (batch ⋈ corpus) pairs every
+                    # future verify actually pays; when its pick still
+                    # agrees with the adopted split the corpus has not
+                    # drifted — reset and keep ingesting (drifted
+                    # batches accumulate into the corpus, so a real
+                    # shift flips this confirm on a later streak).
+                    cross_pick = confirm_resplit_pick(
                         corpus,
-                        sigs_path,
-                        idx,
-                        text_col=text_col,
-                        id_col=id_col,
+                        batch,
+                        text_col,
+                        id_col,
                         shingle_k=lsh_kwargs.get("shingle_k", 5),
-                        num_perm=pick[0],
-                        bands=pick[1],
-                        fast=lsh_kwargs.get("fast", False),
+                        threshold=lsh_kwargs.get("threshold", 0.5),
+                        **probe_kwargs,
                     )
-                    corpus_hashed = spark.read.parquet(sigs_path)
-                    _resplit["misses"], _resplit["pick"] = 0, None
+                    if cross_pick == (num_perm, bands):
+                        _resplit["misses"], _resplit["pick"] = 0, None
+                    else:
+                        idx = band_index_path
+                        if idx is None and band_index_auto_bytes is not None:
+                            # swap a maintained AUTO index too — leaving
+                            # it under the old banding would be the
+                            # mixed-era state check_band_index_layout
+                            # refuses
+                            idx = _auto_band_index_cached(spark)
+                            if idx is not None and (
+                                _read_or_none(spark, idx) is None
+                            ):
+                                idx = None  # enabled, not yet materialized
+                        num_perm, bands = resplit_signature_state(
+                            corpus,
+                            sigs_path,
+                            idx,
+                            text_col=text_col,
+                            id_col=id_col,
+                            shingle_k=lsh_kwargs.get("shingle_k", 5),
+                            num_perm=pick[0],
+                            bands=pick[1],
+                            fast=lsh_kwargs.get("fast", False),
+                        )
+                        corpus_hashed = spark.read.parquet(sigs_path)
+                        _resplit["misses"], _resplit["pick"] = 0, None
 
         batch_sig_kwargs = dict(sig_kwargs, num_perm=num_perm, bands=bands)
         lsh_split = dict(lsh_kwargs, num_perm=num_perm, bands=bands)
@@ -660,10 +746,32 @@ def stream_dedup_ingest(
         # the audit rows carry the split that produced them (ADVICE r08:
         # with sigs_path=None the sticky pick dies with the process, so
         # a restart's re-probe could silently switch bandings mid-stream
-        # — the stamp makes any regime mix detectable on read)
-        pairs.withColumn("batch_id", F.lit(batch_id)).withColumn(
-            "num_perm", F.lit(num_perm)
-        ).withColumn("bands", F.lit(bands)).write.mode("append").parquet(pairs_path)
+        # — the stamp makes any regime mix detectable on read).
+        # Exactly-once (round 12, VERDICT r11 item 2): the audit is
+        # PARTITIONED by (_ingest_app, batch_id) and each batch
+        # dynamic-partition-overwrites ITS OWN directory — a replayed
+        # batch replaces its previous rows instead of appending
+        # duplicates (the streaming/summaries.py per-batch-directory
+        # protocol; Delta's replaceWhere is the transactional-format
+        # counterpart). The app component is profile.py's txnAppId rule
+        # as a partition key: batch ids RESTART at 0 under a fresh
+        # checkpoint, so batch_id alone would let a new incarnation's
+        # batch 0 silently destroy a previous incarnation's audit rows
+        # — scoped by the checkpoint-derived app id, replays within one
+        # lineage overwrite themselves and a fresh lineage appends
+        # beside history. The repartition keeps it to one file per
+        # batch (stored_state.py's write-repartitioned rule).
+        (
+            pairs.withColumn("num_perm", F.lit(num_perm))
+            .withColumn("bands", F.lit(bands))
+            .withColumn("_ingest_app", F.lit(_pairs_app))
+            .withColumn("batch_id", F.lit(batch_id))
+            .repartition("batch_id")
+            .write.partitionBy("_ingest_app", "batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(pairs_path)
+        )
         survivors.write.mode("append").parquet(corpus_path)
         if sigs_path is not None:
             if batch_hashed is not None:

@@ -174,16 +174,17 @@ def test_registry_priority_prefix(spark):
     expected = [n for n in PRIORITY_PREFIX if n in names]
     assert names[: len(expected)] == expected
     assert len(expected) == 50  # the graded prefix is exactly full
-    # round-11 rotation: the board entered the round fully green, so
+    # round-12 rotation: the board entered the round fully green, so
     # the window is freshness-only — canaries + the never-graded
-    # round-11 fracprobe gate + oldest-graded greens in rotation.py's
-    # order. Spot-check the canaries, the new gate, and both ends of
+    # round-12 int8 gates + oldest-graded greens in rotation.py's
+    # order. Spot-check the canaries, the new gates, and both ends of
     # the fill.
     for must in ("survey_pipeline", "census_merge", "dedup_minhash",
                  "tpch_q1", "pretraining_corpus",
-                 "ann_ivf_stored_fracprobe", "ann_ivf_autok_fracprobe",
-                 "weekly_engagement", "power_users_pareto",
-                 "bpe_learn_merges", "daily_trend_ols"):
+                 "ann_ivf_stored_int8", "ann_ivf_stored_int8_codes",
+                 "ann_ivf_append_int8",
+                 "conversion_wilson_ci", "chi2_independence",
+                 "timestamp_roundtrip", "union_rollup_multi"):
         assert names.index(must) < 50, must
     # the probes stay registered and locally gated, just out of the
     # graded window

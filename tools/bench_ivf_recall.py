@@ -40,6 +40,14 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--qmod", type=int, default=199,
                     help="query set = vec_id %% qmod == 0")
+    ap.add_argument("--tier", default="float", choices=["float", "int8", "both"],
+                    help="probe tier: the float stored probe, the "
+                         "int8 code-space probe + exact re-rank "
+                         "(round 12 — the 4x read lever on the same "
+                         "dial), or both side by side per dial value")
+    ap.add_argument("--rerank", type=int, default=4,
+                    help="int8 tier shortlist factor (rerank_factor*k "
+                         "candidates re-ranked in float)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -47,6 +55,7 @@ def main() -> None:
 
     from ffi_etl_spark.operators.similarity import (
         ann_ivf_query_stored,
+        ann_ivf_query_stored_int8,
         ivf_index_tables,
         knn_bruteforce,
         write_ivf_assignments,
@@ -64,7 +73,9 @@ def main() -> None:
 
     root = tempfile.mkdtemp(prefix="ivf_recall_bench_")
     cpath, apath = os.path.join(root, "centroids"), os.path.join(root, "assignments")
-    centroids, assignments = ivf_index_tables(emb)
+    centroids, assignments = ivf_index_tables(
+        emb, store_codes=args.tier != "float"
+    )
     centroids.write.parquet(cpath)
     write_ivf_assignments(assignments, apath)
     model = spark.read.parquet(cpath)
@@ -86,20 +97,30 @@ def main() -> None:
     else:
         dials = [("nprobe", int(x)) for x in args.nprobe.split(",")]
     for kind, dial in dials:
-        t0 = time.monotonic()
         kw = {kind: dial}
-        ann = ann_ivf_query_stored(
-            model, index, queries, k=args.k, **kw
-        ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
-        sec = round(time.monotonic() - t0, 2)
-        hits = ann.join(exact, ["query_id", "neighbor_id"], "inner").count()
-        row = {
-            kind: dial,
-            "recall_at_k": round(hits / n_exact, 4),
-            "probe_sec": sec,
-        }
+        row = {kind: dial}
         if kind == "probe_frac":
-            row["effective_nprobe"] = max(1, math.ceil(dial * cells))
+            import math as _m
+
+            row["effective_nprobe"] = max(1, _m.ceil(dial * cells))
+        if args.tier in ("float", "both"):
+            t0 = time.monotonic()
+            ann = ann_ivf_query_stored(
+                model, index, queries, k=args.k, **kw
+            ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
+            row["probe_sec"] = round(time.monotonic() - t0, 2)
+            hits = ann.join(exact, ["query_id", "neighbor_id"], "inner").count()
+            row["recall_at_k"] = round(hits / n_exact, 4)
+        if args.tier in ("int8", "both"):
+            t0 = time.monotonic()
+            ann8 = ann_ivf_query_stored_int8(
+                model, index, queries, k=args.k,
+                rerank_factor=args.rerank, **kw
+            ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
+            row["int8_probe_sec"] = round(time.monotonic() - t0, 2)
+            hits8 = ann8.join(exact, ["query_id", "neighbor_id"], "inner").count()
+            row["int8_recall_at_k"] = round(hits8 / n_exact, 4)
+            row["int8_rerank_factor"] = args.rerank
         rows.append(row)
         print(json.dumps(rows[-1]), flush=True)
 

@@ -43,6 +43,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _soup_rows(n: int, start: int = 10_000_000) -> list[dict]:
+    """Deterministic low-ambient filler docs (every doc fully distinct
+    — the round-11 trigger test's soup): the bootstrap corpus whose
+    probe pick is the cheap default split, so a later shift to the
+    high-ambient src distribution is a REAL split drift."""
+    return [
+        {
+            "doc_id": start + i,
+            "text": " ".join(
+                f"w{((start + i) * 31 + j * 7919) % 104729}" for j in range(30)
+            ),
+        }
+        for i in range(n)
+    ]
+
+
 def run_mode(
     spark,
     docs,
@@ -51,6 +67,8 @@ def run_mode(
     trickle: bool = False,
     n_band_buckets: int | None = None,
     resplit_check_batches: int | None = None,
+    resplit_after_misses: int = 3,
+    shift_soup_batches: int = 0,
 ) -> list[dict]:
     """``trickle=False``: n_batches equal slices (the steady-ingest
     curve). ``trickle=True``: ONE big batch lands all but 100 docs,
@@ -63,6 +81,7 @@ def run_mode(
     from ffi_etl_spark.streaming.ingest import stream_dedup_ingest
 
     n = docs.count()
+    soup_batches: list[list[dict]] = []
     if trickle:
         bounds = [(0, n - 100)] + [
             (n - 100 + i * 20, n - 100 + (i + 1) * 20) for i in range(5)
@@ -70,6 +89,19 @@ def run_mode(
     else:
         per = (n + n_batches - 1) // n_batches
         bounds = [(b * per, (b + 1) * per) for b in range(n_batches)]
+        if shift_soup_batches:
+            # the distribution SHIFT curve (round 12, VERDICT r11
+            # item 3): the first k batches are low-ambient soup sized
+            # like a src batch — the stream bootstraps on them and pins
+            # the cheap default split — then the src's high-ambient
+            # batches arrive and the auto re-split trigger (when
+            # enabled) must detect, confirm against the blending
+            # corpus, and swap mid-stream
+            soup_batches = [
+                _soup_rows(per, start=10_000_000 + b * per)
+                for b in range(shift_soup_batches)
+            ]
+            bounds = [(-1, -1)] * shift_soup_batches + bounds
 
     root = tempfile.mkdtemp(prefix=f"stream_ingest_bench_{mode}_")
     inbox = os.path.join(root, "inbox")
@@ -82,11 +114,14 @@ def run_mode(
     out: list[dict] = []
     try:
         for b, (lo, hi) in enumerate(bounds):
-            rows = (
-                docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-                .toPandas()
-                .to_dict("records")
-            )
+            if b < len(soup_batches):
+                rows = soup_batches[b]
+            else:
+                rows = (
+                    docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+                    .toPandas()
+                    .to_dict("records")
+                )
             with open(os.path.join(inbox, f"b{b}.json"), "w") as f:
                 for r in rows:
                     f.write(json.dumps(r) + "\n")
@@ -102,6 +137,7 @@ def run_mode(
                     band_index_path=band_index_path,
                     n_band_buckets=n_band_buckets,
                     resplit_check_batches=resplit_check_batches,
+                    resplit_after_misses=resplit_after_misses,
                     fast=True,
                 )
                 .trigger(availableNow=True)
@@ -124,6 +160,17 @@ def run_mode(
                 "state_rows": sigs_n,
                 "pairs_total": pairs_n,
             }
+            if shift_soup_batches:
+                # which split the state pins after this batch — the
+                # batches-to-trigger record the artifact exists for
+                from ffi_etl_spark.operators.dedup import (
+                    infer_signature_layout,
+                )
+
+                np_, bd = infer_signature_layout(
+                    spark.read.parquet(sigs_path)
+                )
+                rec["split"] = [np_, bd]
             out.append(rec)
             print(json.dumps(rec), flush=True)
     finally:
@@ -156,6 +203,23 @@ def main() -> None:
         help="one big build batch then five 20-doc micro-batches "
         "(256-bucket index) — the pruning regime",
     )
+    ap.add_argument(
+        "--shift",
+        type=int,
+        default=0,
+        help="prepend this many low-ambient soup batches before the "
+        "src batches (round 12): the stream bootstraps on the soup's "
+        "cheap split, then the src distribution arrives — with "
+        "--resplit-check set, measures batches-to-trigger (incl. the "
+        "corpus-confirm's mass threshold), the in-stream swap bill, "
+        "and found-pairs parity vs the same run without the trigger",
+    )
+    ap.add_argument(
+        "--resplit-misses",
+        type=int,
+        default=3,
+        help="resplit_after_misses passed through to the sink",
+    )
     args = ap.parse_args()
 
     from ffi_etl_spark.session import get_session
@@ -167,6 +231,9 @@ def main() -> None:
         "src": args.src,
         "n_batches": args.n_batches,
         "trickle": args.trickle,
+        "shift_soup_batches": args.shift,
+        "resplit_check": args.resplit_check,
+        "resplit_after_misses": args.resplit_misses,
         "curves": {},
     }
     for mode in args.modes.split(","):
@@ -179,6 +246,8 @@ def main() -> None:
             trickle=args.trickle,
             n_band_buckets=256 if args.trickle else None,
             resplit_check_batches=args.resplit_check,
+            resplit_after_misses=args.resplit_misses,
+            shift_soup_batches=args.shift,
         )
 
     # slope summary: mean of last-3 per-batch seconds over mean of

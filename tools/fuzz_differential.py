@@ -285,6 +285,68 @@ def gen_query(rng: random.Random) -> str:
         where = " WHERE " + glue.join(preds)
 
     shape = rng.random()
+    if join_how is None and shape < 0.06 and frm not in ("lineitem", "orders"):
+        # round-12 grammar: INTERSECT ALL / EXCEPT ALL — BAG set
+        # semantics (both probed on both engines). The `% m` key folds
+        # rows onto shared tuples so multiplicities exceed 1, which is
+        # exactly where ALL differs from DISTINCT: the engines'
+        # bag-difference/intersection must agree on each tuple's COUNT,
+        # not just its membership. Claims the date-rollup interval's
+        # shadow (frm is never lineitem/orders here), which previously
+        # fell through to the generic tail; selfcheck pins the arm.
+        c = rng.choice(t["ints"])
+        s = rng.choice(t["strs"])
+        m = rng.choice([3, 5, 7])
+        p1 = _int_pred(rng, rng.choice(t["ints"]))
+        p2 = _int_pred(rng, rng.choice(t["ints"]))
+        setop = rng.choice(["INTERSECT ALL", "EXCEPT ALL"])
+        return (
+            f"SELECT CAST({c} % {m} AS BIGINT) AS ia, {s} AS ib "
+            f"FROM {frm} WHERE {p1} {setop} "
+            f"SELECT CAST({c} % {m} AS BIGINT) AS ia, {s} AS ib "
+            f"FROM {frm} WHERE {p2} ORDER BY ia, ib"
+        )
+
+    if join_how is None and 0.06 <= shape < 0.12 and frm not in (
+        "lineitem", "orders"
+    ):
+        # round-12 grammar: FILTER (WHERE ...) composed with DISTINCT
+        # aggregation (probed: both engines accept COUNT(DISTINCT x)
+        # FILTER (WHERE p)). The filter can empty a group's input,
+        # hitting COUNT-on-empty (= 0) and SUM-on-empty (= NULL)
+        # simultaneously with the distinct-set dedup — the rewrite
+        # (expand + filter vs direct) must agree on both edges.
+        g = rng.choice(t["groups"])
+        x = rng.choice(t["ints"])
+        y = rng.choice(t["ints"])
+        p1 = _int_pred(rng, rng.choice(t["ints"]))
+        p2 = _int_pred(rng, rng.choice(t["ints"]))
+        return (
+            f"SELECT {g}, "
+            f"CAST(COUNT(DISTINCT {x}) FILTER (WHERE {p1}) AS BIGINT) AS fd, "
+            f"CAST(SUM({y}) FILTER (WHERE {p2}) AS BIGINT) AS fs, "
+            f"CAST(COUNT(*) AS BIGINT) AS n "
+            f"FROM {frm}{where} GROUP BY {g} ORDER BY {g}"
+        )
+
+    if join_how is None and 0.21 <= shape < 0.26 and frm not in _CORR:
+        # round-12 grammar: GROUP BY ALL + ORDER BY ALL (probed: both
+        # engines resolve ALL to the non-aggregate select items /
+        # every output column). The resolution itself is under test —
+        # an engine inferring a different key set changes the result
+        # shape, not a value. The keys are non-null ints/groups, so
+        # ORDER BY ALL is total and an optional LIMIT stays
+        # deterministic. frm is always lineitem here (_CORR covers the
+        # other four tables); selfcheck pins the arm.
+        g1, g2 = rng.sample(t["groups"], 2)
+        x = rng.choice(t["ints"])
+        lim = f" LIMIT {rng.choice([5, 10, 20])}" if rng.random() < 0.5 else ""
+        return (
+            f"SELECT {g1}, {g2}, CAST(SUM({x}) AS BIGINT) AS s, "
+            f"CAST(COUNT(*) AS BIGINT) AS n "
+            f"FROM {frm}{where} GROUP BY ALL ORDER BY ALL{lim}"
+        )
+
     if join_how is None and shape < 0.12 and frm in ("lineitem", "orders"):
         # date-function rollup: year/month/day extraction + date-range
         # predicates — the scalar-date surface engines disagree on
@@ -1515,7 +1577,27 @@ GRAMMAR_ARM_SIGNATURES: dict[str, "callable"] = {
     "ordinal_group_order": lambda q: "GROUP BY 1" in q
     and "ORDER BY 1, 2, 3" in q,
     "global_window_share": lambda q: "OVER () AS BIGINT) AS w " in q,
+    # round-12 arms (probed both engines; REJECTED after probing:
+    # correlated scalar subqueries in ORDER BY — Spark
+    # UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY; window frame EXCLUDE,
+    # QUALIFY, DISTINCT ON — Spark does not parse them)
+    "setop_all_bag": lambda q: " AS ia," in q or " AS ia " in q,
+    "filter_distinct_agg": lambda q: " AS fd," in q,
+    "group_order_all": lambda q: "GROUP BY ALL" in q,
 }
+
+
+def _is_round12_shape(sql: str) -> bool:
+    """Round-12 grammar (``new12`` filter mode): bag-semantics
+    INTERSECT ALL / EXCEPT ALL over folded keys, FILTER (WHERE ...)
+    composed with DISTINCT aggregation, and GROUP BY ALL / ORDER BY
+    ALL resolution."""
+    return (
+        " AS ia," in sql
+        or " AS ia " in sql
+        or " AS fd," in sql
+        or "GROUP BY ALL" in sql
+    )
 
 
 def _is_round11b_shape(sql: str) -> bool:
@@ -1590,6 +1672,7 @@ def main() -> int:
     only_new10d = mode_arg == "new10d"
     only_new11 = mode_arg == "new11"
     only_new11b = mode_arg == "new11b"
+    only_new12 = mode_arg == "new12"
 
     import duckdb
 
@@ -1631,6 +1714,8 @@ def main() -> int:
             continue
         if only_new11b and not _is_round11b_shape(sql):
             continue
+        if only_new12 and not _is_round12_shape(sql):
+            continue
         ran += 1
         try:
             ok, detail = run_case(spark, con, sql)
@@ -1663,7 +1748,9 @@ def main() -> int:
         if only_new10d
         else " (round-11 shapes only)"
         if only_new11
-        else " (round-11b shapes only)" if only_new11b else ""
+        else " (round-11b shapes only)"
+        if only_new11b
+        else " (round-12 shapes only)" if only_new12 else ""
     )
     print(f"{bad}/{n_cases} mismatches{mode}, seeds {seed0}..{seed - 1}")
     return 1 if bad else 0

@@ -76,6 +76,7 @@ SNAPSHOT = [
     ("ann_ivf_drift", "K-row model broadcast, one narrow scoring pass (argmax struct keeps sim+cell), cell-keyed partial agg into the 1-row integer staleness report — no corpus join anywhere"),
     ("ann_ivf_churn", "build + three layout-aware appends (repartition-before-partitionBy: one file per touched cell) + per-cell compaction, then the SAME dynamicpruning probe plan as ann_ivf_stored — maintenance changes files and when costs are paid, never the probe plan or a row"),
     ("ann_ivf_stored_fracprobe", "the stored probe with nprobe DERIVED from the model's _cells stamp (ceil(frac*cells) — a 1-row footer read inside the layout gate, no extra job); the plan is ann_ivf_stored_nprobe2's shape at rk<=3: top-3 cell assignment per query, equi-join on centroid_id with the dynamicpruning PartitionFilter intact"),
+    ("ann_ivf_stored_int8", "the fracprobe plan with candidate scoring moved to CODE space (round 12): the probe FileScan reads [id, _codes, centroid_id] ONLY — the float column never appears in its ReadSchema (the 4x read cut) — with the dynamicpruning PartitionFilter intact; the rerank_factor*k shortlist then broadcasts back onto a SECOND assignments scan that reads the float column under its own dynamicpruning filter (shortlist cells only), exact cosine + WindowGroupLimit top-k"),
 ]
 
 
