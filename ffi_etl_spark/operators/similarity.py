@@ -593,15 +593,26 @@ def _int8_code_expr(vec, mn, mx):
     )
 
 
-def _int8_d2_expr(a, b):
-    """Squared L2 between two uint8 code arrays as an exact BIGINT —
-    pure integer multiply-add, so distances, ties, and therefore the
-    shortlist RANKING are bit-identical on any engine (the
-    ``knn_int8_codes`` kernel, as an expression over stored codes)."""
+def _int8_norm2_expr(a):
+    """Σ code² of a uint8 code array as INT (≤ 64·255² ≈ 4.2M) — the
+    per-VECTOR half of the d2 dot identity, computed once per stored
+    row at build/append time and once per query row at probe time."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+        F.transform(a, lambda x: x * x), F.lit(0), lambda acc, v: acc + v
+    )
+
+
+def _int8_dot_expr(a, b):
+    """Σ aᵢ·bᵢ of two uint8 code arrays as INT — the per-PAIR half of
+    the d2 identity: one multiply-add fold, the same per-pair op count
+    as the float tier's prenormed cosine dot (the first cut folded
+    (a-b)² per pair — 3 integer ops/element instead of 2 — and
+    measured ~1.6× the float probe at sf10; with norms hoisted to the
+    per-vector side, d2 = |a|² + |b|² − 2·a·b restores op parity).
+    Everything stays exact integer arithmetic, so distances and ties
+    are still bit-identical on any engine."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0), lambda acc, v: acc + v
     )
 
 
@@ -657,8 +668,10 @@ def ivf_index_tables(
     ``store_codes`` (round 12 — VERDICT r11 item 1): additionally fit
     a per-dimension int8 codebook over the corpus (``ivf_codebook``)
     and store each vector's uint8 code array as ``_codes`` beside its
-    float vector. This is the 4× read lever for the probe dial: a
-    64-dim float32 vector is 256 bytes, its code row 64 — and because
+    float vector (plus ``_cn2``, the per-row code norm² the probe's d2
+    identity hoists out of the pair loop). This is the read lever for
+    the probe dial — 3.7× fewer column bytes measured at sf10
+    (BASELINE.md §round-12) — and because
     both live as COLUMNS of one parquet table, the code-space probe
     (``ann_ivf_query_stored_int8``) reads only the codes column of the
     probed cells while the exact re-rank reads the float column of
@@ -709,6 +722,10 @@ def ivf_index_tables(
                     F.col(vec_col), F.col("_code_mn"), F.col("_code_mx")
                 ),
             )
+            # per-row code norm²: the hoisted half of the probe's d2
+            # identity (see _int8_dot_expr) — paid once per vector at
+            # build time instead of once per candidate pair per query
+            .withColumn("_cn2", _int8_norm2_expr(F.col("_codes")))
             .drop("_code_mn", "_code_mx")
         )
     return centroids, assignments
@@ -862,7 +879,7 @@ def check_ivf_codes_layout(
             "True) output; re-materialize the index with "
             "ivf_index_tables(corpus, store_codes=True)"
         )
-    miss_a = {"_codes", "_codebook_id"} - set(assignments.columns)
+    miss_a = {"_codes", "_cn2", "_codebook_id"} - set(assignments.columns)
     if miss_a:
         raise ValueError(
             f"stored IVF assignments table is missing codes column(s) "
@@ -925,8 +942,15 @@ def ann_ivf_query_stored_int8(
     the cheapest read path when downstream only needs ids.
 
     Cost at the dial (measured, BASELINE.md §round-12): the probed
-    read volume drops ~4× at any fraction; the re-rank adds
-    q·rerank_factor·k float rows, independent of corpus size."""
+    READ VOLUME drops 3.7× at any fraction (parquet-footer accounting
+    at sf10: 52.5 MB of float+norm columns vs 14.1 MB of codes+norm² —
+    the quantity that bounds the probe on object storage at 100 TB).
+    On a warm-page-cache single node the probe is COMPUTE-bound and
+    this tier measures ~1.25× the float probe's wall time (the per-pair
+    fold is op-matched via the d2 dot identity; the remainder is the
+    wider shortlist window and the re-rank pass) — the same regime
+    honesty as the band index: choose this tier when the scan is
+    byte-bound, which a 100 TB corpus on object storage always is."""
     cells = None
     if not trust_layout:
         cells, _, _, _ = check_ivf_codes_layout(centroids, assignments)
@@ -962,19 +986,31 @@ def ann_ivf_query_stored_int8(
             "_qcodes",
             _int8_code_expr(F.col("_qv"), F.col("_code_mn"), F.col("_code_mx")),
         )
-        .select("query_id", "centroid_id", "_qcodes")
+        .withColumn("_qn2", _int8_norm2_expr(F.col("_qcodes")))
+        .select("query_id", "centroid_id", "_qcodes", "_qn2")
     )
     cand = assignments.select(
-        F.col(id_col).alias("neighbor_id"), F.col("centroid_id"), F.col("_codes")
+        F.col(id_col).alias("neighbor_id"),
+        F.col("centroid_id"),
+        F.col("_codes"),
+        F.col("_cn2"),
     )
     shortlist_n = k if rerank_factor is None else rerank_factor * k
     w = Window.partitionBy("query_id").orderBy(
         F.col("code_d2").asc(), F.col("neighbor_id").asc()
     )
+    # d2 = |c|² + |q|² − 2·c·q, all exact INT: the only per-pair fold
+    # is the dot — norms were paid per vector (stored _cn2, per-query
+    # _qn2), so per-pair op count matches the float tier's prenormed
+    # cosine instead of tripling it
+    d2 = (
+        F.col("_cn2") + F.col("_qn2")
+        - F.lit(2) * _int8_dot_expr(F.col("_codes"), F.col("_qcodes"))
+    ).cast("long")
     short = (
         cand.join(q, "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("code_d2", _int8_d2_expr(F.col("_codes"), F.col("_qcodes")))
+        .withColumn("code_d2", d2)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= shortlist_n)
     )
@@ -1121,6 +1157,7 @@ def ivf_index_append(
                     F.col(vec_col), F.col("_code_mn"), F.col("_code_mx")
                 ),
             )
+            .withColumn("_cn2", _int8_norm2_expr(F.col("_codes")))
             .drop("_code_mn", "_code_mx")
         )
     return out

@@ -303,6 +303,12 @@ def stream_dedup_ingest(
     r11 item 4): batch evidence alone never re-materializes an
     undrifted corpus; a failed confirm resets the streak, and the
     accumulating drifted batches flip the confirm on a later streak.
+    Note the miss STREAK lives in sink memory (damping is a
+    per-lifetime concern): a deployment that restarts the sink every
+    batch never accumulates ``resplit_after_misses`` > 1 — run such
+    cadences with ``resplit_after_misses=1`` and let the corpus-side
+    confirm carry the thrash guard (it is the scale-honest half of
+    the check anyway; measured in INGEST_r12_resplit.json).
 
     Exactly-once posture: foreachBatch is at-least-once — a batch can
     replay after a failure that landed some sinks but not the

@@ -82,6 +82,35 @@ def main() -> None:
     index = spark.read.parquet(apath)
     cells = model.count()
 
+    col_bytes: dict = {}
+    if args.tier != "float":
+        # the IO contract, from the parquet footers themselves: the
+        # code-space probe reads the _codes column chunks where the
+        # float probe reads embedding (+vec_norm). Wall time on a
+        # page-cached local disk understates this — at 100 TB on
+        # object storage the scan is byte-bound and THIS ratio is the
+        # probe-cost cut.
+        import pyarrow.parquet as pq
+
+        for root_dir, _dirs, files in os.walk(apath):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root_dir, fn)).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        name = c.path_in_schema.split(".")[0]
+                        col_bytes[name] = col_bytes.get(name, 0) + c.total_compressed_size
+        flt = col_bytes.get("embedding", 0) + col_bytes.get("vec_norm", 0)
+        cod = col_bytes.get("_codes", 0) + col_bytes.get("_cn2", 0)
+        col_bytes = {
+            "float_probe_bytes": flt,
+            "codes_probe_bytes": cod,
+            "read_cut": round(flt / cod, 2) if cod else None,
+        }
+
     # exact ground truth, pinned once — the intentionally-quadratic
     # oracle arm (q·n dots), bounded by the query sample size
     exact = knn_bruteforce(emb, queries, k=args.k).select(
@@ -128,6 +157,8 @@ def main() -> None:
         "src": args.src, "n_vectors": n, "n_queries": n_q, "k": args.k,
         "cells": cells, "curve": rows,
     }
+    if col_bytes:
+        summary["scan_bytes"] = col_bytes
     print(json.dumps(summary))
     if args.out:
         with open(args.out, "w") as f:
