@@ -599,3 +599,64 @@ def test_resplit_recovers_torn_swap_at_batch_start(spark, tmp_path):
     assert not os.path.exists(sigs_path + NEW_SUFFIX)
     assert not os.path.exists(sigs_path + OLD_SUFFIX)
     assert sigs.count() == spark.read.parquet(corpus_path).count()
+
+
+# ---------------------------------------------------------------------------
+# cross-ambient probe invariants + int8 trust_layout
+# ---------------------------------------------------------------------------
+
+
+def test_cross_ambient_invariants(spark, sf_dir):
+    """The cross-pair probe's two boundary invariants: a frame crossed
+    with ITSELF pairs every sampled doc with itself (estimate 1.0 at
+    any quantile — identical deterministic samples on both sides), and
+    two disjoint-vocabulary frames estimate 0.0. Plus the statistic's
+    point: a 50/50 mixed corpus against a drifted batch reads HIGH at
+    p75 while the median still reads low — the upper-tail mass is what
+    prices the verify bill."""
+    from ffi_etl_spark.operators.dedup import estimate_cross_ambient_jaccard
+
+    docs = table(spark, sf_dir, "documents").limit(200).select("doc_id", "text")
+    soup = spark.createDataFrame(_soup(200), "doc_id long, text string")
+    assert estimate_cross_ambient_jaccard(docs, docs, "text", "doc_id") == 1.0
+    assert (
+        estimate_cross_ambient_jaccard(soup, docs, "text", "doc_id") == 0.0
+    )
+    mixed = soup.limit(100).unionByName(
+        docs.limit(100).withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    batch = docs.filter(F.col("doc_id") >= 100)
+    p75 = estimate_cross_ambient_jaccard(mixed, batch, "text", "doc_id")
+    p50 = estimate_cross_ambient_jaccard(
+        mixed, batch, "text", "doc_id", quantile=0.5
+    )
+    assert p75 > 0.1  # the drifted half dominates the upper tail
+    assert p75 >= p50
+
+
+def test_int8_trust_layout_parity(spark, sf_dir, tmp_path):
+    """trust_layout=True must skip the gate jobs yet return the gated
+    path's exact rows (the 1-row footer probes still resolve cells and
+    the codebook off the stored tables)."""
+    from ffi_etl_spark.operators.similarity import ann_ivf_query_stored_int8
+
+    emb, sc, sa, _ = _build_int8(spark, sf_dir, tmp_path)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    gated = sorted(
+        map(
+            tuple,
+            ann_ivf_query_stored_int8(
+                sc, sa, queries, probe_frac=0.1, rerank_factor=4
+            ).collect(),
+        )
+    )
+    trusted = sorted(
+        map(
+            tuple,
+            ann_ivf_query_stored_int8(
+                sc, sa, queries, probe_frac=0.1, rerank_factor=4,
+                trust_layout=True,
+            ).collect(),
+        )
+    )
+    assert gated == trusted and len(gated) == 200
