@@ -37,6 +37,12 @@ def main() -> None:
     ap.add_argument("--input", default="/root/testdata/sf0.01/embeddings.parquet")
     ap.add_argument("--index", default="./stream_ivf_index")
     ap.add_argument("--batches", type=int, default=3)
+    ap.add_argument("--store-codes", action="store_true",
+                    help="maintain the int8-coded layout (codes "
+                         "column + codebook) through bootstrap, "
+                         "appends, and any drift rebuild — serves "
+                         "the code-space probe tier "
+                         "(ann_ivf_query_stored_int8)")
     args = ap.parse_args()
 
     from ffi_etl_spark.session import get_session
@@ -67,7 +73,8 @@ def main() -> None:
         .json(in_dir)
     )
     q = (
-        stream_ann_ingest(stream, args.index, ckpt)
+        stream_ann_ingest(stream, args.index, ckpt,
+                          store_codes=args.store_codes)
         .trigger(availableNow=True)
         .start()
     )
@@ -90,6 +97,7 @@ def main() -> None:
             .json(in_dir),
             args.index,
             tempfile.mkdtemp(prefix="ann_stream_ckpt2_"),
+            store_codes=args.store_codes,
         )
         .trigger(availableNow=True)
         .start()
@@ -120,6 +128,9 @@ def main() -> None:
             max_below_floor_share=0.5,
             sim_floor=1.0001,
             rebuild_on_drift=True,
+            # the rebuild re-materializes from scratch: keep the coded
+            # layout through the drift event too (round 12)
+            store_codes=args.store_codes,
         )
         .trigger(availableNow=True)
         .start()

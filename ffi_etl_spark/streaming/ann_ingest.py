@@ -111,6 +111,7 @@ def stream_ann_ingest(
     sim_floor: float = 0.5,
     compact_files_per_cell: int = 16,
     rebuild_on_drift: bool = False,
+    store_codes: bool = False,
 ):
     """foreachBatch sink maintaining ``index_root``/centroids +
     ``index_root``/assignments as a persisted IVF index over a vector
@@ -131,7 +132,21 @@ def stream_ann_ingest(
     stored ∪ batch and atomically swap instead of failing the stream
     — see the module docstring. The index layout must be on the local
     filesystem for this (the os.rename commit protocol; distributed
-    stores need a transactional table format)."""
+    stores need a transactional table format).
+
+    ``store_codes`` (round 12): bootstrap — and, crucially, every
+    drift REBUILD — materializes the int8-coded layout
+    (``ivf_index_tables(store_codes=True)``), so the sink maintains
+    the code-space probe tier across its whole lifecycle. Appends
+    already follow the stored table's shape (``ivf_index_append``
+    codes batches under the stored codebook whenever ``_codes`` is
+    present), but the rebuild path re-materializes from scratch:
+    without this flag a drift event would silently swap a coded index
+    for a codeless one and every later ``ann_ivf_query_stored_int8``
+    would refuse. The rebuild re-FITS the codebook over the grown
+    corpus (a rebuild is the sanctioned re-fit point — the same event
+    that retrains the coarse quantizer), so post-rebuild codes carry a
+    new ``_codebook_id`` and the swap replaces both tables together."""
     from pyspark.errors import AnalysisException
 
     from ffi_etl_spark.operators.similarity import (
@@ -196,6 +211,7 @@ def stream_ann_ingest(
             # adopted by every later batch (adopt, never retrain)
             centroids, assignments = ivf_index_tables(
                 batch, n_iter=n_iter, quantize_bits=quantize_bits, cells=cells,
+                store_codes=store_codes,
             )
             centroids.write.parquet(cpath)
             write_ivf_assignments(assignments, apath)
@@ -228,6 +244,7 @@ def stream_ann_ingest(
             )
             centroids, assignments = ivf_index_tables(
                 corpus, n_iter=n_iter, quantize_bits=quantize_bits, cells=cells,
+                store_codes=store_codes,
             )
             _swap_index(centroids, assignments, cpath, apath)
             state["cell_files"] = None  # fresh layout: re-seed on next append

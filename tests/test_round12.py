@@ -660,3 +660,111 @@ def test_int8_trust_layout_parity(spark, sf_dir, tmp_path):
         )
     )
     assert gated == trusted and len(gated) == 200
+
+
+# ---------------------------------------------------------------------------
+# streaming ANN sink: the coded layout survives the whole lifecycle
+# ---------------------------------------------------------------------------
+
+
+def _land_vecs(in_dir, name, rows):
+    in_dir.mkdir(parents=True, exist_ok=True)
+    with open(in_dir / name, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _drain_vecs(spark, in_dir, checkpoint, index_root, **kwargs):
+    from ffi_etl_spark.streaming.ann_ingest import stream_ann_ingest
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).json(str(in_dir))
+    q = (
+        stream_ann_ingest(stream, str(index_root), str(checkpoint), **kwargs)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def _vec_rows(spark, sf_dir, lo, hi):
+    emb = table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+    )
+    return [
+        {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+        for r in emb.collect()
+    ]
+
+
+def test_stream_ann_store_codes_survives_lifecycle(spark, sf_dir, tmp_path):
+    """store_codes=True through bootstrap → append → drift REBUILD:
+    the coded layout must survive every stage (before round 12 the
+    rebuild would silently swap in a codeless index and every later
+    int8 query would refuse), the rebuild re-fits the codebook (new
+    _codebook_id — the sanctioned re-fit point, same event that
+    retrains the quantizer), and the grown coded index answers the
+    int8 query with the float tier's rows at full shortlist."""
+    from ffi_etl_spark.operators.similarity import (
+        ann_ivf_query_stored,
+        ann_ivf_query_stored_int8,
+        check_ivf_codes_layout,
+    )
+
+    in_dir, root = tmp_path / "in", tmp_path / "index"
+    kw = dict(quantize_bits=20, store_codes=True)
+
+    # bootstrap coded
+    _land_vecs(in_dir, "b1.json", _vec_rows(spark, sf_dir, 0, 150))
+    _drain_vecs(spark, in_dir, tmp_path / "ck1", root, **kw)
+    model = spark.read.parquet(str(root / "centroids"))
+    stored = spark.read.parquet(str(root / "assignments"))
+    _, _, _, book_before = check_ivf_codes_layout(model, stored)
+
+    # append adopts the stored codebook (no rebuild)
+    time.sleep(1.1)
+    _land_vecs(in_dir, "b2.json", _vec_rows(spark, sf_dir, 150, 200))
+    _drain_vecs(spark, in_dir, tmp_path / "ck2", root, **kw)
+    stored = spark.read.parquet(str(root / "assignments"))
+    _, _, _, book_mid = check_ivf_codes_layout(
+        spark.read.parquet(str(root / "centroids")), stored
+    )
+    assert book_mid == book_before  # adopted, not re-fit
+    assert stored.count() == 200
+
+    # planted drift (sim_floor > 1 flags everything) -> rebuild must
+    # RE-MATERIALIZE THE CODED LAYOUT
+    time.sleep(1.1)
+    _land_vecs(in_dir, "b3.json", _vec_rows(spark, sf_dir, 200, 260))
+    _drain_vecs(
+        spark, in_dir, tmp_path / "ck3", root,
+        max_below_floor_share=0.5, sim_floor=1.0001,
+        rebuild_on_drift=True, **kw,
+    )
+    model = spark.read.parquet(str(root / "centroids"))
+    stored = spark.read.parquet(str(root / "assignments"))
+    _, _, _, book_after = check_ivf_codes_layout(model, stored)
+    assert book_after != book_mid  # the rebuild re-fit the codebook
+    assert stored.count() == 260
+    assert stored.select("_codebook_id").distinct().count() == 1
+
+    # the grown coded index answers: int8 at full shortlist equals the
+    # float tier bit for bit
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 260)
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    got = sorted(
+        map(
+            tuple,
+            ann_ivf_query_stored_int8(
+                model, stored, queries, nprobe=2, rerank_factor=100
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            ann_ivf_query_stored(model, stored, queries, nprobe=2).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
