@@ -267,3 +267,210 @@ def mmr_diverse_topk(
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+# Fixed-point scale for PQ centroids: FLOOR(sum·2^10 / count) keeps the
+# floored MEAN exact in integer space (sum·1024 ≤ 2^53 for any corpus
+# this engine meets per-subspace), so Lloyd assignment, encoding, and
+# ADC distances are all exact BIGINT arithmetic — bit-identical on any
+# engine, the quantized_centroid_sums rule extended to L2 k-means.
+PQ_SCALE = 1024
+
+
+def pq_train_encode(
+    codes,
+    dim: int = 64,
+    m: int = 8,
+    k_sub: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+):
+    """Product quantization over uint8 code vectors (Jégou et al. 2011,
+    the canonical vector-compression tier past scalar quantization):
+    split each ``dim``-dim code vector into ``m`` subspaces of
+    ``dim/m`` dims, run ``n_iter`` exact-integer Lloyd rounds PER
+    subspace (k = ``k_sub``), and encode every vector as its m
+    nearest-subcentroid ids — 64 uint8 codes become m 4-bit ids at
+    k_sub=16, a further 16× storage cut on top of SQ's 4×.
+
+    Exactness (the oracle contract): centroids are fixed-point floored
+    means (``FLOOR(sum·PQ_SCALE / count)`` — exact double arithmetic
+    under 2^53, floor has no tie ambiguity), distances are integer
+    squared L2 between ``code·PQ_SCALE`` and the centroid, and the
+    argmin tie-breaks to the lowest centroid id — so the whole
+    training iteration is bit-stable and DuckDB-replayable, the
+    ``kmeans_lloyd(quantize_bits=...)`` posture applied to L2.
+
+    Input is the LONG code form (``quantize_codes_long`` output:
+    (id, dim, code)); queries later encode against the SAME per-dim SQ
+    codebook, so corpus and query codes live on one scale.
+
+    Returns ``(codebooks, encoded)``: codebooks =
+    (_j, _cid, _p, _cent) — m·k_sub·(dim/m) integer rows, the
+    broadcastable model; encoded = (id, _j, _cid) — the long PQ code
+    form the ADC join consumes directly (pack with
+    ``pq_pack_codes`` for storage).
+
+    Shape: each round is one (j, cid, p)-keyed aggregate (map-side
+    combined; output m·k_sub·dim/m rows) and one candidates join of
+    n·k_sub·dim rows per subspace — at 100 TB, train on a bounded
+    sample (the ``ivf_train_quantizer`` rule) and ENCODE the full
+    corpus in the one unavoidable pass; encoding cost equals one
+    Lloyd assignment."""
+    d_sub = dim // m
+    if d_sub * m != dim:
+        raise ValueError(f"dim={dim} is not divisible by m={m} subspaces")
+    sub = codes.select(
+        F.col(id_col),
+        (F.col("dim") / d_sub).cast("int").alias("_j"),
+        (F.col("dim") % d_sub).alias("_p"),
+        F.col("code"),
+    )
+    assigned = (
+        sub.select(id_col, "_j")
+        .distinct()
+        .withColumn("_cid", (F.col(id_col) % k_sub).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    cents = None
+    for _r in range(n_iter):
+        cents = (
+            sub.join(assigned, [id_col, "_j"])
+            .groupBy("_j", "_cid", "_p")
+            .agg(
+                F.floor(
+                    F.sum("code").cast("double")
+                    * F.lit(float(PQ_SCALE))
+                    / F.count(F.lit(1))
+                )
+                .cast("long")
+                .alias("_cent")
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = F.col("code") * F.lit(PQ_SCALE) - F.col("_cent")
+        assigned = (
+            sub.join(F.broadcast(cents), ["_j", "_p"])
+            .groupBy(id_col, "_j", "_cid")
+            .agg(F.sum(delta * delta).alias("_d2"))
+            .groupBy(id_col, "_j")
+            .agg(F.min(F.struct("_d2", "_cid")).alias("_w"))
+            .select(id_col, "_j", F.col("_w._cid").alias("_cid"))
+            .localCheckpoint(eager=True)
+        )
+    return cents, assigned
+
+
+def pq_pack_codes(encoded, id_col: str = "vec_id"):
+    """(id, pq_csv): the stored form — m comma-joined subcentroid ids
+    in subspace order (the gated-output contract: no raw arrays)."""
+    return encoded.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_j", "_cid"))),
+                lambda s: s["_cid"].cast("string"),
+            ),
+            ",",
+        ).alias("pq_csv")
+    )
+
+
+def pq_adc_topk(
+    codebooks,
+    encoded,
+    codes,
+    probe_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    m: int = 8,
+    id_col: str = "vec_id",
+):
+    """Asymmetric-distance (ADC) top-``k`` per probe over a
+    PQ-encoded corpus: the query keeps its full SQ code vector, each
+    candidate is its reconstructed subcentroids, and
+    d2(q, x̂) decomposes EXACTLY across subspaces —
+    Σ_j d2(q_j, cent[j][code_j]). Per query the engine builds the
+    m·k_sub LOOK-UP TABLE once (one broadcast join of the probe's
+    code rows against the codebook — the classic ADC trick), then
+    scoring a candidate is m integer lookups + an m-term integer sum,
+    NOT a dim-term fold: 8× less per-pair compute than exact code-space
+    kNN and 16× less candidate storage read, the PQ trade. All
+    distances are exact BIGINT (the PQ_SCALE fixed point), so the
+    ranking and its ties are bit-identical on any engine.
+
+    Shape: LUT = |probes|·m·k_sub rows (broadcast); the candidate
+    side joins its (j, cid) pairs against the LUT and one
+    (probe, candidate)-keyed aggregate sums the m per-subspace terms.
+    The corpus shuffles once, on the candidate key."""
+    d_sub = dim // m
+    qsub = codes.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("_qid"),
+        (F.col("dim") / d_sub).cast("int").alias("_j"),
+        (F.col("dim") % d_sub).alias("_p"),
+        F.col("code"),
+    )
+    delta = F.col("code") * F.lit(PQ_SCALE) - F.col("_cent")
+    lut = (
+        qsub.join(F.broadcast(codebooks), ["_j", "_p"])
+        .groupBy("_qid", "_j", "_cid")
+        .agg(F.sum(delta * delta).alias("_d2"))
+    )
+    scored = (
+        encoded.join(F.broadcast(lut), ["_j", "_cid"])
+        .filter(F.col(id_col) != F.col("_qid"))
+        .groupBy(F.col("_qid").alias("pid"), F.col(id_col))
+        .agg(F.sum("_d2").alias("adc_d2"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pid").orderBy("adc_d2", id_col)
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("pid", id_col, "adc_d2", "rk")
+    )
+
+
+def pq_adc_rerank_topk(
+    codebooks,
+    encoded,
+    codes,
+    probe_ids: list[int],
+    k: int = 10,
+    rerank_factor: int = 4,
+    dim: int = 64,
+    m: int = 8,
+    id_col: str = "vec_id",
+):
+    """ADC shortlist + EXACT code-space re-rank — the recall-recovery
+    pattern of the int8 IVF tier applied to PQ: rank candidates by
+    asymmetric distance (m lookups each — the cheap pass over the
+    16×-compressed codes), keep the top ``rerank_factor·k`` per probe,
+    then re-score ONLY those with the exact 64-term integer d2 over
+    the full SQ codes (a |probes|·rerank_factor·k·dim join — bounded
+    by the shortlist, independent of corpus size). Still exact BIGINT
+    end to end, so the final ranking is engine-bit-identical; recall
+    against exact code-space kNN is test-locked (pytest: ADC alone
+    0.24 at gate scale, re-ranked ≥0.5 at factor 4)."""
+    short = pq_adc_topk(
+        codebooks, encoded, codes, probe_ids,
+        k=rerank_factor * k, dim=dim, m=m, id_col=id_col,
+    ).select("pid", id_col)
+    pcodes = codes.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("pid"), F.col("dim"), F.col("code").alias("pcode")
+    )
+    delta = F.col("code") - F.col("pcode")
+    rescored = (
+        codes.join(F.broadcast(short), id_col)
+        .join(F.broadcast(pcodes), ["pid", "dim"])
+        .groupBy("pid", id_col)
+        .agg(F.sum(delta * delta).cast("long").alias("code_d2"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pid").orderBy("code_d2", id_col)
+    return (
+        rescored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("pid", id_col, "code_d2", "rk")
+    )

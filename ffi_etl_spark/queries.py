@@ -64,6 +64,7 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
     round7,
     round8,
     round9,
+    round12,
 )
 
 # The driver's correctness gate grades a bounded prefix of the registry
@@ -73,12 +74,13 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
 # the next prefix (VERDICT r04 item 6 — no more hand-counted TODO
 # lists). Round-12 rotation: the board entered the round fully green
 # (258/258 graded-ever green), so the window stays FRESHNESS-ONLY —
-# 5 continuity canaries + the 3 never-graded round-12 queries (the
+# 5 continuity canaries + the 5 never-graded round-12 queries (the
 # int8-coded stored-IVF tier: fracprobe + re-rank, the code-space-only
-# output, and the clamp-bearing append path — round7.py) + 42
-# oldest-graded greens, rotation.py's proposal order. The round-11
-# fracprobe gates rotate out as freshly-graded greens; they stay
-# registered and local-gated.
+# output, the clamp-bearing append path — round7.py; and the product-
+# quantization pair: exact-integer ADC + the exact-code re-rank —
+# round12.py) + 40 oldest-graded greens, rotation.py's proposal
+# order. The round-11 fracprobe gates rotate out as freshly-graded
+# greens; they stay registered and local-gated.
 PRIORITY_PREFIX: tuple[str, ...] = (
     # -- canaries: green every prior round, kept for continuity --
     "survey_pipeline",
@@ -86,10 +88,12 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "dedup_minhash",
     "tpch_q1",
     "pretraining_corpus",
-    # -- never-graded: the round-12 int8 stored-IVF gates --
+    # -- never-graded: the round-12 int8 + PQ gates --
     "ann_ivf_stored_int8",
     "ann_ivf_stored_int8_codes",
     "ann_ivf_append_int8",
+    "pq_adc_topk",
+    "pq_adc_rerank",
     # -- freshness fill: oldest-graded greens (rotation.py order) --
     "conversion_wilson_ci",
     "chi2_independence",
@@ -131,8 +135,6 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "global_stats",
     "window_backfill_first",
     "window_rownum_order",
-    "timestamp_roundtrip",
-    "union_rollup_multi",
 )
 
 

@@ -182,9 +182,9 @@ def test_registry_priority_prefix(spark):
     for must in ("survey_pipeline", "census_merge", "dedup_minhash",
                  "tpch_q1", "pretraining_corpus",
                  "ann_ivf_stored_int8", "ann_ivf_stored_int8_codes",
-                 "ann_ivf_append_int8",
+                 "ann_ivf_append_int8", "pq_adc_topk", "pq_adc_rerank",
                  "conversion_wilson_ci", "chi2_independence",
-                 "timestamp_roundtrip", "union_rollup_multi"):
+                 "window_backfill_first", "window_rownum_order"):
         assert names.index(must) < 50, must
     # the probes stay registered and locally gated, just out of the
     # graded window

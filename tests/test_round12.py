@@ -768,3 +768,93 @@ def test_stream_ann_store_codes_survives_lifecycle(spark, sf_dir, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): compression trade locks
+# ---------------------------------------------------------------------------
+
+
+def _pq_setup(spark, sf_dir):
+    from ffi_etl_spark.operators.quantize import (
+        pq_train_encode,
+        quantize_codes_long,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    codes = quantize_codes_long(emb).localCheckpoint(eager=True)
+    codebooks, encoded = pq_train_encode(codes)
+    return emb, codes, codebooks, encoded
+
+
+def test_pq_recall_ladder_vs_exact_code_knn(spark, sf_dir):
+    """The compression trade, locked: ADC alone recovers a meaningful
+    share of exact code-space kNN's top-10 (16× less candidate
+    storage, 8× less per-pair compute), and the exact-code re-rank
+    ladder is monotone in the shortlist factor (measured 0.24 → 0.37
+    → 0.58 → 0.76 at factors ∅/2/4/8 on the gate slice)."""
+    from ffi_etl_spark.operators.quantize import (
+        knn_int8_codes,
+        pq_adc_rerank_topk,
+        pq_adc_topk,
+    )
+
+    emb, codes, codebooks, encoded = _pq_setup(spark, sf_dir)
+    probes = list(range(0, 500, 25))
+    exact = {
+        (r.pid, r.vec_id) for r in knn_int8_codes(emb, probes, k=10).collect()
+    }
+    adc = {
+        (r.pid, r.vec_id)
+        for r in pq_adc_topk(codebooks, encoded, codes, probes, k=10).collect()
+    }
+    assert len(exact) == 200
+    recalls = [len(exact & adc) / len(exact)]
+    for rf in (2, 4, 8):
+        rr = {
+            (r.pid, r.vec_id)
+            for r in pq_adc_rerank_topk(
+                codebooks, encoded, codes, probes, k=10, rerank_factor=rf
+            ).collect()
+        }
+        recalls.append(len(exact & rr) / len(exact))
+    assert recalls[0] >= 0.15          # ADC alone
+    assert recalls[2] >= 0.5           # factor 4
+    assert recalls[3] >= 0.7           # factor 8
+    assert recalls == sorted(recalls)  # the ladder is monotone
+
+
+def test_pq_encoding_shape_and_determinism(spark, sf_dir):
+    """Every vector gets exactly m subcentroid ids, all < k_sub; the
+    packed form is m comma-joined ids; repeated training is
+    bit-identical (exact-integer Lloyd)."""
+    from ffi_etl_spark.operators.quantize import (
+        pq_pack_codes,
+        pq_train_encode,
+    )
+
+    _, codes, codebooks, encoded = _pq_setup(spark, sf_dir)
+    assert encoded.groupBy("vec_id").count().filter("count != 8").count() == 0
+    assert encoded.filter((F.col("_cid") < 0) | (F.col("_cid") >= 16)).count() == 0
+    packed = pq_pack_codes(encoded)
+    row = packed.orderBy("vec_id").first()
+    assert len(row["pq_csv"].split(",")) == 8
+    cb2, enc2 = pq_train_encode(codes)
+    assert sorted(map(tuple, codebooks.collect())) == sorted(
+        map(tuple, cb2.collect())
+    )
+    assert sorted(map(tuple, encoded.collect())) == sorted(
+        map(tuple, enc2.collect())
+    )
+
+
+def test_pq_rejects_indivisible_dim(spark, sf_dir):
+    from ffi_etl_spark.operators.quantize import (
+        pq_train_encode,
+        quantize_codes_long,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").limit(50)
+    codes = quantize_codes_long(emb)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train_encode(codes, dim=64, m=7)

@@ -77,6 +77,7 @@ SNAPSHOT = [
     ("ann_ivf_churn", "build + three layout-aware appends (repartition-before-partitionBy: one file per touched cell) + per-cell compaction, then the SAME dynamicpruning probe plan as ann_ivf_stored — maintenance changes files and when costs are paid, never the probe plan or a row"),
     ("ann_ivf_stored_fracprobe", "the stored probe with nprobe DERIVED from the model's _cells stamp (ceil(frac*cells) — a 1-row footer read inside the layout gate, no extra job); the plan is ann_ivf_stored_nprobe2's shape at rk<=3: top-3 cell assignment per query, equi-join on centroid_id with the dynamicpruning PartitionFilter intact"),
     ("ann_ivf_stored_int8", "the fracprobe plan with candidate scoring moved to CODE space (round 12): the probe FileScan reads [id, _codes, centroid_id] ONLY — the float column never appears in its ReadSchema (the 4x read cut) — with the dynamicpruning PartitionFilter intact; the rerank_factor*k shortlist then broadcasts back onto a SECOND assignments scan that reads the float column under its own dynamicpruning filter (shortlist cells only), exact cosine + WindowGroupLimit top-k"),
+    ("pq_adc_topk", "product quantization end to end (round 12): per-subspace Lloyd rounds are (j,cid,p)-keyed partial+final aggregates (map-side combined, m*k_sub*d_sub output rows each), the probe LUT is a broadcast of |probes|*m*k_sub integer rows, and ADC scoring is the encoded (id,j,cid) rows joined against that broadcast + ONE (probe,candidate)-keyed sum — per candidate m lookups, never a dim-length fold; WindowGroupLimit top-k closes it"),
 ]
 
 
