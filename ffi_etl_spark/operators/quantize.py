@@ -474,3 +474,126 @@ def pq_adc_rerank_topk(
         .filter(F.col("rk") <= k)
         .select("pid", id_col, "code_d2", "rk")
     )
+
+
+def ann_ivfpq_topk(
+    centroids,
+    assignments,
+    pq_codebooks,
+    pq_encoded,
+    codes,
+    probe_ids: list[int],
+    k: int = 10,
+    nprobe: int = 1,
+    probe_frac: float | None = None,
+    rerank_factor: int | None = None,
+    dim: int = 64,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF × PQ — the two compression tiers COMPOSED, the FAISS
+    ``IVFPQ`` shape re-expressed relationally: the coarse quantizer
+    bounds WHICH candidates are scored (each probe visits its
+    ``nprobe`` nearest cells — ``probe_frac`` is the round-11 scale
+    dial, ceil(frac · cells) off the stored ``_cells`` stamp) and PQ
+    bounds WHAT scoring a candidate costs (m LUT lookups + an m-term
+    integer sum against the probe's ADC table). Per probe the work is
+    nprobe·√n·m integer adds over 4-bit codes — against 100 TB of
+    float vectors, the probe touches neither the float column nor the
+    full SQ codes, only the m-id PQ rows of the probed cells.
+
+    Inputs are the two families' own stored forms: (``centroids``,
+    ``assignments``) from ``ivf_index_tables`` (cell routing only —
+    the float vectors in it are never read), (``pq_codebooks``,
+    ``pq_encoded``) from ``pq_train_encode``, and the long SQ
+    ``codes`` for the probe-side LUT (probes keep full codes — ADC is
+    asymmetric by design). ``rerank_factor`` re-scores the top
+    rerank_factor·k by exact code-space d2, the recovery pattern both
+    parent tiers use. All distances exact BIGINT; output
+    (pid, id, adc_d2|code_d2, rk)."""
+    import math as _math
+
+    from ffi_etl_spark.operators.similarity import (
+        assign_to_centroid,
+        assign_top_centroids,
+    )
+
+    d_sub = dim // m
+    if probe_frac is not None:
+        if not 0.0 < probe_frac <= 1.0:
+            raise ValueError(
+                f"probe_frac={probe_frac} is outside (0, 1] — it is the "
+                "fraction of the stored model's cells each probe visits"
+            )
+        probe = centroids.select("_cells").limit(1).collect()
+        if not probe:
+            raise ValueError(
+                "stored IVF centroids table is empty — cannot derive the "
+                "cell count probe_frac scales against"
+            )
+        nprobe = max(1, _math.ceil(probe_frac * int(probe[0]["_cells"])))
+    model = centroids.select("centroid_id", "centroid")
+    # probe-side cell routing needs the float vectors of the PROBES
+    # only: reconstruct them is impossible from codes, so the caller's
+    # queries ride in via the assignments table's own float rows (the
+    # probes are corpus members in every gated use; external queries
+    # would pass their own frame through assign_top_centroids)
+    qvecs = assignments.filter(F.col(id_col).isin(probe_ids)).select(
+        id_col, vec_col
+    )
+    if nprobe > 1:
+        qa = assign_top_centroids(qvecs, model, nprobe, id_col, vec_col)
+    else:
+        qa = assign_to_centroid(qvecs, model, id_col, vec_col)
+    qa = qa.select(F.col(id_col).alias("_qid"), "centroid_id")
+    cand = (
+        assignments.select(F.col(id_col), F.col("centroid_id"))
+        .join(F.broadcast(qa), "centroid_id")
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select("_qid", id_col)
+    )
+    qsub = codes.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("_qid"),
+        (F.col("dim") / d_sub).cast("int").alias("_j"),
+        (F.col("dim") % d_sub).alias("_p"),
+        F.col("code"),
+    )
+    delta = F.col("code") * F.lit(PQ_SCALE) - F.col("_cent")
+    lut = (
+        qsub.join(F.broadcast(pq_codebooks), ["_j", "_p"])
+        .groupBy("_qid", "_j", "_cid")
+        .agg(F.sum(delta * delta).alias("_d2"))
+    )
+    scored = (
+        cand.join(pq_encoded, id_col)
+        .join(F.broadcast(lut), ["_qid", "_j", "_cid"])
+        .groupBy(F.col("_qid").alias("pid"), F.col(id_col))
+        .agg(F.sum("_d2").alias("adc_d2"))
+    )
+    from pyspark.sql import Window
+
+    shortlist_n = k if rerank_factor is None else rerank_factor * k
+    w = Window.partitionBy("pid").orderBy("adc_d2", id_col)
+    short = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= shortlist_n)
+    )
+    if rerank_factor is None:
+        return short.select("pid", id_col, "adc_d2", "rk")
+    pcodes = codes.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("pid"), F.col("dim"), F.col("code").alias("pcode")
+    )
+    rdelta = F.col("code") - F.col("pcode")
+    rescored = (
+        codes.join(F.broadcast(short.select("pid", id_col)), id_col)
+        .join(F.broadcast(pcodes), ["pid", "dim"])
+        .groupBy("pid", id_col)
+        .agg(F.sum(rdelta * rdelta).cast("long").alias("code_d2"))
+    )
+    w2 = Window.partitionBy("pid").orderBy("code_d2", id_col)
+    return (
+        rescored.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("pid", id_col, "code_d2", "rk")
+    )

@@ -74,13 +74,14 @@ from ffi_etl_spark.queries_pkg import (  # noqa: E402,F401
 # the next prefix (VERDICT r04 item 6 — no more hand-counted TODO
 # lists). Round-12 rotation: the board entered the round fully green
 # (258/258 graded-ever green), so the window stays FRESHNESS-ONLY —
-# 5 continuity canaries + the 5 never-graded round-12 queries (the
+# 5 continuity canaries + the 6 never-graded round-12 queries (the
 # int8-coded stored-IVF tier: fracprobe + re-rank, the code-space-only
-# output, the clamp-bearing append path — round7.py; and the product-
-# quantization pair: exact-integer ADC + the exact-code re-rank —
-# round12.py) + 40 oldest-graded greens, rotation.py's proposal
-# order. The round-11 fracprobe gates rotate out as freshly-graded
-# greens; they stay registered and local-gated.
+# output, the clamp-bearing append path — round7.py; the product-
+# quantization pair: exact-integer ADC + the exact-code re-rank; and
+# their composition ann_ivfpq_topk — round12.py) + 39 oldest-graded
+# greens, rotation.py's proposal order. The round-11 fracprobe gates
+# rotate out as freshly-graded greens; they stay registered and
+# local-gated.
 PRIORITY_PREFIX: tuple[str, ...] = (
     # -- canaries: green every prior round, kept for continuity --
     "survey_pipeline",
@@ -94,6 +95,7 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "ann_ivf_append_int8",
     "pq_adc_topk",
     "pq_adc_rerank",
+    "ann_ivfpq_topk",
     # -- freshness fill: oldest-graded greens (rotation.py order) --
     "conversion_wilson_ci",
     "chi2_independence",
@@ -134,7 +136,6 @@ PRIORITY_PREFIX: tuple[str, ...] = (
     "project_rename_prefix",
     "global_stats",
     "window_backfill_first",
-    "window_rownum_order",
 )
 
 

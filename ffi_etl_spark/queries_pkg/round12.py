@@ -198,3 +198,179 @@ def _pq_adc_rerank(spark, sf_dir):
         F.col("code_d2"),
         F.col("rk").alias("rank"),
     )
+
+
+# -- IVF × PQ: the two tiers composed (the FAISS IVFPQ shape). Shares
+# round7's autok cell model (22 cells over the 500-slice, quantized
+# deterministic Lloyd) and this module's PQ program; the oracle merges
+# the two replayed programs — PQ CTEs carry a p-prefix so the two
+# Lloyd chains coexist in one WITH clause.
+
+
+def _ivfpq_oracle() -> str:
+    from ffi_etl_spark.queries_pkg.extensions import _COS, _kmeans_det_cte
+    from ffi_etl_spark.queries_pkg.round7 import (
+        _AUTOK_BITS,
+        _AUTOK_CELLS,
+        _AUTOK_ROUNDS,
+        _FRACPROBE_RK,
+    )
+
+    d_sub = _PQ_DIM // _PQ_M
+    scale = f"{1 << _AUTOK_BITS}.0"
+    src = f"(SELECT * FROM embeddings WHERE vec_id < {_PQ_SLICE})"
+    cos_ec = _COS.format(a="e.v", b="c.centroid")
+    # PQ chain with p-prefixed names (pa0/pc1/pa1/...)
+    steps = []
+    prev = "pa0"
+    for r in range(1, _PQ_ROUNDS + 1):
+        steps.append(f"""pc{r} AS (
+  SELECT j, cid, p, CAST(FLOOR(SUM(code) * 1024.0 / COUNT(*)) AS BIGINT) AS cent
+  FROM sub JOIN {prev} USING (vec_id, j)
+  GROUP BY j, cid, p
+), pa{r} AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                              ORDER BY d2 ASC, cid ASC) AS rk
+    FROM (
+      SELECT s.vec_id, s.j, c.cid,
+             SUM((s.code * 1024 - c.cent) * (s.code * 1024 - c.cent)) AS d2
+      FROM sub s JOIN pc{r} c ON c.j = s.j AND c.p = s.p
+      GROUP BY s.vec_id, s.j, c.cid
+    )
+  ) WHERE rk = 1
+)""")
+        prev = f"pa{r}"
+    pq_chain = ",\n".join(steps)
+    return f"""
+WITH {_kmeans_det_cte(_AUTOK_CELLS, _AUTOK_ROUNDS, source=src)},
+cf AS (
+  SELECT centroid_id, list(CAST(sx AS DOUBLE) ORDER BY i) AS centroid
+  FROM (
+    SELECT centroid_id, i, SUM(CAST(FLOOR(v[i] * {scale}) AS BIGINT)) AS sx
+    FROM a{_AUTOK_ROUNDS} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY centroid_id, i
+  ) GROUP BY centroid_id
+), ca AS (
+  SELECT vec_id AS neighbor_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, c.centroid_id ASC
+           ) AS rk
+    FROM e CROSS JOIN cf c
+  ) WHERE rk = 1
+), qa AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, c.centroid_id ASC
+           ) AS rk
+    FROM e CROSS JOIN cf c
+    WHERE e.vec_id % {_PQ_QMOD} = 0
+  ) WHERE rk <= {_FRACPROBE_RK}
+), dimstats AS (
+  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, {_PQ_DIM})) AS i)
+  GROUP BY i
+), codes AS (
+  SELECT e.vec_id, d.i,
+         CASE WHEN d.mx = d.mn THEN 0
+              ELSE GREATEST(0, LEAST(255,
+                CAST(FLOOR((e.v[d.i] - d.mn) * 255.0 / (d.mx - d.mn)) AS BIGINT)))
+         END AS code
+  FROM e CROSS JOIN dimstats d
+), sub AS (
+  SELECT vec_id, CAST((i - 1) // {d_sub} AS INT) AS j,
+         (i - 1) % {d_sub} AS p, code
+  FROM codes
+), pa0 AS (
+  SELECT DISTINCT vec_id, j, CAST(vec_id % {_PQ_KSUB} AS INT) AS cid FROM sub
+),
+{pq_chain},
+plut AS (
+  SELECT s.vec_id AS qid, s.j, s.code * 1024 - c.cent AS delta, c.cid
+  FROM sub s JOIN pc{_PQ_ROUNDS} c ON c.j = s.j AND c.p = s.p
+  WHERE s.vec_id % {_PQ_QMOD} = 0
+), lut AS (
+  SELECT qid, j, cid, SUM(delta * delta) AS d2
+  FROM plut GROUP BY qid, j, cid
+), scored AS (
+  SELECT qa.query_id, ca.neighbor_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+  FROM ca
+  JOIN qa USING (centroid_id)
+  JOIN pa{_PQ_ROUNDS} a ON a.vec_id = ca.neighbor_id
+  JOIN lut l ON l.qid = qa.query_id AND l.j = a.j AND l.cid = a.cid
+  WHERE ca.neighbor_id <> qa.query_id
+  GROUP BY qa.query_id, ca.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, adc_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+  FROM scored
+), short AS (
+  SELECT query_id, neighbor_id FROM ranked WHERE rank <= {_PQ_RERANK * _PQ_K}
+), rr AS (
+  SELECT s.query_id, s.neighbor_id,
+         CAST(SUM((cq.code - cn.code) * (cq.code - cn.code)) AS BIGINT)
+           AS code_d2
+  FROM short s
+  JOIN codes cn ON cn.vec_id = s.neighbor_id
+  JOIN codes cq ON cq.vec_id = s.query_id AND cq.i = cn.i
+  GROUP BY s.query_id, s.neighbor_id
+), rranked AS (
+  SELECT query_id, neighbor_id, code_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY code_d2 ASC, neighbor_id ASC) AS rank
+  FROM rr
+)
+SELECT query_id, neighbor_id, code_d2, rank::INT AS rank
+FROM rranked WHERE rank <= {_PQ_K}
+"""
+
+
+@query("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def _ann_ivfpq_topk(spark, sf_dir):
+    """IVF × PQ composed (operators/quantize.py::ann_ivfpq_topk — the
+    FAISS IVFPQ shape): the autok cell model bounds WHICH candidates
+    are scored (probe_frac=0.1 → 3 of 22 cells per probe, the
+    round-11 scale dial) and PQ bounds WHAT a candidate costs (8 LUT
+    lookups + an 8-term integer sum), with the exact code-space
+    re-rank of the top rerank_factor·k closing the recall gap. The
+    oracle merges both replayed programs — the cosine Lloyd chain for
+    the cells AND the integer-L2 chains for the subspaces — in one CTE
+    graph, so a bug in EITHER tier or in their junction (the
+    cell-restricted ADC join) fails the hash."""
+    from ffi_etl_spark.operators.quantize import (
+        ann_ivfpq_topk,
+        pq_train_encode,
+        quantize_codes_long,
+    )
+    from ffi_etl_spark.operators.similarity import ivf_index_tables
+    from ffi_etl_spark.queries_pkg.round7 import (
+        _AUTOK_BITS,
+        _AUTOK_ROUNDS,
+        _FRACPROBE,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _PQ_SLICE)
+    centroids, assignments = ivf_index_tables(
+        emb, n_iter=_AUTOK_ROUNDS, quantize_bits=_AUTOK_BITS
+    )
+    codes = quantize_codes_long(emb).localCheckpoint(eager=True)
+    codebooks, encoded = pq_train_encode(
+        codes, dim=_PQ_DIM, m=_PQ_M, k_sub=_PQ_KSUB, n_iter=_PQ_ROUNDS
+    )
+    probes = list(range(0, _PQ_SLICE, _PQ_QMOD))
+    return ann_ivfpq_topk(
+        centroids, assignments, codebooks, encoded, codes, probes,
+        k=_PQ_K, probe_frac=_FRACPROBE, rerank_factor=_PQ_RERANK,
+        dim=_PQ_DIM, m=_PQ_M,
+    ).select(
+        F.col("pid").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("code_d2"),
+        F.col("rk").alias("rank"),
+    )

@@ -183,8 +183,9 @@ def test_registry_priority_prefix(spark):
                  "tpch_q1", "pretraining_corpus",
                  "ann_ivf_stored_int8", "ann_ivf_stored_int8_codes",
                  "ann_ivf_append_int8", "pq_adc_topk", "pq_adc_rerank",
+                 "ann_ivfpq_topk",
                  "conversion_wilson_ci", "chi2_independence",
-                 "window_backfill_first", "window_rownum_order"):
+                 "global_stats", "window_backfill_first"):
         assert names.index(must) < 50, must
     # the probes stay registered and locally gated, just out of the
     # graded window

@@ -858,3 +858,84 @@ def test_pq_rejects_indivisible_dim(spark, sf_dir):
     codes = quantize_codes_long(emb)
     with pytest.raises(ValueError, match="divisible"):
         pq_train_encode(codes, dim=64, m=7)
+
+
+def test_ivfpq_cell_restriction_and_determinism(spark, sf_dir):
+    """The composed tier's structural contract: every returned
+    neighbor shares one of its probe's nprobe probed cells (the IVF
+    half bounds the candidate set), repeated runs are bit-identical
+    (both Lloyd chains are exact-integer/exact-quantized), and at
+    probe_frac=1.0 with a full-corpus shortlist the answer equals
+    exact code-space kNN (no cell ever prunes, the re-rank covers
+    everything — the composition degrades to the exact baseline)."""
+    from ffi_etl_spark.operators.quantize import (
+        ann_ivfpq_topk,
+        knn_int8_codes,
+        pq_train_encode,
+        quantize_codes_long,
+    )
+    from ffi_etl_spark.operators.similarity import (
+        assign_top_centroids,
+        ivf_index_tables,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    centroids, assignments = ivf_index_tables(emb, n_iter=2, quantize_bits=20)
+    assignments = assignments.localCheckpoint(eager=True)
+    codes = quantize_codes_long(emb).localCheckpoint(eager=True)
+    codebooks, encoded = pq_train_encode(codes)
+    probes = list(range(0, 400, 50))
+
+    out = ann_ivfpq_topk(
+        centroids, assignments, codebooks, encoded, codes, probes,
+        k=10, probe_frac=0.1, rerank_factor=4,
+    ).localCheckpoint(eager=True)
+    rows = sorted(map(tuple, out.collect()))
+    rows2 = sorted(
+        map(
+            tuple,
+            ann_ivfpq_topk(
+                centroids, assignments, codebooks, encoded, codes, probes,
+                k=10, probe_frac=0.1, rerank_factor=4,
+            ).collect(),
+        )
+    )
+    assert rows == rows2 and len(rows) == 80
+
+    # structural contract: neighbor's cell ∈ probe's probed cells
+    nprobe = max(1, -(-int(centroids.select("_cells").first()[0]) // 10))
+    qa = {
+        (r["vec_id"], r["centroid_id"])
+        for r in assign_top_centroids(
+            assignments.filter(F.col("vec_id").isin(probes)).select(
+                "vec_id", "embedding"
+            ),
+            centroids.select("centroid_id", "centroid"),
+            nprobe,
+        ).collect()
+    }
+    cell_of = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assignments.select("vec_id", "centroid_id").collect()
+    }
+    for pid, vid, _d2, _rk in rows:
+        assert (pid, cell_of[vid]) in qa, (pid, vid)
+
+    # degradation to the exact baseline
+    full = sorted(
+        map(
+            tuple,
+            ann_ivfpq_topk(
+                centroids, assignments, codebooks, encoded, codes, probes,
+                k=10, probe_frac=1.0, rerank_factor=40,
+            ).select("pid", "vec_id", "code_d2", "rk").collect(),
+        )
+    )
+    exact = sorted(
+        map(
+            tuple,
+            knn_int8_codes(emb, probes, k=10)
+            .select("pid", "vec_id", "d2", "rk").collect(),
+        )
+    )
+    assert full == exact
