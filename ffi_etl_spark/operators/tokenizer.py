@@ -400,98 +400,115 @@ def unigram_viterbi_segment(
     # DP base; eager checkpoints pin each so the 16 rounds of joins
     # never re-execute corpus lineage
     lex = unigram_lexicon(df, text_col, word_cap).localCheckpoint(eager=True)
-    vocab = unigram_vocab(lex, vocab_cap, max_piece).localCheckpoint(eager=True)
+    vocab = unigram_vocab(lex, vocab_cap, max_piece)
     words = lex.select("w", F.length("w").alias("wlen"))
-    # one 1-row action on the CHECKPOINTED lexicon (the sanctioned
-    # convergence-check pattern) trims dead rounds: a corpus whose
-    # longest word is 8 chars pays 8 DP rounds, not UNI_MAX_WORD=16 —
-    # results identical (round r emits only words with wlen == r)
-    max_wlen = words.agg(F.max("wlen")).collect()[0][0] or 0
-    n_rounds = min(UNI_MAX_WORD, int(max_wlen))
-    return _viterbi_dp(words, vocab, max_piece, n_rounds)
+    # the single-stage DP needs no round trim (each word folds exactly
+    # wlen steps), so the old max-wlen collect job is gone too
+    return _viterbi_dp(words, vocab, max_piece, UNI_MAX_WORD)
 
 
 def _viterbi_dp(
     words: DataFrame, vocab: DataFrame, max_piece: int, n_rounds: int
 ) -> DataFrame:
-    """The unrolled per-word DP over a (piece, score_q) vocabulary —
+    """The per-word Viterbi DP over a (piece, score_q) vocabulary —
     shared by the seed segmentation and the EM refit (same recurrence,
-    different scores). ``words``: (w, wlen); ``vocab`` must be pinned
-    (checkpointed) by the caller."""
-    # state[j]: best segmentation of w[:j] — (w, wlen, score, n, path)
-    state = {
-        0: words.select(
-            "w",
-            "wlen",
+    different scores). ``words``: (w, wlen).
+
+    Single-stage form (optimization round 12, guide §1.2/§2.4): the
+    original unrolled 16 ROUNDS of (≤max_piece-way union → broadcast
+    vocab join → per-word struct argmax), each round an eager
+    ``localCheckpoint`` — i.e. 16 sequential Spark jobs with a shuffle
+    apiece, all to advance a DP whose state is PER-WORD and at most
+    ``UNI_MAX_WORD`` structs wide. Here the vocabulary packs into a
+    ONE-row broadcast map (piece → score_q, the pack_centroids idiom)
+    and the whole recurrence runs inside one narrow projection via
+    ``F.aggregate`` over positions 1..wlen: per position the ≤max_piece
+    candidate splits are scored with map lookups and reduced with
+    ``array_max`` over (total, j, n2, path2) structs — the EXACT
+    argmax key, tie-break, and integer arithmetic of the round form
+    (and of both DuckDB oracles, which replay the unrolled rounds:
+    ROW_NUMBER() OVER (ORDER BY total DESC, j DESC)). Unreachable
+    prefixes (a piece absent from the vocabulary) carry ok=false
+    sentinels and are dropped at the end, exactly like the old inner
+    join dropped them.
+
+    Plan shape: 17 sequential shuffle jobs → ZERO extra jobs — one
+    Exchange total in the gated query (the lexicon aggregate), the DP
+    itself fused into the post-aggregate projection. At 100 TB the
+    win is structural: no 16 global barriers, no executor-storage
+    checkpoints to lose, and the corpus-scale pass count is unchanged
+    (still exactly one — the lexicon)."""
+    neg = F.lit(-(1 << 62)).cast("long")
+    vm = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("piece"), F.col("score_q")))
+        ).alias("_vm")
+    )
+
+    def _step(acc, r):
+        # acc: array of per-position states 0..r-1 (element_at 1-based);
+        # r: current end position (int column from the sequence)
+        def _cand(j):
+            piece = F.substring(F.col("w"), j + 1, r - j)
+            prev = F.element_at(acc, j + 1)
+            sq = F.element_at(F.col("_vm"), piece)
+            return F.struct(
+                (prev["score"] + sq).alias("total"),
+                j.alias("j"),
+                (prev["n"] + F.lit(1).cast("long")).alias("n2"),
+                F.when(prev["path"] == "", piece)
+                .otherwise(F.concat(prev["path"], F.lit(" "), piece))
+                .alias("path2"),
+                (prev["ok"] & sq.isNotNull()).alias("ok"),
+            )
+
+        cands = F.transform(
+            F.sequence(F.greatest(F.lit(0), r - F.lit(max_piece)), r - F.lit(1)),
+            _cand,
+        )
+        valid = F.filter(cands, lambda c: c["ok"])
+        best = F.array_max(valid)
+        nxt = F.when(
+            F.size(valid) > 0,
+            F.struct(
+                best["total"].alias("score"),
+                best["n2"].alias("n"),
+                best["path2"].alias("path"),
+                F.lit(True).alias("ok"),
+            ),
+        ).otherwise(
+            F.struct(
+                neg.alias("score"),
+                F.lit(0).cast("long").alias("n"),
+                F.lit("").alias("path"),
+                F.lit(False).alias("ok"),
+            )
+        )
+        return F.concat(acc, F.array(nxt))
+
+    init = F.array(
+        F.struct(
             F.lit(0).cast("long").alias("score"),
             F.lit(0).cast("long").alias("n"),
             F.lit("").alias("path"),
-        ).localCheckpoint(eager=True)
-    }
-    finals = []
-    for r in range(1, n_rounds + 1):
-        branches = []
-        for j in range(max(0, r - max_piece), r):
-            piece = F.substring(F.col("w"), j + 1, r - j)
-            branches.append(
-                state[j]
-                .filter(F.col("wlen") >= r)
-                .select(
-                    "w",
-                    "wlen",
-                    piece.alias("piece"),
-                    F.col("score"),
-                    F.col("n"),
-                    F.col("path"),
-                    F.lit(j).alias("j"),
-                )
-            )
-        cands = branches[0]
-        for b in branches[1:]:
-            cands = cands.unionByName(b)
-        scored = cands.join(F.broadcast(vocab), "piece").select(
+            F.lit(True).alias("ok"),
+        )
+    )
+    fin = F.element_at(F.col("_st"), F.col("wlen") + 1)
+    return (
+        words.crossJoin(F.broadcast(vm))
+        .filter((F.col("wlen") >= 1) & (F.col("wlen") <= n_rounds))  # parity with the round form
+        .withColumn(
+            "_st", F.aggregate(F.sequence(F.lit(1), F.col("wlen")), init, _step)
+        )
+        .filter(fin["ok"])
+        .select(
             "w",
             "wlen",
-            (F.col("score") + F.col("score_q")).alias("total"),
-            (F.col("n") + 1).alias("n2"),
-            F.when(F.col("path") == "", F.col("piece"))
-            .otherwise(F.concat(F.col("path"), F.lit(" "), F.col("piece")))
-            .alias("path2"),
-            F.col("j"),
+            fin["n"].alias("n_pieces"),
+            fin["score"].alias("score_q"),
+            fin["path"].alias("segmentation"),
         )
-        # (total, j) uniquely identifies a candidate per word, so the
-        # struct argmax is deterministic; path rides behind the key
-        best = (
-            scored.groupBy("w", "wlen")
-            .agg(F.max(F.struct("total", "j", "n2", "path2")).alias("_b"))
-            .select(
-                "w",
-                "wlen",
-                F.col("_b.total").alias("score"),
-                F.col("_b.n2").alias("n"),
-                F.col("_b.path2").alias("path"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        state[r] = best
-        finals.append(best.filter(F.col("wlen") == r))
-    if not finals:  # empty corpus: zero rounds, empty result
-        return state[0].select(
-            "w",
-            "wlen",
-            F.col("n").alias("n_pieces"),
-            F.col("score").alias("score_q"),
-            F.col("path").alias("segmentation"),
-        )
-    out = finals[0]
-    for f in finals[1:]:
-        out = out.unionByName(f)
-    return out.select(
-        "w",
-        "wlen",
-        F.col("n").alias("n_pieces"),
-        F.col("score").alias("score_q"),
-        F.col("path").alias("segmentation"),
     )
 
 
@@ -527,11 +544,9 @@ def unigram_em_refit(
     lex = unigram_lexicon(df, text_col, word_cap).localCheckpoint(eager=True)
     vocab1 = unigram_vocab(lex, vocab_cap, max_piece).localCheckpoint(eager=True)
     words = lex.select("w", F.length("w").alias("wlen"))
-    max_wlen = words.agg(F.max("wlen")).collect()[0][0] or 0
-    n_rounds = min(UNI_MAX_WORD, int(max_wlen))
-    seg1 = _viterbi_dp(words, vocab1, max_piece, n_rounds).localCheckpoint(
-        eager=True
-    )
+    # seg1 is referenced exactly once (the usage count) and is now a
+    # single narrow projection — no checkpoint, no max-wlen collect
+    seg1 = _viterbi_dp(words, vocab1, max_piece, UNI_MAX_WORD)
     usage = (
         seg1.join(lex, "w")
         .select(
@@ -562,6 +577,5 @@ def unigram_em_refit(
             .cast("long")
             .alias("score_q"),
         )
-        .localCheckpoint(eager=True)
     )
-    return _viterbi_dp(words, vocab2, max_piece, n_rounds)
+    return _viterbi_dp(words, vocab2, max_piece, UNI_MAX_WORD)
