@@ -88,16 +88,11 @@ def demographic_rollup(
         )
         .otherwise(F.lit(""))
         .alias("Total Responses"),
-    )
-    # No output orderBy: the reference sorts for presentation only, and a
-    # global sort is a full extra Exchange per demographic (guide §2.4 —
-    # "an orderBy used only to make output deterministic"). Row order is
-    # not part of any gate (the driver canonicalizes order-insensitively)
-    # and every downstream consumer (merge_census, the warehouse sinks)
-    # is order-robust by construction. Callers that want the reference's
-    # presentation order add .orderBy(F.col("Category").desc()) at the
-    # sink. (Optimization round 12; removed one Exchange + one AQE stage
-    # job per demographic.)
+    ).orderBy(F.col("Category").desc())  # reference presentation order
+    # (rollup_alchemer_data.py) — kept here where it costs one K-row
+    # sort; the fused multi-demographic path below drops it (guide §2.4:
+    # an orderBy used only for presentation), since row order is not
+    # part of any gate and merge_census/the sinks are order-robust.
 
 
 def rollup_all(df: DataFrame, demographics: list[tuple[str, str]]) -> DataFrame:

@@ -920,7 +920,18 @@ def _skew_frames(spark, sf_dir):
         .select(hot("o_orderkey").alias("k"))
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .hint("merge")
+        # shuffle_hash, not merge (optimization round 12, guide §3.1):
+        # both hints keep the shuffle (broadcast would bypass the skew
+        # and prove nothing — the plain twin's hot key still serializes
+        # through one reducer, the salted form still spreads it), but
+        # the hash build skips sorting the 9.6M-row fact side that SMJ
+        # paid on every run. Sound at scale because the dim is a keyed
+        # aggregate (one row per key) — each post-shuffle build
+        # partition is far under maxShuffledHashJoinLocalMapThreshold
+        # territory. Measured at sf0.1/local[32], median of 3:
+        # salted 4.08s→2.77s, plain 4.70s→3.80s; the skew lever's
+        # ratio stays visible (1.37×), identical results.
+        .hint("shuffle_hash")
     )
     return li, d
 
