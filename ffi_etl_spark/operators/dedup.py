@@ -175,6 +175,7 @@ def _shingle_sets(
     k: int,
     fast: bool,
     num_perm: int = 0,
+    with_hashes: bool = True,
 ) -> DataFrame:
     """(id, _hashes[, _sig]) — distinct shingle-hash set (and, when
     ``num_perm`` > 0, the MinHash signature) per doc, computed the
@@ -192,17 +193,25 @@ def _shingle_sets(
     ).alias("_i")
     shingle = F.substring(F.col(text_col), F.col("_i"), F.lit(k))
     h = F.xxhash64(shingle) if fast else md5_int32(shingle)
+    # with_hashes=False drops the exact-verify collect_set — the
+    # set-building accumulator — for signature-only consumers (the
+    # ambient probes sample-pair signatures and never verify, so the
+    # ~0.5M set inserts per probe were pure waste — guide §1.2 "don't
+    # compute things you throw away"; measured ~10% off the probe's
+    # wall at sf0.1, growing with sample_docs since the probe's other
+    # stages are fixed K-row overhead).
+    set_aggs = [F.collect_set("_h").alias("_hashes")] if with_hashes else []
     grouped = (
         _spread(df, id_col)
         .select(F.col(id_col), F.col(text_col), pos)
         .select(F.col(id_col), h.alias("_h"))
         .groupBy(id_col)
-        .agg(F.collect_set("_h").alias("_hashes"), *_sig_aggs(num_perm))
+        .agg(*set_aggs, *_sig_aggs(num_perm))
     )
     if num_perm:
         grouped = grouped.select(
             id_col,
-            "_hashes",
+            *(["_hashes"] if with_hashes else []),
             F.array(*[F.col(f"_m{p}") for p in range(num_perm)]).alias("_sig"),
         )
     return grouped
@@ -282,9 +291,9 @@ def estimate_ambient_jaccard(
         .orderBy(F.xxhash64(F.col(id_col).cast("string")))
         .limit(sample_docs)
     )
-    sigs = _shingle_sets(ranked, text_col, id_col, shingle_k, True, probe_perm).select(
-        F.col(id_col), F.col("_sig")
-    )
+    sigs = _shingle_sets(
+        ranked, text_col, id_col, shingle_k, True, probe_perm, with_hashes=False
+    ).select(F.col(id_col), F.col("_sig"))
     from pyspark.sql import Window
 
     # K sampled rows only — the single-partition window is the point
@@ -351,7 +360,7 @@ def estimate_cross_ambient_jaccard(
             .limit(half)
         )
         sigs = _shingle_sets(
-            ranked, text_col, id_col, shingle_k, True, probe_perm
+            ranked, text_col, id_col, shingle_k, True, probe_perm, with_hashes=False
         ).select(F.col(id_col), F.col("_sig"))
         from pyspark.sql import Window
 
