@@ -47,25 +47,32 @@ def knn_bruteforce(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query (self-matches excluded).
-    Output: query_id, neighbor_id, cosine_sim, rank."""
+    Output: query_id, neighbor_id, cosine_sim, rank.
+
+    ``dim`` unrolls the q·n pair scoring into whole-stage codegen
+    (functions/vectors.py::dot — bit-identical, optimization round
+    12); omit it for ragged/unknown-width corpora."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        norm2(F.col(vec_col)).alias("_qn"),
+        norm2(F.col(vec_col), dim).alias("_qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        norm2(F.col(vec_col)).alias("_cn"),
+        norm2(F.col(vec_col), dim).alias("_cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            cosine_prenorm(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+            cosine_prenorm(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -84,6 +91,7 @@ def ann_sign_lsh_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: bucket by coordinate-sign LSH, verify
     cosine within buckets. Output: id_a, id_b, cosine_sim."""
@@ -103,7 +111,7 @@ def ann_sign_lsh_pairs(
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            cosine(F.col("l._v"), F.col("r._v")).alias("cosine_sim"),
+            cosine(F.col("l._v"), F.col("r._v"), dim).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -368,20 +376,26 @@ def ann_ivf_topk(
     else:
         q = assign_to_centroid(queries, cents, id_col, vec_col)
     q = q.withColumnsRenamed({id_col: "query_id", vec_col: "_qv", "vec_norm": "_qn"})
-    return _ivf_probe_topk(c, q, k)
+    return _ivf_probe_topk(c, q, k, dim)
 
 
-def _ivf_probe_topk(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+def _ivf_probe_topk(
+    c: DataFrame, q: DataFrame, k: int, dim: int | None = None
+) -> DataFrame:
     """The IVF candidate join + per-query top-k shared by every IVF
     tier: equi-join on centroid_id (never a cross product), exact
-    cosine on the prenormed vectors, WindowGroupLimit top-k with the
-    deterministic (sim DESC, neighbor ASC) tie-break."""
+    cosine on the prenormed vectors (``dim`` unrolls it into
+    whole-stage codegen — functions/vectors.py::dot, bit-identical),
+    WindowGroupLimit top-k with the deterministic (sim DESC, neighbor
+    ASC) tie-break."""
     scored = (
         c.join(q, "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            cosine_prenorm(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+            cosine_prenorm(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -533,7 +547,7 @@ def ann_ivf_autok(
     else:
         q = assign_to_centroid(queries, cents, id_col, vec_col)
     q = q.withColumnsRenamed({id_col: "query_id", vec_col: "_qv", "vec_norm": "_qn"})
-    return _ivf_probe_topk(c, q, k)
+    return _ivf_probe_topk(c, q, k, dim)
 
 
 def ivf_codebook(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -799,6 +813,7 @@ def ann_ivf_query_stored(
     vec_col: str = "embedding",
     trust_layout: bool = False,
     probe_frac: float | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k against a STORED IVF index (``ivf_index_tables`` output
     read back from parquet): layout-gate the pair, assign the query
@@ -855,7 +870,7 @@ def ann_ivf_query_stored(
     else:
         q = assign_to_centroid(queries, model, id_col, vec_col)
     q = q.withColumnsRenamed({id_col: "query_id", vec_col: "_qv", "vec_norm": "_qn"})
-    return _ivf_probe_topk(c, q, k)
+    return _ivf_probe_topk(c, q, k, dim)
 
 
 def check_ivf_codes_layout(
@@ -913,6 +928,7 @@ def ann_ivf_query_stored_int8(
     trust_layout: bool = False,
     probe_frac: float | None = None,
     rerank_factor: int | None = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k against a stored int8-coded IVF index
     (``ivf_index_tables(store_codes=True)`` output) — the probe-cost
@@ -1032,7 +1048,7 @@ def ann_ivf_query_stored_int8(
     qvecs = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-        ).withColumn("_qn", norm2(F.col("_qv")))
+        ).withColumn("_qn", norm2(F.col("_qv"), dim))
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -1041,7 +1057,9 @@ def ann_ivf_query_stored_int8(
         cvecs.join(qvecs, "query_id")
         .withColumn(
             "cosine_sim",
-            cosine_prenorm(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+            cosine_prenorm(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim
+            ),
         )
         .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
@@ -1456,14 +1474,13 @@ def kmeans_lloyd(
     order in the means.
 
     Scale: each round is one narrow corpus pass + one K·dim-group
-    aggregate; the K-row centroid model is persisted and materialized
-    per round (driver never sees the corpus — only K rows are pinned,
-    and eagerly so the lazy chain doesn't re-run every PRIOR round's
-    assignment inside each later round's plan). The corpus itself is
-    scanned once per round: persist it first at production scale. The
-    per-round centroid pins accumulate over the call (K rows each);
-    call ``spark.catalog.clearCache()`` after materializing the result
-    if the session runs many clusterings.
+    aggregate; the K-row centroid model is materialized per round as a
+    driver collect → LocalRelation (driver never sees the corpus — only
+    K rows cross, and eagerly so the lazy chain doesn't re-run every
+    PRIOR round's assignment inside each later round's plan; as a
+    LocalRelation the model broadcasts without an executor job and
+    nothing lingers in executor storage). The corpus itself is scanned
+    once per round: persist it first at production scale.
 
     ``quantize_bits`` switches the update step to
     ``quantized_centroid_sums`` — exact integer centroids, so the whole
@@ -1477,21 +1494,30 @@ def kmeans_lloyd(
         F.col(vec_col),
         F.pmod(F.col(id_col), F.lit(k)).cast("int").alias("centroid_id"),
     )
-    prev = None
+    spark = corpus.sparkSession
     for _ in range(n_iter):
         if quantize_bits is not None:
             cents = quantized_centroid_sums(
                 assigned, label_col="centroid_id", vec_col=vec_col,
                 scale_bits=quantize_bits,
-            ).persist()
+            )
         else:
             cents = compute_centroids(
                 assigned, 0, label_col="centroid_id", vec_col=vec_col
-            ).persist()
-        cents.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = cents
+            )
+        # K-row round materialization as a driver collect → LocalRelation
+        # (optimization round 12, guide §1.2): the old persist+count per
+        # round left the model an InMemoryRelation that every later
+        # consumer re-scanned through the block manager and re-broadcast
+        # with its own job, and needed prev-round unpersist bookkeeping.
+        # Collecting the K rows (the sanctioned K-row driver decision
+        # point — same eager barrier the count was) makes the next
+        # round's model a LocalRelation: broadcast builds driver-side
+        # with no extra job, nothing is pinned in executor storage, and
+        # the values are bit-identical (longs exactly; Python round-trips
+        # IEEE doubles losslessly).
+        rows = cents.collect()
+        cents = spark.createDataFrame(rows, schema=cents.schema)
         assigned = assign_to_centroid(corpus, cents, id_col=id_col, vec_col=vec_col)
     return assigned
 
@@ -1518,6 +1544,7 @@ def dedup_semantic(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize_bits: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic
@@ -1587,7 +1614,9 @@ def dedup_semantic(
         # as a column shared by the filter and the output
         .withColumn(
             "cosine_sim",
-            cosine_prenorm(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
+            cosine_prenorm(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), dim
+            ),
         )
         .where(F.col("cosine_sim") >= min_sim)
         .select(
