@@ -26,7 +26,7 @@ SNAPSHOT = [
     ("lateral_topk_orders", "LATERAL decorrelated to WindowGroupLimit, no nested loop"),
     ("mixture_balance", "broadcast counts back over the corpus, scan-side integer filter"),
     ("reservoir_sample", "TakeOrderedAndProject bottom-k, no global sort"),
-    ("skew_salted_join", "per-row salt on the 90%-hot fact key, dim exploded per salt, SMJ on (k, salt) — hot key spread over 16 reducer tasks; measured ~1.6x vs unsalted at sf0.1. ADAPTIVE FORM (operators/olap.py::salted_join_adaptive): a seed-pinned 1%-sample key-count probe precedes this plan and salts only when the hottest key's sampled share >= 0.2 — below threshold the operator emits the PLAIN equi-join (no _salt column, no dim explode) and leaves mild skew to AQE; both branches are result-identical (tests/test_skew.py::test_salted_join_adaptive_branches asserts the branch choice AND the equality)"),
+    ("skew_salted_join", "per-row salt on the 90%-hot fact key, dim exploded per salt, ShuffledHashJoin on (k, salt) (round 12: shuffle_hash build of the keyed dim aggregate replaced the merge hint — same shuffle, same skew, no 9.6M-row sort; salted 4.08s→2.77s / plain 4.70s→3.80s at sf0.1) — hot key spread over 16 reducer tasks; measured ~1.4x vs unsalted at sf0.1. ADAPTIVE FORM (operators/olap.py::salted_join_adaptive): a seed-pinned 1%-sample key-count probe precedes this plan and salts only when the hottest key's sampled share >= 0.2 — below threshold the operator emits the PLAIN equi-join (no _salt column, no dim explode) and leaves mild skew to AQE; both branches are result-identical (tests/test_skew.py::test_salted_join_adaptive_branches asserts the branch choice AND the equality)"),
     ("dedup_keep_best", "single partial+final SortAggregate (max_by pair buffer), one shuffle, no per-group window"),
     ("training_order", "one hash exchange on shard_id feeding the per-shard row_number window — no global sort"),
     ("dataset_diff", "both sides reduced to (id, md5) before the full-outer SMJ; bodies never shuffle"),
