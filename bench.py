@@ -111,7 +111,7 @@ def _ann_ivf_stored_probe(spark, sf_dir):
     c, a = _STORED_IVF[sf_dir]
     queries = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0)
     return ann_ivf_query_stored(
-        spark.read.parquet(c), spark.read.parquet(a), queries, dim=64
+        spark.read.parquet(c), spark.read.parquet(a), queries
     )
 
 

@@ -14,41 +14,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Dot product, summed in array order from a 0.0 seed.
-
-    With ``dim`` (the ANN operators' explicit dimensionality contract),
-    the fold is UNROLLED into a static expression tree —
-    ``((0.0 + a₁b₁) + a₂b₂) + …`` — the exact addition sequence of the
-    ``F.aggregate`` fold, so every result is bit-identical, but built
-    from plain expressions that WHOLE-STAGE CODEGEN compiles instead of
-    the higher-order-function form, which is CodegenFallback and runs
-    interpreted per row (optimization round 12, guide §1.2 "per-task
-    work": this sits inside the n·k candidate-scoring joins of every
-    ANN tier). Rows whose arrays are not exactly ``dim`` long fall back
-    to the fold lazily (same value by construction — the fold IS the
-    otherwise branch), so ragged inputs keep the generic semantics."""
+def dot(a: Column, b: Column) -> Column:
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    fold = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
-    if dim is None:
-        return fold
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
-    return F.when((F.size(a) == dim) & (F.size(b) == dim), acc).otherwise(fold)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def norm2(a: Column, dim: int | None = None) -> Column:
-    return F.sqrt(dot(a, a, dim))
+def norm2(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    return dot(a, b, dim) / (norm2(a, dim) * norm2(b, dim))
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm2(a) * norm2(b))
 
 
-def cosine_prenorm(
-    a: Column, b: Column, norm_a: Column, norm_b: Column, dim: int | None = None
-) -> Column:
+def cosine_prenorm(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     """Cosine with the two vector norms already materialized as columns.
 
     Bit-identical to ``cosine`` (same ``dot/(sqrt(dot)·sqrt(dot))``
@@ -56,9 +35,8 @@ def cosine_prenorm(
     64-element folds to ONE: norms are computed once per VECTOR (narrow,
     pre-join) instead of once per PAIR. On an n·K candidate join that is
     a 3× cut of the dominant cost, and it shrinks the expression tree
-    Catalyst must analyze per query. ``dim`` unrolls the remaining dot
-    into codegen (see ``dot``)."""
-    return dot(a, b, dim) / (norm_a * norm_b)
+    Catalyst must analyze per query."""
+    return dot(a, b) / (norm_a * norm_b)
 
 
 def sign_bucket(a: Column, bits: int = 8) -> Column:

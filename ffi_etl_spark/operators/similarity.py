@@ -47,32 +47,25 @@ def knn_bruteforce(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query (self-matches excluded).
-    Output: query_id, neighbor_id, cosine_sim, rank.
-
-    ``dim`` unrolls the q·n pair scoring into whole-stage codegen
-    (functions/vectors.py::dot — bit-identical, optimization round
-    12); omit it for ragged/unknown-width corpora."""
+    Output: query_id, neighbor_id, cosine_sim, rank."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        norm2(F.col(vec_col), dim).alias("_qn"),
+        norm2(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        norm2(F.col(vec_col), dim).alias("_cn"),
+        norm2(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            cosine_prenorm(
-                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim
-            ),
+            cosine_prenorm(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -91,7 +84,6 @@ def ann_sign_lsh_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: bucket by coordinate-sign LSH, verify
     cosine within buckets. Output: id_a, id_b, cosine_sim."""
@@ -111,7 +103,7 @@ def ann_sign_lsh_pairs(
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            cosine(F.col("l._v"), F.col("r._v"), dim).alias("cosine_sim"),
+            cosine(F.col("l._v"), F.col("r._v")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -376,26 +368,20 @@ def ann_ivf_topk(
     else:
         q = assign_to_centroid(queries, cents, id_col, vec_col)
     q = q.withColumnsRenamed({id_col: "query_id", vec_col: "_qv", "vec_norm": "_qn"})
-    return _ivf_probe_topk(c, q, k, dim)
+    return _ivf_probe_topk(c, q, k)
 
 
-def _ivf_probe_topk(
-    c: DataFrame, q: DataFrame, k: int, dim: int | None = None
-) -> DataFrame:
+def _ivf_probe_topk(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
     """The IVF candidate join + per-query top-k shared by every IVF
     tier: equi-join on centroid_id (never a cross product), exact
-    cosine on the prenormed vectors (``dim`` unrolls it into
-    whole-stage codegen — functions/vectors.py::dot, bit-identical),
-    WindowGroupLimit top-k with the deterministic (sim DESC, neighbor
-    ASC) tie-break."""
+    cosine on the prenormed vectors, WindowGroupLimit top-k with the
+    deterministic (sim DESC, neighbor ASC) tie-break."""
     scored = (
         c.join(q, "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            cosine_prenorm(
-                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim
-            ),
+            cosine_prenorm(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -547,7 +533,7 @@ def ann_ivf_autok(
     else:
         q = assign_to_centroid(queries, cents, id_col, vec_col)
     q = q.withColumnsRenamed({id_col: "query_id", vec_col: "_qv", "vec_norm": "_qn"})
-    return _ivf_probe_topk(c, q, k, dim)
+    return _ivf_probe_topk(c, q, k)
 
 
 def ivf_codebook(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -813,7 +799,6 @@ def ann_ivf_query_stored(
     vec_col: str = "embedding",
     trust_layout: bool = False,
     probe_frac: float | None = None,
-    dim: int | None = None,
 ) -> DataFrame:
     """Top-k against a STORED IVF index (``ivf_index_tables`` output
     read back from parquet): layout-gate the pair, assign the query
@@ -870,7 +855,7 @@ def ann_ivf_query_stored(
     else:
         q = assign_to_centroid(queries, model, id_col, vec_col)
     q = q.withColumnsRenamed({id_col: "query_id", vec_col: "_qv", "vec_norm": "_qn"})
-    return _ivf_probe_topk(c, q, k, dim)
+    return _ivf_probe_topk(c, q, k)
 
 
 def check_ivf_codes_layout(
@@ -928,7 +913,6 @@ def ann_ivf_query_stored_int8(
     trust_layout: bool = False,
     probe_frac: float | None = None,
     rerank_factor: int | None = 4,
-    dim: int | None = None,
 ) -> DataFrame:
     """Top-k against a stored int8-coded IVF index
     (``ivf_index_tables(store_codes=True)`` output) — the probe-cost
@@ -1048,7 +1032,7 @@ def ann_ivf_query_stored_int8(
     qvecs = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-        ).withColumn("_qn", norm2(F.col("_qv"), dim))
+        ).withColumn("_qn", norm2(F.col("_qv")))
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -1057,9 +1041,7 @@ def ann_ivf_query_stored_int8(
         cvecs.join(qvecs, "query_id")
         .withColumn(
             "cosine_sim",
-            cosine_prenorm(
-                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"), dim
-            ),
+            cosine_prenorm(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
         )
         .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
@@ -1544,7 +1526,6 @@ def dedup_semantic(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize_bits: int | None = None,
-    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic
@@ -1614,9 +1595,7 @@ def dedup_semantic(
         # as a column shared by the filter and the output
         .withColumn(
             "cosine_sim",
-            cosine_prenorm(
-                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), dim
-            ),
+            cosine_prenorm(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
         )
         .where(F.col("cosine_sim") >= min_sim)
         .select(

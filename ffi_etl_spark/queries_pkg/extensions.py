@@ -326,7 +326,7 @@ SELECT query_id, neighbor_id, cosine_sim, rank::INT AS rank FROM ranked WHERE ra
 def _knn_bruteforce(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return knn_bruteforce(emb, queries, k=10, dim=64)
+    return knn_bruteforce(emb, queries, k=10)
 
 
 _SIGN_BUCKET = " + ".join(
@@ -347,7 +347,7 @@ SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.15
 
 @query("ann_embedding_pairs", oracle=_ANN_ORACLE)
 def _ann_embedding_pairs(spark, sf_dir):
-    return ann_sign_lsh_pairs(table(spark, sf_dir, "embeddings"), bits=8, threshold=0.15, dim=64)
+    return ann_sign_lsh_pairs(table(spark, sf_dir, "embeddings"), bits=8, threshold=0.15)
 
 
 _EMB_COMPONENTS_ORACLE = f"""
@@ -373,7 +373,7 @@ def _dedup_embedding(spark, sf_dir):
     dedup family: exact / MinHash / SimHash / n-gram / embedding."""
     from ffi_etl_spark.operators.graph import connected_components
 
-    pairs = ann_sign_lsh_pairs(table(spark, sf_dir, "embeddings"), bits=8, threshold=0.15, dim=64)
+    pairs = ann_sign_lsh_pairs(table(spark, sf_dir, "embeddings"), bits=8, threshold=0.15)
     return connected_components(pairs).withColumnsRenamed({"vertex": "vec_id"})
 
 
@@ -1350,5 +1350,5 @@ def _graph_triangles(spark, sf_dir):
     self-join, no dedup pass needed."""
     from ffi_etl_spark.operators.graph import triangle_enum
 
-    pairs = ann_sign_lsh_pairs(table(spark, sf_dir, "embeddings"), bits=8, threshold=0.15, dim=64)
+    pairs = ann_sign_lsh_pairs(table(spark, sf_dir, "embeddings"), bits=8, threshold=0.15)
     return triangle_enum(pairs).orderBy("v1", "v2", "v3")

@@ -999,8 +999,7 @@ def _dedup_semantic(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     return dedup_semantic(
-        emb, k=_SEMDEDUP_K, n_iter=_SEMDEDUP_ROUNDS, min_sim=0.15, quantize_bits=20,
-        dim=64,
+        emb, k=_SEMDEDUP_K, n_iter=_SEMDEDUP_ROUNDS, min_sim=0.15, quantize_bits=20
     ).orderBy("id_a", "id_b")
 
 

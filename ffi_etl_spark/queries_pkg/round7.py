@@ -238,7 +238,7 @@ def _ann_ivf_stored(spark, sf_dir):
     write_ivf_assignments(assignments, os.path.join(root, "assignments"))
     stored_model = spark.read.parquet(os.path.join(root, "centroids"))
     stored_index = spark.read.parquet(os.path.join(root, "assignments"))
-    return ann_ivf_query_stored(stored_model, stored_index, queries, dim=64)
+    return ann_ivf_query_stored(stored_model, stored_index, queries)
 
 
 # -- round 9 (late session): incremental maintenance of the stored
@@ -339,7 +339,7 @@ def _ann_ivf_append(spark, sf_dir):
     append_ivf_assignments(
         ivf_index_append(stored_model, spark.read.parquet(apath), batch), apath
     )
-    return ann_ivf_query_stored(stored_model, spark.read.parquet(apath), queries, dim=64)
+    return ann_ivf_query_stored(stored_model, spark.read.parquet(apath), queries)
 
 
 def _ivf_stored_multiprobe_oracle(rk: int = 2) -> str:
@@ -434,7 +434,6 @@ def _ann_ivf_stored_nprobe2(spark, sf_dir):
         spark.read.parquet(os.path.join(root, "assignments")),
         queries,
         nprobe=2,
-        dim=64,
     )
 
 
@@ -482,7 +481,6 @@ def _ann_ivf_stored_fracprobe(spark, sf_dir):
         spark.read.parquet(os.path.join(root, "assignments")),
         queries,
         probe_frac=_FRACPROBE,
-        dim=64,
     )
 
 
@@ -558,7 +556,7 @@ def _ann_ivf_churn(spark, sf_dir):
     # build(1 file/cell) + 3 appends -> crowded at threshold 1; the
     # compaction must execute (not no-op) for this gate to mean anything
     compact_ivf_assignments(spark, apath, files_per_cell=1)
-    return ann_ivf_query_stored(stored_model, spark.read.parquet(apath), queries, dim=64)
+    return ann_ivf_query_stored(stored_model, spark.read.parquet(apath), queries)
 
 
 def _ivf_drift_oracle() -> str:
@@ -808,7 +806,6 @@ def _ann_ivf_stored_int8(spark, sf_dir):
         queries,
         probe_frac=_FRACPROBE,
         rerank_factor=_INT8_RERANK,
-        dim=64,
     )
 
 
@@ -916,7 +913,6 @@ def _ann_ivf_stored_int8_codes(spark, sf_dir):
         queries,
         probe_frac=_FRACPROBE,
         rerank_factor=None,
-        dim=64,
     )
 
 
@@ -1062,5 +1058,4 @@ def _ann_ivf_append_int8(spark, sf_dir):
         queries,
         probe_frac=_FRACPROBE,
         rerank_factor=_INT8_RERANK,
-        dim=64,
     )
