@@ -24,9 +24,7 @@ so pathological buckets don't quadratically explode the verify stage.
 
 from __future__ import annotations
 
-from functools import reduce
-
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyspark import StorageLevel
@@ -1307,52 +1305,23 @@ def simhash_fingerprints(
     id_col: str = "doc_id",
     fast: bool = False,
 ) -> DataFrame:
-    """60-bit SimHash per document over whitespace tokens. ``fast=True``
-    swaps the md5-derived token hash for native xxhash64 (one JVM
-    intrinsic vs digest + hex parse) — same algorithm, engine-private
-    bits (no DuckDB oracle); the production tier at 100 TB.
+    """60-bit SimHash per document over whitespace tokens. Token hashes
+    are materialized in their own projection so each of the 60 bit-folds
+    reads the array instead of re-deriving hashes. ``fast=True`` swaps
+    the md5-derived token hash for native xxhash64 (one JVM intrinsic vs
+    digest + hex parse) — same algorithm, engine-private bits (no DuckDB
+    oracle); the production tier at 100 TB."""
+    from ffi_etl_spark.functions.hashing import simhash64_from_hashes
 
-    Exploded codegen form (optimization round 12, guide §1.2 "per-task
-    work"): the original shape hashed and vote-folded inside nested
-    higher-order lambdas (``transform`` + two ``aggregate`` folds per
-    doc) — HOFs are CodegenFallback, so every token's md5 AND all 60
-    per-token vote updates ran interpreted. Here tokens explode to ROWS
-    (the ``_shingle_sets`` idiom — and the DuckDB oracle's own
-    ``unnest`` shape), the hash is one row-wise whole-stage-codegen
-    builtin, and the votes become a codegen hash aggregate of 60 bit
-    sums + a token count. Bit b's vote is ``2·ones_b − n`` — positive
-    iff ``2·ones_b > n`` — so the fingerprint is the identical integer
-    for every input (exact ±1-vote equivalence; ties at v == 0 stay 0).
-    The groupBy key equals the ``_spread`` repartition key, so no extra
-    shuffle is introduced. Null-text docs are dropped by the explode
-    exactly as the oracle's ``unnest`` drops them."""
-    bits = 60
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     if fast:
-        h = F.pmod(F.xxhash64(F.col("_t")), F.lit(2 ** 60))
+        token_hash = lambda t: F.pmod(F.xxhash64(t), F.lit(2 ** 60))  # noqa: E731
     else:
-        h = md5_int60(F.col("_t"))
-    rows = (
-        _spread(df, id_col)
-        .select(F.col(id_col), F.explode(tokens).alias("_t"))
-        .select(F.col(id_col), h.alias("_h"))
+        token_hash = md5_int60
+    hashed = _spread(df, id_col).select(
+        F.col(id_col), F.transform(tokens, token_hash).alias("_th")
     )
-    sums = rows.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[
-            F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
-            for b in range(bits)
-        ],
-    )
-    fingerprint = reduce(
-        Column.__add__,
-        [
-            F.when(F.col(f"_b{b}") * 2 > F.col("_n"), F.lit(1 << b).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-            for b in range(bits)
-        ],
-    )
-    return sums.select(F.col(id_col), fingerprint.alias("simhash"))
+    return hashed.select(F.col(id_col), simhash64_from_hashes(F.col("_th")).alias("simhash"))
 
 
 def dedup_simhash(
