@@ -1457,12 +1457,13 @@ def kmeans_lloyd(
 
     Scale: each round is one narrow corpus pass + one K·dim-group
     aggregate; the K-row centroid model is materialized per round as a
-    driver collect → LocalRelation (driver never sees the corpus — only
-    K rows cross, and eagerly so the lazy chain doesn't re-run every
-    PRIOR round's assignment inside each later round's plan; as a
-    LocalRelation the model broadcasts without an executor job and
-    nothing lingers in executor storage). The corpus itself is scanned
-    once per round: persist it first at production scale.
+    driver collect re-planned as a K-row local source (driver never
+    sees the corpus — only K rows cross, and eagerly so the lazy chain
+    doesn't re-run every PRIOR round's assignment inside each later
+    round's plan; the re-plan drops the per-round count action and the
+    InMemoryRelation that every later consumer re-scanned, and nothing
+    lingers in executor storage). The corpus itself is scanned once per
+    round: persist it first at production scale.
 
     ``quantize_bits`` switches the update step to
     ``quantized_centroid_sums`` — exact integer centroids, so the whole
@@ -1487,17 +1488,18 @@ def kmeans_lloyd(
             cents = compute_centroids(
                 assigned, 0, label_col="centroid_id", vec_col=vec_col
             )
-        # K-row round materialization as a driver collect → LocalRelation
+        # K-row round materialization as a driver collect + re-plan
         # (optimization round 12, guide §1.2): the old persist+count per
         # round left the model an InMemoryRelation that every later
-        # consumer re-scanned through the block manager and re-broadcast
-        # with its own job, and needed prev-round unpersist bookkeeping.
-        # Collecting the K rows (the sanctioned K-row driver decision
-        # point — same eager barrier the count was) makes the next
-        # round's model a LocalRelation: broadcast builds driver-side
-        # with no extra job, nothing is pinned in executor storage, and
-        # the values are bit-identical (longs exactly; Python round-trips
-        # IEEE doubles losslessly).
+        # consumer re-scanned through the block manager, and needed
+        # prev-round unpersist bookkeeping. Collecting the K rows (the
+        # sanctioned K-row driver decision point — same eager barrier
+        # the count was) re-plans the model as a K-row local source
+        # (Scan ExistingRDD in PySpark), dropping the count action and
+        # the cache build/scan jobs — measured 33 → 23 jobs on the gated
+        # autok build, wall-clock a wash — with nothing pinned in
+        # executor storage, and the values bit-identical (longs exactly;
+        # Python round-trips IEEE doubles losslessly).
         rows = cents.collect()
         cents = spark.createDataFrame(rows, schema=cents.schema)
         assigned = assign_to_centroid(corpus, cents, id_col=id_col, vec_col=vec_col)
