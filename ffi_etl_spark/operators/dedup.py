@@ -303,6 +303,26 @@ def estimate_ambient_jaccard(
     pairs that happen to be true near-dups cannot drag the estimate —
     exactly the robustness argument of ``salted_join_adaptive``'s
     probe (olap.py), applied to similarity instead of key skew."""
+    est = _ambient_pair_estimates(
+        df, text_col, id_col, shingle_k, sample_docs, probe_perm
+    )
+    row = est.agg(F.expr("percentile(_est, 0.5)").alias("_m")).collect()[0]
+    return float(row["_m"] or 0.0)
+
+
+def _ambient_pair_estimates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    sample_docs: int,
+    probe_perm: int,
+) -> DataFrame:
+    """The per-pair MinHash similarity estimates behind
+    ``estimate_ambient_jaccard`` — split out so a caller that also needs
+    another K-row statistic in the same breath (``resolve_minhash_split``
+    wants the corpus count) can fuse both into ONE driver action instead
+    of paying a second job's scheduling round-trip."""
     ranked = (
         df.select(F.col(id_col), F.col(text_col))
         .orderBy(F.xxhash64(F.col(id_col).cast("string")))
@@ -318,7 +338,7 @@ def estimate_ambient_jaccard(
     paired = sigs.withColumn("_sig2", F.lead("_sig").over(w)).filter(
         F.col("_sig2").isNotNull()
     )
-    est = paired.select(
+    return paired.select(
         (
             F.aggregate(
                 F.zip_with(
@@ -330,8 +350,6 @@ def estimate_ambient_jaccard(
             / F.lit(probe_perm)
         ).alias("_est")
     )
-    row = est.agg(F.expr("percentile(_est, 0.5)").alias("_m")).collect()[0]
-    return float(row["_m"] or 0.0)
 
 
 def estimate_cross_ambient_jaccard(
@@ -368,6 +386,26 @@ def estimate_cross_ambient_jaccard(
     majority partner, long after the bill started growing. The
     estimates are K driver-bounded rows; both quantiles cost the same
     one collect."""
+    est = _cross_pair_estimates(
+        corpus, batch, text_col, id_col, shingle_k, sample_docs, probe_perm
+    )
+    row = est.agg(F.expr(f"percentile(_est, {quantile})").alias("_m")).collect()[0]
+    return float(row["_m"] or 0.0)
+
+
+def _cross_pair_estimates(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    sample_docs: int,
+    probe_perm: int,
+) -> DataFrame:
+    """The per-pair cross estimates behind
+    ``estimate_cross_ambient_jaccard`` — split out (like
+    ``_ambient_pair_estimates``) so ``confirm_resplit_pick`` can fuse
+    the percentile with its corpus count into one driver action."""
     half = max(2, sample_docs // 2)
 
     def _side(df: DataFrame, alias: str) -> DataFrame:
@@ -388,7 +426,7 @@ def estimate_cross_ambient_jaccard(
         )
 
     paired = _side(corpus, "_sa").join(_side(batch, "_sb"), "_rk")
-    est = paired.select(
+    return paired.select(
         (
             F.aggregate(
                 F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
@@ -398,8 +436,6 @@ def estimate_cross_ambient_jaccard(
             / F.lit(probe_perm)
         ).alias("_est")
     )
-    row = est.agg(F.expr(f"percentile(_est, {quantile})").alias("_m")).collect()[0]
-    return float(row["_m"] or 0.0)
 
 
 def confirm_resplit_pick(
@@ -422,14 +458,24 @@ def confirm_resplit_pick(
     corpus's old ambient and returns the adopted split, so the swap
     bill is never paid on batch evidence alone; as drifted batches
     accumulate INTO the corpus their cross-pair mass grows and a later
-    streak confirms. Bounded: two ``sample_docs/2``-doc probes plus
-    one footer-metadata count."""
+    streak confirms. Bounded: two ``sample_docs/2``-doc probes plus a
+    column-pruned corpus count, all fused into ONE driver action (the
+    ``resolve_minhash_split`` tagged-union idiom, round 13)."""
     from ffi_etl_spark.functions.lsh_tuning import choose_minhash_split
 
-    cross = estimate_cross_ambient_jaccard(
-        corpus, batch, text_col, id_col, shingle_k, sample_docs=sample_docs
+    est = _cross_pair_estimates(
+        corpus, batch, text_col, id_col, shingle_k, sample_docs, probe_perm=32
     )
-    n_docs = corpus.count()
+    # p75, NOT the median — see estimate_cross_ambient_jaccard
+    amb_row = est.agg(F.expr("percentile(_est, 0.75)").alias("_v")).select(
+        F.lit(0).alias("_k"), F.col("_v")
+    )
+    cnt_row = corpus.agg(F.count(F.lit(1)).cast("double").alias("_v")).select(
+        F.lit(1).alias("_k"), F.col("_v")
+    )
+    stats = {r["_k"]: r["_v"] for r in amb_row.unionByName(cnt_row).collect()}
+    cross = float(stats[0] or 0.0)
+    n_docs = int(stats[1])
     kwargs: dict = {"n_docs": n_docs}
     if n_docs >= WIDE_CORPUS_DOCS:
         kwargs["num_perms"] = WIDE_NUM_PERMS
@@ -544,14 +590,28 @@ def resolve_minhash_split(
     the right trade exactly when candidates grow n² past the crossover;
     see the constant's derivation above). Below the threshold the menu
     is unchanged, so small-corpus picks — including every gate SF's
-    pinned (24, 4) — are bit-identical to round 8. The corpus count is
-    one column-pruned job (footer metadata on plain parquet scans)."""
-    ambient = estimate_ambient_jaccard(
-        df, text_col, id_col, shingle_k, sample_docs=sample_docs
+    pinned (24, 4) — are bit-identical to round 8.
+
+    One driver action (optimization round 13, VERDICT r12 item 3): the
+    ambient percentile and the corpus count collect TOGETHER as a tagged
+    2-row union — the count's column-pruned scan stage is unchanged, but
+    the probe no longer pays a second job's scheduling round-trip (the
+    values are bit-identical: the count is exact in a double far past
+    any driver-held corpus, and the percentile expression is untouched)."""
+    est = _ambient_pair_estimates(
+        df, text_col, id_col, shingle_k, sample_docs, probe_perm=32
     )
+    amb_row = est.agg(F.expr("percentile(_est, 0.5)").alias("_v")).select(
+        F.lit(0).alias("_k"), F.col("_v")
+    )
+    cnt_row = df.agg(F.count(F.lit(1)).cast("double").alias("_v")).select(
+        F.lit(1).alias("_k"), F.col("_v")
+    )
+    stats = {r["_k"]: r["_v"] for r in amb_row.unionByName(cnt_row).collect()}
+    ambient = float(stats[0] or 0.0)
+    n_docs = int(stats[1])
     from ffi_etl_spark.functions.lsh_tuning import choose_minhash_split
 
-    n_docs = df.count()
     kwargs: dict = {"n_docs": n_docs}
     if n_docs >= WIDE_CORPUS_DOCS:
         kwargs["num_perms"] = WIDE_NUM_PERMS

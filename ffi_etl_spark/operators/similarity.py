@@ -127,19 +127,45 @@ def compute_centroids(
     unusable at dim=1024), while the exploded form is one tiny codegen
     whatever the dim, and the explode is map-side-combined into K·dim
     groups before the (tiny) shuffle."""
-    exploded = corpus.select(
+    means = _centroid_elements(corpus, label_col, vec_col, None)
+    return means.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+            lambda s: s["v"],
+        ).alias("centroid")
+    )
+
+
+def _centroid_elements(
+    assigned: DataFrame,
+    label_col: str,
+    vec_col: str,
+    quantize_bits: int | None,
+) -> DataFrame:
+    """The shared FIRST stage of both centroid updates: posexplode to
+    (centroid_id, pos, x) rows and ONE map-side-combined (centroid_id,
+    pos) aggregate — ``v`` is the float mean (``quantize_bits=None``,
+    compute_centroids' update) or the exact quantized BIGINT sum
+    (``quantized_centroid_sums``' update). Split out in round 13 so the
+    K-bounded model paths can collect HERE and reassemble the K arrays
+    on the driver, skipping the second (K·dim → K) exchange+stage —
+    the ANN family's bench lines are pure 1-task-stage orchestration at
+    gate scale (measured: ann_ivf_autok = 23 jobs, every stage 1 task,
+    ~150 ms/job), so one fewer sequential stage per Lloyd round is the
+    honest lever (guide §2.4)."""
+    exploded = assigned.select(
         F.col(label_col).alias("centroid_id"),
         F.posexplode(F.col(vec_col)).alias("pos", "x"),
     )
-    means = exploded.groupBy("centroid_id", "pos").agg(
-        F.avg(F.col("x").cast("double")).alias("avg_x")
-    )
-    return means.groupBy("centroid_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "avg_x"))),
-            lambda s: s["avg_x"],
-        ).alias("centroid")
-    )
+    if quantize_bits is None:
+        agg = F.avg(F.col("x").cast("double")).alias("v")
+    else:
+        agg = F.sum(
+            F.floor(
+                F.col("x").cast("double") * F.lit(float(1 << quantize_bits))
+            ).cast("long")
+        ).alias("v")
+    return exploded.groupBy("centroid_id", "pos").agg(agg)
 
 
 def compute_centroids_arrow(
@@ -211,21 +237,11 @@ def quantized_centroid_sums(
 
     Same shuffle shape as ``compute_centroids``: one narrow posexplode,
     one K·dim-group aggregate (map-side combined), one K-row collect."""
-    exploded = assigned.select(
-        F.col(label_col).alias("centroid_id"),
-        F.posexplode(F.col(vec_col)).alias("pos", "x"),
-    )
-    sums = exploded.groupBy("centroid_id", "pos").agg(
-        F.sum(
-            F.floor(F.col("x").cast("double") * F.lit(float(1 << scale_bits))).cast(
-                "long"
-            )
-        ).alias("sx")
-    )
+    sums = _centroid_elements(assigned, label_col, vec_col, scale_bits)
     return sums.groupBy("centroid_id").agg(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "sx"))),
-            lambda s: s["sx"].cast("double"),
+            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+            lambda s: s["v"].cast("double"),
         ).alias("centroid")
     )
 
@@ -243,6 +259,39 @@ def pack_centroids(centroids: DataFrame) -> DataFrame:
                 norm2(F.col("centroid")).alias("cnorm"),
             )
         ).alias("_cents")
+    )
+
+
+def _norm2_sql(vec_col: str) -> str:
+    """``functions.vectors.norm2`` as ONE SQL string — the exact same
+    sqrt/aggregate/zip_with expression, parsed in one py4j round-trip.
+    The lambda-built form costs dozens of py4j calls per construction;
+    per-phase timing of the Lloyd loop measured 0.2-0.6s of pure driver
+    time per assignment BUILD (round 13), and the ANN bench lines
+    construct these trees 2-4× per query."""
+    d = _dot_sql(f"`{vec_col}`", f"`{vec_col}`")
+    return f"sqrt({d})"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """``functions.vectors.dot`` as a SQL string over two array exprs —
+    same elementwise double casts, same in-order fold, bit-identical."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
+        f"cast(y as double)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _scored_sql(vec_col: str, norm_col: str) -> str:
+    """The per-centroid (sim, -centroid_id) scoring array both
+    assignment operators fold over — the SQL twin of the round-12
+    lambda form (parity locked by the ANN family oracles and
+    tests/test_similarity_kmeans.py)."""
+    d = _dot_sql(f"`{vec_col}`", "c.centroid")
+    return (
+        f"transform(_cents, c -> struct("
+        f"{d} / (`{norm_col}` * c.cnorm) AS sim, "
+        f"-c.centroid_id AS ncid))"
     )
 
 
@@ -272,21 +321,17 @@ def assign_to_centroid(
     (Rejected formulations: cross-join K rows per vector + a
     Window.partitionBy(id) rank — shuffles n·K rows twice; collecting
     centroids to driver-side literals — an extra eager job per
-    assignment and a plan Catalyst re-analyzes per call.)"""
+    assignment and a plan Catalyst re-analyzes per call.)
+
+    Round 13: the norm and scoring expressions build from ONE parsed
+    SQL string each (``_norm2_sql``/``_scored_sql``) instead of nested
+    lambda ``F.`` calls — identical expressions, ~2× cheaper DRIVER
+    construction (the Lloyd loop re-builds this tree every round)."""
     packed = pack_centroids(centroids)
-    scored = F.transform(
-        F.col("_cents"),
-        lambda c: F.struct(
-            (dot(F.col(vec_col), c["centroid"]) / (F.col(norm_col) * c["cnorm"])).alias(
-                "sim"
-            ),
-            (-c["centroid_id"]).alias("ncid"),
-        ),
-    )
     return (
-        corpus.withColumn(norm_col, norm2(F.col(vec_col)))
+        corpus.withColumn(norm_col, F.expr(_norm2_sql(vec_col)))
         .crossJoin(F.broadcast(packed))
-        .withColumn("_best", F.array_max(scored))
+        .withColumn("_best", F.array_max(F.expr(_scored_sql(vec_col, norm_col))))
         .select(id_col, vec_col, norm_col, (-F.col("_best.ncid")).alias("centroid_id"))
     )
 
@@ -306,20 +351,12 @@ def assign_top_centroids(
     per-vector cost is K dots regardless of top_n. Ordering ties match
     the argmax rule (equal sims -> lower centroid_id first)."""
     packed = pack_centroids(centroids)
-    scored = F.transform(
-        F.col("_cents"),
-        lambda c: F.struct(
-            (dot(F.col(vec_col), c["centroid"]) / (F.col(norm_col) * c["cnorm"])).alias(
-                "sim"
-            ),
-            (-c["centroid_id"]).alias("ncid"),
-        ),
-    )
+    scored = F.expr(_scored_sql(vec_col, norm_col))
     # ascending sort by (sim, ncid) reversed = descending sim, ties to
     # the larger ncid first (= smaller centroid_id), matching array_max
     top = F.slice(F.reverse(F.array_sort(scored)), 1, top_n)
     return (
-        corpus.withColumn(norm_col, norm2(F.col(vec_col)))
+        corpus.withColumn(norm_col, F.expr(_norm2_sql(vec_col)))
         .crossJoin(F.broadcast(packed))
         .select(
             id_col,
@@ -355,9 +392,18 @@ def ann_ivf_topk(
     out-of-probe neighbors — nprobe is the recall/cost dial (a corpus
     vector lives in exactly one cell, so multi-probe never duplicates a
     candidate pair)."""
-    cents = compute_centroids(corpus, dim, label_col, vec_col)
-    # Both assignments broadcast the SAME packed centroid plan — Spark
-    # reuses the broadcast exchange, so centroids are computed once.
+    # The K-row label model is materialized once as a 1-slice local
+    # source (round 13): the lazy form planned the whole
+    # scan→explode→aggregate model subtree under BOTH assignment
+    # broadcasts — AQE stage reuse deduplicated the work at runtime,
+    # but each broadcast still staged the chain job by job (the plan
+    # carried 2× the training subtree and the line ran FASTER on 8
+    # cores than 32 — PERF_r12 scaling 0.76). K is the label
+    # cardinality: the coarse-quantizer premise (per-cell join ≈ n²/K
+    # bounded) already requires K ≪ n, so the collect is model-sized.
+    cents = _materialize_k_rows(
+        corpus.sparkSession, compute_centroids(corpus, dim, label_col, vec_col)
+    )
     c = assign_to_centroid(corpus, cents, id_col, vec_col).withColumnsRenamed(
         {id_col: "neighbor_id", vec_col: "_cv", "vec_norm": "_cn"}
     )
@@ -451,13 +497,14 @@ def ivf_train_quantizer(
         train, k=cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
         quantize_bits=quantize_bits,
     )
-    if quantize_bits is not None:
-        cents = quantized_centroid_sums(
-            assigned, label_col="centroid_id", vec_col=vec_col,
-            scale_bits=quantize_bits,
-        )
-    else:
-        cents = compute_centroids(assigned, 0, label_col="centroid_id", vec_col=vec_col)
+    # the final update IS the model every consumer (both assignments,
+    # the stored-index writer) reads — materialize it like the round
+    # models (round 13): the two assignment broadcasts then build from
+    # a K-row 1-slice local source instead of each re-staging the
+    # final-update subtree, and the stored writer emits ONE file
+    cents = _materialize_centroids(
+        corpus.sparkSession, assigned, cells, "centroid_id", vec_col, quantize_bits
+    )
     return cents, cells
 
 
@@ -1432,6 +1479,98 @@ def ann_brp_lsh_pairs_mllib(
     )
 
 
+def _materialize_k_rows(spark, df: DataFrame) -> DataFrame:
+    """Eagerly materialize a K-row model frame as a driver collect
+    re-planned as a K-row local source (optimization round 12, guide
+    §1.2): the old persist+count per round left the model an
+    InMemoryRelation that every later consumer re-scanned through the
+    block manager, and needed prev-round unpersist bookkeeping.
+    Collecting the K rows (the sanctioned K-row driver decision point —
+    same eager barrier the count was) re-plans the model as a K-row
+    local source (Scan ExistingRDD in PySpark), dropping the count
+    action and the cache build/scan jobs — measured 33 → 23 jobs on the
+    gated autok build — with nothing pinned in executor storage, and
+    the values bit-identical (longs exactly; Python round-trips IEEE
+    doubles losslessly). K is centroid-count-bounded at every scale;
+    guard k before calling if a caller ever lets it grow past
+    driver-collect territory.
+
+    Round 13: the rows parallelize into ONE slice, not
+    defaultParallelism slices — every later broadcast of the model runs
+    ``executeCollect`` over this source, and a 32-slice K-row RDD made
+    each of those a 32-task job (the round-12 driver bench measured the
+    ANN family running FASTER on 8 cores than 32 purely from that
+    tiny-task scheduling: scaling ratios 0.76/0.82)."""
+    rows = df.collect()
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema=df.schema
+    )
+
+
+#: k bound under which the model materialization collects the K·dim
+#: ELEMENT rows and reassembles the arrays on the driver (one fewer
+#: sequential exchange+stage per model build). Element rows carry ~4×
+#: the per-value driver overhead of the packed K-row arrays, so past
+#: this k the K-row collect (same data volume, packed) stays the safe
+#: form — the bound covers every gate/bench path (cells ≤ 22 at the
+#: gate, 447 at the sf10 ladder) while a 100 TB √n-cells build falls
+#: back automatically.
+_FUSED_COLLECT_MAX_K = 4096
+
+
+def _materialize_centroids(
+    spark,
+    assigned: DataFrame,
+    k: int,
+    label_col: str,
+    vec_col: str,
+    quantize_bits: int | None,
+) -> DataFrame:
+    """Materialize a centroid model (the ``compute_centroids`` /
+    ``quantized_centroid_sums`` update over ``assigned``) as a K-row
+    1-slice local source.
+
+    For k ≤ ``_FUSED_COLLECT_MAX_K`` the collect happens at the
+    (centroid_id, pos, v) ELEMENT stage and the dim-ordered arrays are
+    reassembled on the driver — value-identical to the JVM reassembly
+    (``array_sort(collect_list(struct(pos, v)))`` with unique pos keys
+    ≡ a Python sort on pos; BIGINT sums cast to double round the same
+    way in both runtimes, and means round-trip as exact IEEE doubles)
+    while skipping the K·dim → K exchange and its AQE stage-job.
+    Larger k keeps the two-stage aggregate and collects the packed K
+    rows (round-12 form, now 1-slice)."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    if k > _FUSED_COLLECT_MAX_K:
+        if quantize_bits is not None:
+            cents = quantized_centroid_sums(
+                assigned, label_col=label_col, vec_col=vec_col,
+                scale_bits=quantize_bits,
+            )
+        else:
+            cents = compute_centroids(assigned, 0, label_col, vec_col)
+        return _materialize_k_rows(spark, cents)
+    elements = _centroid_elements(assigned, label_col, vec_col, quantize_bits)
+    by_cid: dict = {}
+    for r in elements.collect():
+        by_cid.setdefault(r["centroid_id"], []).append((r["pos"], r["v"]))
+    data = [
+        (cid, [float(v) for _, v in sorted(vals)])
+        for cid, vals in by_cid.items()
+    ]
+    schema = StructType(
+        [
+            StructField(
+                "centroid_id", elements.schema["centroid_id"].dataType, True
+            ),
+            StructField("centroid", ArrayType(DoubleType(), True), True),
+        ]
+    )
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), schema=schema
+    )
+
+
 def kmeans_lloyd(
     corpus: DataFrame,
     k: int = 5,
@@ -1479,29 +1618,9 @@ def kmeans_lloyd(
     )
     spark = corpus.sparkSession
     for _ in range(n_iter):
-        if quantize_bits is not None:
-            cents = quantized_centroid_sums(
-                assigned, label_col="centroid_id", vec_col=vec_col,
-                scale_bits=quantize_bits,
-            )
-        else:
-            cents = compute_centroids(
-                assigned, 0, label_col="centroid_id", vec_col=vec_col
-            )
-        # K-row round materialization as a driver collect + re-plan
-        # (optimization round 12, guide §1.2): the old persist+count per
-        # round left the model an InMemoryRelation that every later
-        # consumer re-scanned through the block manager, and needed
-        # prev-round unpersist bookkeeping. Collecting the K rows (the
-        # sanctioned K-row driver decision point — same eager barrier
-        # the count was) re-plans the model as a K-row local source
-        # (Scan ExistingRDD in PySpark), dropping the count action and
-        # the cache build/scan jobs — measured 33 → 23 jobs on the gated
-        # autok build, wall-clock a wash — with nothing pinned in
-        # executor storage, and the values bit-identical (longs exactly;
-        # Python round-trips IEEE doubles losslessly).
-        rows = cents.collect()
-        cents = spark.createDataFrame(rows, schema=cents.schema)
+        cents = _materialize_centroids(
+            spark, assigned, k, "centroid_id", vec_col, quantize_bits
+        )
         assigned = assign_to_centroid(corpus, cents, id_col=id_col, vec_col=vec_col)
     return assigned
 

@@ -16,7 +16,17 @@ directly-imported submodule, so by the time X's own body runs, every
 sibling it (or its dependents) needs is complete. The list mirrors
 ``ffi_etl_spark/queries.py`` (which remains the authoritative
 registration order; keep the two in sync when adding a module —
-``tests/test_imports.py`` locks the direct-import property).
+``tests/test_imports.py`` locks the direct-import property, and since
+round 13 parses both lists out of the source, so they cannot drift from
+the lock).
+
+Invariant (ADVICE r12): the FIRST-listed module (reference_surface) must
+not be imported FROM by any sibling at module level — when it is itself
+the direct-import target it is mid-initialization while this registry
+sweep re-enters, so a decoration-time ``from …reference_surface import
+helper`` in any later module would hit the partially-initialized error
+the sweep exists to prevent. Add shared helpers to a non-first module
+(or a helpers module outside the registry list) instead.
 """
 
 from ffi_etl_spark.queries_pkg import (  # noqa: F401

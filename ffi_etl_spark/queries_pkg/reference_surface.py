@@ -1178,8 +1178,12 @@ def _survey_pipeline(spark, sf_dir):
     base = cust.select(k.alias("_k"), *[v.alias(n) for n, v in cols.items()])
     online = base.filter(F.col("_k") % 10 != 0).drop("_k")
     offline = base.filter(F.col("_k") % 10 == 0).drop("_k")
+    # ONE slice (round 13): createDataFrame's default parallelize
+    # splits these 8 rows across defaultParallelism partitions, so
+    # every broadcast of the census table inside the pipeline ran a
+    # 32-task job — same fix as similarity._materialize_k_rows
     census = spark.createDataFrame(
-        [
+        spark.sparkContext.parallelize([
             ("Gender", "Woman", "48.0%", 1),
             ("Gender", "Man", "46.5%", 2),
             ("Age", "18 to 29 years old", "15.0%", 1),
@@ -1188,7 +1192,7 @@ def _survey_pipeline(spark, sf_dir):
             ("Language", "English", "58.0%", 1),
             ("Language", "Spanish", "38.0%", 2),
             ("Language", "French", "4.0%", None),
-        ],
+        ], 1),
         "`Demographic` string, `Category` string, `Census %` string, `Display Order` int",
     )
     pipe = build_survey_pipeline(

@@ -161,6 +161,9 @@ def _dsir_budget_cutpoints(spark, sf_dir):
         sel, ["negw", "doc_id"], _CUTPOINT_RANGES, sample_n=_CUTPOINT_SAMPLE_N
     )
     rows = [(i + 1, int(c[0]), int(c[1])) for i, c in enumerate(cuts)]
+    # one slice: 31 rows across 32 default slices made the final count
+    # a 32-task job (round 13, the _materialize_k_rows rule)
     return spark.createDataFrame(
-        rows, schema="cut_rank long, negw long, doc_id long"
+        spark.sparkContext.parallelize(rows, 1),
+        schema="cut_rank long, negw long, doc_id long",
     )

@@ -81,7 +81,68 @@ def test_rollup_all_union_shape(spark):
     assert abs(sum(pcts) - 200.0) < 0.02
 
 
-def test_rollup_total_via_broadcast_equivalent(spark):
+def test_rollup_all_fused_matches_per_frame_union(spark):
+    """VERDICT r12 item 8 (first half): on a homogeneous-dtype
+    demographic list — where ``rollup_all`` takes the FUSED single-pass
+    explode branch — the output must be row-identical to the reference
+    shape it replaced: the explicit per-demographic
+    ``demographic_rollup`` frames unioned (the fallback branch's body),
+    including Unknown-denominator, null-category-blank and the exact
+    formatted percent strings."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from ffi_etl_spark.operators.rollup import FINAL_COLUMNS
+
+    df = spark.createDataFrame(
+        [
+            Row(a="x", b="y"),
+            Row(a="x", b="Unknown"),
+            Row(a="Unknown", b="z"),
+            Row(a=None, b="z"),
+            Row(a="w", b=None),
+        ]
+    )
+    demos = [("a", "A"), ("b", "B")]
+    fused = rollup_all(df, demos)  # homogeneous dtypes -> fused branch
+    per_frame = reduce(
+        DataFrame.unionByName,
+        [demographic_rollup(df, c, n) for c, n in demos],
+    ).select(FINAL_COLUMNS)
+    key = lambda t: tuple(map(str, t))  # None-safe tuple ordering
+    assert sorted(map(tuple, fused.collect()), key=key) == sorted(
+        map(tuple, per_frame.collect()), key=key
+    )
+
+
+def test_rollup_all_mixed_dtypes_take_per_frame_fallback(spark):
+    """VERDICT r12 item 8 (second half): a heterogeneous-dtype
+    demographic list must take the per-frame fallback, preserving each
+    column's own coercion semantics. The assertion is NOT tautological:
+    the fused branch would coerce the bigint categories to string
+    inside the explode array, flipping ``Category != 'Unknown'`` from
+    the numeric-coercion null (blank totals, null percents) to a true
+    string comparison — so routing mixed dtypes through the fused
+    branch changes values, and this equality breaks."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from ffi_etl_spark.operators.rollup import FINAL_COLUMNS
+
+    df = spark.createDataFrame(
+        [Row(seg="A", n=1), Row(seg="Unknown", n=2), Row(seg="B", n=1)]
+    )
+    demos = [("seg", "Seg"), ("n", "N")]  # string + bigint -> fallback
+    out = rollup_all(df, demos)
+    per_frame = reduce(
+        DataFrame.unionByName,
+        [demographic_rollup(df, c, n) for c, n in demos],
+    ).select(FINAL_COLUMNS)
+    assert sorted(
+        map(tuple, out.collect()), key=lambda t: tuple(map(str, t))
+    ) == sorted(map(tuple, per_frame.collect()), key=lambda t: tuple(map(str, t)))
     """The broadcast-total variant (high-cardinality-safe plan) must be
     value-identical to the window-total default."""
     df = spark.createDataFrame(
