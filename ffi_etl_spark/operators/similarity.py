@@ -41,6 +41,27 @@ class QuantizerDriftError(ValueError):
     (ADVICE r11)."""
 
 
+def _spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin the frame up to the session's parallelism WHEN its
+    current plan has fewer partitions (round 13, guide §2/§6): small
+    single-file parquet corpora plan 1-2 scan splits, so a compute-dense
+    narrow stage over them (the n·q scoring join, the K-dot assignment
+    pass) runs on 1-2 cores no matter how many the session has —
+    measured at synthetic sf1: knn_bruteforce read the same ~31s on 8
+    cores as on 32 (embeddings.parquet = 2 splits). At production scale
+    the scan has splits ≫ cores and this is a NO-OP (no shuffle added).
+
+    Only safe where downstream math is PER-ROW (dots, norms, argmax)
+    or order-free (integer sums, deterministic-tie ranks): a float
+    sum/avg over the respread rows would change accumulation order by
+    ±ulp. Callers keep float-mean aggregates (compute_centroids) on
+    the ORIGINAL frame."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -55,7 +76,7 @@ def knn_bruteforce(
         F.col(vec_col).alias("_qv"),
         norm2(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(
+    c = _spread_scan(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         norm2(F.col(vec_col)).alias("_cn"),
@@ -404,7 +425,11 @@ def ann_ivf_topk(
     cents = _materialize_k_rows(
         corpus.sparkSession, compute_centroids(corpus, dim, label_col, vec_col)
     )
-    c = assign_to_centroid(corpus, cents, id_col, vec_col).withColumnsRenamed(
+    # spread the ASSIGNMENT input only — the float-mean centroid
+    # aggregate above keeps the original scan order (its per-group
+    # accumulation is partition-order-sensitive); assignment is
+    # per-row math against the already-materialized model
+    c = assign_to_centroid(_spread_scan(corpus), cents, id_col, vec_col).withColumnsRenamed(
         {id_col: "neighbor_id", vec_col: "_cv", "vec_norm": "_cn"}
     )
     if nprobe > 1:
@@ -570,7 +595,8 @@ def ann_ivf_autok(
     )
     if probe_frac is not None:
         nprobe = max(1, math.ceil(probe_frac * cells))
-    c = assign_to_centroid(corpus, cents, id_col, vec_col).withColumnsRenamed(
+    # per-row assignment against the materialized model — spread-safe
+    c = assign_to_centroid(_spread_scan(corpus), cents, id_col, vec_col).withColumnsRenamed(
         {id_col: "neighbor_id", vec_col: "_cv", "vec_norm": "_cn"}
     )
     if nprobe > 1:
@@ -734,7 +760,9 @@ def ivf_index_tables(
         corpus, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
         quantize_bits=quantize_bits, cells=cells,
     )
-    cents = cents.localCheckpoint(eager=True)
+    # no checkpoint: the trainer already returns the model as a K-row
+    # 1-slice LOCAL source (round 13) — re-materializing it here was
+    # the pre-r13 guard against re-running the final-update subtree
     qb = -1 if quantize_bits is None else quantize_bits
     mid = cents.agg(
         F.bit_xor(
@@ -747,7 +775,10 @@ def ivf_index_tables(
         .withColumn("_qbits", F.lit(qb))
     )
     assignments = (
-        assign_to_centroid(corpus, cents, id_col, vec_col)
+        # per-row assignment against the materialized model — spread-safe;
+        # the codebook's min/max aggregates below read the ORIGINAL
+        # corpus (order-free anyway)
+        assign_to_centroid(_spread_scan(corpus), cents, id_col, vec_col)
         .crossJoin(F.broadcast(mid))
         .withColumn("_cells", F.lit(n_cells))
     )

@@ -53,12 +53,23 @@ def main() -> None:
                          "planted drift trip (sim_floor above 1.0) under "
                          "rebuild_on_drift and time the rebuild+swap — "
                          "the remedy's one n*sqrt(n) cost, measured")
+    ap.add_argument("--store-codes", action="store_true",
+                    help="round 13 (VERDICT r12 item 4): maintain the "
+                         "int8-coded IVF layout through the sink "
+                         "(store_codes=True — bootstrap fits the codebook, "
+                         "appends code under it, rebuilds re-fit) and probe "
+                         "each batch with ann_ivf_query_stored_int8, so the "
+                         "decade ladder measures the coded layout's "
+                         "compaction + probe costs end to end")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
-    from ffi_etl_spark.operators.similarity import ann_ivf_query_stored
+    from ffi_etl_spark.operators.similarity import (
+        ann_ivf_query_stored,
+        ann_ivf_query_stored_int8,
+    )
     from ffi_etl_spark.operators.stored_state import bucket_file_counts
     from ffi_etl_spark.streaming.ann_ingest import stream_ann_ingest
     from ffi_etl_spark.session import get_session
@@ -104,6 +115,7 @@ def main() -> None:
                     os.path.join(root, "ckpt"),
                     quantize_bits=20,
                     compact_files_per_cell=args.compact_files_per_cell,
+                    store_codes=args.store_codes,
                 )
                 .trigger(availableNow=True)
                 .start()
@@ -114,8 +126,12 @@ def main() -> None:
             stored = spark.read.parquet(os.path.join(index_root, "assignments"))
             model = spark.read.parquet(os.path.join(index_root, "centroids"))
             counts = bucket_file_counts(stored, "centroid_id")
+            probe_fn = (
+                ann_ivf_query_stored_int8 if args.store_codes
+                else ann_ivf_query_stored
+            )
             t1 = time.perf_counter()
-            probed = ann_ivf_query_stored(
+            probed = probe_fn(
                 model, stored, queries, trust_layout=True
             ).count()
             probe_sec = time.perf_counter() - t1
@@ -162,6 +178,7 @@ def main() -> None:
                 compact_files_per_cell=args.compact_files_per_cell,
                 max_below_floor_share=0.5, sim_floor=1.0001,
                 rebuild_on_drift=True,
+                store_codes=args.store_codes,
             )
             .trigger(availableNow=True)
             .start()
@@ -171,7 +188,7 @@ def main() -> None:
         stored = spark.read.parquet(os.path.join(index_root, "assignments"))
         model = spark.read.parquet(os.path.join(index_root, "centroids"))
         t1 = time.perf_counter()
-        ann_ivf_query_stored(model, stored, queries, trust_layout=True).count()
+        probe_fn(model, stored, queries, trust_layout=True).count()
         drift_rec = {
             "rebuild_sec": round(rebuild_sec, 2),
             "rows_after": stored.count(),
@@ -185,6 +202,7 @@ def main() -> None:
         "src": args.src, "n_vectors": n, "n_batches": args.n_batches,
         "n_queries": n_q,
         "compact_files_per_cell": args.compact_files_per_cell,
+        "store_codes": args.store_codes,
         "curve": curve,
     }
     # slope over the APPEND batches only (batch 0 is the bootstrap
